@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession configuration for the engine.
+  *
+  * Design notes (scale): these settings are the local[N] analogues of what a
+  * 1000-executor deployment would set cluster-wide — AQE on (runtime skew/plan
+  * fixes), shuffle partitions sized to parallelism (not the 200 default),
+  * zstd parquet output (the reference compresses everything with ZSTD too,
+  * see reference images/fluentbit/compact_columns.c:399-402).
+  */
+object GraftSession {
+
+  /** Apply engine settings to an existing session (e.g. one the driver owns).
+    * All of these are runtime-settable SQLConf keys.
+    */
+  def configure(spark: SparkSession): SparkSession = {
+    // The reference stores Timestamp(ns) (compact_columns.c:69-93); parquet
+    // TIMESTAMP(NANOS) is unreadable by Spark's µs TimestampType unless read
+    // as a raw long. Lossless-ns-as-long IS our design (SURVEY §7.4).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark
+  }
+
+  /** Build a local session sized from SPARK_GRAFT_CPUS (driver contract). */
+  def local(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    configure(spark)
+  }
+}

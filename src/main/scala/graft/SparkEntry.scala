@@ -1,13 +1,267 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is an operator from SURVEY §2 or the at-scale
+  * extension surface (BASELINE.json north star). Entries present in
+  * [[oracleSql]] are hash-checked against DuckDB on the same parquet tables;
+  * the rest (custom hashes / LSH / stub codec — not SQL-expressible) get the
+  * rows-only gate plus ScalaTest coverage.
+  *
+  * Numeric parity rules used throughout (so hashes actually match):
+  *  - money doubles → decimal(18,2) BEFORE arithmetic, exact aggregation,
+  *    one cast to double at the end;
+  *  - ratio doubles are single IEEE divisions of exact integers;
+  *  - nanosecond timestamps stay in Long (`epoch_ns(ts)` on the DuckDB side);
+  *  - every query ends in a deterministic ORDER BY with a unique tie-break.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the full log pipeline (CRI files → ingest → positional store →
+    * selector query) on sf0.001; driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    PipelineE2E.run(GraftSession.configure(spark), "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // — reference parity (SURVEY §2) over the log-shaped `events` table —
+    "s6_scan_filter_project" -> (LogParityQueries.scanFilterProject(_, _)),
+    "p1_selector_conjunction" -> (LogParityQueries.selectorConjunction(_, _)),
+    "p2_since_time_filter" -> (LogParityQueries.sinceFilter(_, _)),
+    "p3_output_columns" -> (LogParityQueries.outputColumns(_, _)),
+    "o1_order_by_time" -> (LogParityQueries.orderByTime(_, _)),
+    "o2_top1_latest" -> (LogParityQueries.top1Latest(_, _)),
+    "a1_count_matching" -> (LogParityQueries.countMatching(_, _)),
+    "a2_distinct_types" -> (LogParityQueries.distinctTypes(_, _)),
+    "u1_union_all" -> (LogParityQueries.unionAll(_, _)),
+    "s2_cri_roundtrip" -> (LogParityQueries.criRoundtrip(_, _)),
+    "x1_daily_type_counts" -> (LogParityQueries.dailyTypeCounts(_, _)),
+    "x2_inter_arrival" -> (LogParityQueries.interArrival(_, _)),
+    "x3_pivot_daily" -> (LogParityQueries.pivotDailyCounts(_, _)),
+    "e2e_log_pipeline" -> (PipelineE2E.run(_, _)),
+    // — generic relational surface (TPC-H-ish) —
+    "q1_pricing_summary" -> (RelationalQueries.pricingSummary(_, _)),
+    "q3_top_revenue" -> (RelationalQueries.topUnshippedOrders(_, _)),
+    "q5_local_volume" -> (RelationalQueries.localSupplierVolume(_, _)),
+    "j1_semi_join" -> (RelationalQueries.semiJoinBigSpenders(_, _)),
+    "j2_anti_join" -> (RelationalQueries.antiJoinNeverOrdered(_, _)),
+    "w1_window_top_orders" -> (RelationalQueries.windowTopOrders(_, _)),
+    "g1_rollup_orders" -> (RelationalQueries.rollupOrders(_, _)),
+    "g2_median_quantity" -> (RelationalQueries.medianQuantity(_, _)),
+    // — training-data pipeline extensions —
+    "d1_dedup_exact" -> (ExtensionQueries.dedupExact(_, _)),
+    "d2_dedup_ngram_jaccard" -> (ExtensionQueries.dedupNgramJaccard(_, _)),
+    "d3_dedup_minhash_lsh" -> (ExtensionQueries.dedupMinhashLsh(_, _)),
+    "d4_dedup_simhash" -> (ExtensionQueries.dedupSimhash(_, _)),
+    "d5_dedup_embedding" -> (ExtensionQueries.dedupEmbedding(_, _)),
+    "t1_text_tokens" -> (ExtensionQueries.textTokens(_, _)),
+    "t2_text_quality" -> (ExtensionQueries.textQuality(_, _)),
+    "t3_text_langid" -> (ExtensionQueries.textLangId(_, _)),
+    "t4_text_fingerprint" -> (ExtensionQueries.textFingerprint(_, _)),
+    "v1_knn_brute_force" -> (ExtensionQueries.knnBruteForce(_, _)),
+    "v2_knn_lsh" -> (ExtensionQueries.knnLsh(_, _)),
+    "m1_multimodal_decode" -> (ExtensionQueries.multimodalDecode(_, _))
+  )
+
+  /** DuckDB-runnable oracle per hash-checkable query (same column names, same
+    * ORDER BY — the driver sorts columns by name and hashes values).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "s6_scan_filter_project" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_type = 'error' AND value > 100 ORDER BY event_id""".stripMargin,
+    "p1_selector_conjunction" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE user_id = 13 AND event_type = 'view' ORDER BY event_id""".stripMargin,
+    "p2_since_time_filter" ->
+      """SELECT event_id, epoch_us(ts) AS time_us FROM events
+        |WHERE epoch_us(ts) >= 1706140800000000 ORDER BY event_id""".stripMargin,
+    "p3_output_columns" ->
+      """SELECT event_id,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.' ||
+        |    lpad(CAST(epoch_us(ts) % 1000000 AS VARCHAR), 6, '0') || 'Z' AS time_iso,
+        |  event_type, substr(props, 1, 8) AS msg_left
+        |FROM events ORDER BY event_id""".stripMargin,
+    "o1_order_by_time" ->
+      """SELECT event_id, epoch_us(ts) AS time_us, event_type FROM events
+        |ORDER BY time_us, event_id""".stripMargin,
+    "o2_top1_latest" ->
+      """SELECT event_id, epoch_us(ts) AS time_us FROM events
+        |ORDER BY time_us DESC, event_id LIMIT 1""".stripMargin,
+    "a1_count_matching" ->
+      """SELECT count(*) AS n FROM events WHERE props LIKE '%"k": 7%'""",
+    "a2_distinct_types" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "u1_union_all" ->
+      """SELECT * FROM (
+        |  SELECT event_id, epoch_us(ts) AS time_us, event_type FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT event_id, epoch_us(ts) AS time_us, event_type FROM events WHERE event_type = 'error'
+        |) ORDER BY time_us, event_id""".stripMargin,
+    "s2_cri_roundtrip" ->
+      """SELECT epoch_us(ts) AS time_us,
+        |  CASE WHEN event_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS stream,
+        |  'F' AS logtag, props AS message
+        |FROM events ORDER BY time_us, message""".stripMargin,
+    "x1_daily_type_counts" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "x2_inter_arrival" ->
+      """SELECT event_id, user_id,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |FROM events ORDER BY event_id""".stripMargin,
+    "x3_pivot_daily" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "e2e_log_pipeline" ->
+      """SELECT epoch_us(ts) AS time_us,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.' ||
+        |    lpad(CAST(epoch_us(ts) % 1000000 AS VARCHAR), 6, '0') || 'Z' AS time_iso,
+        |  'dev' AS cluster, 'ns0' AS namespace, 'node-a' AS node,
+        |  'pod-' || CAST(user_id % 5 AS VARCHAR) AS pod, 'app' AS container,
+        |  CASE WHEN event_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS stream,
+        |  'F' AS logtag, props AS message
+        |FROM events WHERE user_id % 3 = 0 ORDER BY time_us, message""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_revenue" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_volume" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "j1_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "j2_anti_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_shipdate < TIMESTAMP '1996-01-01')
+        |ORDER BY p_partkey""".stripMargin,
+    "w1_window_top_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin,
+    "g1_rollup_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "g2_median_quantity" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "d1_dedup_exact" ->
+      """SELECT props, min(event_id) AS keep_id, count(*) AS n_copies
+        |FROM events GROUP BY props ORDER BY props""".stripMargin,
+    "d2_dedup_ngram_jaccard" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                                for i in range(1, len(w) - 1)]) AS gs
+        |  FROM ws WHERE len(w) >= 3),
+        |g AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+        |sizes AS (SELECT doc_id, len(gs) AS sz FROM grams),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "t1_text_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(w, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "t2_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','it','that','for','el','la','de','que','y','en','un','por','con','los','le','et','les','des','du','der','die','und','das','von','zu','mit','den','ein','ist','的','了','是','在','我','有','他','这','中','不'], x))) AS DOUBLE) / len(w) AS stopword_ratio,
+        |  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS mean_word_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "t3_text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(w, x -> list_contains(['der','die','und','das','von','zu','mit','den','ein','ist'], x))) AS BIGINT) AS hits_de,
+        |    CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS BIGINT) AS hits_en,
+        |    CAST(len(list_filter(w, x -> list_contains(['el','la','de','que','y','en','un','por','con','los'], x))) AS BIGINT) AS hits_es,
+        |    CAST(len(list_filter(w, x -> list_contains(['le','la','de','et','les','des','en','un','du','que'], x))) AS BIGINT) AS hits_fr,
+        |    CAST(len(list_filter(w, x -> list_contains(['的','了','是','在','我','有','他','这','中','不'], x))) AS BIGINT) AS hits_zh
+        |  FROM t)
+        |SELECT doc_id, hits_de, hits_en, hits_es, hits_fr, hits_zh,
+        |  CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) = 0 THEN 'und'
+        |       WHEN hits_zh = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'zh'
+        |       WHEN hits_fr = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'fr'
+        |       WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'es'
+        |       WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'en'
+        |       ELSE 'de' END AS lang_pred
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "v1_knn_brute_force" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.qv, e.embedding) AS cos
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin
+  )
 }

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided testdata tables (TESTDATA.md).
+  *
+  * Every loader goes through [[GraftSession.configure]] so that the
+  * nanosecond-timestamp `events` table reads as an epoch-nano Long
+  * (SURVEY §7.4 — `ts` is the lossless `time_ns` analogue).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    GraftSession.configure(spark)
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
+
+  /** `events(event_id, ts: Long epoch-nanos, user_id, event_type, value, props)` —
+    * the log-like stream table; `ts` is a Long because parquet TIMESTAMP(NANOS)
+    * has no lossless TimestampType representation (SURVEY §7.4).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+}

@@ -1,0 +1,85 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM-static hash kernels shared by interpreted eval and codegen. */
+object HashKernels {
+  /** 64-bit polynomial rolling hash (Rabin–Karp family) over UTF-8 bytes,
+    * base 1099511628211 (the FNV prime — a good odd multiplier), wrapping
+    * arithmetic. Deterministic across JVMs; used as the document fingerprint.
+    */
+  def polyHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L // FNV-1a offset basis as the seed
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 1099511628211L + (bytes(i) & 0xffL)
+      i += 1
+    }
+    h
+  }
+
+  /** SimHash-64 over pre-hashed token longs: for each of the 64 bit
+    * positions, vote +1/−1 by the token-hash bit; the sign vector is the
+    * fingerprint. Near-duplicate docs differ in few bits (small Hamming
+    * distance).
+    */
+  def simHash(tokenHashes: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokenHashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = tokenHashes.getLong(i)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < 64) { if (counts(k) > 0) out |= (1L << k); k += 1 }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
+
+/** `poly_hash64(string) → long` — document fingerprint (rolling hash). */
+case class PolyHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash64"
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.polyHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.HashKernels.polyHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHash64 =
+    copy(child = newChild)
+}
+
+/** `simhash64(array<long>) → long` — SimHash over token hashes. One pass over
+  * the token array per document; O(64) state on the stack — this is the
+  * operator an `aggregate(transform(...))` composition could not make cheap.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simHash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.HashKernels.simHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** `hamming64(long, long) → int` — Hamming distance between fingerprints. */
+object HashFunctions {
+  def polyHash64(c: Column): Column = Compat.column(PolyHash64(Compat.expression(c)))
+  def simHash64(c: Column): Column = Compat.column(SimHash64(Compat.expression(c)))
+}

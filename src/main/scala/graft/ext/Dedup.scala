@@ -1,0 +1,164 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.expr.{HashFunctions, VecFunctions}
+
+/** Deduplication operators for a training-data pipeline: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+  *
+  * Scale design:
+  *  - exact dedup is one hash-shuffle on the dedup key — with content hashed
+  *    first (`xxhash64`) so the shuffle carries 8-byte keys, not document
+  *    bodies;
+  *  - pairwise operators NEVER do an all-pairs cross join: candidates come
+  *    from an equi-join on shingles / LSH band buckets / SimHash band keys,
+  *    which Spark executes as a shuffled hash join on small keys;
+  *  - hot shingles (appearing in > maxDf docs) are dropped before the
+  *    candidate join — the standard guard against quadratic blowup on
+  *    boilerplate n-grams (a stopword shingle at 100 TB would otherwise
+  *    produce one reducer with ~all documents).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per identical value of `keyCols`.
+    * One shuffle on the (hashed) key.
+    */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word-shingle hashes per document: the shared substrate of the
+    * Jaccard / MinHash paths. Shingles are hashed to longs immediately so all
+    * downstream joins/aggregations move 8-byte values.
+    */
+  def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      array_distinct(transform(TextAnalysis.wordNgrams(col(textCol), n), g => xxhash64(g)))
+        .as("grams"))
+
+  /** Exact n-gram Jaccard near-dup pairs: explode distinct shingles →
+    * self-equi-join on shingle → per-pair shared count → Jaccard from set
+    * sizes. `maxDf` drops degenerate hot shingles before the join.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8, maxDf: Long = 1000): DataFrame = {
+    val grams = shingleHashes(docs, idCol, textCol, n)
+    val sizes = grams.select(col("doc_id"), size(col("grams")).as("sz"))
+    val exploded = grams.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val filtered = exploded
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+    val shared = filtered.as("a")
+      .join(filtered.as("b"), col("a.gram") === col("b.gram") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signatures: `sig[i] = min over shingles of xxhash64(shingle, i)`
+    * — `numHashes` independent permutation approximations from one shingle
+    * array, computed in a single projection (no shuffle).
+    */
+  def minhashSignatures(grams: DataFrame, numHashes: Int): DataFrame =
+    grams.withColumn("sig",
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        s => array_min(transform(col("grams"), g => xxhash64(g, s)))))
+
+  /** MinHash + LSH banding: signatures are sliced into `bands` bands of
+    * `rows = numHashes/bands` values; documents sharing any band bucket are
+    * candidates; candidates are verified with exact Jaccard on the shingle
+    * sets (`array_intersect`/`array_union` on the 8-byte hashes).
+    *
+    * The band bucket join is the scale path: P(candidate) ≈ 1-(1-j^r)^b — at
+    * j=0.8, r=4, b=16 that is ≈0.9996, while random pairs essentially never
+    * collide, so the join output stays near-linear in the true-duplicate count.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val grams = shingleHashes(docs, idCol, textCol, n).filter(size(col("grams")) > 0)
+    val sigs = minhashSignatures(grams, numHashes)
+    val banded = sigs.select(
+      col("doc_id"), col("grams"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.grams").as("grams_a"), col("b.grams").as("grams_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("jaccard",
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+          size(array_union(col("grams_a"), col("grams_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit fingerprint per doc (custom codegen
+    * expression), candidates = equal 16-bit band (any of 4 bands — Hamming
+    * distance ≤ 3 guarantees at least one identical band by pigeonhole),
+    * verified by exact Hamming distance.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = docs.select(col(idCol).as("doc_id"),
+      HashFunctions.simHash64(
+        transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t))).as("fp"))
+    val banded = fp.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Embedding-cosine near-dup pairs via random-hyperplane LSH buckets +
+    * exact cosine verification (custom codegen kernel). Deterministic planes
+    * derive from hashing the dimension index.
+    */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, planes: Int = 12, bands: Int = 3): DataFrame = {
+    val sig = Similarity.hyperplaneSignature(col(vecCol), planes)
+    val rows = planes / bands
+    val banded = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"), sig.as("sig"))
+      .select(col("vec_id"), col("v"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.v").as("v_a"), col("b.v").as("v_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", VecFunctions.cosineSim(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.expr.HashFunctions
+
+/** Text-analysis operators for a training-data pipeline: tokenization, token
+  * counting, quality scoring, language-ID heuristic, document fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` plus the custom
+  * fingerprint expression — a single narrow scan, no shuffles: at 100 TB these
+  * run map-only and scale linearly with input splits.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (empty tokens dropped, lower-cased). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword proxy count: word-piece segments of ≤4 chars —
+    * `ceil(len/4)` summed over words, a deterministic stand-in for a real
+    * tokenizer's token count (no tokenizer libs in this environment).
+    */
+  def subwordCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("long"))
+
+  /** Per-language stopword hit sets for the language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ein", "ist"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "他", "这", "中", "不")
+  )
+
+  /** N-gram language-ID heuristic: stopword-hit counts per language, argmax
+    * with a deterministic tie-break (language code ascending), `und` when no
+    * stopword hits at all.
+    */
+  def langId(text: Column): Column = {
+    val ts = tokens(text)
+    val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(ts, t => t.isInCollection(words))).as("hits"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality signals (length, punctuation ratio, stopword ratio, mean word
+    * length) — the classic cheap pre-filters for LLM training corpora. Ratios
+    * are single IEEE divisions of integer counts: bit-exact and
+    * oracle-reproducible.
+    */
+  def qualityFeatures(text: Column): Column = {
+    val ts = tokens(text)
+    val nTok = size(ts)
+    val nChar = length(text)
+    val nPunct = nChar - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    val allStop = stopwords.values.flatten.toSeq.distinct
+    val nStop = size(filter(ts, t => t.isInCollection(allStop)))
+    struct(
+      nChar.cast("long").as("n_chars"),
+      nTok.cast("long").as("n_tokens"),
+      (nPunct.cast("double") / nChar).as("punct_ratio"),
+      (nStop.cast("double") / nTok).as("stopword_ratio"),
+      (aggregate(ts, lit(0L), (a, w) => a + length(w)).cast("double") / nTok).as("mean_word_len")
+    )
+  }
+
+  /** Scalar quality score in [0,1]: penalize too-short docs, reward a healthy
+    * stopword ratio, penalize punctuation soup. Deterministic double math.
+    */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lenScore = least(f.getField("n_tokens").cast("double") / 20.0, lit(1.0))
+    val punctScore = lit(1.0) - least(f.getField("punct_ratio") * 4.0, lit(1.0))
+    val stopScore = least(f.getField("stopword_ratio") * 5.0, lit(1.0))
+    (lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3)
+  }
+
+  /** Rolling-hash document fingerprint (custom codegen expression). */
+  def fingerprint(text: Column): Column = HashFunctions.polyHash64(text)
+
+  /** Word n-grams as space-joined strings (shingles for dedup). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(ts) - n),
+        i => array_join(slice(ts, i + 1, lit(n)), " ")))
+  }
+
+  /** Full text-analysis projection over a `documents`-shaped table. */
+  def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_subwords", subwordCount(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

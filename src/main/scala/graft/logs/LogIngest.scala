@@ -1,0 +1,115 @@
+package graft.logs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Batch ingestion: CRI log files → partitioned parquet (SURVEY §2 rows
+  * S1-S5, K1, K7; §3.2).
+  *
+  * Scale notes: parsing is one `split` pass + one codegen timestamp
+  * expression per line (whole-stage codegen end to end, no UDFs); the write
+  * partitions on low-cardinality columns first (cluster/namespace/date/hour)
+  * so directory fan-out stays bounded and namespace queries prune at the
+  * listing level; `maxRecordsPerFile` bounds file size like the reference's
+  * `total_file_size 1M` (fluent-bit.conf:42,59).
+  */
+object LogIngest {
+
+  /** Kubernetes CRI pod-log path grammar (reference fluent-bit.conf:12-14
+    * `Tag_Regex`): `/var/log/pods/<namespace>_<pod>_<pod_uid>/<container>/N.log`.
+    */
+  val podPathRegex = ".*/pods/([^_/]+)_([^_/]+)_([^_/]+)/([^/]+)/[^/]+\\.log$"
+
+  /** Path exclusion — fluent-bit excludes its own logs to avoid a feedback
+    * loop (fluent-bit.conf:15-16).
+    */
+  val defaultExcludeRegex = ".*/pods/[^/]*fluent-bit[^/]*/.*"
+
+  /** Max line length guard ≙ `Skip_Long_Lines On` + 2M buffer cap
+    * (fluent-bit.conf:18-20).
+    */
+  val defaultMaxLineBytes = 2 * 1024 * 1024
+
+  /** Read raw CRI files and produce the canonical log DataFrame with path
+    * metadata columns. `_metadata.file_path` is the hidden file-source column
+    * (stable under task retries, unlike `input_file_name` in some plans).
+    */
+  def readCri(spark: SparkSession, glob: String, clusterName: String,
+      nodeName: String = "local-node",
+      excludeRegex: String = defaultExcludeRegex,
+      maxLineBytes: Int = defaultMaxLineBytes): DataFrame = {
+    val raw = spark.read.text(glob)
+      .withColumn("file_path", col("_metadata.file_path"))
+      .filter(!col("file_path").rlike(excludeRegex))
+      .filter(length(col("value")) < maxLineBytes)
+    CriFunctions.parsed(raw, clusterName)
+      .withColumn("namespace", regexp_extract(col("file_path"), podPathRegex, 1))
+      .withColumn("pod", regexp_extract(col("file_path"), podPathRegex, 2))
+      .withColumn("container", regexp_extract(col("file_path"), podPathRegex, 4))
+      .withColumn("node", lit(nodeName))
+      .withColumn("date", date_format(col("time"), "yyyy-MM-dd"))
+      .withColumn("hour", date_format(col("time"), "HH"))
+      .drop("file_path")
+  }
+
+  /** Primary (idiomatic hive-layout) writer: partition pruning and partition
+    * columns come free from Spark's `PartitioningAwareFileIndex` (SURVEY §1.3).
+    */
+  def writeHive(df: DataFrame, root: String,
+      maxRecordsPerFile: Long = 1000000L): Unit =
+    df.write
+      .partitionBy(LogSchema.hivePartitionColumns: _*)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("append")
+      .parquet(root)
+
+  /** Reference-compatible positional-layout writer (SURVEY §1.3; layout
+    * y-logcli:5). Spark can only emit `k=v` directories, so this writes
+    * hive-style into a scratch dir and renames directories to the positional
+    * form — a metadata-only operation on any filesystem (and a server-side
+    * copy on S3). Intended for fixtures and compat export; the hive layout is
+    * the at-scale primary.
+    */
+  def writePositional(df: DataFrame, root: String,
+      uploadTime: java.time.Instant = java.time.Instant.now()): Unit = {
+    val spark = df.sparkSession
+    val scratch = root.stripSuffix("/") + "/.graft-staging"
+    // Path time segments come from UPLOAD wall-clock, exactly like the
+    // reference (s3_key_format strftime evaluates at flush time,
+    // fluent-bit.conf:45,67) — queries filter on the time COLUMN, never the
+    // path time (y-logcli:166). This also bounds directory fan-out: one
+    // minute bucket per batch, so files-per-batch = label combinations.
+    val t = uploadTime.atZone(java.time.ZoneOffset.UTC)
+    def f2(i: Int) = f"$i%02d"
+    val full = df
+      .drop("date", "hour")
+      .withColumn("year", lit(t.getYear.toString))
+      .withColumn("month", lit(f2(t.getMonthValue)))
+      .withColumn("day", lit(f2(t.getDayOfMonth)))
+      .withColumn("hour", lit(f2(t.getHour)))
+      .withColumn("minute", lit(f2(t.getMinute)))
+    full.write
+      .partitionBy("cluster", "namespace", "year", "month", "day", "node",
+        "pod", "container", "hour", "minute")
+      .mode("overwrite")
+      .parquet(scratch)
+
+    val fs = FileSystem.get(new java.net.URI(scratch), spark.sparkContext.hadoopConfiguration)
+    val rootPath = new Path(root)
+    val it = fs.listFiles(new Path(scratch), true)
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath.toUri.getPath
+      if (p.endsWith(".parquet")) {
+        val rel = p.stripPrefix(new Path(scratch).toUri.getPath).stripPrefix("/")
+        val segs = rel.split("/").toSeq
+        val dirs = segs.init.map(_.split("=", 2)(1))
+        val dest = new Path((rootPath.toUri.getPath +: dirs :+ segs.last).mkString("/"))
+        fs.mkdirs(dest.getParent)
+        fs.rename(f.getPath, dest)
+      }
+    }
+    fs.delete(new Path(scratch), true)
+  }
+}

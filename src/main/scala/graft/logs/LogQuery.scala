@@ -1,0 +1,127 @@
+package graft.logs
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Output projections (SURVEY §2 rows P3, P5; reference y-logcli:177-187). */
+sealed trait LogOutput
+object LogOutput {
+  case object Raw extends LogOutput      // message only (like kubectl logs)
+  case object Columns extends LogOutput  // time+pod+container+stream+left(message,60)
+  case object Lines extends LogOutput    // full column set
+  case object Table extends LogOutput    // full column set (render differs CLI-side)
+
+  def parse(s: String): LogOutput = s match {
+    case "raw" => Raw
+    case "columns" => Columns
+    case "lines" => Lines
+    case "table" => Table
+    case other => throw new IllegalArgumentException(s"bad -o '$other'")
+  }
+}
+
+/** Storage layouts the query side can read. */
+sealed trait LogLayout
+object LogLayout {
+  /** Idiomatic hive `k=v` partitions — Spark prunes natively from column
+    * predicates (SURVEY §1.3 primary design).
+    */
+  case object Hive extends LogLayout
+  /** The reference's positional layout — pruning via constructed glob, columns
+    * via path split (SURVEY §1.3 compat design; y-logcli:106-143).
+    */
+  case object Positional extends LogLayout
+}
+
+/** The query builder (SURVEY §3.1's Spark equivalent): selector + since +
+  * output mode + layout → a pruned, ordered DataFrame.
+  *
+  * Partition pruning (SURVEY §4): for [[LogLayout.Positional]] the glob is
+  * rewritten from the selectors before `spark.read` ever lists — the same
+  * altitude as the reference's `build_s3_path` (y-logcli:106-123). For
+  * [[LogLayout.Hive]] the same selectors become column predicates and
+  * Catalyst's `PartitioningAwareFileIndex` prunes. Residual selector columns
+  * are always also filtered (defense in depth; globs prune, filters prove).
+  * Time predicates are applied on BOTH the µs `time` column and the `time_ns`
+  * long so parquet row-group stats prune whichever column the file carries.
+  */
+final case class LogQuery(
+    selector: LogSelector = LogSelector.empty,
+    sinceSeconds: Option[Long] = None,
+    output: LogOutput = LogOutput.Table,
+    layout: LogLayout = LogLayout.Positional,
+    /** Fixed reference instant for `--since`; None = now(). Tests and
+      * reproducible runs pin it (epoch nanos).
+      */
+    asOfNanos: Option[Long] = None) {
+
+  def dataFrame(spark: SparkSession, root: String): DataFrame = {
+    val base = layout match {
+      case LogLayout.Positional =>
+        val glob = LogPathLayout.buildGlob(root, selector.labels, "parquet")
+        // A selector that prunes to nothing leaves a glob matching no files;
+        // that is an empty result, not an error (kubectl-logs semantics).
+        val p = new org.apache.hadoop.fs.Path(glob)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val matches = fs.globStatus(p)
+        if (matches == null || matches.isEmpty) {
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            LogSchema.struct)
+        } else {
+          val filePath = col("_metadata.file_path")
+          LogPathLayout.withPathColumns(filePath)
+            .foldLeft(spark.read.schema(LogSchema.positionalFileStruct).parquet(glob)) {
+              case (df, (name, c)) => df.withColumn(name, c)
+            }
+        }
+      case LogLayout.Hive =>
+        spark.read.parquet(root)
+    }
+
+    val selected = selector.labels.foldLeft(base) {
+      case (df, (k, v)) if df.columns.contains(k) => df.filter(col(k) === v)
+      case (df, _) => df
+    }
+
+    val since = sinceSeconds.map { s =>
+      val cutoffNs: Column = asOfNanos match {
+        case Some(n) => lit(n - s * 1000000000L)
+        case None => unix_micros(current_timestamp()) * 1000L - lit(s * 1000000000L)
+      }
+      selected.filter(col("time_ns") >= cutoffNs &&
+        col("time") >= timestamp_micros((cutoffNs / 1000L).cast("long")))
+    }.getOrElse(selected)
+
+    project(since).orderBy(col("time_ns"))
+  }
+
+  /** Output-mode projection (reference y-logcli:177-194). The rendered `time`
+    * uses the nanosecond ISO format (y-logcli:173-179) from the lossless
+    * `time_ns` column.
+    */
+  private def project(df: DataFrame): DataFrame = output match {
+    case LogOutput.Raw =>
+      df.select(col("time_ns"), col("message"))
+    case LogOutput.Columns =>
+      df.select(
+        col("time_ns"),
+        CriFunctions.nsIso8601(col("time_ns")).as("time_iso"),
+        col("pod"), col("container"), col("stream"),
+        substring(col("message"), 1, 60).as("message"))
+    case LogOutput.Lines | LogOutput.Table =>
+      df.select(
+        col("time_ns"),
+        CriFunctions.nsIso8601(col("time_ns")).as("time_iso"),
+        col("cluster"), col("namespace"), col("node"), col("pod"),
+        col("container"), col("stream"), col("logtag"), col("message"))
+  }
+}
+
+object LogQuery {
+  /** Union across storage roots/formats (SURVEY §2 row U1; reference
+    * y-logcli:243-255's `-f both`). `unionByName` removes the reference's
+    * manual all-columns-subquery bookkeeping (y-logcli:189-194).
+    */
+  def unionAcross(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_)).orderBy(col("time_ns"))
+}

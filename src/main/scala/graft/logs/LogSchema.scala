@@ -1,0 +1,53 @@
+package graft.logs
+
+import org.apache.spark.sql.types._
+
+/** Canonical log-record schema (SURVEY §1.2).
+  *
+  * Columns mirror the reference's Arrow schema (reference
+  * images/fluentbit/compact_columns.c:332-375 + k3d-example/fluentbit/
+  * fluent-bit.conf:25-28) with the engine's nanosecond design applied
+  * (SURVEY §7.4): `time` is a µs TimestampType for pruning/windows/intervals,
+  * `time_ns` is the lossless epoch-nano Long that drives ordering and
+  * rendering.
+  */
+object LogSchema {
+
+  /** Data columns stored inside every parquet file. */
+  val dataStruct: StructType = StructType(Seq(
+    StructField("time", TimestampType),      // µs, truncated — pruning & windows
+    StructField("time_ns", LongType),        // lossless epoch nanos — order & render
+    StructField("stream", StringType),       // {stdout, stderr}; parquet dict-encodes
+    StructField("logtag", StringType),       // {F, P} (CRI full/partial)
+    StructField("message", StringType),      // opaque; may contain embedded \n
+    StructField("cluster", StringType)       // injected (fluent-bit.conf:25-28)
+  ))
+
+  /** Schema physically inside a positional-layout file: everything else —
+    * including `cluster` — lives in the path (fluent-bit.conf:66 contract).
+    */
+  val positionalFileStruct: StructType =
+    StructType(dataStruct.fields.filterNot(_.name == "cluster"))
+
+  /** Columns carried by the storage path, not the file (SURVEY §1.3);
+    * reconstructed at read time for the positional layout, native partition
+    * columns for the hive layout.
+    */
+  val pathColumns: Seq[String] = Seq("namespace", "node", "pod", "container")
+
+  /** Hive-layout partition spec used by the primary writer. `date`/`hour` are
+    * derived from event time; ordering matters — low-cardinality first so the
+    * directory fan-out at 100 TB stays listable, and namespace (the top query
+    * predicate, y-logcli:106-113) prunes earliest.
+    */
+  val hivePartitionColumns: Seq[String] = Seq("cluster", "namespace", "date", "hour")
+
+  /** Full logical schema exposed to queries. */
+  val struct: StructType = StructType(
+    dataStruct.fields.toSeq ++
+      pathColumns.map(StructField(_, StringType)) ++
+      Seq(StructField("date", StringType), StructField("hour", StringType))
+  )
+
+  val selectorKeys: Set[String] = Set("cluster", "namespace", "node", "pod", "container")
+}

@@ -1,0 +1,52 @@
+package graft.logs
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming ingestion (SURVEY §2 rows S1, K1, K3-K6; §3.2): the Structured
+  * Streaming analogue of the fluent-bit tail → S3 pipeline.
+  *
+  * Flush-semantics mapping (SURVEY §7.6):
+  *  - `upload_timeout 60s` (fluent-bit.conf:43,60) → the processing-time
+  *    trigger: every micro-batch commits files atomically, bounding
+  *    visibility latency by the trigger interval.
+  *  - `total_file_size 1M` (fluent-bit.conf:42,59) → `maxRecordsPerFile`.
+  *  - tail checkpoint DB (fluent-bit.conf:8-9) → the streaming checkpoint.
+  *  - SIGTERM flush (reference test.sh:427-541) → `StreamingQuery.stop()`
+  *    after the in-flight batch commits; the file-sink commit log guarantees
+  *    no partial files — strictly stronger than the reference's behavior.
+  */
+object LogStreamIngest {
+
+  def start(spark: SparkSession, inputGlob: String, outputRoot: String,
+      checkpoint: String, clusterName: String,
+      nodeName: String = "local-node",
+      triggerInterval: String = "60 seconds",
+      maxFilesPerTrigger: Int = 1000,
+      maxRecordsPerFile: Long = 1000000L): StreamingQuery = {
+    val raw = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(inputGlob)
+      .withColumn("file_path", col("_metadata.file_path"))
+      .filter(!col("file_path").rlike(LogIngest.defaultExcludeRegex))
+      .filter(length(col("value")) < LogIngest.defaultMaxLineBytes)
+    val parsed = CriFunctions.parsed(raw, clusterName)
+      .withColumn("namespace", regexp_extract(col("file_path"), LogIngest.podPathRegex, 1))
+      .withColumn("pod", regexp_extract(col("file_path"), LogIngest.podPathRegex, 2))
+      .withColumn("container", regexp_extract(col("file_path"), LogIngest.podPathRegex, 4))
+      .withColumn("node", lit(nodeName))
+      .withColumn("date", date_format(col("time"), "yyyy-MM-dd"))
+      .withColumn("hour", date_format(col("time"), "HH"))
+      .drop("file_path")
+
+    parsed.writeStream
+      .format("parquet")
+      .partitionBy(LogSchema.hivePartitionColumns: _*)
+      .option("path", outputRoot)
+      .option("checkpointLocation", checkpoint)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .start()
+  }
+}

@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators (the at-scale extension surface,
+  * BASELINE.json north star) as driver-verifiable queries over the
+  * `documents` / `embeddings` / `events` fixtures.
+  */
+object ExtensionQueries {
+
+  /** Exact dedup over the duplicate-heavy `events.props` payload. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.events(spark, dir), "event_id", Seq("props"))
+      .orderBy(col("props"))
+
+  /** Exact n-gram Jaccard near-dup pairs (DuckDB-verifiable). */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+      n = 3, threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** MinHash+LSH near-dup pairs (rows-only gate; ScalaTest asserts recall
+    * against the exact-Jaccard pairs).
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
+      n = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash near-dup pairs (rows-only gate; ScalaTest asserts overlap with
+    * Jaccard pairs).
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
+      maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Embedding-cosine near-dup pairs via hyperplane LSH (rows-only gate).
+    * The fixture's max pairwise cosine is ~0.51 (no planted vector dups), so
+    * the fixture threshold is 0.45 with wide bands; production defaults stay
+    * at near-dup levels (0.95, narrow bands).
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      threshold = 0.45, planes = 12, bands = 6)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Token + subword counts (DuckDB-verifiable integer outputs). */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+      .orderBy(col("doc_id"))
+
+  /** Quality features — ratios are single IEEE divisions of integer counts,
+    * so the doubles compare bit-exactly against the oracle.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val f = TextAnalysis.qualityFeatures(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        f.getField("n_chars").as("n_chars"),
+        f.getField("n_tokens").as("n_tokens"),
+        f.getField("stopword_ratio").as("stopword_ratio"),
+        f.getField("mean_word_len").as("mean_word_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID heuristic: per-language stopword hits + argmax prediction. */
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val ts = TextAnalysis.tokens(col("text"))
+    val hitCols = TextAnalysis.stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      size(filter(ts, t => t.isInCollection(words))).cast("long").as(s"hits_$lang")
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: hitCols :+ TextAnalysis.langId(col("text")).as("lang_pred"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Rolling-hash fingerprints (custom codegen expression; rows-only gate —
+    * the hash has no SQL equivalent, ScalaTest pins exact vectors).
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** Brute-force exact cosine top-k (DuckDB list_cosine_similarity oracle).
+    * Query set = vec_id < 5, broadcast against the full corpus.
+    */
+  def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    Similarity.bruteForceTopK(queries, emb, k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN top-k (rows-only gate; ScalaTest asserts recall vs
+    * brute force).
+    */
+  def knnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    Similarity.lshTopK(queries, emb, k = 10, planes = 16, bands = 8)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Multimodal binary-column pipeline (STUB codec, real Spark plumbing;
+    * rows-only gate + ScalaTest determinism checks).
+    */
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodedTable(spark, Tables.documents(spark, dir))
+      .select(col("media_id"), col("kind"), col("byte_len"),
+        col("width"), col("height"), col("n_frames"))
+      .orderBy(col("media_id"))
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.Tables
+import graft.logs._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-parity operators (SURVEY §2) exercised over the driver's
+  * `events` table — the log-shaped fixture (nanosecond timestamps, a
+  * low-cardinality label column, an opaque payload). Each query has a DuckDB
+  * oracle in [[graft.SparkEntry.oracleSql]].
+  *
+  * `ts` is epoch-nanos Long end to end (SURVEY §7.4); oracles use
+  * `epoch_ns(ts)`.
+  */
+object LogParityQueries {
+
+  /** S6 + P3: scan → filter → project (filter and projection both reach the
+    * parquet reader: PushedFilters + ReadSchema).
+    */
+  def scanFilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "error" && col("value") > 100.0)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** P2: time-range predicate on the nano column (row-group stats prune). */
+  def sinceFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("ts") >= LogParityQueries.sinceCutoffNs)
+      .select(col("event_id"), CriFunctions.nanosToMicros(col("ts")).as("time_us"))
+      .orderBy(col("event_id"))
+
+  /** 2024-01-25T00:00:00Z — inside the events table's 2024-01 range. */
+  val sinceCutoffNs: Long = 1706140800000000000L
+
+  /** P1: conjunctive equality selectors (the label-selector semantics). */
+  def selectorConjunction(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("user_id") === 13 && col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+
+  /** P3+P5+P6: output-mode projection — ns ISO-8601 render + left(payload,8). */
+  def outputColumns(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        CriFunctions.usIso8601(CriFunctions.nanosToMicros(col("ts"))).as("time_iso"),
+        col("event_type"),
+        substring(col("props"), 1, 8).as("msg_left"))
+      .orderBy(col("event_id"))
+
+  /** O1: global sort by event time (range-partitioned exchange). */
+  def orderByTime(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), CriFunctions.nanosToMicros(col("ts")).as("time_us"),
+        col("event_type"))
+      .orderBy(col("time_us"), col("event_id"))
+
+  /** O2: top-1 newest (Catalyst rewrites to TakeOrderedAndProject). */
+  def top1Latest(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), CriFunctions.nanosToMicros(col("ts")).as("time_us"))
+      .orderBy(col("time_us").desc, col("event_id"))
+      .limit(1)
+
+  /** A1: count of payload-matching rows (the `grep -c` analogue). */
+  def countMatching(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter(col("props").contains("\"k\": 7"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** A2: DISTINCT over the label column. */
+  def distinctTypes(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type")).distinct().orderBy(col("event_type"))
+
+  /** U1: UNION ALL of two scans, globally time-ordered (the `-f both` shape;
+    * unionByName ≙ y-logcli:243-255's manual column alignment).
+    */
+  def unionAll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), CriFunctions.nanosToMicros(col("ts")).as("time_us"),
+        col("event_type"))
+    ev.filter(col("event_type") === "click")
+      .unionByName(ev.filter(col("event_type") === "error"))
+      .orderBy(col("time_us"), col("event_id"))
+  }
+
+  /** S2+P6 round-trip: render each event as a CRI log line (ns ISO timestamp,
+    * stream, logtag, message), then parse it back with the engine's CRI
+    * parser + custom nanosecond-timestamp expression. The oracle reconstructs
+    * the same rows directly — so any loss in render→parse (a single
+    * nanosecond, a split-eaten space) breaks the hash.
+    */
+  def criRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val lines = ev.select(concat(
+      CriFunctions.nsIso8601(col("ts")),
+      lit(" "),
+      when(pmod(col("event_id"), lit(2)) === 0, "stdout").otherwise("stderr"),
+      lit(" F "),
+      col("props")).as("value"))
+    CriFunctions.parsed(lines, "test-cluster")
+      .select(CriFunctions.nanosToMicros(col("time_ns")).as("time_us"),
+        col("stream"), col("logtag"), col("message"))
+      .orderBy(col("time_us"), col("message"))
+  }
+
+  /** Grouped time-bucket aggregation (SURVEY §7.8's log-analytics extension):
+    * events per label per day + exact money sum (decimal pipeline).
+    */
+  def dailyTypeCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("day", date_format(CriFunctions.nanosToTimestamp(col("ts")), "yyyy-MM-dd"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** Analytic window over event time: per-user inter-arrival gap in nanos
+    * (lag window function; integer output → exact oracle compare).
+    */
+  def interArrival(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("time_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("time_us", CriFunctions.nanosToMicros(col("ts")))
+      .withColumn("gap_us", col("time_us") - lag(col("time_us"), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Pivot: per-day event counts fanned out to one column per type (explicit
+    * value list — no extra distinct pass, deterministic column order).
+    */
+  def pivotDailyCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("day", date_format(CriFunctions.nanosToTimestamp(col("ts")), "yyyy-MM-dd"))
+      .groupBy(col("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("day"))
+}

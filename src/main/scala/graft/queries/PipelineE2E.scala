@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.Tables
+import graft.logs._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+
+/** End-to-end pipeline exercise (SURVEY §7.2's "minimum end-to-end slice"):
+  * events → synthetic CRI log files on disk → batch ingest (S1-S5, K1, K7) →
+  * positional-layout store (§1.3) → label-selector query (P1-P6, O1).
+  *
+  * The DuckDB oracle reconstructs the expected rows straight from `events`,
+  * so every stage of the pipeline — CRI render, file layout, tag-regex
+  * extraction, CRI parse, nanosecond round-trip, positional write, glob
+  * pruning, path→column reconstruction, time ordering — must be lossless for
+  * the hash to match.
+  */
+object PipelineE2E {
+
+  /** Deterministic label mapping from events rows. */
+  private def withLabels(ev: DataFrame): DataFrame = ev
+    .withColumn("namespace", concat(lit("ns"), pmod(col("user_id"), lit(3))))
+    .withColumn("pod", concat(lit("pod-"), pmod(col("user_id"), lit(5))))
+    .withColumn("criline", concat(
+      CriFunctions.nsIso8601(col("ts")), lit(" "),
+      when(pmod(col("event_id"), lit(2)) === 0, "stdout").otherwise("stderr"),
+      lit(" F "), col("props")))
+
+  /** Write the CRI fixture tree: `/pods/<ns>_<pod>_<uid>/app/0.log` + a
+    * fluent-bit decoy that ingestion must exclude (fluent-bit.conf:15-16).
+    * Grouping happens distributed; only the per-pod line blocks are collected
+    * (bounded by pod count × file size, not dataset size).
+    */
+  private def writeCriFixture(ev: DataFrame, root: Path): Unit = {
+    val files = withLabels(ev)
+      .select(col("namespace"), col("pod"), col("criline"), col("ts"))
+      .groupBy(col("namespace"), col("pod"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts"), col("criline")))),
+        s => s.getField("criline")), "\n").as("body"))
+      .collect()
+    files.foreach { r =>
+      val ns = r.getString(0); val pod = r.getString(1)
+      val dir = root.resolve(s"pods/${ns}_${pod}_uid-$ns-$pod/app")
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve("0.log"), r.getString(2) + "\n")
+    }
+    val decoy = root.resolve("pods/kube-system_fluent-bit-xyz_uid-fb/fluent-bit")
+    Files.createDirectories(decoy)
+    Files.writeString(decoy.resolve("0.log"),
+      "2024-01-01T00:00:00.000000000Z stdout F must-be-excluded\n")
+  }
+
+  /** Full pipeline; returns the selector-query result for `{namespace="ns0"}`. */
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val work = Files.createTempDirectory("graft-e2e")
+    val criRoot = work.resolve("varlog")
+    val storeRoot = work.resolve("lake")
+    writeCriFixture(Tables.events(spark, dir), criRoot)
+
+    val ingested = LogIngest.readCri(spark, criRoot.toString + "/pods/*/*/*.log",
+      clusterName = "dev", nodeName = "node-a")
+    LogIngest.writePositional(ingested, storeRoot.toString,
+      uploadTime = java.time.Instant.parse("2024-02-01T00:00:00Z"))
+
+    LogQuery(
+      selector = LogSelector.parse("""{namespace="ns0"}"""),
+      output = LogOutput.Lines,
+      layout = LogLayout.Positional)
+      .dataFrame(spark, storeRoot.toString)
+      // µs projection for the oracle compare (DuckDB's precision ceiling);
+      // the lossless ns path is pinned by ScalaTest instead.
+      .select(CriFunctions.nanosToMicros(col("time_ns")).as("time_us"),
+        CriFunctions.usIso8601(CriFunctions.nanosToMicros(col("time_ns"))).as("time_iso"),
+        col("cluster"), col("namespace"),
+        col("node"), col("pod"), col("container"), col("stream"),
+        col("logtag"), col("message"))
+      .orderBy(col("time_us"), col("message"))
+  }
+}
