@@ -1,0 +1,61 @@
+package graft
+
+import graft.ext.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Dedup operator family: LSH paths must agree with exact computations. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sf).cache()
+
+  lazy val exactPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+    n = 3, threshold = 0.8)
+    .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+
+  test("exact dedup groups identical payloads") {
+    val ev = Tables.events(spark, sf)
+    val d = Dedup.exact(ev, "event_id", Seq("props"))
+    assert(d.count() == 100) // props domain is {"k": 0..99}
+    val total = d.agg(sum($"n_copies")).as[Long].collect().head
+    assert(total == ev.count())
+  }
+
+  test("ngram jaccard finds the planted near-duplicates") {
+    assert(exactPairs.nonEmpty)
+    // symmetric-free: id_a < id_b always
+    assert(exactPairs.forall { case (a, b) => a < b })
+  }
+
+  test("minhash LSH recall vs exact jaccard pairs") {
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // verification step makes precision exact; banding controls recall
+    assert(lsh.subsetOf(exactPairs))
+    val recall = lsh.size.toDouble / exactPairs.size
+    assert(recall >= 0.9, s"minhash recall $recall over ${exactPairs.size} pairs")
+  }
+
+  test("simhash pairs overlap the jaccard near-dups") {
+    val sh = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(sh.nonEmpty)
+    val overlap = sh.intersect(exactPairs).size.toDouble / sh.size
+    assert(overlap >= 0.5, s"simhash/jaccard overlap $overlap")
+  }
+
+  test("embedding near-dup LSH candidates verify against brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val lsh = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.45, planes = 12, bands = 6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // brute-force ground truth via the same cosine kernel
+    val bf = emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
+      .withColumn("c", graft.expr.VecFunctions.cosineSim($"a.embedding", $"b.embedding"))
+      .filter($"c" >= 0.45)
+      .select($"a.vec_id", $"b.vec_id").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(bf)) // verification step: no false positives
+    assert(bf.isEmpty || lsh.nonEmpty) // banding finds at least some
+  }
+}

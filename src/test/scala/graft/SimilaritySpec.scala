@@ -1,0 +1,76 @@
+package graft
+
+import graft.expr.{VecFunctions, VecKernels, HashKernels}
+import graft.ext.Similarity
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine kernel matches a scalar reference implementation") {
+    val a = Array(1.0f, 2.0f, 3.0f)
+    val b = Array(-1.0f, 0.5f, 2.0f)
+    val expected = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / math.sqrt(a.map(x => x.toDouble * x).sum * b.map(x => x.toDouble * x).sum)
+    }
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(VecFunctions.cosineSim($"a", $"b")).as[Double].collect().head
+    assert(math.abs(got - expected) < 1e-12)
+    // degenerate: zero vector -> 0, not NaN
+    val z = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+      .select(VecFunctions.cosineSim($"a", $"b")).as[Double].collect().head
+    assert(z == 0.0)
+  }
+
+  test("brute-force top-k: self excluded, k respected, ranks contiguous") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val got = Similarity.bruteForceTopK(queries, emb, k = 5).cache()
+    assert(got.count() == 15)
+    assert(got.filter($"query_id" === $"neighbor_id").count() == 0)
+    val ranks = got.filter($"query_id" === 0).orderBy($"rank")
+      .select($"rank").as[Int].collect()
+    assert(ranks.toSeq == Seq(1, 2, 3, 4, 5))
+    // cosines non-increasing by rank
+    val cos = got.filter($"query_id" === 0).orderBy($"rank")
+      .select($"cosine").as[Double].collect()
+    assert(cos.zip(cos.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("LSH ANN recall@10 vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val bf = Similarity.bruteForceTopK(queries, emb, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(queries, emb, k = 10, planes = 16, bands = 8)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = lsh.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"ANN recall@10 = $recall")
+  }
+
+  test("simhash: identical token sets collide, small edits stay close") {
+    def sim(tokens: Seq[String]): Long = {
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val hashes = tokens.map(t =>
+        // stable per-token hash for the test; any long hash works
+        UTF8String.fromString(t).hashCode().toLong * 0x9E3779B97F4A7C15L)
+      HashKernels.simHash(new GenericArrayData(hashes.toArray))
+    }
+    val base = Seq("the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog")
+    assert(sim(base) == sim(base))
+    val edited = base.updated(1, "slow")
+    val d = HashKernels.hamming64(sim(base), sim(edited))
+    assert(d > 0 && d <= 32, s"hamming distance $d")
+  }
+
+  test("poly fingerprint: deterministic, order-sensitive") {
+    val h1 = HashKernels.polyHash(UTF8String.fromString("hello world"))
+    val h2 = HashKernels.polyHash(UTF8String.fromString("hello world"))
+    val h3 = HashKernels.polyHash(UTF8String.fromString("world hello"))
+    assert(h1 == h2 && h1 != h3)
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.logs._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** Structured Streaming ingestion (SURVEY §2 rows S1, K1, K3-K6): files
+  * appearing over time are committed atomically per micro-batch; stop() loses
+  * nothing (the SIGTERM-flush analogue, reference test.sh:427-541).
+  */
+class StreamingIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stream ingest commits micro-batches; graceful stop loses nothing") {
+    val work = Files.createTempDirectory("graft-stream")
+    val in = work.resolve("varlog")
+    val out = work.resolve("lake")
+    val ckpt = work.resolve("ckpt")
+    def put(pod: String, lines: String*): Unit = {
+      val p = in.resolve(s"pods/default_${pod}_u/app/0.log")
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, lines.mkString("", "\n", "\n"))
+    }
+    put("pod-a", "2024-01-15T10:00:00.000000001Z stdout F first batch")
+
+    val q = LogStreamIngest.start(spark, in.toString + "/pods/*/*/*.log",
+      out.toString, ckpt.toString, clusterName = "dev",
+      triggerInterval = "1 seconds")
+    try {
+      q.processAllAvailable() // ≙ upload_timeout flush (K4)
+      // close-write / late file: second pod appears mid-stream (K5 analogue)
+      put("pod-b", "2024-01-15T10:00:01.000000002Z stderr F second batch")
+      q.processAllAvailable()
+    } finally q.stop() // SIGTERM flush (K6): committed batches stay visible
+
+    val got = spark.read.parquet(out.toString)
+    assert(got.count() == 2)
+    assert(got.select("pod").distinct().as[String].collect().toSet == Set("pod-a", "pod-b"))
+    val ns = got.orderBy("time_ns").select("time_ns").as[Long].collect()
+    assert(ns.toSeq == Seq(1705312800000000001L, 1705312801000000002L))
+    // hive partition dirs present (K1 partitioned sink)
+    assert(out.toFile.listFiles().exists(_.getName.startsWith("cluster=dev")))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.ext.{Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenizer: whitespace runs, case folding, empty edge") {
+    val got = Seq("Hello  World\tfoo\nBar", "", "   ").toDF("t")
+      .select(TextAnalysis.tokens($"t")).as[Seq[String]].collect()
+    assert(got(0) == Seq("hello", "world", "foo", "bar"))
+    assert(got(1).isEmpty && got(2).isEmpty)
+  }
+
+  test("word n-grams: count and shape; shorter-than-n -> empty") {
+    val got = Seq("a b c d", "a b").toDF("t")
+      .select(TextAnalysis.wordNgrams($"t", 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty)
+  }
+
+  test("langid heuristic on natural sentences") {
+    val got = Seq(
+      "the cat is on the mat and it is happy",
+      "el gato es feliz y la casa es grande",
+      "le chat et les maisons des villes",
+      "der hund und die katze ist ein tier",
+      "没有 停用词 这 是 中文 的 测试",
+      "xyzzy qwerty plugh").toDF("t")
+      .select(TextAnalysis.langId($"t")).as[String].collect()
+    assert(got.toSeq == Seq("en", "es", "fr", "de", "zh", "und"))
+  }
+
+  test("quality score: clean text beats punctuation soup and stubs") {
+    val got = Seq(
+      "the quick brown fox jumps over the lazy dog and it is a fine day for running in the park",
+      "!!! ??? ### $$$ %%%",
+      "ok").toDF("t")
+      .select(TextAnalysis.qualityScore($"t")).as[Double].collect()
+    assert(got(0) > got(1) && got(0) > got(2))
+    assert(got.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("subword proxy count: ceil(len/4) per word") {
+    val got = Seq("abcd efghi x").toDF("t")
+      .select(TextAnalysis.subwordCount($"t")).as[Long].collect().head
+    assert(got == 1 + 2 + 1)
+  }
+
+  test("multimodal stub codec: deterministic, byte-exact lengths") {
+    val docs = Tables.documents(spark, sf)
+    val a = Multimodal.decodedTable(spark, docs).orderBy("media_id").collect()
+    val b = Multimodal.decodedTable(spark, docs).orderBy("media_id").collect()
+    assert(a.toSeq == b.toSeq) // decode is pure
+    val lens = Multimodal.decodedTable(spark, docs)
+      .join(docs, $"media_id" === $"doc_id")
+      .filter($"byte_len" =!= length($"text")) // ascii fixture: bytes == chars
+    assert(lens.count() == 0)
+    // kinds cycle deterministically by id
+    val kinds = Multimodal.decodedTable(spark, docs).orderBy("media_id")
+      .select("kind").as[String].take(3)
+    assert(kinds.toSeq == Seq("image", "audio", "video"))
+  }
+}
