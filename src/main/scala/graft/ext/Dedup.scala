@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.expr.{HashFunctions, VecFunctions}
+import graft.expr.{HashFunctions, SketchFunctions, VecFunctions}
 
 /** Deduplication operators for a training-data pipeline: exact, n-gram
   * Jaccard, MinHash+LSH, SimHash, embedding-cosine.
@@ -35,8 +35,7 @@ object Dedup {
   def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(
       col(idCol).as("doc_id"),
-      array_distinct(transform(TextAnalysis.wordNgrams(col(textCol), n), g => xxhash64(g)))
-        .as("grams"))
+      SketchFunctions.wordShingleHashes(col(textCol), n).as("grams"))
 
   /** Exact n-gram Jaccard near-dup pairs: explode distinct shingles →
     * self-equi-join on shingle → per-pair shared count → Jaccard from set
@@ -47,11 +46,14 @@ object Dedup {
     val grams = shingleHashes(docs, idCol, textCol, n)
     val sizes = grams.select(col("doc_id"), size(col("grams")).as("sz"))
     val exploded = grams.select(col("doc_id"), explode(col("grams")).as("gram"))
-    val filtered = exploded
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
+    // document-frequency guard as an aggregate + equi-join (a window over
+    // gram would shuffle AND sort; the aggregate only shuffles, and the
+    // surviving-gram side is usually broadcastable after the filter)
+    val rareGrams = exploded.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-      .drop("df")
+      .select(col("gram"))
+    val filtered = exploded.join(rareGrams, "gram")
     val shared = filtered.as("a")
       .join(filtered.as("b"), col("a.gram") === col("b.gram") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -71,9 +73,7 @@ object Dedup {
     * array, computed in a single projection (no shuffle).
     */
   def minhashSignatures(grams: DataFrame, numHashes: Int): DataFrame =
-    grams.withColumn("sig",
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        s => array_min(transform(col("grams"), g => xxhash64(g, s)))))
+    grams.withColumn("sig", SketchFunctions.minHashSig(col("grams"), numHashes))
 
   /** MinHash + LSH banding: signatures are sliced into `bands` bands of
     * `rows = numHashes/bands` values; documents sharing any band bucket are
@@ -91,19 +91,23 @@ object Dedup {
     val rows = numHashes / bands
     val grams = shingleHashes(docs, idCol, textCol, n).filter(size(col("grams")) > 0)
     val sigs = minhashSignatures(grams, numHashes)
+    // Banded rows are NARROW (doc_id, band, bucket): the shingle arrays must
+    // not ride through the candidate join + dedupe shuffle. Payloads are
+    // joined back once per surviving candidate pair.
     val banded = sigs.select(
-      col("doc_id"), col("grams"),
+      col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val cand = banded.as("a")
+    val candIds = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.grams").as("grams_a"), col("b.grams").as("grams_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand
+    candIds
+      .join(grams.select(col("doc_id").as("id_a"), col("grams").as("grams_a")), "id_a")
+      .join(grams.select(col("doc_id").as("id_b"), col("grams").as("grams_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
           size(array_union(col("grams_a"), col("grams_b"))))
@@ -143,20 +147,20 @@ object Dedup {
     */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 12, bands: Int = 3): DataFrame = {
-    val sig = Similarity.hyperplaneSignature(col(vecCol), planes)
-    val rows = planes / bands
-    val banded = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"), sig.as("sig"))
-      .select(col("vec_id"), col("v"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+    // Narrow banded rows (id, band, bucket) — vectors join back after the
+    // candidate dedupe, so the quadratic stage only ever shuffles 8-byte ids.
+    val banded = emb.select(col(idCol).as("vec_id"),
+        posexplode(SketchFunctions.hyperplaneBands(col(vecCol), planes, bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    banded.as("a")
+    val candIds = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("a.v").as("v_a"), col("b.v").as("v_b"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    candIds
+      .join(emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), "id_a")
+      .join(emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), "id_b")
       .withColumn("cosine", VecFunctions.cosineSim(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

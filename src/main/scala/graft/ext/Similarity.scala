@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.expr.VecFunctions
+import graft.expr.{SketchFunctions, VecFunctions}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
@@ -16,19 +16,6 @@ import graft.expr.VecFunctions
   * top-k second — the classic two-phase pattern).
   */
 object Similarity {
-
-  /** Deterministic random hyperplane signature: plane p's normal has
-    * component `sign(xxhash64(p, dim))` in each dimension — i.e. a ±1
-    * Rademacher plane derived from hashing, no stored model. Returns
-    * `array<int>` of 0/1 side bits.
-    */
-  def hyperplaneSignature(vec: Column, planes: Int): Column =
-    transform(sequence(lit(0), lit(planes - 1)), p =>
-      when(aggregate(
-        zip_with(vec, transform(sequence(lit(0), size(vec) - 1),
-          d => when(xxhash64(p, d) % 2 === 0, lit(1.0f)).otherwise(lit(-1.0f))),
-          (x, r) => x * r),
-        lit(0.0), (acc, t) => acc + t) >= 0, lit(1)).otherwise(lit(0)))
 
   /** Brute-force exact top-k cosine neighbors for each query vector.
     * `queries` is broadcast; the corpus is scanned once. Two-phase top-k:
@@ -60,17 +47,20 @@ object Similarity {
       planes: Int = 16, bands: Int = 4,
       queryId: String = "query_id", queryVec: String = "query_vec",
       corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame = {
-    val rows = planes / bands
-    def banded(df: DataFrame, vec: String, id: String, outId: String, outVec: String) =
-      df.select(col(id).as(outId), col(vec).as(outVec),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(hyperplaneSignature(col(vec), planes), b * rows + 1, lit(rows))))))
+    // Narrow banded rows; query vectors rejoin after the bucket-collision
+    // dedupe so the collision join only moves ids (queries stay broadcast).
+    def banded(df: DataFrame, vec: String, id: String, outId: String) =
+      df.select(col(id).as(outId),
+        posexplode(SketchFunctions.hyperplaneBands(col(vec), planes, bands)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val qb = banded(queries, queryVec, queryId, "qid", "qv")
-    val cb = banded(corpus, corpusVec, corpusId, "cid", "cv")
-    val cand = cb.join(broadcast(qb), Seq("band", "bucket"))
+    val qb = banded(queries, queryVec, queryId, "qid")
+    val cb = banded(corpus, corpusVec, corpusId, "cid")
+    val candIds = cb.join(broadcast(qb), Seq("band", "bucket"))
       .filter(col("qid") =!= col("cid"))
       .dropDuplicates("qid", "cid")
+    val cand = candIds
+      .join(broadcast(queries.select(col(queryId).as("qid"), col(queryVec).as("qv"))), "qid")
+      .join(corpus.select(col(corpusId).as("cid"), col(corpusVec).as("cv")), "cid")
       .withColumn("cosine", VecFunctions.cosineSim(col("qv"), col("cv")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
     cand.withColumn("rank", row_number().over(w))
