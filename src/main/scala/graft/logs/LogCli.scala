@@ -22,6 +22,7 @@ object LogCli {
     var since: Option[Long] = None
     var output: LogOutput = LogOutput.Table
     var layout: LogLayout = LogLayout.Positional
+    var format: LogFormat = LogFormat.Parquet
     var root: Option[String] = None
     var i = 1
     while (i < args.length) {
@@ -32,14 +33,14 @@ object LogCli {
         case s if s.startsWith("--layout=") =>
           layout = if (s.drop(9) == "hive") LogLayout.Hive else LogLayout.Positional
         case "-o" => i += 1; output = LogOutput.parse(args(i))
-        case "-f" => i += 1 // format selector kept for grammar compat; parquet-canonical
+        case "-f" => i += 1; format = LogFormat.parse(args(i))
         case other => throw new IllegalArgumentException(s"unknown arg '$other'")
       }
       i += 1
     }
     val spark = GraftSession.local("graft-logcli")
     try {
-      val df = LogQuery(selector, since, output, layout).dataFrame(spark, root.get)
+      val df = LogQuery(selector, since, output, layout, format).dataFrame(spark, root.get)
       render(df, output)
       // plan echo ≙ reference's SQL echo (y-logcli:277-279)
       System.err.println(df.queryExecution.executedPlan.toString())

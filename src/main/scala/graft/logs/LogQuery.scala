@@ -20,6 +20,22 @@ object LogOutput {
   }
 }
 
+/** Storage formats (`-f arrow|parquet|both`, reference y-logcli:234-261). */
+sealed trait LogFormat
+object LogFormat {
+  case object Parquet extends LogFormat
+  case object Arrow extends LogFormat
+  /** UNION ALL of both scans (SURVEY §2 row U1). */
+  case object Both extends LogFormat
+
+  def parse(s: String): LogFormat = s match {
+    case "parquet" => Parquet
+    case "arrow" => Arrow
+    case "both" => Both
+    case other => throw new IllegalArgumentException(s"bad -f '$other'")
+  }
+}
+
 /** Storage layouts the query side can read. */
 sealed trait LogLayout
 object LogLayout {
@@ -50,29 +66,50 @@ final case class LogQuery(
     sinceSeconds: Option[Long] = None,
     output: LogOutput = LogOutput.Table,
     layout: LogLayout = LogLayout.Positional,
+    format: LogFormat = LogFormat.Parquet,
     /** Fixed reference instant for `--since`; None = now(). Tests and
       * reproducible runs pin it (epoch nanos).
       */
     asOfNanos: Option[Long] = None) {
 
+  /** One positional-layout scan for a single physical format; empty-glob →
+    * empty result, not an error (kubectl-logs semantics).
+    */
+  private def positionalScan(spark: SparkSession, root: String, ext: String): DataFrame = {
+    val glob = LogPathLayout.buildGlob(root, selector.labels, ext)
+    val p = new org.apache.hadoop.fs.Path(glob)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matches = fs.globStatus(p)
+    if (matches == null || matches.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        LogSchema.struct)
+    } else {
+      val (scan, filePath) = ext match {
+        case "parquet" =>
+          (spark.read.schema(LogSchema.positionalFileStruct).parquet(glob),
+            col("_metadata.file_path"))
+        case "arrow" =>
+          (spark.read.format(classOf[graft.sources.ArrowIpcSource].getName)
+            .option("withFilePath", "true").load(glob),
+            col(graft.sources.ArrowIpcSource.FilePathColumn))
+      }
+      LogPathLayout.withPathColumns(filePath)
+        .foldLeft(scan) { case (df, (name, c)) => df.withColumn(name, c) }
+        .drop(graft.sources.ArrowIpcSource.FilePathColumn)
+    }
+  }
+
   def dataFrame(spark: SparkSession, root: String): DataFrame = {
     val base = layout match {
       case LogLayout.Positional =>
-        val glob = LogPathLayout.buildGlob(root, selector.labels, "parquet")
-        // A selector that prunes to nothing leaves a glob matching no files;
-        // that is an empty result, not an error (kubectl-logs semantics).
-        val p = new org.apache.hadoop.fs.Path(glob)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val matches = fs.globStatus(p)
-        if (matches == null || matches.isEmpty) {
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            LogSchema.struct)
-        } else {
-          val filePath = col("_metadata.file_path")
-          LogPathLayout.withPathColumns(filePath)
-            .foldLeft(spark.read.schema(LogSchema.positionalFileStruct).parquet(glob)) {
-              case (df, (name, c)) => df.withColumn(name, c)
-            }
+        format match {
+          case LogFormat.Parquet => positionalScan(spark, root, "parquet")
+          case LogFormat.Arrow => positionalScan(spark, root, "arrow")
+          case LogFormat.Both =>
+            // `-f both` = UNION ALL across formats (y-logcli:243-255);
+            // unionByName replaces the reference's manual column alignment
+            positionalScan(spark, root, "parquet")
+              .unionByName(positionalScan(spark, root, "arrow"))
         }
       case LogLayout.Hive =>
         spark.read.parquet(root)

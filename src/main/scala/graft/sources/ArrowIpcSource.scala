@@ -1,0 +1,223 @@
+package graft.sources
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.ipc.ArrowFileReader
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnVector, ColumnarBatch}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import java.util.OptionalLong
+
+/** Arrow IPC (Feather v2) batch file source as a DataSource V2 —
+  * `spark.read.format("graft.sources.ArrowIpcSource").load(glob)` (SURVEY §2
+  * row S7; the reference reads the same files via DuckDB's nanoarrow
+  * extension, y-logcli:210-213).
+  *
+  * Read path is **columnar**: each Arrow record batch becomes a Spark
+  * `ColumnarBatch` wrapping `ArrowColumnVector`s — zero per-value copying,
+  * dictionary-encoded columns (the reference's int8-dict `stream`/`logtag`)
+  * decode lazily through Arrow's dictionary machinery. Files at the
+  * reference's design size (~1 MB, fluent-bit.conf:42) are read whole per
+  * task; one `InputPartition` per file preserves data locality at scale.
+  *
+  * (Deliberately supports the schema the engine writes — µs timestamps,
+  * int64, utf8, dict<int8,utf8>. Raw Timestamp(ns) columns from the
+  * reference's own compact stage surface as int64 nanos, matching SURVEY
+  * §7.4's lossless-long design.)
+  */
+class ArrowIpcSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "arrow-ipc"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val p = Option(options.get("path")).toSeq ++
+      Option(options.get("paths")).toSeq.flatMap(_.split(","))
+    require(p.nonEmpty, "arrow-ipc source requires a path")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val files = ArrowIpcSource.listFiles(paths(options))
+    require(files.nonEmpty, s"no .arrow files under ${paths(options).mkString(",")}")
+    val base = ArrowIpcSource.readSchema(files.head)
+    // opt-in hidden-ish file path column (the positional layout carries label
+    // columns in the path — SURVEY §1.3)
+    if (options.getBoolean("withFilePath", false))
+      base.add(StructField(ArrowIpcSource.FilePathColumn, StringType, nullable = false))
+    else base
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new ArrowIpcTable(schema,
+      ArrowIpcSource.listFiles(paths(new CaseInsensitiveStringMap(properties))))
+}
+
+object ArrowIpcSource {
+  val FilePathColumn = "_file_path"
+
+  def listFiles(globs: Seq[String]): Seq[String] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    globs.flatMap { g =>
+      val p = new Path(g)
+      val fs = p.getFileSystem(conf)
+      val matches = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+      matches.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq
+            .filter(f => f.getPath.getName.endsWith(".arrow")).map(_.getPath.toString)
+        else Seq(st.getPath.toString)
+      }
+    }.sorted
+  }
+
+  /** Spark schema from an Arrow file footer (dictionary columns surface with
+    * their VALUE type — string — like the reference's query side sees them).
+    */
+  def readSchema(file: String): StructType = {
+    withReader(file) { reader =>
+      StructType(reader.getVectorSchemaRoot.getSchema.getFields.toArray.map {
+        case f: org.apache.arrow.vector.types.pojo.Field =>
+          StructField(f.getName, sparkType(f), nullable = true)
+      })
+    }
+  }
+
+  private def sparkType(f: org.apache.arrow.vector.types.pojo.Field): DataType = {
+    import org.apache.arrow.vector.types.pojo.ArrowType
+    // dictionary-encoded fields carry the INDEX type in the schema message;
+    // readers surface the VALUE domain (strings here and in the reference's
+    // compact stage, compact_columns.c:245-330)
+    if (f.getDictionary != null) return StringType
+    val t = f.getType
+    t match {
+      case i: ArrowType.Int if i.getBitWidth == 64 => LongType
+      case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
+      case i: ArrowType.Int if i.getBitWidth == 16 => ShortType
+      case i: ArrowType.Int if i.getBitWidth == 8 => ByteType
+      case _: ArrowType.Utf8 => StringType
+      case fp: ArrowType.FloatingPoint =>
+        if (fp.getPrecision == org.apache.arrow.vector.types.FloatingPointPrecision.DOUBLE)
+          DoubleType else FloatType
+      case ts: ArrowType.Timestamp =>
+        ts.getUnit match {
+          case org.apache.arrow.vector.types.TimeUnit.MICROSECOND => TimestampType
+          // lossless-ns contract (SURVEY §7.4): nanos surface as raw longs
+          case org.apache.arrow.vector.types.TimeUnit.NANOSECOND => LongType
+          case _ => TimestampType
+        }
+      case _: ArrowType.Bool => BooleanType
+      case _: ArrowType.Binary => BinaryType
+      case other => throw new UnsupportedOperationException(s"arrow type $other")
+    }
+  }
+
+  def withReader[A](file: String)(f: ArrowFileReader => A): A = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val path = new Path(file)
+    val fs = path.getFileSystem(conf)
+    val len = fs.getFileStatus(path).getLen
+    val in = fs.open(path)
+    val bytes = new Array[Byte](len.toInt)
+    try in.readFully(0, bytes) finally in.close()
+    val alloc = new RootAllocator()
+    val reader = new ArrowFileReader(
+      new org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel(bytes), alloc)
+    try f(reader) finally { reader.close(); alloc.close() }
+  }
+}
+
+class ArrowIpcTable(schema: StructType, files: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"arrow-ipc(${files.size} files)"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ArrowIpcScanBuilder(schema, files)
+}
+
+class ArrowIpcScanBuilder(schema: StructType, files: Seq[String]) extends ScanBuilder {
+  override def build(): Scan = new ArrowIpcScan(schema, files)
+}
+
+case class ArrowFilePartition(file: String) extends InputPartition
+
+class ArrowIpcScan(schema: StructType, files: Seq[String]) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(ArrowFilePartition.apply).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArrowIpcReaderFactory(
+      schema.fields.lastOption.exists(_.name == ArrowIpcSource.FilePathColumn))
+}
+
+class ArrowIpcReaderFactory(withFilePath: Boolean) extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    throw new UnsupportedOperationException("columnar only")
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
+    new ArrowIpcColumnarReader(partition.asInstanceOf[ArrowFilePartition].file, withFilePath)
+}
+
+/** Streams a file's record batches as Spark ColumnarBatches. The whole file
+  * is buffered (reference-design objects are ~1 MB) and decompressed
+  * batch-by-batch by Arrow (ZSTD bodies).
+  */
+class ArrowIpcColumnarReader(file: String, withFilePath: Boolean)
+    extends PartitionReader[ColumnarBatch] {
+  private val alloc = new RootAllocator()
+  private val reader = {
+    val hconf = SparkSession.active.sparkContext.hadoopConfiguration
+    val path = new Path(file)
+    val fs = path.getFileSystem(hconf)
+    val len = fs.getFileStatus(path).getLen
+    val in = fs.open(path)
+    val bytes = new Array[Byte](len.toInt)
+    try in.readFully(0, bytes) finally in.close()
+    new ArrowFileReader(
+      new org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel(bytes),
+      alloc, org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
+  }
+  private var batch: ColumnarBatch = _
+  // decode() allocates fresh vectors; track and free them per batch or the
+  // allocator reports a leak on close
+  private var decoded: List[org.apache.arrow.vector.ValueVector] = Nil
+
+  private def closeDecoded(): Unit = { decoded.foreach(_.close()); decoded = Nil }
+
+  override def next(): Boolean = {
+    closeDecoded()
+    if (!reader.loadNextBatch()) return false
+    val root = reader.getVectorSchemaRoot
+    val dataCols: Array[ColumnVector] = root.getFieldVectors.toArray.map {
+      case v: org.apache.arrow.vector.FieldVector =>
+        val enc = v.getField.getDictionary
+        if (enc != null) {
+          // materialize dict<int8> -> values (the reference's query side sees
+          // plain strings too, y-logcli DESCRIBE shows VARCHAR)
+          val dict = reader.getDictionaryVectors.get(enc.getId)
+          val d = org.apache.arrow.vector.dictionary.DictionaryEncoder.decode(v, dict)
+          decoded ::= d
+          new ArrowColumnVector(d)
+        } else new ArrowColumnVector(v)
+    }
+    val cols: Array[ColumnVector] =
+      if (withFilePath) {
+        val c = new org.apache.spark.sql.execution.vectorized.ConstantColumnVector(
+          root.getRowCount, StringType)
+        c.setUtf8String(org.apache.spark.unsafe.types.UTF8String.fromString(file))
+        dataCols :+ c
+      } else dataCols
+    batch = new ColumnarBatch(cols, root.getRowCount)
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = { closeDecoded(); reader.close(); alloc.close() }
+}

@@ -1,0 +1,125 @@
+package graft.sources
+
+import graft.logs.{LogPathLayout, LogSchema}
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.compression.CompressionUtil
+import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
+import org.apache.arrow.vector.ipc.ArrowFileWriter
+import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding, Field, FieldType}
+import org.apache.arrow.vector.types.{FloatingPointPrecision, TimeUnit}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import java.nio.channels.Channels
+import java.util.Collections
+
+/** Arrow IPC (Feather v2) log sink — the reference's second storage format
+  * (SURVEY §1.5; reference fluent-bit.conf:32-45). Faithful to the compact
+  * stage's physical choices:
+  *  - `stream`/`logtag` dictionary-encoded with **int8 indices**
+  *    (compact_columns.c:245-330; −3 bytes/row vs int32,
+  *    compact_columns.c:193-196);
+  *  - **ZSTD body compression** — the one codec the reference's readers
+  *    support (compact_columns.c:399-402);
+  *  - timestamps without timezone annotation (compact_columns.c:69-93) —
+  *    here as `time` µs + lossless `time_ns` int64 (SURVEY §7.4).
+  *
+  * Scale: rows are written per Spark partition grouped by label key, so each
+  * task streams its groups once; no driver-side data movement.
+  */
+object ArrowLogWriter {
+
+  /** Write a log DataFrame into the positional layout with `.arrow` files
+    * (one file per label-combination per Spark partition). Rows are first
+    * repartitioned by the label key so each combination lands in exactly one
+    * task → one file (at the reference's 1 MB-object scale, one file per
+    * flush batch, fluent-bit.conf:42).
+    */
+  def writePositional(df: DataFrame, root: String,
+      uploadTime: java.time.Instant = java.time.Instant.now()): Unit = {
+    val t = uploadTime.atZone(java.time.ZoneOffset.UTC)
+    def f2(i: Int) = f"$i%02d"
+    val pathTime = Seq(t.getYear.toString, f2(t.getMonthValue), f2(t.getDayOfMonth))
+    val hourMin = Seq(f2(t.getHour), f2(t.getMinute))
+    val keyed = df.select(
+      col("cluster"), col("namespace"), col("node"), col("pod"), col("container"),
+      col("time"), col("time_ns"), col("stream"), col("logtag"), col("message"))
+      .repartition(col("cluster"), col("namespace"), col("node"), col("pod"), col("container"))
+    keyed.foreachPartition { (rows: Iterator[Row]) =>
+      val byKey = rows.toSeq.groupBy(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3), r.getString(4)))
+      byKey.foreach { case ((cluster, ns, node, pod, container), group) =>
+        val dir = (Seq(root.stripSuffix("/"), cluster, ns) ++ pathTime ++
+          Seq(node, pod, container) ++ hourMin).mkString("/")
+        val file = new java.io.File(dir, java.util.UUID.randomUUID().toString + ".arrow")
+        file.getParentFile.mkdirs()
+        writeFile(group, file)
+      }
+    }
+  }
+
+  /** Serialize one row group as a Feather v2 file (ZSTD, dict<int8>). */
+  def writeFile(group: Seq[Row], file: java.io.File): Unit = {
+    val alloc = new RootAllocator()
+    try {
+      // dictionaries for stream/logtag (domain {stdout,stderr} / {F,P})
+      val streamDictVec = new VarCharVector("stream_dict", alloc)
+      val logtagDictVec = new VarCharVector("logtag_dict", alloc)
+      val streamVals = group.map(_.getString(7)).distinct.sorted
+      val logtagVals = group.map(_.getString(8)).distinct.sorted
+      streamDictVec.allocateNew(streamVals.size)
+      streamVals.zipWithIndex.foreach { case (v, i) => streamDictVec.setSafe(i, v.getBytes("UTF-8")) }
+      streamDictVec.setValueCount(streamVals.size)
+      logtagDictVec.allocateNew(logtagVals.size)
+      logtagVals.zipWithIndex.foreach { case (v, i) => logtagDictVec.setSafe(i, v.getBytes("UTF-8")) }
+      logtagDictVec.setValueCount(logtagVals.size)
+      val int8 = new ArrowType.Int(8, true)
+      val streamDict = new Dictionary(streamDictVec, new DictionaryEncoding(1L, false, int8))
+      val logtagDict = new Dictionary(logtagDictVec, new DictionaryEncoding(2L, false, int8))
+      val provider = new DictionaryProvider.MapDictionaryProvider(streamDict, logtagDict)
+
+      val timeVec = new TimeStampMicroVector("time", alloc)          // no tz, like the reference
+      val timeNsVec = new BigIntVector("time_ns", alloc)
+      val streamIdx = new TinyIntVector(new Field("stream",
+        new FieldType(true, int8, streamDict.getEncoding), Collections.emptyList()), alloc)
+      val logtagIdx = new TinyIntVector(new Field("logtag",
+        new FieldType(true, int8, logtagDict.getEncoding), Collections.emptyList()), alloc)
+      val messageVec = new VarCharVector("message", alloc)
+      val n = group.size
+      Seq[ValueVector](timeVec, timeNsVec, streamIdx, logtagIdx, messageVec)
+        .foreach(_.setInitialCapacity(n))
+      val streamIndex = streamVals.zipWithIndex.toMap
+      val logtagIndex = logtagVals.zipWithIndex.toMap
+      group.zipWithIndex.foreach { case (r, i) =>
+        timeVec.setSafe(i, Math.floorDiv(r.getLong(6), 1000L)) // µs from lossless ns
+        timeNsVec.setSafe(i, r.getLong(6))
+        streamIdx.setSafe(i, streamIndex(r.getString(7)).toByte)
+        logtagIdx.setSafe(i, logtagIndex(r.getString(8)).toByte)
+        messageVec.setSafe(i, r.getString(9).getBytes("UTF-8"))
+      }
+      Seq[ValueVector](timeVec, timeNsVec, streamIdx, logtagIdx, messageVec)
+        .foreach(_.setValueCount(n))
+
+      val root = new VectorSchemaRoot(
+        Seq(timeVec, timeNsVec, streamIdx, logtagIdx, messageVec)
+          .map(_.asInstanceOf[FieldVector]).asJava)
+      val out = new java.io.FileOutputStream(file)
+      val writer = new ArrowFileWriter(root, provider, Channels.newChannel(out),
+        new java.util.HashMap[String, String](),
+        org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+        org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE,
+        CompressionUtil.CodecType.ZSTD)
+      try { writer.start(); writer.writeBatch(); writer.end() }
+      finally { writer.close(); out.close(); root.close()
+        streamDictVec.close(); logtagDictVec.close() }
+    } finally alloc.close()
+  }
+
+  implicit private class SeqAsJava[A](s: Seq[A]) {
+    def asJava: java.util.List[A] = {
+      val l = new java.util.ArrayList[A](s.size)
+      s.foreach(l.add)
+      l
+    }
+  }
+}

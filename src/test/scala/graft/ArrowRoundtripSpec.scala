@@ -1,0 +1,74 @@
+package graft
+
+import graft.logs._
+import graft.sources.{ArrowIpcSource, ArrowLogWriter}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Arrow IPC dual-format store (SURVEY §1.5, rows S7/K2/U1): same data
+  * written as parquet AND Feather-v2-with-ZSTD must read back identically,
+  * and `-f both` must union to exactly 2× the rows, still time-ordered.
+  */
+class ArrowRoundtripSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val work = Files.createTempDirectory("graft-arrow")
+
+  lazy val store: String = {
+    val root = work.resolve("varlog")
+    val p = root.resolve("pods/default_web-1_u1/app")
+    Files.createDirectories(p)
+    Files.writeString(p.resolve("0.log"),
+      """2024-01-15T10:30:45.123456789Z stdout F hello arrow
+        |2024-01-15T10:30:46.000000000Z stderr P partial  two
+        |2024-01-15T10:30:47.999999999Z stdout F third line
+        |""".stripMargin)
+    val ingested = LogIngest.readCri(spark, root.toString + "/pods/*/*/*.log",
+      clusterName = "dev", nodeName = "node-a")
+    val lake = work.resolve("lake").toString
+    val t = java.time.Instant.parse("2024-02-01T00:00:00Z")
+    LogIngest.writePositional(ingested, lake, uploadTime = t)
+    ArrowLogWriter.writePositional(ingested, lake, uploadTime = t)
+    lake
+  }
+
+  test("arrow files land in the positional layout with dict<int8> + zstd") {
+    val files = ArrowIpcSource.listFiles(Seq(store + "/dev/default/*/*/*/node-a/web-1/app/*/*/*.arrow"))
+    assert(files.size == 1)
+    // footer: stream/logtag carry an int8 dictionary encoding
+    ArrowIpcSource.withReader(files.head) { r =>
+      val fields = r.getVectorSchemaRoot.getSchema.getFields
+      val stream = fields.stream.filter(_.getName == "stream").findFirst.get
+      assert(stream.getDictionary != null)
+      assert(stream.getDictionary.getIndexType.getBitWidth == 8)
+    }
+  }
+
+  test("arrow scan returns the same rows as parquet scan") {
+    def q(f: LogFormat) = LogQuery(output = LogOutput.Lines, format = f)
+      .dataFrame(spark, store)
+      .select($"time_ns", $"namespace", $"pod", $"container", $"stream", $"logtag", $"message")
+    val pq = q(LogFormat.Parquet).collect().toSeq
+    val ar = q(LogFormat.Arrow).collect().toSeq
+    assert(pq == ar)
+    assert(ar.map(_.getLong(0)).toSeq ==
+      Seq(1705314645123456789L, 1705314646000000000L, 1705314647999999999L))
+  }
+
+  test("-f both unions the two format trees, still time-ordered (U1)") {
+    val both = LogQuery(output = LogOutput.Raw, format = LogFormat.Both)
+      .dataFrame(spark, store)
+    val msgs = both.select("message").as[String].collect().toSeq
+    assert(msgs == Seq("hello arrow", "hello arrow", "partial  two", "partial  two",
+      "third line", "third line"))
+  }
+
+  test("selector pruning works on the arrow tree") {
+    val none = LogQuery(LogSelector.parse("""{namespace="nope"}"""),
+      output = LogOutput.Raw, format = LogFormat.Arrow).dataFrame(spark, store)
+    assert(none.count() == 0)
+    val hit = LogQuery(LogSelector.parse("""{pod="web-1",container="app"}"""),
+      output = LogOutput.Raw, format = LogFormat.Arrow).dataFrame(spark, store)
+    assert(hit.count() == 3)
+  }
+}
