@@ -42,6 +42,7 @@ object SparkEntry {
     "x1_daily_type_counts" -> (LogParityQueries.dailyTypeCounts(_, _)),
     "x2_inter_arrival" -> (LogParityQueries.interArrival(_, _)),
     "x3_pivot_daily" -> (LogParityQueries.pivotDailyCounts(_, _)),
+    "x4_json_extract" -> (LogParityQueries.jsonExtract(_, _)),
     "e2e_log_pipeline" -> (PipelineE2E.run(_, _)),
     // — generic relational surface (TPC-H-ish) —
     "q1_pricing_summary" -> (RelationalQueries.pricingSummary(_, _)),
@@ -123,6 +124,11 @@ object SparkEntry {
         |  count(*) FILTER (event_type = 'signup') AS signup,
         |  count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "x4_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
     "e2e_log_pipeline" ->
       """SELECT epoch_us(ts) AS time_us,
         |  strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.' ||

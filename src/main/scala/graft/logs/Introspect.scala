@@ -1,0 +1,69 @@
+package graft.logs
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Introspection / metadata operators (SURVEY §2.12).
+  *
+  *  - M1 (`DESCRIBE` header) lives in [[LogCli.render]] (`-- name: TYPE`).
+  *  - M2 — this object: physical parquet metadata as a DataFrame, the
+  *    engine-side analogue of DuckDB's `parquet_schema`/`parquet_metadata`
+  *    probes the reference uses to assert its physical encodings
+  *    (reference test.sh:156-173).
+  *  - M3 (independent-reader oracle) is the ScalaTest + DuckDB harness.
+  *  - M4 (query echo) — [[LogCli]] prints the executed plan.
+  */
+object Introspect {
+
+  /** Per-column, per-row-group physical parquet metadata: logical+physical
+    * type, encodings, codec, sizes, value counts. Columns mirror what
+    * test.sh:156-173 asserts on (dictionary encoding present, compression,
+    * nanosecond logical type).
+    */
+  def parquetColumnMetadata(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(pathGlob)
+    val fs = p.getFileSystem(conf)
+    val files = Option(fs.globStatus(p)).getOrElse(Array.empty)
+      .flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+        else Array(st)
+      }
+      .map(_.getPath)
+    val rows = files.flatMap { file =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val footer = reader.getFooter
+        val schema = footer.getFileMetaData.getSchema
+        footer.getBlocks.toArray.zipWithIndex.flatMap {
+          case (b: org.apache.parquet.hadoop.metadata.BlockMetaData, rg) =>
+            b.getColumns.toArray.map {
+              case c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData =>
+                val path = c.getPath.toDotString
+                val logical = Option(
+                  schema.getColumnDescription(c.getPath.toArray)
+                    .getPrimitiveType.getLogicalTypeAnnotation)
+                  .map(_.toString).getOrElse("")
+                (file.getName, rg, path,
+                  c.getPrimitiveType.getPrimitiveTypeName.toString, logical,
+                  c.getEncodings.toArray.map(_.toString).sorted.mkString(","),
+                  c.getCodec.toString, c.getValueCount,
+                  c.getTotalSize, c.getTotalUncompressedSize)
+            }
+        }
+      } finally reader.close()
+    }
+    rows.toSeq.toDF("file", "row_group", "column", "physical_type", "logical_type",
+      "encodings", "codec", "num_values", "compressed_bytes", "uncompressed_bytes")
+  }
+
+  /** M1 as data: a DataFrame's schema rendered `name: TYPE` (y-logcli:267-273
+    * prints the same header before table output).
+    */
+  def describe(df: DataFrame): Seq[String] =
+    df.schema.fields.toSeq.map(f => s"${f.name}: ${f.dataType.sql}")
+}

@@ -134,6 +134,18 @@ object LogParityQueries {
       .orderBy(col("event_id"))
   }
 
+  /** JSON extraction from the opaque payload (SURVEY §1.4's natural
+    * extension point: the reference's workload emits JSON inside `message`,
+    * workload.yaml:30, but never parses it — the engine does).
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(col("k"))
+
   /** Pivot: per-day event counts fanned out to one column per type (explicit
     * value list — no extra distinct pass, deterministic column order).
     */

@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming aggregations over the log stream (SURVEY §2.10: the reference
+  * computes none — append-only — so these are the engine's extension surface,
+  * §7.8: time-bucketed grouped aggs with watermarked state).
+  */
+object StreamAnalytics {
+
+  /** Tumbling-window counts + exact value sums per key with a watermark
+    * bounding state (late rows beyond `watermark` are dropped — the
+    * reference's path-time lag has the same effect physically,
+    * fluent-bit.conf:45).
+    */
+  def windowedCounts(stream: DataFrame, eventTime: Column, keyCol: Column,
+      windowLength: String, watermark: String): DataFrame =
+    stream
+      .withColumn("event_time", eventTime)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLength), keyCol)
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-key inactivity sessions via session_window — the close-write-flush
+    * analogue (reference close-write-flush.patch): a key's session closes
+    * after `gap` without events.
+    */
+  def sessionCounts(stream: DataFrame, eventTime: Column, keyCol: Column,
+      gap: String, watermark: String): DataFrame =
+    stream
+      .withColumn("event_time", eventTime)
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap), keyCol)
+      .agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.logs.{Compaction, Introspect, LogSchema}
+import graft.streaming.StreamAnalytics
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class IntrospectCompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("M2: parquet physical metadata surfaces encodings/codec/sizes") {
+    val meta = Introspect.parquetColumnMetadata(spark, s"$sf/lineitem.parquet")
+    assert(meta.count() > 0)
+    val flag = meta.filter($"column" === "l_returnflag").collect().head
+    assert(flag.getAs[String]("encodings").contains("DICTIONARY"))
+    assert(flag.getAs[Long]("num_values") > 0)
+    assert(flag.getAs[Long]("compressed_bytes") > 0)
+    // events carries the nanosecond logical type the reference asserts on
+    val ev = Introspect.parquetColumnMetadata(spark, s"$sf/events.parquet")
+      .filter($"column" === "ts").collect().head
+    assert(ev.getAs[String]("logical_type").toLowerCase.contains("nanos"))
+  }
+
+  test("compaction rewrites small files into few, data intact") {
+    val root = Files.createTempDirectory("graft-compact").resolve("store").toString
+    val parts = Seq("cluster", "namespace", "date") // date granularity: 31 dirs
+    val df = Tables.events(spark, sf)
+      .select(
+        graft.logs.CriFunctions.nanosToTimestamp($"ts").as("time"),
+        $"ts".as("time_ns"),
+        lit("stdout").as("stream"), lit("F").as("logtag"),
+        $"props".as("message"), lit("dev").as("cluster"),
+        lit("ns0").as("namespace"), lit("n1").as("node"),
+        lit("p1").as("pod"), lit("app").as("container"))
+      .withColumn("date", date_format($"time", "yyyy-MM-dd"))
+      .withColumn("hour", date_format($"time", "HH"))
+    // force a small-files mess: every writer task hits every date-dir
+    df.repartition(8).write.partitionBy(parts: _*)
+      .option("maxRecordsPerFile", 10).mode("overwrite").parquet(root)
+    def parquetFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root)).filter(_.getName.endsWith(".parquet"))
+    }
+    val before = parquetFiles.size
+    val rowsBefore = spark.read.parquet(root).count()
+    Compaction.compactHive(spark, root, partitionCols = parts)
+    val after = parquetFiles.size
+    assert(after < before / 4, s"files $before -> $after")
+    assert(after <= 31) // one file per date partition
+    assert(spark.read.parquet(root).count() == rowsBefore)
+    assert(spark.read.parquet(root).agg(sum(crc32($"message".cast("binary")))).head ==
+      df.agg(sum(crc32($"message".cast("binary")))).head)
+  }
+
+  test("streaming windowed agg with watermark") {
+    val work = Files.createTempDirectory("graft-streamagg")
+    Tables.events(spark, sf).write.parquet(work.resolve("in").toString)
+    val stream = spark.readStream
+      .schema(Tables.events(spark, sf).schema)
+      .parquet(work.resolve("in").toString)
+    val agg = StreamAnalytics.windowedCounts(stream,
+      graft.logs.CriFunctions.nanosToTimestamp(col("ts")),
+      col("event_type"), "1 day", "1 hour")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("wincounts").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("wincounts")
+    assert(got.count() > 100) // ~30 days x 5 types
+    val total = got.agg(sum($"n")).as[Long].collect().head
+    assert(total == Tables.events(spark, sf).count())
+  }
+}
