@@ -43,7 +43,9 @@ object SparkEntry {
     "x2_inter_arrival" -> (LogParityQueries.interArrival(_, _)),
     "x3_pivot_daily" -> (LogParityQueries.pivotDailyCounts(_, _)),
     "x4_json_extract" -> (LogParityQueries.jsonExtract(_, _)),
+    "x5_asof_join" -> (LogParityQueries.asofJoin(_, _)),
     "e2e_log_pipeline" -> (PipelineE2E.run(_, _)),
+    "e2e_log_pipeline_hive" -> (PipelineE2E.runHive(_, _)),
     // — generic relational surface (TPC-H-ish) —
     "q1_pricing_summary" -> (RelationalQueries.pricingSummary(_, _)),
     "q3_top_revenue" -> (RelationalQueries.topUnshippedOrders(_, _)),
@@ -129,7 +131,32 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "x5_asof_join" ->
+      """WITH l AS (SELECT * FROM events WHERE event_type = 'error'),
+        |     r AS (SELECT * FROM events WHERE event_type = 'click')
+        |SELECT l.event_id, l.user_id, epoch_us(l.ts) AS time_us,
+        |       r.event_id AS click_id, epoch_us(r.ts) AS click_time_us
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
     "e2e_log_pipeline" ->
+      """SELECT epoch_us(ts) AS time_us,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.' ||
+        |    lpad(CAST(epoch_us(ts) % 1000000 AS VARCHAR), 6, '0') || 'Z' AS time_iso,
+        |  'dev' AS cluster, 'ns0' AS namespace, 'node-a' AS node,
+        |  'pod-' || CAST(user_id % 5 AS VARCHAR) AS pod, 'app' AS container,
+        |  CASE WHEN event_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS stream,
+        |  'F' AS logtag, props AS message
+        |FROM events WHERE user_id % 3 = 0 ORDER BY time_us, message""".stripMargin,
+    "e2e_log_pipeline_hive" ->
+      """SELECT epoch_us(ts) AS time_us,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.' ||
+        |    lpad(CAST(epoch_us(ts) % 1000000 AS VARCHAR), 6, '0') || 'Z' AS time_iso,
+        |  'dev' AS cluster, 'ns0' AS namespace, 'node-a' AS node,
+        |  'pod-' || CAST(user_id % 5 AS VARCHAR) AS pod, 'app' AS container,
+        |  CASE WHEN event_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS stream,
+        |  'F' AS logtag, props AS message
+        |FROM events WHERE user_id % 3 = 0 ORDER BY time_us, message""".stripMargin,
+    "e2e_log_pipeline_hive" ->
       """SELECT epoch_us(ts) AS time_us,
         |  strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.' ||
         |    lpad(CAST(epoch_us(ts) % 1000000 AS VARCHAR), 6, '0') || 'Z' AS time_iso,

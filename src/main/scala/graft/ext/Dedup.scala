@@ -89,7 +89,10 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val grams = shingleHashes(docs, idCol, textCol, n).filter(size(col("grams")) > 0)
+    // no size-guard filter: Catalyst would push it below the projection and
+    // re-evaluate the shingle kernel 3x per row; empty shingle sets verify to
+    // null jaccard and drop at the threshold filter anyway
+    val grams = shingleHashes(docs, idCol, textCol, n)
     val sigs = minhashSignatures(grams, numHashes)
     // Banded rows are NARROW (doc_id, band, bucket): the shingle arrays must
     // not ride through the candidate join + dedupe shuffle. Payloads are

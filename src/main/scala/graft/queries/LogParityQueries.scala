@@ -146,6 +146,23 @@ object LogParityQueries {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy(col("k"))
 
+  /** As-of join (custom point-in-time operator, [[graft.ext.AsofJoin]]): for
+    * each error event, the user's most recent click at-or-before it.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    graft.ext.AsofJoin.lastBefore(errors, clicks, Seq("user_id"), "ts")
+      .select(col("event_id"), col("user_id"),
+        CriFunctions.nanosToMicros(col("ts")).as("time_us"),
+        col("right_event_id").as("click_id"),
+        CriFunctions.nanosToMicros(col("right_ts")).as("click_time_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Pivot: per-day event counts fanned out to one column per type (explicit
     * value list — no extra distinct pass, deterministic column order).
     */

@@ -53,7 +53,16 @@ object PipelineE2E {
   }
 
   /** Full pipeline; returns the selector-query result for `{namespace="ns0"}`. */
-  def run(spark: SparkSession, dir: String): DataFrame = {
+  def run(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, LogLayout.Positional)
+
+  /** Same pipeline through the hive `k=v` store + Catalyst-native partition
+    * pruning (SURVEY §1.3's primary at-scale design).
+    */
+  def runHive(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, LogLayout.Hive)
+
+  private def run(spark: SparkSession, dir: String, layout: LogLayout): DataFrame = {
     val work = Files.createTempDirectory("graft-e2e")
     val criRoot = work.resolve("varlog")
     val storeRoot = work.resolve("lake")
@@ -61,13 +70,18 @@ object PipelineE2E {
 
     val ingested = LogIngest.readCri(spark, criRoot.toString + "/pods/*/*/*.log",
       clusterName = "dev", nodeName = "node-a")
-    LogIngest.writePositional(ingested, storeRoot.toString,
-      uploadTime = java.time.Instant.parse("2024-02-01T00:00:00Z"))
+    layout match {
+      case LogLayout.Positional =>
+        LogIngest.writePositional(ingested, storeRoot.toString,
+          uploadTime = java.time.Instant.parse("2024-02-01T00:00:00Z"))
+      case LogLayout.Hive =>
+        LogIngest.writeHive(ingested, storeRoot.toString)
+    }
 
     LogQuery(
       selector = LogSelector.parse("""{namespace="ns0"}"""),
       output = LogOutput.Lines,
-      layout = LogLayout.Positional)
+      layout = layout)
       .dataFrame(spark, storeRoot.toString)
       // µs projection for the oracle compare (DuckDB's precision ceiling);
       // the lossless ns path is pinned by ScalaTest instead.
