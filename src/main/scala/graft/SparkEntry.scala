@@ -55,6 +55,8 @@ object SparkEntry {
     "w1_window_top_orders" -> (RelationalQueries.windowTopOrders(_, _)),
     "g1_rollup_orders" -> (RelationalQueries.rollupOrders(_, _)),
     "g2_median_quantity" -> (RelationalQueries.medianQuantity(_, _)),
+    "g3_grouping_sets" -> (RelationalQueries.groupingSets(_, _)),
+    "j3_correlated_subquery" -> (RelationalQueries.correlatedSubquery(_, _)),
     // — training-data pipeline extensions —
     "d1_dedup_exact" -> (ExtensionQueries.dedupExact(_, _)),
     "d2_dedup_ngram_jaccard" -> (ExtensionQueries.dedupNgramJaccard(_, _)),
@@ -222,6 +224,18 @@ object SparkEntry {
     "g2_median_quantity" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "g3_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "j3_correlated_subquery" ->
+      """SELECT o_orderkey FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |    > 2 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT props, min(event_id) AS keep_id, count(*) AS n_copies
         |FROM events GROUP BY props ORDER BY props""".stripMargin,

@@ -55,11 +55,20 @@ object LogIngest {
 
   /** Primary (idiomatic hive-layout) writer: partition pruning and partition
     * columns come free from Spark's `PartitioningAwareFileIndex` (SURVEY §1.3).
+    *
+    * Rows are repartitioned on the partition key first so each output
+    * directory is written by one task — without this, every writer task that
+    * sees every partition emits its own file, multiplying file count by the
+    * task count (the small-files storm the compaction job exists to undo).
+    * Partition granularity is a knob: hour-level prunes best when each hour
+    * holds file-sized data (the 100 TB case); batch fixtures coarsen to date.
     */
   def writeHive(df: DataFrame, root: String,
-      maxRecordsPerFile: Long = 1000000L): Unit =
-    df.write
-      .partitionBy(LogSchema.hivePartitionColumns: _*)
+      maxRecordsPerFile: Long = 1000000L,
+      partitionCols: Seq[String] = LogSchema.hivePartitionColumns): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .write
+      .partitionBy(partitionCols: _*)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("append")
       .parquet(root)

@@ -75,7 +75,10 @@ object PipelineE2E {
         LogIngest.writePositional(ingested, storeRoot.toString,
           uploadTime = java.time.Instant.parse("2024-02-01T00:00:00Z"))
       case LogLayout.Hive =>
-        LogIngest.writeHive(ingested, storeRoot.toString)
+        // date granularity: the fixture's ~3k rows/day would drown in
+        // hour-level dirs; hour partitioning is for file-sized hours
+        LogIngest.writeHive(ingested, storeRoot.toString,
+          partitionCols = Seq("cluster", "namespace", "date"))
     }
 
     LogQuery(

@@ -118,6 +118,32 @@ object RelationalQueries {
         sum(money(col("o_totalprice"))).cast("double").as("sum_price"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** Correlated scalar subqueries through the `spark.sql` surface (Catalyst
+    * decorrelates them into aggregating joins): orders whose price is more
+    * than twice their customer's average. Arithmetic stays in decimal so the
+    * boundary comparison is exact against the oracle.
+    */
+  def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderkey FROM orders_v o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+        |    > 2 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |           FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** GROUPING SETS aggregation (finer than rollup: two independent cuts). */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
   /** Exact median via `percentile` (interpolating, matches quantile_cont). */
   def medianQuantity(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
