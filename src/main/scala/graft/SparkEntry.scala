@@ -69,7 +69,9 @@ object SparkEntry {
     "t4_text_fingerprint" -> (ExtensionQueries.textFingerprint(_, _)),
     "v1_knn_brute_force" -> (ExtensionQueries.knnBruteForce(_, _)),
     "v2_knn_lsh" -> (ExtensionQueries.knnLsh(_, _)),
-    "m1_multimodal_decode" -> (ExtensionQueries.multimodalDecode(_, _))
+    "v3_knn_ivf" -> (ExtensionQueries.knnIvf(_, _)),
+    "m1_multimodal_decode" -> (ExtensionQueries.multimodalDecode(_, _)),
+    "m2_multimodal_frames" -> (ExtensionQueries.multimodalFrames(_, _))
   )
 
   /** DuckDB-runnable oracle per hash-checkable query (same column names, same

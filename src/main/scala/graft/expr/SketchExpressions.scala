@@ -151,10 +151,66 @@ case class HyperplaneBands(child: Expression, planes: Int, bands: Int)
 }
 
 object SketchFunctions {
+  def nearestCentroids(vec: Column, centroids: Array[Array[Float]], m: Int): Column =
+    Compat.column(NearestCentroids(Compat.expression(vec), centroids, m))
   def wordShingleHashes(text: Column, n: Int): Column =
     Compat.column(WordShingleHashes(Compat.expression(text), n))
   def minHashSig(grams: Column, k: Int): Column =
     Compat.column(MinHashSig(Compat.expression(grams), k))
   def hyperplaneBands(vec: Column, planes: Int, bands: Int): Column =
     Compat.column(HyperplaneBands(Compat.expression(vec), planes, bands))
+}
+
+/** IVF coarse-quantizer kernels (centroid assignment). */
+object IvfKernels {
+  /** Indices of the `m` nearest centroids to `vec` by cosine similarity,
+    * nearest first. One primitive pass over `centroids`; `m` is tiny (the
+    * nProbe knob) so selection is insertion into a fixed-size window.
+    */
+  def nearestCentroids(vec: ArrayData, centroids: Array[Array[Float]], m: Int): ArrayData = {
+    val dims = vec.numElements()
+    val bestIdx = new Array[Int](m)
+    val bestSim = new Array[Double](m)
+    java.util.Arrays.fill(bestSim, Double.NegativeInfinity)
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      var dot = 0.0; var nv = 0.0; var nc = 0.0
+      var d = 0
+      val lim = math.min(dims, cv.length)
+      while (d < lim) {
+        val x = vec.getFloat(d).toDouble; val y = cv(d).toDouble
+        dot += x * y; nv += x * x; nc += y * y
+        d += 1
+      }
+      val sim = if (nv == 0.0 || nc == 0.0) -1.0 else dot / math.sqrt(nv * nc)
+      var i = m - 1
+      if (sim > bestSim(i)) {
+        while (i > 0 && sim > bestSim(i - 1)) {
+          bestSim(i) = bestSim(i - 1); bestIdx(i) = bestIdx(i - 1); i -= 1
+        }
+        bestSim(i) = sim; bestIdx(i) = c
+      }
+      c += 1
+    }
+    new GenericArrayData(bestIdx)
+  }
+}
+
+/** `nearest_centroids(array<float>) → array<int>` — top-m centroid ids for a
+  * vector against a broadcast-by-reference centroid table (codegen via
+  * `ctx.addReferenceObj`, so the table is shared per task, not per row).
+  */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], m: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+  override def nullSafeEval(input: Any): Any =
+    IvfKernels.nearestCentroids(input.asInstanceOf[ArrayData], centroids, m)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, c => s"graft.expr.IvfKernels.nearestCentroids($c, $ref, $m)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
 }

@@ -50,6 +50,30 @@ object Multimodal {
     }
   }
 
+  case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte],
+      frame_feature: Array[Float])
+
+  /** Frame sampling: split a (fake-)video payload into `n` evenly-spaced
+    * byte windows and feature-extract each — the Spark shape of video frame
+    * sampling (generator-style fan-out; a real codec plugs into the slice
+    * step). Images/audio yield a single frame.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], n: Int): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val frames = if (r.kind == "video") n else 1
+      val len = math.max(r.payload.length / math.max(frames, 1), 1)
+      (0 until frames).map { i =>
+        val from = math.min(i * len, math.max(r.payload.length - 1, 0))
+        val slice = r.payload.slice(from, math.min(from + len, r.payload.length))
+        val hist = new Array[Float](8)
+        slice.foreach(x => hist((x & 0xff) % 8) += 1.0f)
+        val total = math.max(slice.length, 1).toFloat
+        MediaFrame(r.media_id, i, slice, hist.map(_ / total))
+      }
+    }
+  }
+
   /** Build a media table from the documents fixture: payload = UTF-8 bytes of
     * the text (the opaque-binary contract is what's under test, not pixels).
     */

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.expr.{SketchFunctions, VecFunctions}
+import org.apache.spark.sql.SparkSession
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
@@ -36,6 +37,78 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(queryId), col(corpusId).as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** IVF (inverted-file) ANN top-k — the other classic scale path besides
+    * LSH: a coarse quantizer (k-means-lite trained on a driver-side sample)
+    * partitions the corpus into `nLists` cells; each query probes only its
+    * `nProbe` nearest cells. At 100 TB: centroids are a broadcast-by-reference
+    * table inside a codegen expression ([[graft.expr.NearestCentroids]]), the
+    * corpus is scanned once for assignment, and the probe join touches
+    * |corpus|·nProbe/nLists rows instead of |corpus|.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, kmeansIters: Int = 5,
+      sampleSize: Int = 2048,
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame = {
+    val centroids = trainCoarseQuantizer(corpus, corpusVec, nLists, kmeansIters, sampleSize)
+    val cell = SketchFunctions.nearestCentroids(col(corpusVec), centroids, 1)
+    val assigned = corpus.select(col(corpusId).as("cid"), col(corpusVec).as("cv"),
+      element_at(cell, 1).as("cell"))
+    val probes = queries.select(col(queryId).as("qid"), col(queryVec).as("qv"),
+      explode(SketchFunctions.nearestCentroids(col(queryVec), centroids, nProbe)).as("cell"))
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine", VecFunctions.cosineSim(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as(queryId), col("cid").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** k-means-lite on a bounded driver-side sample (deterministic: first
+    * `sampleSize` rows, farthest-point-ish init from the sample order).
+    * The model is tiny (nLists × dims floats) — the legitimate driver-side
+    * computation, like computing broadcast-join build sides.
+    */
+  def trainCoarseQuantizer(corpus: DataFrame, vecCol: String,
+      nLists: Int, iters: Int, sampleSize: Int): Array[Array[Float]] = {
+    val sample = corpus.select(col(vecCol)).limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    var centroids = Array.tabulate(math.min(nLists, sample.length))(i =>
+      sample(i * sample.length / math.min(nLists, sample.length)).clone())
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < centroids.length) {
+          val s = cosine(v, centroids(c))
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var d = 0
+        while (d < v.length) { sums(best)(d) += v(d); d += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }.toArray
+      it += 1
+    }
+    centroids
   }
 
   /** LSH-bucketed ANN top-k: corpus and queries are signed with the same

@@ -113,6 +113,24 @@ object ExtensionQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF ANN top-k (rows-only gate; ScalaTest asserts recall vs brute force). */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    Similarity.ivfTopK(queries, emb, k = 10, nLists = 16, nProbe = 6)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Multimodal frame sampling (video fan-out; rows-only + spec). */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(spark, Tables.documents(spark, dir))
+    Multimodal.sampleFrames(media, n = 4).toDF()
+      .select(col("media_id"), col("frame_idx"), length(col("frame")).as("frame_bytes"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   /** Multimodal binary-column pipeline (STUB codec, real Spark plumbing;
     * rows-only gate + ScalaTest determinism checks).
     */

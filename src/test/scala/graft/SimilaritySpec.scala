@@ -52,6 +52,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"ANN recall@10 = $recall")
   }
 
+  test("IVF ANN recall@10 vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val bf = Similarity.bruteForceTopK(queries, emb, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, emb, k = 10, nLists = 8, nProbe = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall@10 = $recall")
+  }
+
+  test("multimodal frame sampling: 4 frames per video, 1 otherwise") {
+    val media = graft.ext.Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sf))
+    val frames = graft.ext.Multimodal.sampleFrames(media, 4).toDF()
+    val byKind = frames.join(media.toDF().select($"media_id", $"kind"), "media_id")
+      .groupBy($"kind").agg(countDistinct($"media_id").as("n_media"),
+        (count(lit(1)) / countDistinct($"media_id")).as("frames_per"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(byKind("video") == 4.0)
+    assert(byKind("image") == 1.0 && byKind("audio") == 1.0)
+  }
+
   test("simhash: identical token sets collide, small edits stay close") {
     def sim(tokens: Seq[String]): Long = {
       import org.apache.spark.sql.catalyst.util.GenericArrayData
