@@ -1,0 +1,90 @@
+package graft
+
+import graft.expr.CriTime
+import graft.logs.{LogSelector, LogPathLayout, SinceDuration}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property tests (SURVEY §5's engine test plan): timestamp round-trips and
+  * selector grammar over generated inputs — no Spark session needed, these
+  * drive the JVM-static kernels directly.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Run a ScalaCheck property and assert it holds (no scalatestplus bridge
+    * in the offline cache, so drive ScalaCheck's runner directly).
+    */
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def forAll[A](gen: Gen[A])(f: A => Unit): Unit =
+    check(Prop.forAll(gen) { a => f(a); true })
+
+
+  // epoch nanos within RFC3339's 4-digit-year range, positive era
+  private val nanosGen: Gen[Long] =
+    Gen.chooseNum(0L, 4102444799999999999L) // 1970..2099-12-31T23:59:59.999999999
+
+  test("property: render(ns) parses back to the identical nanos") {
+    forAll(nanosGen) { ns =>
+      val sec = java.lang.Math.floorDiv(ns, 1000000000L)
+      val frac = java.lang.Math.floorMod(ns, 1000000000L)
+      val iso = java.time.Instant.ofEpochSecond(sec, frac).toString match {
+        // Instant.toString drops trailing zeros; re-pad to the fixed-width
+        // CRI shape our renderer produces
+        case s => s
+      }
+      val parsed = CriTime.parseNanosOrNull(UTF8String.fromString(iso))
+      assert(parsed != null && parsed.longValue() == ns, s"iso=$iso")
+    }
+  }
+
+  test("property: fast path agrees with java.time on offset timestamps") {
+    val gen = for {
+      ns <- nanosGen
+      offH <- Gen.chooseNum(-14, 14)
+      offM <- Gen.oneOf(0, 15, 30, 45)
+    } yield (ns, offH, offM)
+    forAll(gen) { case (ns, offH, offM) =>
+      val sec = java.lang.Math.floorDiv(ns, 1000000000L)
+      val frac = java.lang.Math.floorMod(ns, 1000000000L)
+      val off = java.time.ZoneOffset.ofHoursMinutes(offH, if (offH < 0) -offM else offM)
+      val odt = java.time.Instant.ofEpochSecond(sec, frac).atOffset(off)
+      val iso = odt.format(java.time.format.DateTimeFormatter.ofPattern(
+        "yyyy-MM-dd'T'HH:mm:ss.nnnnnnnnnxxx"))
+      val parsed = CriTime.parseNanosOrNull(UTF8String.fromString(iso))
+      assert(parsed != null && parsed.longValue() == ns, s"iso=$iso")
+    }
+  }
+
+  test("property: selector parse inverts rendering for any label map") {
+    val keyGen = Gen.oneOf(graft.logs.LogSchema.selectorKeys.toSeq)
+    val valGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val mapGen = Gen.mapOf(Gen.zip(keyGen, valGen)).map(_.take(4))
+    forAll(mapGen) { labels =>
+      val rendered = labels.map { case (k, v) => s"""$k="$v"""" }.mkString("{", ",", "}")
+      assert(LogSelector.parse(rendered).labels == labels)
+    }
+  }
+
+  test("property: since grammar accepts exactly <n><s|m|h>") {
+    forAll(Gen.zip(Gen.chooseNum(0L, 999999L), Gen.oneOf("s", "m", "h"))) { case (n, u) =>
+      val expected = u match { case "s" => n; case "m" => n * 60; case _ => n * 3600 }
+      assert(SinceDuration.parseSeconds(s"$n$u") == expected)
+    }
+  }
+
+  test("property: glob always has the layout's fixed arity") {
+    val keyGen = Gen.oneOf(graft.logs.LogSchema.selectorKeys.toSeq)
+    val valGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    forAll(Gen.mapOf(Gen.zip(keyGen, valGen)).map(_.take(3))) { labels =>
+      val glob = LogPathLayout.buildGlob("/r", labels, "parquet")
+      // root + 11 layout segments, always
+      assert(glob.stripPrefix("/r/").split("/").length == LogPathLayout.segments.size)
+      labels.foreach { case (_, v) => assert(glob.contains(v)) }
+    }
+  }
+}
