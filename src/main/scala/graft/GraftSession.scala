@@ -24,6 +24,10 @@ object GraftSession {
     spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // runtime skew-join splitting: hot keys (one pod flooding logs, one
+    // boilerplate shingle) re-plan into split partitions at execution time
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    GraftExtensions.register(spark)
     spark
   }
 
