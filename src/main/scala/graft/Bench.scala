@@ -23,16 +23,21 @@ object Bench {
 
     val pool = Executors.newFixedThreadPool(parallel)
     val results = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val t0 = System.nanoTime()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit = {
           val q0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            results.put(name, (System.nanoTime() - q0) / 1e9)
+          } catch { case e: Throwable =>
+            // a failed query must be visible in the JSON, not a fast "pass"
+            failed.add(name)
+            results.put(name, -1.0)
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
-          results.put(name, (System.nanoTime() - q0) / 1e9)
         }
       })
     }
@@ -43,7 +48,8 @@ object Bench {
     val qs = results.entrySet().toArray.map {
       case e: java.util.Map.Entry[_, _] => "\"" + e.getKey + "\":" + e.getValue
     }.sorted.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.toArray.map(n => "\"" + n + "\"").sorted.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

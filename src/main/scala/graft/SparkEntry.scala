@@ -160,15 +160,6 @@ object SparkEntry {
         |  CASE WHEN event_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS stream,
         |  'F' AS logtag, props AS message
         |FROM events WHERE user_id % 3 = 0 ORDER BY time_us, message""".stripMargin,
-    "e2e_log_pipeline_hive" ->
-      """SELECT epoch_us(ts) AS time_us,
-        |  strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.' ||
-        |    lpad(CAST(epoch_us(ts) % 1000000 AS VARCHAR), 6, '0') || 'Z' AS time_iso,
-        |  'dev' AS cluster, 'ns0' AS namespace, 'node-a' AS node,
-        |  'pod-' || CAST(user_id % 5 AS VARCHAR) AS pod, 'app' AS container,
-        |  CASE WHEN event_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS stream,
-        |  'F' AS logtag, props AS message
-        |FROM events WHERE user_id % 3 = 0 ORDER BY time_us, message""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

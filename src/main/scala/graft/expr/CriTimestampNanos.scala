@@ -59,8 +59,17 @@ object CriTime {
     val hour = h2 * 10 + h1
     val minute = mi2 * 10 + mi1
     val second = se2 * 10 + se1
-    if (month < 1 || month > 12 || day < 1 || day > 31 ||
-      hour > 23 || minute > 59 || second > 60) return null
+    if (month < 1 || month > 12 || day < 1 ||
+      hour > 23 || minute > 59 || second > 59) return null
+    // real calendar bounds — '2024-02-30' must be null, not silently
+    // normalized by the epoch-day arithmetic into March 1st
+    val leap = (year % 4 == 0 && year % 100 != 0) || year % 400 == 0
+    val maxDay = month match {
+      case 4 | 6 | 9 | 11 => 30
+      case 2 => if (leap) 29 else 28
+      case _ => 31
+    }
+    if (day > maxDay) return null
     var i = 19
     var frac = 0L
     if (i < n && s.getByte(i) == '.') {

@@ -26,26 +26,30 @@ object AsofJoin {
       timeCol: String, rightPrefix: String = "right_"): DataFrame = {
     val leftCols = left.columns.toSeq.filterNot(keys.contains)
     val rightCols = right.columns.toSeq.filterNot(keys.contains)
+    // The whole right row travels as ONE struct through ONE last(ignoreNulls):
+    // a per-column last() would blend fields from different right rows
+    // whenever a right payload field is genuinely null.
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c).copy(nullable = true)))
     val lTagged = left.select(
       keys.map(col) ++
-        Seq(col(timeCol).as("__t"), lit(1).as("__side")) ++
-        leftCols.map(col) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(rightPrefix + c)): _*)
+        Seq(col(timeCol).as("__t"), lit(1).as("__side"),
+          lit(null).cast(rStructType).as("__rpayload")) ++
+        leftCols.map(col): _*)
     val rTagged = right.select(
       keys.map(col) ++
-        Seq(col(timeCol).as("__t"), lit(0).as("__side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(rightPrefix + c)): _*)
+        Seq(col(timeCol).as("__t"), lit(0).as("__side"),
+          struct(rightCols.map(col): _*).as("__rpayload")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     // right (side 0) sorts before left (side 1) at equal timestamps → the
     // inclusive `r.t <= l.t` semantics of ASOF JOIN
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.unionByName(rTagged)
-      .select(keys.map(col) ++ Seq(col("__side")) ++ leftCols.map(col) ++
-        rightCols.map(c =>
-          last(col(rightPrefix + c), ignoreNulls = true).over(w).as(rightPrefix + c)): _*)
+      .withColumn("__rp", last(col("__rpayload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(keys.map(col) ++ leftCols.map(col) ++
+        rightCols.map(c => col("__rp").getField(c).as(rightPrefix + c)): _*)
   }
 }

@@ -18,23 +18,37 @@ object Compaction {
   def compactHive(spark: SparkSession, root: String,
       maxRecordsPerFile: Long = 4000000L,
       partitionCols: Seq[String] = LogSchema.hivePartitionColumns): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val df = spark.read.parquet(root)
-    df.repartition(partitionCols.map(col): _*)
-      .write
-      .partitionBy(partitionCols: _*)
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .mode("overwrite") // dynamic: only touched partitions are replaced
-      .parquet(root + ".compact-staging") // stage, then swap below
-    // atomic-ish swap: staging becomes the live tree (object stores: rename
-    // prefix; HDFS/local: directory rename)
+    // keep partition dir names byte-identical: type inference would read
+    // 'hour=00' back as int 0 and rewrite the dir as 'hour=0', forking the
+    // partition from future string-valued appends
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prevInfer = spark.conf.get(inferKey, "true")
+    spark.conf.set(inferKey, "false")
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(root)
     val staging = new org.apache.hadoop.fs.Path(root + ".compact-staging")
     val backup = new org.apache.hadoop.fs.Path(root + ".compact-backup")
-    fs.rename(live, backup)
-    fs.rename(staging, live)
-    fs.delete(backup, true)
+    try {
+      require(!fs.exists(staging) && !fs.exists(backup),
+        s"stale compaction dirs exist under $root — clean up ${staging.getName}/${backup.getName} first")
+      spark.read.parquet(root)
+        .repartition(partitionCols.map(col): _*)
+        .write
+        .partitionBy(partitionCols: _*)
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .mode("overwrite")
+        .parquet(staging.toString)
+      // Swap via two renames. NOT atomic for readers: there is a window with
+      // no live root (object stores additionally rename per object). A query
+      // racing the swap fails cleanly and retries; nothing is lost — the
+      // backup is only deleted after the new tree is live.
+      require(fs.rename(live, backup), s"rename $live -> $backup failed")
+      if (!fs.rename(staging, live)) {
+        fs.rename(backup, live) // restore; data was never at risk
+        throw new java.io.IOException(s"rename $staging -> $live failed; restored original")
+      }
+      fs.delete(backup, true)
+    } finally spark.conf.set(inferKey, prevInfer)
   }
 }

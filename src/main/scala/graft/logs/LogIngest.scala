@@ -42,7 +42,7 @@ object LogIngest {
     val raw = spark.read.text(glob)
       .withColumn("file_path", col("_metadata.file_path"))
       .filter(!col("file_path").rlike(excludeRegex))
-      .filter(length(col("value")) < maxLineBytes)
+      .filter(octet_length(col("value")) < maxLineBytes)
     CriFunctions.parsed(raw, clusterName)
       .withColumn("namespace", regexp_extract(col("file_path"), podPathRegex, 1))
       .withColumn("pod", regexp_extract(col("file_path"), podPathRegex, 2))

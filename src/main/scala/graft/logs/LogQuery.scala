@@ -125,8 +125,10 @@ final case class LogQuery(
         case Some(n) => lit(n - s * 1000000000L)
         case None => unix_micros(current_timestamp()) * 1000L - lit(s * 1000000000L)
       }
+      // exact integral division: double division of epoch-nanos can round
+      // the µs cutoff up by 1 and drop boundary rows (see CriFunctions.longDiv)
       selected.filter(col("time_ns") >= cutoffNs &&
-        col("time") >= timestamp_micros((cutoffNs / 1000L).cast("long")))
+        col("time") >= timestamp_micros(CriFunctions.longDiv(cutoffNs, 1000L)))
     }.getOrElse(selected)
 
     project(since).orderBy(col("time_ns"))

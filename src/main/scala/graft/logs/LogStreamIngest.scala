@@ -30,7 +30,7 @@ object LogStreamIngest {
       .text(inputGlob)
       .withColumn("file_path", col("_metadata.file_path"))
       .filter(!col("file_path").rlike(LogIngest.defaultExcludeRegex))
-      .filter(length(col("value")) < LogIngest.defaultMaxLineBytes)
+      .filter(octet_length(col("value")) < LogIngest.defaultMaxLineBytes)
     val parsed = CriFunctions.parsed(raw, clusterName)
       .withColumn("namespace", regexp_extract(col("file_path"), LogIngest.podPathRegex, 1))
       .withColumn("pod", regexp_extract(col("file_path"), LogIngest.podPathRegex, 2))

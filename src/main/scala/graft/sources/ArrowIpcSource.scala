@@ -154,28 +154,33 @@ class ArrowIpcScan(schema: StructType, files: Seq[String]) extends Scan with Bat
     files.map(ArrowFilePartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ArrowIpcReaderFactory(
-      schema.fields.lastOption.exists(_.name == ArrowIpcSource.FilePathColumn))
+      schema.fields.lastOption.exists(_.name == ArrowIpcSource.FilePathColumn),
+      // captured on the DRIVER at plan time: executors have no active session
+      new graft.util.SerializableHadoopConf(
+        SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
-class ArrowIpcReaderFactory(withFilePath: Boolean) extends PartitionReaderFactory {
+class ArrowIpcReaderFactory(withFilePath: Boolean,
+    conf: graft.util.SerializableHadoopConf) extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = true
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
     throw new UnsupportedOperationException("columnar only")
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
-    new ArrowIpcColumnarReader(partition.asInstanceOf[ArrowFilePartition].file, withFilePath)
+    new ArrowIpcColumnarReader(partition.asInstanceOf[ArrowFilePartition].file,
+      withFilePath, conf)
 }
 
 /** Streams a file's record batches as Spark ColumnarBatches. The whole file
   * is buffered (reference-design objects are ~1 MB) and decompressed
   * batch-by-batch by Arrow (ZSTD bodies).
   */
-class ArrowIpcColumnarReader(file: String, withFilePath: Boolean)
+class ArrowIpcColumnarReader(file: String, withFilePath: Boolean,
+    conf: graft.util.SerializableHadoopConf)
     extends PartitionReader[ColumnarBatch] {
   private val alloc = new RootAllocator()
   private val reader = {
-    val hconf = SparkSession.active.sparkContext.hadoopConfiguration
     val path = new Path(file)
-    val fs = path.getFileSystem(hconf)
+    val fs = path.getFileSystem(conf.value)
     val len = fs.getFileStatus(path).getLen
     val in = fs.open(path)
     val bytes = new Array[Byte](len.toInt)

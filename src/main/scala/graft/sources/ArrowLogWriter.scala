@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.logs.{LogPathLayout, LogSchema}
+import org.apache.hadoop.fs.Path
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
 import org.apache.arrow.vector.compression.CompressionUtil
@@ -41,25 +42,54 @@ object ArrowLogWriter {
     def f2(i: Int) = f"$i%02d"
     val pathTime = Seq(t.getYear.toString, f2(t.getMonthValue), f2(t.getDayOfMonth))
     val hourMin = Seq(f2(t.getHour), f2(t.getMinute))
+    // Hadoop conf captured on the driver (no active session on executors);
+    // keys are clustered AND sorted within partitions, so groups stream
+    // through one bounded buffer instead of materializing the partition.
+    val conf = new graft.util.SerializableHadoopConf(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val keyCols = Seq("cluster", "namespace", "node", "pod", "container")
     val keyed = df.select(
-      col("cluster"), col("namespace"), col("node"), col("pod"), col("container"),
-      col("time"), col("time_ns"), col("stream"), col("logtag"), col("message"))
-      .repartition(col("cluster"), col("namespace"), col("node"), col("pod"), col("container"))
+      (keyCols.map(col) ++ Seq(col("time"), col("time_ns"), col("stream"),
+        col("logtag"), col("message"))): _*)
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions(keyCols.map(col): _*)
     keyed.foreachPartition { (rows: Iterator[Row]) =>
-      val byKey = rows.toSeq.groupBy(r => (r.getString(0), r.getString(1),
-        r.getString(2), r.getString(3), r.getString(4)))
-      byKey.foreach { case ((cluster, ns, node, pod, container), group) =>
+      def keyOf(r: Row) = (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))
+      def flush(key: (String, String, String, String, String), group: Seq[Row]): Unit = {
+        val (cluster, ns, node, pod, container) = key
         val dir = (Seq(root.stripSuffix("/"), cluster, ns) ++ pathTime ++
           Seq(node, pod, container) ++ hourMin).mkString("/")
-        val file = new java.io.File(dir, java.util.UUID.randomUUID().toString + ".arrow")
-        file.getParentFile.mkdirs()
-        writeFile(group, file)
+        val fs = new Path(dir).getFileSystem(conf.value)
+        fs.mkdirs(new Path(dir))
+        val out = fs.create(new Path(dir,
+          java.util.UUID.randomUUID().toString + ".arrow"), false)
+        try writeFile(group, java.nio.channels.Channels.newChannel(out))
+        finally out.close()
       }
+      var current: Option[(String, String, String, String, String)] = None
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      rows.foreach { r =>
+        val k = keyOf(r)
+        if (!current.contains(k)) {
+          current.foreach(flush(_, buf.toSeq))
+          buf.clear()
+          current = Some(k)
+        }
+        buf += r
+      }
+      current.foreach(flush(_, buf.toSeq))
     }
   }
 
   /** Serialize one row group as a Feather v2 file (ZSTD, dict<int8>). */
   def writeFile(group: Seq[Row], file: java.io.File): Unit = {
+    val out = new java.io.FileOutputStream(file)
+    try writeFile(group, Channels.newChannel(out)) finally out.close()
+  }
+
+  /** Serialize one row group to any byte channel (local file, HDFS, S3A). */
+  def writeFile(group: Seq[Row], channel: java.nio.channels.WritableByteChannel): Unit = {
     val alloc = new RootAllocator()
     try {
       // dictionaries for stream/logtag (domain {stdout,stderr} / {F,P})
@@ -103,14 +133,13 @@ object ArrowLogWriter {
       val root = new VectorSchemaRoot(
         Seq(timeVec, timeNsVec, streamIdx, logtagIdx, messageVec)
           .map(_.asInstanceOf[FieldVector]).asJava)
-      val out = new java.io.FileOutputStream(file)
-      val writer = new ArrowFileWriter(root, provider, Channels.newChannel(out),
+      val writer = new ArrowFileWriter(root, provider, channel,
         new java.util.HashMap[String, String](),
         org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
         org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE,
         CompressionUtil.CodecType.ZSTD)
       try { writer.start(); writer.writeBatch(); writer.end() }
-      finally { writer.close(); out.close(); root.close()
+      finally { writer.close(); root.close()
         streamDictVec.close(); logtagDictVec.close() }
     } finally alloc.close()
   }

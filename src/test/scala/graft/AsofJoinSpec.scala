@@ -20,6 +20,16 @@ class AsofJoinSpec extends SparkSpec {
       (2L, "l3", None)))          // right row at 160 is AFTER 150 -> no match
   }
 
+  test("null right-payload fields do not blend across right rows") {
+    val left = Seq((1L, 300L, "l1")).toDF("k", "t", "lval")
+    val right = Seq((1L, 100L, Some("a1"), Some("b1")), (1L, 200L, Some("a2"), None))
+      .toDF("k", "t", "a", "b")
+    val got = AsofJoin.lastBefore(left, right, Seq("k"), "t")
+      .select($"right_a", $"right_b").collect().head
+    // must be the t=200 row exactly: a2 with a GENUINE null b — not b1
+    assert(got.getString(0) == "a2" && got.isNullAt(1))
+  }
+
   test("plan is one sort per key merge, not a nested-loop range join") {
     val ev = Tables.events(spark, sf)
     val l = ev.filter($"event_type" === "error").select($"user_id", $"ts", $"event_id")

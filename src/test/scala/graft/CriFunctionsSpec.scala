@@ -26,12 +26,17 @@ class CriFunctionsSpec extends SparkSpec {
     val got = Seq(
       "2024-01-15T10:30:45.5Z",          // short fraction = 500ms
       "2024-01-15T10:30:45+01:00",       // offset, no fraction
-      "garbage", "2024-13-99T99:99:99Z"  // unparseable -> null
+      "garbage", "2024-13-99T99:99:99Z",  // unparseable -> null
+      "2024-02-30T00:00:00Z",              // impossible calendar date -> null
+      "2023-02-29T00:00:00Z",              // non-leap Feb 29 -> null
+      "2024-02-29T00:00:00Z"               // leap Feb 29 -> valid
     ).toDF("s").select(CriFunctions.criTimeNanos($"s")).collect().map(r =>
       if (r.isNullAt(0)) None else Some(r.getLong(0)))
     assert(got(0).contains(1705314645500000000L))
     assert(got(1).contains(1705311045000000000L)) // 10:30:45+01:00 = 09:30:45Z
     assert(got(2).isEmpty && got(3).isEmpty)
+    assert(got(4).isEmpty && got(5).isEmpty)
+    assert(got(6).contains(1709164800000000000L)) // 2024-02-29T00:00:00Z
   }
 
   test("nsIso8601 renders back the exact input string") {
