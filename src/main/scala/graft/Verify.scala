@@ -16,13 +16,22 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.configure(spark)
     new java.io.File(outDir).mkdirs()
+    // queries are independent writes to disjoint dirs: run a few at a time so
+    // Spark's scheduler fills the cores the small queries leave idle
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_PARALLEL", "4").toInt)
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+      })
     }
+    pool.shutdown()
+    pool.awaitTermination(60, java.util.concurrent.TimeUnit.MINUTES)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -62,8 +62,21 @@ object PipelineE2E {
   def runHive(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, LogLayout.Hive)
 
+  /** Temp trees must outlive the returned (lazy) DataFrame; reap them at JVM
+    * exit so repeated Verify/Bench runs don't accumulate in /tmp.
+    */
+  private def cleanupAtExit(p: Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(p.toFile)
+    }))
+
   private def run(spark: SparkSession, dir: String, layout: LogLayout): DataFrame = {
     val work = Files.createTempDirectory("graft-e2e")
+    cleanupAtExit(work)
     val criRoot = work.resolve("varlog")
     val storeRoot = work.resolve("lake")
     writeCriFixture(Tables.events(spark, dir), criRoot)

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The faithful analogue of the reference's close-write flush (SURVEY §7.6;
+  * reference images/fluentbit/close-write-flush.patch:20-156): fluent-bit
+  * watches inotify IN_CLOSE_WRITE per container log file and force-flushes
+  * that tag's buffer when the container exits.
+  *
+  * Structured Streaming's version is a per-pod session with an inactivity
+  * timeout (`flatMapGroupsWithState` + ProcessingTimeTimeout): while lines
+  * arrive the state accumulates; when a pod goes quiet for `idleTimeout` the
+  * state times out and a close event is emitted — the signal a downstream
+  * compactor/finalizer uses exactly like the reference's `_flb_close_write`
+  * sentinel.
+  */
+object CloseWriteDetector {
+
+  case class PodActivity(cluster: String, namespace: String, pod: String,
+      container: String, time_ns: Long)
+  case class PodSessionState(lines: Long, firstNs: Long, lastNs: Long)
+  case class PodClosed(cluster: String, namespace: String, pod: String,
+      container: String, lines: Long, first_ns: Long, last_ns: Long)
+
+  /** `parsed` must carry cluster/namespace/pod/container/time_ns. Emits one
+    * [[PodClosed]] per (pod, container) stream after `idleTimeout` of
+    * silence. State is O(1) per live pod — bounded by live-container count,
+    * not by data volume.
+    */
+  def closedStreams(parsed: Dataset[PodActivity],
+      idleTimeout: String = "60 seconds"): Dataset[PodClosed] = {
+    import parsed.sparkSession.implicits._
+    parsed
+      .groupByKey(a => (a.cluster, a.namespace, a.pod, a.container))
+      .flatMapGroupsWithState[PodSessionState, PodClosed](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        onGroup(idleTimeout))
+  }
+
+  /** The per-group state transition — factored out so it is testable with
+    * `TestGroupState` (processing-time timeouts cannot be driven
+    * deterministically through a live query).
+    */
+  def onGroup(idleTimeout: String)(
+      key: (String, String, String, String),
+      rows: Iterator[PodActivity],
+      state: GroupState[PodSessionState]): Iterator[PodClosed] = {
+    val (cluster, ns, pod, container) = key
+    if (state.hasTimedOut) {
+      // inactivity fired ≙ IN_CLOSE_WRITE: emit the close event
+      val s = state.get
+      state.remove()
+      Iterator(PodClosed(cluster, ns, pod, container, s.lines, s.firstNs, s.lastNs))
+    } else {
+      val prev = state.getOption.getOrElse(PodSessionState(0L, Long.MaxValue, Long.MinValue))
+      val batch = rows.foldLeft(prev) { (acc, r) =>
+        PodSessionState(acc.lines + 1,
+          math.min(acc.firstNs, r.time_ns), math.max(acc.lastNs, r.time_ns))
+      }
+      state.update(batch)
+      state.setTimeoutDuration(idleTimeout)
+      Iterator.empty
+    }
+  }
+}

@@ -22,6 +22,17 @@ object StreamAnalytics {
       .groupBy(window(col("event_time"), windowLength), keyCol)
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming dedup: first occurrence per key within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` keeps state bounded — the streaming
+    * form of [[graft.ext.Dedup.exact]]).
+    */
+  def dedupStream(stream: DataFrame, eventTime: Column, keyCols: Seq[String],
+      watermark: String): DataFrame =
+    stream
+      .withColumn("event_time", eventTime)
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Per-key inactivity sessions via session_window — the close-write-flush
     * analogue (reference close-write-flush.patch): a key's session closes
     * after `gap` without events.

@@ -1,0 +1,85 @@
+package graft
+
+import graft.streaming.{CloseWriteDetector, StreamAnalytics}
+import graft.streaming.CloseWriteDetector.{PodActivity, PodClosed, PodSessionState}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.TestGroupState
+import java.nio.file.Files
+
+class CloseWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val key = ("dev", "ns", "pod-1", "app")
+
+  test("close-write detector: accumulate then emit on inactivity timeout (K5)") {
+    val fn = CloseWriteDetector.onGroup("60 seconds") _
+    // batch 1: lines arrive, no output, state registered with a timeout
+    val s1 = TestGroupState.create[PodSessionState](
+      optionalState = org.apache.spark.api.java.Optional.empty(),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty(), hasTimedOut = false)
+    val rows = Iterator(
+      PodActivity("dev", "ns", "pod-1", "app", 100L),
+      PodActivity("dev", "ns", "pod-1", "app", 300L),
+      PodActivity("dev", "ns", "pod-1", "app", 200L))
+    assert(fn(key, rows, s1).isEmpty)
+    assert(s1.get == PodSessionState(3, 100L, 300L))
+    assert(s1.getTimeoutTimestampMs.isPresent)
+
+    // batch 2: more lines fold into existing state
+    val s2 = TestGroupState.create[PodSessionState](
+      org.apache.spark.api.java.Optional.of(s1.get),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      2000L, org.apache.spark.api.java.Optional.empty(), hasTimedOut = false)
+    assert(fn(key, Iterator(PodActivity("dev", "ns", "pod-1", "app", 400L)), s2).isEmpty)
+    assert(s2.get == PodSessionState(4, 100L, 400L))
+
+    // batch 3: the timeout fired — close event emitted, state removed
+    val s3 = TestGroupState.create[PodSessionState](
+      org.apache.spark.api.java.Optional.of(s2.get),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      70000L, org.apache.spark.api.java.Optional.empty(), hasTimedOut = true)
+    val out = fn(key, Iterator.empty, s3).toSeq
+    assert(out == Seq(PodClosed("dev", "ns", "pod-1", "app", 4, 100L, 400L)))
+    assert(s3.isRemoved)
+  }
+
+  test("close-write detector wires into a streaming plan") {
+    val work = Files.createTempDirectory("graft-cw")
+    val in = work.resolve("in")
+    Files.createDirectories(in)
+    Files.writeString(in.resolve("b1.json"),
+      """{"cluster":"dev","namespace":"ns","pod":"p","container":"app","time_ns":1}""" + "\n")
+    val stream = spark.readStream
+      .schema("cluster STRING, namespace STRING, pod STRING, container STRING, time_ns LONG")
+      .json(in.toString).as[PodActivity]
+    val closed = CloseWriteDetector.closedStreams(stream, "1 hour")
+    // with processing-time timeouts pending, a live query never quiesces for
+    // processAllAvailable — assert the stateful plan instead; onGroup's
+    // behavior is covered above via TestGroupState
+    assert(closed.isStreaming)
+    assert(closed.queryExecution.analyzed.toString.contains("FlatMapGroupsWithState"))
+  }
+
+  test("streaming dedup keeps first occurrence per key within watermark") {
+    val work = Files.createTempDirectory("graft-sdedup")
+    val in = work.resolve("in")
+    Files.createDirectories(in)
+    Files.writeString(in.resolve("b1.json"),
+      """{"k":"a","ts_ns":1704067200000000000}
+        |{"k":"a","ts_ns":1704067201000000000}
+        |{"k":"b","ts_ns":1704067202000000000}
+        |""".stripMargin)
+    val stream = spark.readStream.schema("k STRING, ts_ns LONG").json(in.toString)
+    val dd = StreamAnalytics.dedupStream(stream,
+      graft.logs.CriFunctions.nanosToTimestamp(col("ts_ns")), Seq("k"), "10 minutes")
+    val q = dd.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup").start()
+    try {
+      q.processAllAvailable()
+      val ks = spark.table("sdedup").select("k").as[String].collect().sorted
+      assert(ks.toSeq == Seq("a", "b"))
+    } finally q.stop()
+  }
+}
