@@ -31,6 +31,22 @@ object GraftSession {
     spark
   }
 
+  /** S3-compatible object-store access (SURVEY §2 row S9; the reference wires
+    * the same four knobs for versitygw at y-logcli:145-152 and test.sh:40-44):
+    * endpoint, credentials, path-style addressing. Everything else in the
+    * engine is already FS-agnostic through the Hadoop `FileSystem` API, so
+    * `s3a://bucket/...` roots work in every reader/writer once this is set.
+    */
+  def configureS3a(spark: SparkSession, endpoint: String, accessKey: String,
+      secretKey: String, pathStyleAccess: Boolean = true): SparkSession = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.endpoint", endpoint)
+    hc.set("fs.s3a.access.key", accessKey)
+    hc.set("fs.s3a.secret.key", secretKey)
+    hc.set("fs.s3a.path.style.access", pathStyleAccess.toString)
+    spark
+  }
+
   /** Build a local session sized from SPARK_GRAFT_CPUS (driver contract). */
   def local(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -124,22 +124,24 @@ object RelationalQueries {
     * boundary comparison is exact against the oracle.
     */
   def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    // view name unique to this query: Verify/Bench run queries concurrently
+    // on one session, and temp views are session-global state
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v_sub")
     spark.sql(
-      """SELECT o_orderkey FROM orders_v o
+      """SELECT o_orderkey FROM orders_v_sub o
         |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
-        |      (SELECT COUNT(*) FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+        |      (SELECT COUNT(*) FROM orders_v_sub o2 WHERE o2.o_custkey = o.o_custkey)
         |    > 2 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-        |           FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+        |           FROM orders_v_sub o2 WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin)
   }
 
   /** GROUPING SETS aggregation (finer than rollup: two independent cuts). */
   def groupingSets(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v_gs")
     spark.sql(
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
-        |FROM orders_v
+        |FROM orders_v_gs
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
   }

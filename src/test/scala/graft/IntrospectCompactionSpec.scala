@@ -53,6 +53,15 @@ class IntrospectCompactionSpec extends SparkSpec {
       df.agg(sum(crc32($"message".cast("binary")))).head)
   }
 
+  test("salted count-distinct equals the direct computation") {
+    val ev = Tables.events(spark, sf)
+    val direct = ev.groupBy($"event_type").agg(countDistinct($"user_id").as("n_distinct"))
+      .orderBy($"event_type").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val salted = graft.ext.Skew.saltedCountDistinct(ev, Seq("event_type"), "user_id", salt = 8)
+      .orderBy($"event_type").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(salted == direct)
+  }
+
   test("streaming windowed agg with watermark") {
     val work = Files.createTempDirectory("graft-streamagg")
     Tables.events(spark, sf).write.parquet(work.resolve("in").toString)
