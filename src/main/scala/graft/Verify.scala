@@ -31,7 +31,11 @@ object Verify {
       })
     }
     pool.shutdown()
-    pool.awaitTermination(60, java.util.concurrent.TimeUnit.MINUTES)
+    if (!pool.awaitTermination(60, java.util.concurrent.TimeUnit.MINUTES)) {
+      System.err.println("[verify] TIMEOUT: not all queries completed in 60min")
+      spark.stop()
+      sys.exit(1) // missing result dirs must read as a failed run, not bugs
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -59,6 +59,9 @@ object CriTime {
     val hour = h2 * 10 + h1
     val minute = mi2 * 10 + mi1
     val second = se2 * 10 + se1
+    // second 60 (leap second) is rejected like java.time's parsers do —
+    // the slow path would reject it anyway, and container runtimes' wall
+    // clocks smear leap seconds rather than emitting :60
     if (month < 1 || month > 12 || day < 1 ||
       hour > 23 || minute > 59 || second > 59) return null
     // real calendar bounds — '2024-02-30' must be null, not silently

@@ -167,8 +167,11 @@ object IvfKernels {
     * nearest first. One primitive pass over `centroids`; `m` is tiny (the
     * nProbe knob) so selection is insertion into a fixed-size window.
     */
-  def nearestCentroids(vec: ArrayData, centroids: Array[Array[Float]], m: Int): ArrayData = {
+  def nearestCentroids(vec: ArrayData, centroids: Array[Array[Float]], m0: Int): ArrayData = {
     val dims = vec.numElements()
+    // never return more slots than centroids exist: unfilled slots would
+    // read as spurious duplicate probes of centroid 0
+    val m = math.min(m0, centroids.length)
     val bestIdx = new Array[Int](m)
     val bestSim = new Array[Double](m)
     java.util.Arrays.fill(bestSim, Double.NegativeInfinity)

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.expr.{SketchFunctions, VecFunctions}
-import org.apache.spark.sql.SparkSession
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).

@@ -30,8 +30,12 @@ object Compaction {
     val staging = new org.apache.hadoop.fs.Path(root + ".compact-staging")
     val backup = new org.apache.hadoop.fs.Path(root + ".compact-backup")
     try {
-      require(!fs.exists(staging) && !fs.exists(backup),
-        s"stale compaction dirs exist under $root — clean up ${staging.getName}/${backup.getName} first")
+      // staging is derived data — a crashed previous attempt left nothing
+      // unique there, so re-staging is always safe. backup is different: its
+      // presence means a swap crashed mid-way and needs an operator.
+      if (fs.exists(staging)) fs.delete(staging, true)
+      require(!fs.exists(backup),
+        s"$backup exists — a previous swap crashed mid-way; inspect and restore manually")
       spark.read.parquet(root)
         .repartition(partitionCols.map(col): _*)
         .write

@@ -156,12 +156,12 @@ class ArrowIpcScan(schema: StructType, files: Seq[String]) extends Scan with Bat
     new ArrowIpcReaderFactory(
       schema.fields.lastOption.exists(_.name == ArrowIpcSource.FilePathColumn),
       // captured on the DRIVER at plan time: executors have no active session
-      new graft.util.SerializableHadoopConf(
+      new org.apache.spark.util.SerializableConfiguration(
         SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
 class ArrowIpcReaderFactory(withFilePath: Boolean,
-    conf: graft.util.SerializableHadoopConf) extends PartitionReaderFactory {
+    conf: org.apache.spark.util.SerializableConfiguration) extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = true
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
     throw new UnsupportedOperationException("columnar only")
@@ -175,7 +175,7 @@ class ArrowIpcReaderFactory(withFilePath: Boolean,
   * batch-by-batch by Arrow (ZSTD bodies).
   */
 class ArrowIpcColumnarReader(file: String, withFilePath: Boolean,
-    conf: graft.util.SerializableHadoopConf)
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReader[ColumnarBatch] {
   private val alloc = new RootAllocator()
   private val reader = {

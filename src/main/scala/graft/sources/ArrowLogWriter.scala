@@ -45,7 +45,7 @@ object ArrowLogWriter {
     // Hadoop conf captured on the driver (no active session on executors);
     // keys are clustered AND sorted within partitions, so groups stream
     // through one bounded buffer instead of materializing the partition.
-    val conf = new graft.util.SerializableHadoopConf(
+    val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val keyCols = Seq("cluster", "namespace", "node", "pod", "container")
     val keyed = df.select(

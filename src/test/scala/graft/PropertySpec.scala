@@ -32,13 +32,17 @@ class PropertySpec extends AnyFunSuite {
     forAll(nanosGen) { ns =>
       val sec = java.lang.Math.floorDiv(ns, 1000000000L)
       val frac = java.lang.Math.floorMod(ns, 1000000000L)
-      val iso = java.time.Instant.ofEpochSecond(sec, frac).toString match {
-        // Instant.toString drops trailing zeros; re-pad to the fixed-width
-        // CRI shape our renderer produces
-        case s => s
+      val inst = java.time.Instant.ofEpochSecond(sec, frac)
+      // variable-width form (Instant.toString: 0/3/6/9 fraction digits)...
+      val isoVar = inst.toString
+      // ...and the fixed-width 9-digit form the engine's own renderer emits
+      val isoFixed = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss.nnnnnnnnn'Z'")
+        .withZone(java.time.ZoneOffset.UTC).format(inst)
+      Seq(isoVar, isoFixed).foreach { iso =>
+        val parsed = CriTime.parseNanosOrNull(UTF8String.fromString(iso))
+        assert(parsed != null && parsed.longValue() == ns, s"iso=$iso")
       }
-      val parsed = CriTime.parseNanosOrNull(UTF8String.fromString(iso))
-      assert(parsed != null && parsed.longValue() == ns, s"iso=$iso")
     }
   }
 

@@ -25,14 +25,20 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getAs[Double]("dp") == 23.0)
   }
 
-  test("builder-time extensions class registers the same functions") {
-    // a second session in the same JVM shares the context but gets its own
-    // sessionState — the withExtensions path must work standalone
-    val s2 = SparkSession.builder().master("local[2]")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions).getOrCreate().newSession()
-    GraftExtensions.register(s2) // newSession drops temp functions; re-register
-    val one = s2.sql("SELECT simhash64(array(1L, 2L, 3L)) AS s").collect().head
-    assert(one.getAs[Long]("s") != 0L)
+  test("GraftExtensions.apply wires every function through injectFunction") {
+    // getOrCreate in a shared-JVM suite would silently reuse the existing
+    // session and skip extensions — drive the injection API directly instead
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // ExpressionInfo construction + injection
+    // and the registered builders must produce working expressions
+    val byName = GraftExtensions.functions.toMap
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = byName("cri_timestamp_nanos")(Seq(Literal("2024-01-15T10:30:45.123456789Z")))
+    assert(e.eval(null) == 1705314645123456789L)
+    val h = byName("hyperplane_bands")(Seq(
+      Literal.create(Array(1.0f, 2.0f), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)), Literal(4), Literal(2)))
+    assert(h.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .numElements() == 2)
   }
 }
