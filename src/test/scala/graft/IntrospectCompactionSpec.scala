@@ -53,6 +53,30 @@ class IntrospectCompactionSpec extends SparkSpec {
       df.agg(sum(crc32($"message".cast("binary")))).head)
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val work = Files.createTempDirectory("graft-bucket")
+    val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity")
+    val ord = Tables.orders(spark, sf).select($"o_orderkey".as("l_orderkey"), $"o_totalprice")
+    graft.ext.Bucketing.writeBucketed(li, "li_b", work.resolve("li").toString, "l_orderkey", 8)
+    graft.ext.Bucketing.writeBucketed(ord, "ord_b", work.resolve("ord").toString, "l_orderkey", 8)
+    // at fixture scale the planner would auto-broadcast (also fine, also
+    // shuffle-free) — disable it to exercise the large-x-large bucketed path
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      val joined = graft.ext.Bucketing.coLocatedJoin(spark, "li_b", "ord_b", "l_orderkey")
+      joined.write.format("noop").mode("overwrite").save()
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin") && plan.contains("Bucketed: true"))
+    } finally spark.conf.set(thresholdKey, prev)
+    val joined = graft.ext.Bucketing.coLocatedJoin(spark, "li_b", "ord_b", "l_orderkey")
+    // and produces the same rows as the plain join
+    assert(joined.count() == li.join(ord, "l_orderkey").count())
+    spark.sql("DROP TABLE IF EXISTS li_b"); spark.sql("DROP TABLE IF EXISTS ord_b")
+  }
+
   test("salted count-distinct equals the direct computation") {
     val ev = Tables.events(spark, sf)
     val direct = ev.groupBy($"event_type").agg(countDistinct($"user_id").as("n_distinct"))
