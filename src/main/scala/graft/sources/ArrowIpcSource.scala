@@ -141,8 +141,16 @@ class ArrowIpcTable(schema: StructType, files: Seq[String]) extends Table with S
     new ArrowIpcScanBuilder(schema, files)
 }
 
-class ArrowIpcScanBuilder(schema: StructType, files: Seq[String]) extends ScanBuilder {
-  override def build(): Scan = new ArrowIpcScan(schema, files)
+class ArrowIpcScanBuilder(schema: StructType, files: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var pruned: StructType = schema
+  // column pruning pushdown: a projection over two of six columns must only
+  // decompress those two columns' buffers (Arrow IPC is columnar — skipping
+  // a vector skips its ZSTD body entirely)
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    pruned = StructType(schema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+  override def build(): Scan = new ArrowIpcScan(pruned, files)
 }
 
 case class ArrowFilePartition(file: String) extends InputPartition
@@ -152,22 +160,26 @@ class ArrowIpcScan(schema: StructType, files: Seq[String]) extends Scan with Bat
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     files.map(ArrowFilePartition.apply).toArray
-  override def createReaderFactory(): PartitionReaderFactory =
-    new ArrowIpcReaderFactory(
-      schema.fields.lastOption.exists(_.name == ArrowIpcSource.FilePathColumn),
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val withFilePath = schema.fields.lastOption.exists(_.name == ArrowIpcSource.FilePathColumn)
+    new ArrowIpcReaderFactory(withFilePath,
       // captured on the DRIVER at plan time: executors have no active session
       new org.apache.spark.util.SerializableConfiguration(
-        SparkSession.active.sparkContext.hadoopConfiguration))
+        SparkSession.active.sparkContext.hadoopConfiguration),
+      // data columns the pruned schema still needs, in schema order
+      schema.fields.map(_.name).filterNot(_ == ArrowIpcSource.FilePathColumn).toSeq)
+  }
 }
 
 class ArrowIpcReaderFactory(withFilePath: Boolean,
-    conf: org.apache.spark.util.SerializableConfiguration) extends PartitionReaderFactory {
+    conf: org.apache.spark.util.SerializableConfiguration,
+    required: Seq[String]) extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = true
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
     throw new UnsupportedOperationException("columnar only")
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
     new ArrowIpcColumnarReader(partition.asInstanceOf[ArrowFilePartition].file,
-      withFilePath, conf)
+      withFilePath, conf, Some(required))
 }
 
 /** Streams a file's record batches as Spark ColumnarBatches. The whole file
@@ -175,7 +187,8 @@ class ArrowIpcReaderFactory(withFilePath: Boolean,
   * batch-by-batch by Arrow (ZSTD bodies).
   */
 class ArrowIpcColumnarReader(file: String, withFilePath: Boolean,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    required: Option[Seq[String]] = None)
     extends PartitionReader[ColumnarBatch] {
   private val alloc = new RootAllocator()
   private val reader = {
@@ -200,7 +213,11 @@ class ArrowIpcColumnarReader(file: String, withFilePath: Boolean,
     closeDecoded()
     if (!reader.loadNextBatch()) return false
     val root = reader.getVectorSchemaRoot
-    val dataCols: Array[ColumnVector] = root.getFieldVectors.toArray.map {
+    val selected = required match {
+      case Some(names) => names.map(n => root.getVector(n)).toArray
+      case None => root.getFieldVectors.toArray
+    }
+    val dataCols: Array[ColumnVector] = selected.map {
       case v: org.apache.arrow.vector.FieldVector =>
         val enc = v.getField.getDictionary
         if (enc != null) {

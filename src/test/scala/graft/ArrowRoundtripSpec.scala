@@ -63,6 +63,17 @@ class ArrowRoundtripSpec extends SparkSpec {
       "third line", "third line"))
   }
 
+  test("column pruning reaches the arrow scan (projection pushdown)") {
+    val df = LogQuery(output = LogOutput.Raw, format = LogFormat.Arrow)
+      .dataFrame(spark, store)
+      .select($"message")
+    val scan = df.queryExecution.executedPlan.toString()
+    // the pruned DSv2 scan must not carry the other data columns
+    assert(scan.contains("message"))
+    assert(!scan.contains("logtag"), s"logtag not pruned:\n${scan.take(1200)}")
+    assert(df.count() == 3)
+  }
+
   test("selector pruning works on the arrow tree") {
     val none = LogQuery(LogSelector.parse("""{namespace="nope"}"""),
       output = LogOutput.Raw, format = LogFormat.Arrow).dataFrame(spark, store)
