@@ -56,6 +56,8 @@ object SparkEntry {
     "g1_rollup_orders" -> (RelationalQueries.rollupOrders(_, _)),
     "g2_median_quantity" -> (RelationalQueries.medianQuantity(_, _)),
     "g3_grouping_sets" -> (RelationalQueries.groupingSets(_, _)),
+    "q10_returned_revenue" -> (RelationalQueries.returnedItemRevenue(_, _)),
+    "q4_order_priority" -> (RelationalQueries.orderPriorityCheck(_, _)),
     "j3_correlated_subquery" -> (RelationalQueries.correlatedSubquery(_, _)),
     // — training-data pipeline extensions —
     "d1_dedup_exact" -> (ExtensionQueries.dedupExact(_, _)),
@@ -217,6 +219,22 @@ object SparkEntry {
     "g2_median_quantity" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "g3_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
         |FROM orders

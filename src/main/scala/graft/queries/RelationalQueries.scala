@@ -146,6 +146,35 @@ object RelationalQueries {
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
   }
 
+  /** TPC-H Q10 shape: revenue lost to returned items per customer, top-20. */
+  def returnedItemRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - money(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q4 shape: order-priority counts over orders with at least one
+    * late-shipped line (correlated EXISTS with an inequality — Catalyst
+    * rewrites to a left-semi join on key + residual condition).
+    */
+  def orderPriorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    Tables.orders(spark, dir)
+      .join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Exact median via `percentile` (interpolating, matches quantile_cont). */
   def medianQuantity(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
