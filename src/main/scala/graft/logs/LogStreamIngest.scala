@@ -49,4 +49,35 @@ object LogStreamIngest {
       .trigger(Trigger.ProcessingTime(triggerInterval))
       .start()
   }
+
+  /** Dual-format streaming sink — the reference writes every stream TWICE
+    * (two S3 outputs, parquet + arrow, fluent-bit.conf:32-67). foreachBatch
+    * commits each micro-batch to the positional store in both formats; the
+    * batch id in the checkpoint gives at-least-once per format (the
+    * reference's own S3 PutObject is no stronger).
+    */
+  def startDualFormat(spark: SparkSession, inputGlob: String, outputRoot: String,
+      checkpoint: String, clusterName: String,
+      nodeName: String = "local-node",
+      triggerInterval: String = "60 seconds"): StreamingQuery = {
+    val raw = spark.readStream.text(inputGlob)
+      .withColumn("file_path", col("_metadata.file_path"))
+      .filter(!col("file_path").rlike(LogIngest.defaultExcludeRegex))
+      .filter(octet_length(col("value")) < LogIngest.defaultMaxLineBytes)
+    val parsed = CriFunctions.parsed(raw, clusterName)
+      .withColumn("namespace", regexp_extract(col("file_path"), LogIngest.podPathRegex, 1))
+      .withColumn("pod", regexp_extract(col("file_path"), LogIngest.podPathRegex, 2))
+      .withColumn("container", regexp_extract(col("file_path"), LogIngest.podPathRegex, 4))
+      .withColumn("node", lit(nodeName))
+      .drop("file_path")
+    parsed.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val now = java.time.Instant.now()
+        LogIngest.writePositional(batch.toDF(), outputRoot, uploadTime = now)
+        graft.sources.ArrowLogWriter.writePositional(batch.toDF(), outputRoot, uploadTime = now)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .start()
+  }
 }

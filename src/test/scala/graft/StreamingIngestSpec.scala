@@ -42,4 +42,25 @@ class StreamingIngestSpec extends SparkSpec {
     // hive partition dirs present (K1 partitioned sink)
     assert(out.toFile.listFiles().exists(_.getName.startsWith("cluster=dev")))
   }
+
+  test("dual-format streaming sink writes parquet AND arrow per batch (K2)") {
+    val work = Files.createTempDirectory("graft-stream2")
+    val in = work.resolve("varlog")
+    val p = in.resolve("pods/default_pod-x_u/app")
+    Files.createDirectories(p)
+    Files.writeString(p.resolve("0.log"),
+      "2024-01-15T10:00:00.000000001Z stdout F dual format line\n")
+    val q = LogStreamIngest.startDualFormat(spark, in.toString + "/pods/*/*/*.log",
+      work.resolve("lake").toString, work.resolve("ckpt").toString,
+      clusterName = "dev", triggerInterval = "1 seconds")
+    try q.processAllAvailable() finally q.stop()
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val files = walk(work.resolve("lake").toFile).map(_.getName)
+    assert(files.exists(_.endsWith(".parquet")) && files.exists(_.endsWith(".arrow")))
+    // both formats readable and in agreement
+    val fromArrow = graft.logs.LogQuery(output = graft.logs.LogOutput.Raw,
+      format = graft.logs.LogFormat.Arrow).dataFrame(spark, work.resolve("lake").toString)
+    assert(fromArrow.select("message").as[String].collect().toSeq == Seq("dual format line"))
+  }
 }
