@@ -44,6 +44,7 @@ object SparkEntry {
     "x3_pivot_daily" -> (LogParityQueries.pivotDailyCounts(_, _)),
     "x4_json_extract" -> (LogParityQueries.jsonExtract(_, _)),
     "x5_asof_join" -> (LogParityQueries.asofJoin(_, _)),
+    "x6_sessionization" -> (LogParityQueries.sessionization(_, _)),
     "e2e_log_pipeline" -> (PipelineE2E.run(_, _)),
     "e2e_log_pipeline_hive" -> (PipelineE2E.runHive(_, _)),
     // — generic relational surface (TPC-H-ish) —
@@ -57,6 +58,7 @@ object SparkEntry {
     "g2_median_quantity" -> (RelationalQueries.medianQuantity(_, _)),
     "g3_grouping_sets" -> (RelationalQueries.groupingSets(_, _)),
     "q10_returned_revenue" -> (RelationalQueries.returnedItemRevenue(_, _)),
+    "q6_forecast_revenue" -> (RelationalQueries.forecastRevenue(_, _)),
     "q4_order_priority" -> (RelationalQueries.orderPriorityCheck(_, _)),
     "j3_correlated_subquery" -> (RelationalQueries.correlatedSubquery(_, _)),
     // — training-data pipeline extensions —
@@ -69,6 +71,7 @@ object SparkEntry {
     "t2_text_quality" -> (ExtensionQueries.textQuality(_, _)),
     "t3_text_langid" -> (ExtensionQueries.textLangId(_, _)),
     "t4_text_fingerprint" -> (ExtensionQueries.textFingerprint(_, _)),
+    "t5_text_top_tokens" -> (ExtensionQueries.textTopTokens(_, _)),
     "v1_knn_brute_force" -> (ExtensionQueries.knnBruteForce(_, _)),
     "v2_knn_lsh" -> (ExtensionQueries.knnLsh(_, _)),
     "v3_knn_ivf" -> (ExtensionQueries.knnIvf(_, _)),
@@ -219,6 +222,48 @@ object SparkEntry {
     "g2_median_quantity" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "x6_sessionization" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ns
+        |  FROM events)
+        |SELECT user_id,
+        |  SUM(CASE WHEN gap_ns IS NULL OR gap_ns > 1800000000000 THEN 1 ELSE 0 END) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "t5_text_top_tokens" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS token
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 30""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |               CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "x6_sessionization" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ns
+        |  FROM events)
+        |SELECT user_id,
+        |  SUM(CASE WHEN gap_ns IS NULL OR gap_ns > 1800000000000 THEN 1 ELSE 0 END) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "t5_text_top_tokens" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS token
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 30""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |               CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -81,6 +81,17 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus token frequencies: explode the tokenizer output, count, top-30
+    * (the frequency-dictionary pass of a text pipeline).
+    */
+  def textTopTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(30)
+
   /** Rolling-hash fingerprints (custom codegen expression; rows-only gate —
     * the hash has no SQL equivalent, ScalaTest pins exact vectors).
     */

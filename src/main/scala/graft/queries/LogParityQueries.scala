@@ -163,6 +163,21 @@ object LogParityQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Sessionization over the event stream: a new session starts after a
+    * >30 min gap; per-user session counts (lag window + conditional sum).
+    */
+  def sessionization(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("gap_ns", col("ts") - lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("gap_ns").isNull || col("gap_ns") > 1800L * 1000000000L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   /** Pivot: per-day event counts fanned out to one column per type (explicit
     * value list — no extra distinct pass, deterministic column order).
     */

@@ -175,6 +175,19 @@ object RelationalQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** TPC-H Q6 shape: the pure-scan revenue-forecast aggregate (every
+    * predicate and the projection push into the parquet reader).
+    */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(money(col("l_extendedprice")) * money(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+
   /** Exact median via `percentile` (interpolating, matches quantile_cont). */
   def medianQuantity(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
