@@ -225,10 +225,10 @@ object SparkEntry {
     "x6_sessionization" ->
       """WITH g AS (
         |  SELECT user_id,
-        |    epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ns
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         |  FROM events)
         |SELECT user_id,
-        |  SUM(CASE WHEN gap_ns IS NULL OR gap_ns > 1800000000000 THEN 1 ELSE 0 END) AS n_sessions,
+        |  SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
         |  count(*) AS n_events
         |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin,
     "t5_text_top_tokens" ->
@@ -246,10 +246,10 @@ object SparkEntry {
     "x6_sessionization" ->
       """WITH g AS (
         |  SELECT user_id,
-        |    epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ns
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         |  FROM events)
         |SELECT user_id,
-        |  SUM(CASE WHEN gap_ns IS NULL OR gap_ns > 1800000000000 THEN 1 ELSE 0 END) AS n_sessions,
+        |  SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
         |  count(*) AS n_events
         |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin,
     "t5_text_top_tokens" ->

@@ -167,12 +167,15 @@ object LogParityQueries {
     * >30 min gap; per-user session counts (lag window + conditional sum).
     */
   def sessionization(spark: SparkSession, dir: String): DataFrame = {
+    // µs domain on both sides: the oracle's timestamps are µs-truncated, so a
+    // ns-side comparison could flip on a gap within 1µs of the threshold
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .partitionBy(col("user_id")).orderBy(col("time_us"), col("event_id"))
     Tables.events(spark, dir)
-      .withColumn("gap_ns", col("ts") - lag(col("ts"), 1).over(w))
+      .withColumn("time_us", CriFunctions.nanosToMicros(col("ts")))
+      .withColumn("gap_us", col("time_us") - lag(col("time_us"), 1).over(w))
       .withColumn("new_session",
-        when(col("gap_ns").isNull || col("gap_ns") > 1800L * 1000000000L, 1L).otherwise(0L))
+        when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
       .groupBy(col("user_id"))
       .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))

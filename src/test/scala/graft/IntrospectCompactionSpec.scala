@@ -53,6 +53,26 @@ class IntrospectCompactionSpec extends SparkSpec {
       df.agg(sum(crc32($"message".cast("binary")))).head)
   }
 
+  test("retention drops date partitions older than the cutoff") {
+    val root = Files.createTempDirectory("graft-retention").resolve("store").toString
+    val df = Tables.events(spark, sf)
+      .select(
+        graft.logs.CriFunctions.nanosToTimestamp($"ts").as("time"),
+        $"ts".as("time_ns"), lit("stdout").as("stream"), lit("F").as("logtag"),
+        $"props".as("message"), lit("dev").as("cluster"),
+        lit("ns0").as("namespace"), lit("n1").as("node"),
+        lit("p1").as("pod"), lit("app").as("container"))
+      .withColumn("date", date_format($"time", "yyyy-MM-dd"))
+      .withColumn("hour", date_format($"time", "HH"))
+    graft.logs.LogIngest.writeHive(df, root, partitionCols = Seq("cluster", "namespace", "date"))
+    val before = spark.read.parquet(root).count()
+    val deleted = graft.logs.Retention.enforceHive(spark, root, "2024-01-10")
+    assert(deleted.nonEmpty && deleted.forall(_.contains("date=2024-01-0")))
+    val remaining = spark.read.parquet(root)
+    assert(remaining.count() < before)
+    assert(remaining.select(min($"date".cast("string"))).head.getString(0) == "2024-01-10")
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     val work = Files.createTempDirectory("graft-bucket")
     val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity")
