@@ -243,27 +243,6 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
-    "x6_sessionization" ->
-      """WITH g AS (
-        |  SELECT user_id,
-        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
-        |  FROM events)
-        |SELECT user_id,
-        |  SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
-        |  count(*) AS n_events
-        |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin,
-    "t5_text_top_tokens" ->
-      """SELECT token, count(*) AS n FROM (
-        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS token
-        |  FROM documents)
-        |GROUP BY 1 ORDER BY n DESC, token LIMIT 30""".stripMargin,
-    "q6_forecast_revenue" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |               CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-        |  count(*) AS n
-        |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -19,26 +19,34 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object LogStreamIngest {
 
-  def start(spark: SparkSession, inputGlob: String, outputRoot: String,
-      checkpoint: String, clusterName: String,
-      nodeName: String = "local-node",
-      triggerInterval: String = "60 seconds",
-      maxFilesPerTrigger: Int = 1000,
-      maxRecordsPerFile: Long = 1000000L): StreamingQuery = {
+  /** The shared stream-side read+parse chain (one definition: `start`,
+    * `startDualFormat`, and the batch `LogIngest.readCri` must not drift).
+    */
+  private def parsedStream(spark: SparkSession, inputGlob: String,
+      clusterName: String, nodeName: String, maxFilesPerTrigger: Int) = {
     val raw = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(inputGlob)
       .withColumn("file_path", col("_metadata.file_path"))
       .filter(!col("file_path").rlike(LogIngest.defaultExcludeRegex))
       .filter(octet_length(col("value")) < LogIngest.defaultMaxLineBytes)
-    val parsed = CriFunctions.parsed(raw, clusterName)
+    CriFunctions.parsed(raw, clusterName)
       .withColumn("namespace", regexp_extract(col("file_path"), LogIngest.podPathRegex, 1))
       .withColumn("pod", regexp_extract(col("file_path"), LogIngest.podPathRegex, 2))
       .withColumn("container", regexp_extract(col("file_path"), LogIngest.podPathRegex, 4))
       .withColumn("node", lit(nodeName))
+      .drop("file_path")
+  }
+
+  def start(spark: SparkSession, inputGlob: String, outputRoot: String,
+      checkpoint: String, clusterName: String,
+      nodeName: String = "local-node",
+      triggerInterval: String = "60 seconds",
+      maxFilesPerTrigger: Int = 1000,
+      maxRecordsPerFile: Long = 1000000L): StreamingQuery = {
+    val parsed = parsedStream(spark, inputGlob, clusterName, nodeName, maxFilesPerTrigger)
       .withColumn("date", date_format(col("time"), "yyyy-MM-dd"))
       .withColumn("hour", date_format(col("time"), "HH"))
-      .drop("file_path")
 
     parsed.writeStream
       .format("parquet")
@@ -59,22 +67,19 @@ object LogStreamIngest {
   def startDualFormat(spark: SparkSession, inputGlob: String, outputRoot: String,
       checkpoint: String, clusterName: String,
       nodeName: String = "local-node",
-      triggerInterval: String = "60 seconds"): StreamingQuery = {
-    val raw = spark.readStream.text(inputGlob)
-      .withColumn("file_path", col("_metadata.file_path"))
-      .filter(!col("file_path").rlike(LogIngest.defaultExcludeRegex))
-      .filter(octet_length(col("value")) < LogIngest.defaultMaxLineBytes)
-    val parsed = CriFunctions.parsed(raw, clusterName)
-      .withColumn("namespace", regexp_extract(col("file_path"), LogIngest.podPathRegex, 1))
-      .withColumn("pod", regexp_extract(col("file_path"), LogIngest.podPathRegex, 2))
-      .withColumn("container", regexp_extract(col("file_path"), LogIngest.podPathRegex, 4))
-      .withColumn("node", lit(nodeName))
-      .drop("file_path")
+      triggerInterval: String = "60 seconds",
+      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+    val parsed = parsedStream(spark, inputGlob, clusterName, nodeName, maxFilesPerTrigger)
     parsed.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val now = java.time.Instant.now()
-        LogIngest.writePositional(batch.toDF(), outputRoot, uploadTime = now)
-        graft.sources.ArrowLogWriter.writePositional(batch.toDF(), outputRoot, uploadTime = now)
+        // persist: both format sinks consume the batch — without it the
+        // source files would be re-read and re-parsed once per format
+        val df = batch.toDF().persist()
+        try {
+          val now = java.time.Instant.now()
+          LogIngest.writePositional(df, outputRoot, uploadTime = now)
+          graft.sources.ArrowLogWriter.writePositional(df, outputRoot, uploadTime = now)
+        } finally batch.unpersist()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(triggerInterval))

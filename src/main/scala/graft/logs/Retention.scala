@@ -15,9 +15,22 @@ object Retention {
     * string comparison is date order for this format). Returns the deleted
     * partition paths.
     */
-  def enforceHive(spark: SparkSession, root: String, cutoffDate: String): Seq[String] = {
+  def enforceHive(spark: SparkSession, root: String, cutoffDate: String,
+      convertStreamingStore: Boolean = false): Seq[String] = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(root))) return Seq.empty
+    // A store written by the STREAMING sink carries a _spark_metadata commit
+    // log that lists every data file; deleting partitions under it would make
+    // readers (which trust the log, not the listing) fail on missing files.
+    // Opt-in conversion drops the log so the store becomes listing-based —
+    // only safe while no streaming query is writing.
+    val sinkLog = new Path(root, "_spark_metadata")
+    if (fs.exists(sinkLog)) {
+      require(convertStreamingStore,
+        s"$root was written by the streaming sink (_spark_metadata present); " +
+          "pass convertStreamingStore=true to drop the commit log and enforce retention")
+      fs.delete(sinkLog, true)
+    }
     // layout: root/cluster=c/namespace=n/date=d/...
     val deleted = Seq.newBuilder[String]
     for {
@@ -27,8 +40,9 @@ object Retention {
       name = datePart.getPath.getName
       if name.startsWith("date=") && name.stripPrefix("date=") < cutoffDate
     } {
-      fs.delete(datePart.getPath, true)
-      deleted += datePart.getPath.toString
+      // only count partitions the filesystem actually removed
+      if (fs.delete(datePart.getPath, true))
+        deleted += datePart.getPath.toString
     }
     deleted.result()
   }

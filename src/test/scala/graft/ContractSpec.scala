@@ -22,6 +22,7 @@ class ContractSpec extends AnyFunSuite {
   test("oracle SQL has no tabs or CRs (driver JSON escaping)") {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(!sql.contains("\r"), s"$name has CR")
+      assert(!sql.contains("\t"), s"$name has tab")
     }
   }
 }

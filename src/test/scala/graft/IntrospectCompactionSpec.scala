@@ -73,6 +73,18 @@ class IntrospectCompactionSpec extends SparkSpec {
     assert(remaining.select(min($"date".cast("string"))).head.getString(0) == "2024-01-10")
   }
 
+  test("retention refuses a streaming store unless conversion is requested") {
+    val root = Files.createTempDirectory("graft-ret2").resolve("store")
+    Files.createDirectories(root.resolve("_spark_metadata"))
+    Files.createDirectories(root.resolve("cluster=dev/namespace=ns/date=2020-01-01"))
+    intercept[IllegalArgumentException](
+      graft.logs.Retention.enforceHive(spark, root.toString, "2024-01-01"))
+    val deleted = graft.logs.Retention.enforceHive(spark, root.toString,
+      "2024-01-01", convertStreamingStore = true)
+    assert(deleted.size == 1)
+    assert(!root.resolve("_spark_metadata").toFile.exists)
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     val work = Files.createTempDirectory("graft-bucket")
     val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity")
