@@ -19,6 +19,21 @@ class ContractSpec extends AnyFunSuite {
       s"rows-only drift: extra=${rowsOnly -- expected} missing=${expected -- rowsOnly}")
   }
 
+  test("no duplicate keys in the SparkEntry source maps") {
+    // Map literals silently keep the LAST duplicate key — a stale first copy
+    // desyncs edits. Scala can't see this at runtime, so check the source.
+    val src = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala"))
+    val keyRe = """"([a-z0-9_]+)" ->""".r
+    val counts = keyRe.findAllMatchIn(src).map(_.group(1)).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    SparkEntry.queries.keySet.foreach { k =>
+      val expected = if (SparkEntry.oracleSql.contains(k)) 2 else 1
+      assert(counts.getOrElse(k, 0) == expected,
+        s"$k appears ${counts.getOrElse(k, 0)}x in source, expected $expected")
+    }
+  }
+
   test("oracle SQL has no tabs or CRs (driver JSON escaping)") {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(!sql.contains("\r"), s"$name has CR")
