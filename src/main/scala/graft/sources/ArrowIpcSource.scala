@@ -227,7 +227,24 @@ class ArrowIpcColumnarReader(file: String, withFilePath: Boolean,
           val d = org.apache.arrow.vector.dictionary.DictionaryEncoder.decode(v, dict)
           decoded ::= d
           new ArrowColumnVector(d)
-        } else new ArrowColumnVector(v)
+        } else v match {
+          case ns: org.apache.arrow.vector.TimeStampNanoVector =>
+            // the reference's raw Timestamp(ns) (compact_columns.c:69-93):
+            // surface as epoch-nano longs (SURVEY §7.4) — Spark has no
+            // accessor for nano vectors, so copy into a BigIntVector
+            // (reference-design files are ~1 MB; the copy is batch-bounded)
+            val b = new org.apache.arrow.vector.BigIntVector(ns.getName, alloc)
+            b.allocateNew(ns.getValueCount)
+            var i = 0
+            while (i < ns.getValueCount) {
+              if (ns.isNull(i)) b.setNull(i) else b.setSafe(i, ns.get(i))
+              i += 1
+            }
+            b.setValueCount(ns.getValueCount)
+            decoded ::= b
+            new ArrowColumnVector(b)
+          case other => new ArrowColumnVector(other)
+        }
     }
     val cols: Array[ColumnVector] =
       if (withFilePath) {

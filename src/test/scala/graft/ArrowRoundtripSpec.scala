@@ -74,6 +74,23 @@ class ArrowRoundtripSpec extends SparkSpec {
     assert(df.count() == 3)
   }
 
+  test("reads the REFERENCE's own compact-stage format (ns timestamps, dict<int8>, zstd)") {
+    // fixture generated with pyarrow to the exact schema the reference's C
+    // stage emits (compact_columns.c:332-418): timestamp[ns] no-tz +
+    // dictionary<int8,utf8> + zstd Feather v2
+    val fixture = getClass.getResource("/reference-compact.arrow").getPath
+    val df = spark.read.format(classOf[graft.sources.ArrowIpcSource].getName)
+      .load(fixture)
+    assert(df.schema("time").dataType.typeName == "long") // lossless ns as long
+    assert(df.schema("stream").dataType.typeName == "string") // dict surfaces values
+    val rows = df.orderBy($"time")
+      .select($"time", $"stream", $"logtag", $"message").collect()
+    assert(rows.map(_.getLong(0)).toSeq ==
+      Seq(1705314645123456789L, 1705314646000000000L, 1705314647999999999L))
+    assert(rows.map(_.getString(1)).toSeq == Seq("stdout", "stderr", "stdout"))
+    assert(rows.map(_.getString(2)).toSeq == Seq("F", "F", "P"))
+  }
+
   test("selector pruning works on the arrow tree") {
     val none = LogQuery(LogSelector.parse("""{namespace="nope"}"""),
       output = LogOutput.Raw, format = LogFormat.Arrow).dataFrame(spark, store)
