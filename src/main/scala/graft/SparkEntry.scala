@@ -59,6 +59,7 @@ object SparkEntry {
     "g3_grouping_sets" -> (RelationalQueries.groupingSets(_, _)),
     "q10_returned_revenue" -> (RelationalQueries.returnedItemRevenue(_, _)),
     "q6_forecast_revenue" -> (RelationalQueries.forecastRevenue(_, _)),
+    "q13_order_distribution" -> (RelationalQueries.orderCountDistribution(_, _)),
     "q4_order_priority" -> (RelationalQueries.orderPriorityCheck(_, _)),
     "j3_correlated_subquery" -> (RelationalQueries.correlatedSubquery(_, _)),
     // — training-data pipeline extensions —
@@ -243,6 +244,12 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -188,6 +188,19 @@ object RelationalQueries {
         .cast("double").as("revenue"),
         count(lit(1)).as("n"))
 
+  /** TPC-H Q13 shape: customer order-count distribution (LEFT OUTER join —
+    * customers with zero orders must appear — then a second aggregation over
+    * the first's results).
+    */
+  def orderCountDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // count() skips the null rows
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
   /** Exact median via `percentile` (interpolating, matches quantile_cont). */
   def medianQuantity(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
