@@ -42,7 +42,16 @@ object Bench {
       })
     }
     pool.shutdown()
-    pool.awaitTermination(30, TimeUnit.MINUTES)
+    val finished = pool.awaitTermination(30, TimeUnit.MINUTES)
+    if (!finished) {
+      // a hung query must read as a failure, not a fast clean run: every
+      // query with no recorded time goes into failed[]
+      System.err.println("[bench] TIMEOUT: not all queries completed in 30min")
+      SparkEntry.queries.keys.filterNot(results.containsKey).foreach { n =>
+        failed.add(n)
+        results.put(n, -1.0)
+      }
+    }
     val wall = (System.nanoTime() - t0) / 1e9
 
     val qs = results.entrySet().toArray.map {
@@ -50,6 +59,7 @@ object Bench {
     }.sorted.mkString("{", ",", "}")
     val failedJson = failed.toArray.map(n => "\"" + n + "\"").sorted.mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    if (!finished) sys.exit(1) // don't block on spark.stop() behind hung jobs
     spark.stop()
   }
 }

@@ -229,7 +229,7 @@ object SparkEntry {
         |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         |  FROM events)
         |SELECT user_id,
-        |  SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
+        |  CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin,
     "t5_text_top_tokens" ->

@@ -1,9 +1,36 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import graft.expr.{SketchFunctions, VecFunctions}
+
+/** Bounded top-k accumulator keyed by (cosine desc, id asc) — the order of a
+  * per-query neighbor ranking. The buffer stays sorted and capped at k, so a
+  * partial (map-side) aggregate IS the per-partition top-k pre-filter; only
+  * these ≤k-element buffers cross the shuffle.
+  */
+private[ext] class TopKByCosine(k: Int)
+    extends Aggregator[(Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  private val ord: Ordering[(Double, Long)] =
+    Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+  def zero: Seq[(Double, Long)] = Vector.empty
+  def reduce(b: Seq[(Double, Long)], a: (Long, Double)): Seq[(Double, Long)] = {
+    val e = (a._2, a._1)
+    if (b.length >= k && ord.gteq(e, b.last)) b // not better than the current worst
+    else {
+      val i = b.indexWhere(x => ord.lt(e, x)) match { case -1 => b.length; case j => j }
+      val inserted = (b.take(i) :+ e) ++ b.drop(i)
+      if (inserted.length > k) inserted.take(k) else inserted
+    }
+  }
+  def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    (a ++ b).sorted(ord).take(k)
+  def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+  def bufferEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
+  def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
+}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
@@ -17,11 +44,13 @@ import graft.expr.{SketchFunctions, VecFunctions}
   */
 object Similarity {
 
-  /** Brute-force exact top-k cosine neighbors for each query vector.
-    * `queries` is broadcast; the corpus is scanned once. Two-phase top-k:
-    * per-partition pre-filter keeps at most k rows per query per partition
-    * before the shuffle, so the global window sorts |q|·k·partitions rows,
-    * not |q|·|corpus|.
+  /** Brute-force exact top-k cosine neighbors for each query vector
+    * (numeric ids). `queries` is broadcast; the corpus is scanned once.
+    * Two-phase top-k via a bounded [[TopKByCosine]] aggregate: partial
+    * (map-side) aggregation keeps at most k candidates per query per
+    * partition, so the shuffle moves |q|·k·partitions tiny buffers instead
+    * of |q|·|corpus| scored rows — the property that makes this the exact
+    * baseline even at full corpus scale.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       queryId: String = "query_id", queryVec: String = "query_vec",
@@ -30,12 +59,13 @@ object Similarity {
     val scored = corpus.join(broadcast(queries))
       .withColumn("cosine", VecFunctions.cosineSim(col(queryVec), col(corpusVec)))
     val noSelf = if (excludeSelf) scored.filter(col(queryId) =!= col(corpusId)) else scored
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("cosine").desc, col(corpusId))
+    val topk = udaf(new TopKByCosine(k))
     noSelf
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryId), col(corpusId).as("neighbor_id"), col("rank"), col("cosine"))
+      .groupBy(col(queryId))
+      .agg(topk(col(corpusId).cast("long"), col("cosine")).as("nn"))
+      .select(col(queryId), posexplode(col("nn")))
+      .select(col(queryId), col("col._2").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("col._1").as("cosine"))
   }
 
   /** IVF (inverted-file) ANN top-k — the other classic scale path besides

@@ -17,7 +17,8 @@ object Compaction {
 
   def compactHive(spark: SparkSession, root: String,
       maxRecordsPerFile: Long = 4000000L,
-      partitionCols: Seq[String] = LogSchema.hivePartitionColumns): Unit = {
+      partitionCols: Seq[String] = LogSchema.hivePartitionColumns,
+      convertStreamingStore: Boolean = false): Unit = {
     // keep partition dir names byte-identical: type inference would read
     // 'hour=00' back as int 0 and rewrite the dir as 'hour=0', forking the
     // partition from future string-valued appends
@@ -36,17 +37,40 @@ object Compaction {
       if (fs.exists(staging)) fs.delete(staging, true)
       require(!fs.exists(backup),
         s"$backup exists — a previous swap crashed mid-way; inspect and restore manually")
-      spark.read.parquet(root)
+      // A store written by the STREAMING sink carries a _spark_metadata commit
+      // log: spark.read.parquet(root) then trusts the log, so files appended
+      // by batch writers (not in the log) would be INVISIBLE to this read —
+      // and the swap below would delete them permanently. Mirror
+      // Retention.enforceHive: require an explicit opt-in that drops the log
+      // (converting the store to listing-based; only safe with no live
+      // streaming writer), otherwise refuse.
+      val sinkLog = new org.apache.hadoop.fs.Path(live, "_spark_metadata")
+      if (fs.exists(sinkLog)) {
+        require(convertStreamingStore,
+          s"$root was written by the streaming sink (_spark_metadata present); " +
+            "compacting through the commit log would drop any batch-appended " +
+            "files. Stop the streaming query and pass convertStreamingStore=true " +
+            "to drop the log and compact the full listing")
+        fs.delete(sinkLog, true)
+      }
+      val input = spark.read.parquet(root)
+      val expectedRows = input.count() // parquet footer metadata, not a data scan
+      input
         .repartition(partitionCols.map(col): _*)
         .write
         .partitionBy(partitionCols: _*)
         .option("maxRecordsPerFile", maxRecordsPerFile)
         .mode("overwrite")
         .parquet(staging.toString)
+      // verify the rewrite BEFORE touching the live tree — a short row count
+      // means lost data and must abort while the original is still in place
+      val stagedRows = spark.read.parquet(staging.toString).count()
+      require(stagedRows == expectedRows,
+        s"compaction wrote $stagedRows rows, expected $expectedRows; aborting with $live untouched")
       // Swap via two renames. NOT atomic for readers: there is a window with
       // no live root (object stores additionally rename per object). A query
       // racing the swap fails cleanly and retries; nothing is lost — the
-      // backup is only deleted after the new tree is live.
+      // backup is only deleted after the new tree is live and verified.
       require(fs.rename(live, backup), s"rename $live -> $backup failed")
       if (!fs.rename(staging, live)) {
         fs.rename(backup, live) // restore; data was never at risk

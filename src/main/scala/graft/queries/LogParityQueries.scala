@@ -125,8 +125,11 @@ object LogParityQueries {
     * (lag window function; integer output → exact oracle compare).
     */
   def interArrival(spark: SparkSession, dir: String): DataFrame = {
+    // window ordered by the raw ns column (+ unique tie-break) — identical to
+    // the oracle's ORDER BY ts, event_id; gaps are still computed in µs (the
+    // oracle compare's precision ceiling)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("time_us"), col("event_id"))
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(spark, dir)
       .withColumn("time_us", CriFunctions.nanosToMicros(col("ts")))
       .withColumn("gap_us", col("time_us") - lag(col("time_us"), 1).over(w))
@@ -167,10 +170,10 @@ object LogParityQueries {
     * >30 min gap; per-user session counts (lag window + conditional sum).
     */
   def sessionization(spark: SparkSession, dir: String): DataFrame = {
-    // µs domain on both sides: the oracle's timestamps are µs-truncated, so a
-    // ns-side comparison could flip on a gap within 1µs of the threshold
+    // same ns-ordered window as the oracle; the gap stays in the µs domain so
+    // the >30 min threshold test sees the exact values DuckDB computes
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("time_us"), col("event_id"))
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(spark, dir)
       .withColumn("time_us", CriFunctions.nanosToMicros(col("ts")))
       .withColumn("gap_us", col("time_us") - lag(col("time_us"), 1).over(w))

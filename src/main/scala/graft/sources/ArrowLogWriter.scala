@@ -35,6 +35,11 @@ object ArrowLogWriter {
     * repartitioned by the label key so each combination lands in exactly one
     * task → one file (at the reference's 1 MB-object scale, one file per
     * flush batch, fluent-bit.conf:42).
+    *
+    * Null handling: null `time_ns`/`stream`/`logtag`/`message` values are
+    * written as Arrow nulls; a null LABEL column renders as the literal
+    * `null` path segment (label columns are expected non-null — the CRI
+    * ingest path guarantees it).
     */
   def writePositional(df: DataFrame, root: String,
       uploadTime: java.time.Instant = java.time.Instant.now()): Unit = {
@@ -95,8 +100,11 @@ object ArrowLogWriter {
       // dictionaries for stream/logtag (domain {stdout,stderr} / {F,P})
       val streamDictVec = new VarCharVector("stream_dict", alloc)
       val logtagDictVec = new VarCharVector("logtag_dict", alloc)
-      val streamVals = group.map(_.getString(7)).distinct.sorted
-      val logtagVals = group.map(_.getString(8)).distinct.sorted
+      // null label values stay out of the dictionary domain (they are encoded
+      // as null indices below); the CRI ingest path never produces them, but
+      // writePositional is a public API over arbitrary DataFrames
+      val streamVals = group.map(_.getString(7)).filter(_ != null).distinct.sorted
+      val logtagVals = group.map(_.getString(8)).filter(_ != null).distinct.sorted
       streamDictVec.allocateNew(streamVals.size)
       streamVals.zipWithIndex.foreach { case (v, i) => streamDictVec.setSafe(i, v.getBytes("UTF-8")) }
       streamDictVec.setValueCount(streamVals.size)
@@ -121,11 +129,17 @@ object ArrowLogWriter {
       val streamIndex = streamVals.zipWithIndex.toMap
       val logtagIndex = logtagVals.zipWithIndex.toMap
       group.zipWithIndex.foreach { case (r, i) =>
-        timeVec.setSafe(i, Math.floorDiv(r.getLong(6), 1000L)) // µs from lossless ns
-        timeNsVec.setSafe(i, r.getLong(6))
-        streamIdx.setSafe(i, streamIndex(r.getString(7)).toByte)
-        logtagIdx.setSafe(i, logtagIndex(r.getString(8)).toByte)
-        messageVec.setSafe(i, r.getString(9).getBytes("UTF-8"))
+        if (r.isNullAt(6)) { timeVec.setNull(i); timeNsVec.setNull(i) }
+        else {
+          timeVec.setSafe(i, Math.floorDiv(r.getLong(6), 1000L)) // µs from lossless ns
+          timeNsVec.setSafe(i, r.getLong(6))
+        }
+        if (r.isNullAt(7)) streamIdx.setNull(i)
+        else streamIdx.setSafe(i, streamIndex(r.getString(7)).toByte)
+        if (r.isNullAt(8)) logtagIdx.setNull(i)
+        else logtagIdx.setSafe(i, logtagIndex(r.getString(8)).toByte)
+        if (r.isNullAt(9)) messageVec.setNull(i)
+        else messageVec.setSafe(i, r.getString(9).getBytes("UTF-8"))
       }
       Seq[ValueVector](timeVec, timeNsVec, streamIdx, logtagIdx, messageVec)
         .foreach(_.setValueCount(n))

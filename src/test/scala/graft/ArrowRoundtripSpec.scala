@@ -91,6 +91,24 @@ class ArrowRoundtripSpec extends SparkSpec {
     assert(rows.map(_.getString(2)).toSeq == Seq("F", "F", "P"))
   }
 
+  test("writeFile encodes null time/stream/logtag/message as Arrow nulls") {
+    // writePositional is a public API over arbitrary DataFrames — nulls must
+    // become Arrow nulls, not NPEs (ADVICE r1)
+    import org.apache.spark.sql.Row
+    val rows = Seq(
+      Row("dev", "ns", "n1", "p1", "app", null, 1705314645123456789L, "stdout", "F", "msg-a"),
+      Row("dev", "ns", "n1", "p1", "app", null, null, null, null, null))
+    val f = work.resolve("nulls.arrow").toFile
+    ArrowLogWriter.writeFile(rows, f)
+    val df = spark.read.format(classOf[ArrowIpcSource].getName).load(f.getPath)
+    val got = df.orderBy($"time_ns".desc_nulls_last)
+      .select($"time_ns", $"stream", $"logtag", $"message").collect()
+    assert(got.length == 2)
+    assert(got(0).getLong(0) == 1705314645123456789L)
+    assert(got(0).getString(1) == "stdout" && got(0).getString(3) == "msg-a")
+    assert(got(1).isNullAt(0) && got(1).isNullAt(1) && got(1).isNullAt(2) && got(1).isNullAt(3))
+  }
+
   test("selector pruning works on the arrow tree") {
     val none = LogQuery(LogSelector.parse("""{namespace="nope"}"""),
       output = LogOutput.Raw, format = LogFormat.Arrow).dataFrame(spark, store)

@@ -53,6 +53,25 @@ class IntrospectCompactionSpec extends SparkSpec {
       df.agg(sum(crc32($"message".cast("binary")))).head)
   }
 
+  test("compaction refuses a streaming store unless conversion is requested") {
+    val root = Files.createTempDirectory("graft-compact2").resolve("store").toString
+    val parts = Seq("cluster", "date")
+    val df = Tables.events(spark, sf).limit(100)
+      .select($"props".as("message"), lit("dev").as("cluster"),
+        lit("2024-01-01").as("date"))
+    df.write.partitionBy(parts: _*).mode("overwrite").parquet(root)
+    val rows = spark.read.parquet(root).count()
+    // a commit log marks the store as streaming-sink-owned: compacting through
+    // it would silently drop batch-appended files (ADVICE r1 medium)
+    Files.createDirectories(java.nio.file.Paths.get(root, "_spark_metadata"))
+    intercept[IllegalArgumentException](
+      Compaction.compactHive(spark, root, partitionCols = parts))
+    Compaction.compactHive(spark, root, partitionCols = parts,
+      convertStreamingStore = true)
+    assert(!new java.io.File(root, "_spark_metadata").exists)
+    assert(spark.read.parquet(root).count() == rows)
+  }
+
   test("retention drops date partitions older than the cutoff") {
     val root = Files.createTempDirectory("graft-retention").resolve("store").toString
     val df = Tables.events(spark, sf)
