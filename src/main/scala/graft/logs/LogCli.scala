@@ -8,8 +8,14 @@ import org.apache.spark.sql.DataFrame
   *
   * {{{
   * runMain graft.logs.LogCli query '{namespace="qa",pod="x"}' \
-  *   --root=/data/logs --since=5m -o table --layout=positional
+  *   --root=/data/logs --context=dev --since=5m -o table --layout=positional
   * }}}
+  *
+  * `--context=<name>` selects the cluster exactly like the reference (the
+  * first path segment of the object key, y-logcli:120-122): it becomes a
+  * `cluster` selector, so the positional glob prunes at segment 1 and the
+  * hive layout prunes on the `cluster=` partition. `-o json` (one JSON
+  * object per row) extends the reference's four modes for machine consumers.
   *
   * Like the reference echoes its generated SQL (y-logcli:277-279), this echoes
   * the optimized Spark plan after the result.
@@ -17,19 +23,22 @@ import org.apache.spark.sql.DataFrame
 object LogCli {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty && args.head == "query",
-      "usage: query '{selector}' --root=DIR [--since=5m] [-o table|raw|lines|columns] [--layout=positional|hive]")
+      "usage: query '{selector}' --root=DIR [--context=cluster] [--since=5m] " +
+        "[-o table|raw|lines|columns|json] [-f parquet|arrow|both] [--layout=positional|hive]")
     var selector = LogSelector.empty
     var since: Option[Long] = None
     var output: LogOutput = LogOutput.Table
     var layout: LogLayout = LogLayout.Positional
     var format: LogFormat = LogFormat.Parquet
     var root: Option[String] = None
+    var context: Option[String] = None
     var i = 1
     while (i < args.length) {
       args(i) match {
         case s if s.startsWith("{") => selector = LogSelector.parse(s)
         case s if s.startsWith("--since=") => since = Some(SinceDuration.parseSeconds(s.drop(8)))
         case s if s.startsWith("--root=") => root = Some(s.drop(7))
+        case s if s.startsWith("--context=") => context = Some(s.drop(10))
         case s if s.startsWith("--layout=") =>
           layout = if (s.drop(9) == "hive") LogLayout.Hive else LogLayout.Positional
         case "-o" => i += 1; output = LogOutput.parse(args(i))
@@ -37,6 +46,11 @@ object LogCli {
         case other => throw new IllegalArgumentException(s"unknown arg '$other'")
       }
       i += 1
+    }
+    context.foreach { c =>
+      require(selector.get("cluster").forall(_ == c),
+        s"--context=$c conflicts with selector cluster=${selector.get("cluster").get}")
+      selector = LogSelector(selector.labels + ("cluster" -> c))
     }
     val spark = GraftSession.local("graft-logcli")
     try {
@@ -50,6 +64,10 @@ object LogCli {
   def render(df: DataFrame, output: LogOutput): Unit = output match {
     case LogOutput.Raw =>
       df.select("message").collect().foreach(r => println(r.getString(0)))
+    case LogOutput.Json =>
+      // Spark's JSON writer handles escaping/unicode; time_ns is dropped like
+      // the other modes (time_iso carries the lossless ns rendering)
+      df.drop("time_ns").toJSON.collect().foreach(println)
     case LogOutput.Columns =>
       df.drop("time_ns").collect()
         .foreach(r => println(r.toSeq.map(String.valueOf).mkString(" ")))

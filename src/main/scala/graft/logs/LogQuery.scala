@@ -10,12 +10,14 @@ object LogOutput {
   case object Columns extends LogOutput  // time+pod+container+stream+left(message,60)
   case object Lines extends LogOutput    // full column set
   case object Table extends LogOutput    // full column set (render differs CLI-side)
+  case object Json extends LogOutput     // full column set, one JSON object per row
 
   def parse(s: String): LogOutput = s match {
     case "raw" => Raw
     case "columns" => Columns
     case "lines" => Lines
     case "table" => Table
+    case "json" => Json
     case other => throw new IllegalArgumentException(s"bad -o '$other'")
   }
 }
@@ -147,7 +149,7 @@ final case class LogQuery(
         CriFunctions.nsIso8601(col("time_ns")).as("time_iso"),
         col("pod"), col("container"), col("stream"),
         substring(col("message"), 1, 60).as("message"))
-    case LogOutput.Lines | LogOutput.Table =>
+    case LogOutput.Lines | LogOutput.Table | LogOutput.Json =>
       df.select(
         col("time_ns"),
         CriFunctions.nsIso8601(col("time_ns")).as("time_iso"),

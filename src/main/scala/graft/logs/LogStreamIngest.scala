@@ -58,6 +58,44 @@ object LogStreamIngest {
       .start()
   }
 
+  /** K5 wired live: the main partitioned sink PLUS a close-write side channel
+    * — the engine analogue of the reference's `_flb_close_write` sentinel +
+    * per-tag force flush (close-write-flush.patch:20-156). A second streaming
+    * query runs [[graft.streaming.CloseWriteDetector]] over the same tail
+    * source and appends one `PodClosed` row per (pod, container) stream that
+    * has been idle for `idleTimeout` — the signal a downstream
+    * compaction/finalize job consumes instead of inotify. State is O(live
+    * containers); with processing-time timeouts Spark keeps running (empty)
+    * batches, so close events fire even when no new lines arrive.
+    *
+    * Returns (main sink query, close-events query); each owns a checkpoint
+    * subdirectory under `checkpoint`.
+    */
+  def startWithCloseEvents(spark: SparkSession, inputGlob: String,
+      outputRoot: String, closeEventsRoot: String, checkpoint: String,
+      clusterName: String, nodeName: String = "local-node",
+      triggerInterval: String = "60 seconds",
+      idleTimeout: String = "60 seconds",
+      maxFilesPerTrigger: Int = 1000,
+      maxRecordsPerFile: Long = 1000000L): (StreamingQuery, StreamingQuery) = {
+    import spark.implicits._
+    val main = start(spark, inputGlob, outputRoot, s"$checkpoint/main",
+      clusterName, nodeName, triggerInterval, maxFilesPerTrigger, maxRecordsPerFile)
+    val activity = parsedStream(spark, inputGlob, clusterName, nodeName, maxFilesPerTrigger)
+      .select(col("cluster"), col("namespace"), col("pod"), col("container"), col("time_ns"))
+      .as[graft.streaming.CloseWriteDetector.PodActivity]
+    val closeQ = graft.streaming.CloseWriteDetector.closedStreams(activity, idleTimeout)
+      .toDF()
+      .writeStream
+      .format("parquet")
+      .option("path", closeEventsRoot)
+      .option("checkpointLocation", s"$checkpoint/close")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .start()
+    (main, closeQ)
+  }
+
   /** Dual-format streaming sink — the reference writes every stream TWICE
     * (two S3 outputs, parquet + arrow, fluent-bit.conf:32-67). foreachBatch
     * commits each micro-batch to the positional store in both formats; the

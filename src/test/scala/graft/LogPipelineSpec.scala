@@ -83,6 +83,25 @@ class LogPipelineSpec extends SparkSpec {
       .dataFrame(spark, store).count() == 0)
   }
 
+  test("json output mode: full columns, parseable rows, cluster pruning (--context)") {
+    val store = work.resolve("lake-json").toString
+    LogIngest.writePositional(ingested, store,
+      uploadTime = java.time.Instant.parse("2024-02-01T00:00:00Z"))
+    // --context=dev ≙ cluster selector (reference path segment 1)
+    val df = LogQuery(LogSelector.parse("""{cluster="dev",namespace="qa"}"""),
+      output = LogOutput.Json).dataFrame(spark, store)
+    assert(df.columns.toSeq == Seq("time_ns", "time_iso", "cluster", "namespace",
+      "node", "pod", "container", "stream", "logtag", "message"))
+    val lines = df.drop("time_ns").toJSON.collect()
+    assert(lines.length == 3)
+    val parsed = spark.read.json(spark.createDataset(lines.toSeq))
+    assert(parsed.select("message").as[String].collect().sorted.toSeq ==
+      Seq("qa earlier", "qa later", "sidecar line"))
+    // a non-matching cluster context prunes to empty at the glob level
+    assert(LogQuery(LogSelector.parse("""{cluster="other"}"""),
+      output = LogOutput.Json).dataFrame(spark, store).count() == 0)
+  }
+
   test("since filter against a pinned as-of instant") {
     val store = work.resolve("lake-pos2").toString
     LogIngest.writePositional(ingested, store,

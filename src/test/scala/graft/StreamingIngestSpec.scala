@@ -43,6 +43,38 @@ class StreamingIngestSpec extends SparkSpec {
     assert(out.toFile.listFiles().exists(_.getName.startsWith("cluster=dev")))
   }
 
+  test("close-write side channel emits PodClosed after idle timeout (K5 wired)") {
+    val work = Files.createTempDirectory("graft-stream3")
+    val in = work.resolve("varlog")
+    val p = in.resolve("pods/default_pod-c_u/app")
+    Files.createDirectories(p)
+    Files.writeString(p.resolve("0.log"),
+      "2024-01-15T10:00:00.000000001Z stdout F line one\n" +
+        "2024-01-15T10:00:00.000000002Z stdout F line two\n")
+    val closeRoot = work.resolve("close").toString
+    val (main, closeQ) = LogStreamIngest.startWithCloseEvents(spark,
+      in.toString + "/pods/*/*/*.log", work.resolve("lake").toString,
+      closeRoot, work.resolve("ckpt").toString, clusterName = "dev",
+      triggerInterval = "1 seconds", idleTimeout = "1 seconds")
+    try {
+      main.processAllAvailable()
+      assert(spark.read.parquet(work.resolve("lake").toString).count() == 2)
+      // processing-time timeouts fire on subsequent (empty) micro-batches —
+      // poll the side sink until the close event lands
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      def closed() =
+        try spark.read.parquet(closeRoot).collect() catch { case _: Exception => Array.empty[org.apache.spark.sql.Row] }
+      while (closed().isEmpty && System.nanoTime() < deadline) Thread.sleep(500)
+      val events = closed()
+      assert(events.nonEmpty, "no PodClosed event within 60s of idle")
+      val e = events.head
+      assert(e.getAs[String]("pod") == "pod-c" && e.getAs[String]("container") == "app")
+      assert(e.getAs[Long]("lines") == 2L)
+      assert(e.getAs[Long]("first_ns") == 1705312800000000001L)
+      assert(e.getAs[Long]("last_ns") == 1705312800000000002L)
+    } finally { main.stop(); closeQ.stop() }
+  }
+
   test("dual-format streaming sink writes parquet AND arrow per batch (K2)") {
     val work = Files.createTempDirectory("graft-stream2")
     val in = work.resolve("varlog")
