@@ -61,6 +61,18 @@ object SparkEntry {
     "q6_forecast_revenue" -> (RelationalQueries.forecastRevenue(_, _)),
     "q13_order_distribution" -> (RelationalQueries.orderCountDistribution(_, _)),
     "q4_order_priority" -> (RelationalQueries.orderPriorityCheck(_, _)),
+    "q7_nation_volume" -> (RelationalQueries.nationVolume(_, _)),
+    "q8_market_share" -> (RelationalQueries.marketShare(_, _)),
+    "q14_promo_revenue" -> (RelationalQueries.promoRevenue(_, _)),
+    "q15_top_supplier" -> (RelationalQueries.topSupplier(_, _)),
+    "q18_large_orders" -> (RelationalQueries.largeOrders(_, _)),
+    "q19_disjunctive_predicates" -> (RelationalQueries.disjunctivePredicates(_, _)),
+    "q22_sales_opportunity" -> (RelationalQueries.globalSalesOpportunity(_, _)),
+    "g4_cube" -> (RelationalQueries.cubeOrders(_, _)),
+    "a3_distinct_suppliers" -> (RelationalQueries.distinctSuppliersPerBrand(_, _)),
+    "u2_intersect" -> (LogParityQueries.intersectUsers(_, _)),
+    "u3_except" -> (LogParityQueries.exceptUsers(_, _)),
+    "x7_running_total" -> (LogParityQueries.runningTotal(_, _)),
     "j3_correlated_subquery" -> (RelationalQueries.correlatedSubquery(_, _)),
     // — training-data pipeline extensions —
     "d1_dedup_exact" -> (ExtensionQueries.dedupExact(_, _)),
@@ -271,6 +283,126 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+        |  strftime(l_shipdate, '%Y') AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_market_share" ->
+      """WITH v AS (
+        |  SELECT strftime(o_orderdate, '%Y') AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT o_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_volume,
+        |  CAST(SUM(volume) AS DOUBLE) AS total_volume,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+        |FROM v GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+        |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |               (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_d
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice,
+        |  CAST(sum_qty_d AS DOUBLE) AS sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q19_disjunctive_predicates" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |               (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_sales_opportunity" ->
+      """WITH avg_bal AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer, avg_bal
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "g4_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "a3_distinct_suppliers" ->
+      """SELECT p_brand, count(DISTINCT l_suppkey) AS n_suppliers, count(*) AS n_lineitems
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin,
+    "u2_intersect" ->
+      """SELECT user_id, day FROM (
+        |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type = 'purchase')
+        |ORDER BY user_id, day""".stripMargin,
+    "u3_except" ->
+      """SELECT user_id, day FROM (
+        |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type = 'view'
+        |  EXCEPT
+        |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type = 'error')
+        |ORDER BY user_id, day""".stripMargin,
+    "x7_running_total" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+        |FROM events ORDER BY event_id""".stripMargin,
     "j3_correlated_subquery" ->
       """SELECT o_orderkey FROM orders o
         |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *

@@ -37,27 +37,36 @@ object Dedup {
       col(idCol).as("doc_id"),
       SketchFunctions.wordShingleHashes(col(textCol), n).as("grams"))
 
-  /** Exact n-gram Jaccard near-dup pairs: explode distinct shingles →
-    * self-equi-join on shingle → per-pair shared count → Jaccard from set
-    * sizes. `maxDf` drops degenerate hot shingles before the join.
+  /** Exact n-gram Jaccard near-dup pairs via posting lists: explode distinct
+    * shingles ONCE → one shuffle groups each shingle's (2..maxDf) doc ids →
+    * candidate pairs are generated inside the posting row → per-pair shared
+    * count → Jaccard from set sizes.
+    *
+    * This replaces the classic shingle self-equi-join: same output, but the
+    * corpus is scanned once instead of four times (two join sides + two
+    * df-guard subtrees), and the shingle kernel runs once per document. The
+    * `maxDf` cap bounds per-posting pair fan-out at C(maxDf,2) — the same
+    * quadratic guard the join needed, now also a memory bound.
+    *
+    * `explode_outer` + post-filter (not `explode`): the generator's implicit
+    * `size(grams)>0` pre-filter would push below the projection and
+    * re-evaluate the shingle kernel 3x per row.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8, maxDf: Long = 1000): DataFrame = {
     val grams = shingleHashes(docs, idCol, textCol, n)
     val sizes = grams.select(col("doc_id"), size(col("grams")).as("sz"))
-    val exploded = grams.select(col("doc_id"), explode(col("grams")).as("gram"))
-    // document-frequency guard as an aggregate + equi-join (a window over
-    // gram would shuffle AND sort; the aggregate only shuffles, and the
-    // surviving-gram side is usually broadcastable after the filter)
-    val rareGrams = exploded.groupBy(col("gram"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select(col("gram"))
-    val filtered = exploded.join(rareGrams, "gram")
-    val shared = filtered.as("a")
-      .join(filtered.as("b"), col("a.gram") === col("b.gram") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val exploded = grams.select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+      .filter(col("gram").isNotNull)
+    val postings = exploded.groupBy(col("gram"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+    // all (i < j) pairs of one posting list; ids are sorted so id_a < id_b
+    val pairs = postings.select(explode(flatten(transform(col("ids"),
+      (x, i) => transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+    val shared = pairs.groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
     shared
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")

@@ -184,6 +184,45 @@ object LogParityQueries {
       .orderBy(col("user_id"))
   }
 
+  /** INTERSECT (set semantics): (user, day) pairs that both clicked and
+    * purchased that day. Spark plans this as a left-semi join over distinct
+    * rows — no full distinct materialization of either side beyond the
+    * aggregate hash. (Keyed by user-day, not user: at any realistic scale
+    * every user eventually has every event type, which would degenerate the
+    * set op to the full user list.)
+    */
+  def intersectUsers(spark: SparkSession, dir: String): DataFrame = {
+    def side(t: String) = Tables.events(spark, dir)
+      .filter(col("event_type") === t)
+      .select(col("user_id"),
+        date_format(CriFunctions.nanosToTimestamp(col("ts")), "yyyy-MM-dd").as("day"))
+    side("click").intersect(side("purchase")).orderBy(col("user_id"), col("day"))
+  }
+
+  /** EXCEPT (set semantics): (user, day) pairs with views but no error that
+    * day (left-anti join over distinct rows).
+    */
+  def exceptUsers(spark: SparkSession, dir: String): DataFrame = {
+    def side(t: String) = Tables.events(spark, dir)
+      .filter(col("event_type") === t)
+      .select(col("user_id"),
+        date_format(CriFunctions.nanosToTimestamp(col("ts")), "yyyy-MM-dd").as("day"))
+    side("view").except(side("error")).orderBy(col("user_id"), col("day"))
+  }
+
+  /** Running total per user over event time (cumulative window frame —
+    * unbounded preceding to current row; integer outputs → exact compare).
+    */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .withColumn("running_n", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("running_n"))
+      .orderBy(col("event_id"))
+  }
+
   /** Pivot: per-day event counts fanned out to one column per type (explicit
     * value list — no extra distinct pass, deterministic column order).
     */

@@ -208,4 +208,175 @@ object RelationalQueries {
       .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
+
+  private def discPrice =
+    money(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - money(col("l_discount")))
+
+  /** TPC-H Q7 shape: bilateral trade volume between two nations by year.
+    * Scale: nation/supplier are broadcast dims; the customer⋈orders⋈lineitem
+    * chain shuffles once per key it already needs. The two-direction predicate
+    * is applied AFTER the cheap dimension joins, not as a cross filter.
+    */
+  def nationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir).select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+    val n2 = Tables.nation(spark, dir).select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("ck"))
+      .join(broadcast(n2), col("s_nationkey") === col("sk"))
+      .filter((col("cust_nation") === "NATION_1" && col("supp_nation") === "NATION_2") ||
+        (col("cust_nation") === "NATION_2" && col("supp_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        date_format(col("l_shipdate"), "yyyy").as("l_year"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape: a supplier nation's market share inside one customer
+    * region, by order year. The share is a single IEEE division of two
+    * exactly-aggregated decimal sums — bit-identical to the oracle.
+    */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "EUROPE")
+    val custNations = Tables.nation(spark, dir)
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("ck"))
+    val suppNations = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).filter(col("p_type") === "ECONOMY")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNations), col("c_nationkey") === col("ck"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNations), col("s_nationkey") === col("sk"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_3", discPrice)
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("nation_volume"),
+        sum(discPrice).cast("double").as("total_volume"))
+      .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q14 shape: promo revenue share for one ship month — a conditional
+    * aggregate ratio over a tight scan window (both predicates push to
+    * parquet row groups; part is a broadcast dim).
+    */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", discPrice)
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("promo_revenue"),
+        sum(discPrice).cast("double").as("total_revenue"))
+      .withColumn("promo_share", lit(100.0) * col("promo_revenue") / col("total_revenue"))
+
+  /** TPC-H Q15 shape: the top supplier(s) by quarterly revenue — an aggregate
+    * reused twice (per-supplier revenue, then its max) without recomputation
+    * concerns at scale: the revenue aggregate is tiny (|suppliers| rows), so
+    * the max is a broadcast-back scalar.
+    */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discPrice).cast("double").as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+    Tables.supplier(spark, dir)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q18 shape: large-volume orders — a HAVING filter on a grouped sum
+    * feeding a join back to the order/customer detail, top-10 by price.
+    */
+  def largeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val bigKeys = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty_d"))
+      .filter(col("sum_qty_d") > lit(300).cast("decimal(18,2)"))
+    Tables.orders(spark, dir)
+      .join(bigKeys, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("sum_qty_d").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q19 shape: disjunction of brand/size/quantity conjunctions — the
+    * whole OR-of-ANDs predicate evaluates inside one codegen stage after a
+    * broadcast join with the part dim.
+    */
+  def disjunctivePredicates(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30)))
+      .agg(sum(discPrice).cast("double").as("revenue"), count(lit(1)).as("n"))
+
+  /** TPC-H Q22 shape: well-funded customers with no LARGE order — a scalar
+    * average subquery (computed once, broadcast back) + left-anti join.
+    * (The anti side is large orders, not all orders: a dense orders table
+    * makes "no orders at all" empty at every scale factor.)
+    */
+  def globalSalesOpportunity(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    // the same explicit exact-sum/count division as the oracle (engine-native
+    // avg() would aggregate doubles in engine-specific order)
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(money(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+    cust
+      .join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 300000.0)
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(money(col("c_acctbal"))).cast("double").as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** CUBE aggregation — completes the grouping family (rollup g1, grouping
+    * sets g3): all four cuts of status × priority in one pass.
+    */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Exact grouped COUNT(DISTINCT): suppliers per part brand. The distinct
+    * runs as Spark's two-phase expand+aggregate; part is a broadcast dim.
+    */
+  def distinctSuppliersPerBrand(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("p_brand"))
 }
