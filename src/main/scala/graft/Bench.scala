@@ -23,7 +23,6 @@ object Bench {
 
     val pool = Executors.newFixedThreadPool(parallel)
     val results = new java.util.concurrent.ConcurrentHashMap[String, Double]()
-    val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val t0 = System.nanoTime()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       pool.submit(new Runnable {
@@ -34,7 +33,6 @@ object Bench {
             results.put(name, (System.nanoTime() - q0) / 1e9)
           } catch { case e: Throwable =>
             // a failed query must be visible in the JSON, not a fast "pass"
-            failed.add(name)
             results.put(name, -1.0)
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
@@ -44,21 +42,29 @@ object Bench {
     pool.shutdown()
     val finished = pool.awaitTermination(30, TimeUnit.MINUTES)
     if (!finished) {
-      // a hung query must read as a failure, not a fast clean run: every
-      // query with no recorded time goes into failed[]
       System.err.println("[bench] TIMEOUT: not all queries completed in 30min")
-      SparkEntry.queries.keys.filterNot(results.containsKey).foreach { n =>
-        failed.add(n)
-        results.put(n, -1.0)
-      }
+      pool.shutdownNow() // interrupt stragglers so the snapshot below is final
     }
     val wall = (System.nanoTime() - t0) / 1e9
 
-    val qs = results.entrySet().toArray.map {
-      case e: java.util.Map.Entry[_, _] => "\"" + e.getKey + "\":" + e.getValue
-    }.sorted.mkString("{", ",", "}")
-    val failedJson = failed.toArray.map(n => "\"" + n + "\"").sorted.mkString("[", ",", "]")
+    // One immutable snapshot drives ALL output: a task finishing after this
+    // point can no longer contradict the failed[] list. A query is failed iff
+    // it has no recorded time (hung/interrupted) or its sentinel is -1.0
+    // (threw) — both derived from the same snapshot.
+    import scala.jdk.CollectionConverters._
+    val snapshot: Map[String, Double] = SparkEntry.queries.keys.map { n =>
+      n -> results.asScala.getOrElse(n, -1.0)
+    }.toMap
+    val failedNames = snapshot.collect { case (n, t) if t == -1.0 => n }.toSeq.sorted
+
+    val qs = snapshot.toSeq.sortBy(_._1)
+      .map { case (n, t) => "\"" + n + "\":" + t }.mkString("{", ",", "}")
+    val failedJson = failedNames.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    // Full line first; then a short driver-parsable summary line LAST so a
+    // bounded tail capture always sees a complete JSON object with the total
+    // (BENCH_r02 lost its head to tail truncation of the long line).
     println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","failed":$failedJson,"sf":"$sfDir","n_queries":${snapshot.size}}""")
     if (!finished) sys.exit(1) // don't block on spark.stop() behind hung jobs
     spark.stop()
   }

@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import graft.expr.{SketchFunctions, VecFunctions}
 
@@ -38,11 +38,37 @@ private[ext] class TopKByCosine(k: Int)
   * Scale design: the query set is always the broadcast side — the corpus
   * (the 100 TB side) streams through map tasks exactly once, computing
   * similarities with the codegen'd [[graft.expr.CosineSimilarity]] kernel.
-  * Per-query top-k uses a window after an AQE-coalesced shuffle of only
-  * `|queries| × per-partition-k` survivors (partial top-k first, global
-  * top-k second — the classic two-phase pattern).
+  * Per-query top-k always goes through the bounded [[TopKByCosine]] partial
+  * aggregate (map-side top-k first, merge second), so a hot bucket or cell
+  * never concentrates a query's full candidate set on one reducer — the
+  * property a `row_number` window over the query id cannot give.
   */
 object Similarity {
+
+  /** Neighbor ids ride through the bounded aggregator as `long`; a
+    * non-integral id column would cast to null and die deep inside the
+    * encoder — fail fast with an actionable message instead.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String, role: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    require(dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType,
+      s"$role id column '$idCol' must be an integral type (byte/short/int/long), found $dt: " +
+        "top-k neighbor ids are carried as long through the bounded aggregate")
+  }
+
+  /** Shared final stage: per-query bounded top-k over (qid, cid, cosine)
+    * candidates via [[TopKByCosine]], exploded back to ranked rows.
+    */
+  private def boundedTopK(cand: DataFrame, k: Int, queryId: String): DataFrame = {
+    val topk = udaf(new TopKByCosine(k))
+    cand
+      .groupBy(col("qid"))
+      .agg(topk(col("cid").cast("long"), col("cosine")).as("nn"))
+      .select(col("qid"), posexplode(col("nn")))
+      .select(col("qid").as(queryId), col("col._2").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("col._1").as("cosine"))
+  }
 
   /** Brute-force exact top-k cosine neighbors for each query vector
     * (numeric ids). `queries` is broadcast; the corpus is scanned once.
@@ -56,16 +82,12 @@ object Similarity {
       queryId: String = "query_id", queryVec: String = "query_vec",
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       excludeSelf: Boolean = true): DataFrame = {
+    requireIntegralId(corpus, corpusId, "corpus")
     val scored = corpus.join(broadcast(queries))
       .withColumn("cosine", VecFunctions.cosineSim(col(queryVec), col(corpusVec)))
     val noSelf = if (excludeSelf) scored.filter(col(queryId) =!= col(corpusId)) else scored
-    val topk = udaf(new TopKByCosine(k))
-    noSelf
-      .groupBy(col(queryId))
-      .agg(topk(col(corpusId).cast("long"), col("cosine")).as("nn"))
-      .select(col(queryId), posexplode(col("nn")))
-      .select(col(queryId), col("col._2").as("neighbor_id"),
-        (col("pos") + 1).cast("int").as("rank"), col("col._1").as("cosine"))
+    boundedTopK(noSelf.select(col(queryId).as("qid"), col(corpusId).as("cid"), col("cosine")),
+      k, queryId)
   }
 
   /** IVF (inverted-file) ANN top-k — the other classic scale path besides
@@ -81,6 +103,7 @@ object Similarity {
       sampleSize: Int = 2048,
       queryId: String = "query_id", queryVec: String = "query_vec",
       corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame = {
+    requireIntegralId(corpus, corpusId, "corpus")
     val centroids = trainCoarseQuantizer(corpus, corpusVec, nLists, kmeansIters, sampleSize)
     val cell = SketchFunctions.nearestCentroids(col(corpusVec), centroids, 1)
     val assigned = corpus.select(col(corpusId).as("cid"), col(corpusVec).as("cv"),
@@ -90,20 +113,21 @@ object Similarity {
     val cand = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("cosine", VecFunctions.cosineSim(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid").as(queryId), col("cid").as("neighbor_id"), col("rank"), col("cosine"))
+    boundedTopK(cand, k, queryId)
   }
 
-  /** k-means-lite on a bounded driver-side sample (deterministic: first
-    * `sampleSize` rows, farthest-point-ish init from the sample order).
+  /** k-means-lite on a bounded driver-side sample. The sample is the top
+    * `sampleSize` rows by `xxhash64(vector)` — a deterministic, order-free
+    * pseudo-random reservoir that executes as TakeOrderedAndProject
+    * (bounded per-partition heaps, no full sort), so a time- or
+    * source-clustered corpus still yields centroids from every region.
     * The model is tiny (nLists × dims floats) — the legitimate driver-side
     * computation, like computing broadcast-join build sides.
     */
   def trainCoarseQuantizer(corpus: DataFrame, vecCol: String,
       nLists: Int, iters: Int, sampleSize: Int): Array[Array[Float]] = {
-    val sample = corpus.select(col(vecCol)).limit(sampleSize)
+    val sample = corpus.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol))).limit(sampleSize)
       .collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "empty corpus")
     var centroids = Array.tabulate(math.min(nLists, sample.length))(i =>
@@ -149,6 +173,7 @@ object Similarity {
       planes: Int = 16, bands: Int = 4,
       queryId: String = "query_id", queryVec: String = "query_vec",
       corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame = {
+    requireIntegralId(corpus, corpusId, "corpus")
     // Narrow banded rows; query vectors rejoin after the bucket-collision
     // dedupe so the collision join only moves ids (queries stay broadcast).
     def banded(df: DataFrame, vec: String, id: String, outId: String) =
@@ -164,9 +189,6 @@ object Similarity {
       .join(broadcast(queries.select(col(queryId).as("qid"), col(queryVec).as("qv"))), "qid")
       .join(corpus.select(col(corpusId).as("cid"), col(corpusVec).as("cv")), "cid")
       .withColumn("cosine", VecFunctions.cosineSim(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid").as(queryId), col("cid").as("neighbor_id"), col("rank"), col("cosine"))
+    boundedTopK(cand, k, queryId)
   }
 }

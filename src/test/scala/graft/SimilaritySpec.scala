@@ -64,6 +64,56 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall@10 = $recall")
   }
 
+  test("ANN plans use the bounded aggregate, not a per-query window") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    for (df <- Seq(
+        Similarity.lshTopK(queries, emb, k = 5),
+        Similarity.ivfTopK(queries, emb, k = 5, nLists = 4, nProbe = 2),
+        Similarity.bruteForceTopK(queries, emb, k = 5))) {
+      val plan = df.queryExecution.optimizedPlan.toString()
+      assert(!plan.contains("row_number"), s"per-query window top-k leaked back:\n$plan")
+      assert(plan.contains("TopKByCosine") || plan.toLowerCase.contains("udaf") ||
+        df.queryExecution.executedPlan.toString().contains("ObjectHashAggregate"))
+    }
+  }
+
+  test("non-integral corpus id fails fast with a clear message") {
+    val emb = Tables.embeddings(spark, sf).withColumn("vec_id", $"vec_id".cast("string"))
+    val queries = emb.limit(1)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(queries, emb, k = 3)
+    }
+    assert(e.getMessage.contains("integral"))
+    intercept[IllegalArgumentException] { Similarity.lshTopK(queries, emb, k = 3) }
+    intercept[IllegalArgumentException] { Similarity.ivfTopK(queries, emb, k = 3) }
+  }
+
+  test("IVF recall survives a cluster-sorted corpus (unbiased quantizer sample)") {
+    // 8 well-separated clusters, rows sorted BY cluster — a first-N sample
+    // would only ever see cluster 0 and recall would collapse; the
+    // hash-ordered reservoir must keep recall high.
+    val rnd = new scala.util.Random(7)
+    val dims = 16
+    val centers = Array.fill(8)(Array.fill(dims)(rnd.nextGaussian().toFloat * 5f))
+    val rows = for (c <- 0 until 8; i <- 0 until 120) yield {
+      val v = centers(c).map(x => x + rnd.nextGaussian().toFloat * 0.1f)
+      (c * 120L + i, v)
+    }
+    val corpus = rows.toDF("vec_id", "embedding") // already sorted by cluster
+    val queries = corpus.filter($"vec_id" % 120 === 0) // one query per cluster
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val bf = Similarity.bruteForceTopK(queries, corpus, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, corpus, k = 10, nLists = 8, nProbe = 2,
+        sampleSize = 256)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.9, s"IVF recall@10 on cluster-sorted corpus = $recall")
+  }
+
   test("multimodal frame sampling: 4 frames per video, 1 otherwise") {
     val media = graft.ext.Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sf))
     val frames = graft.ext.Multimodal.sampleFrames(media, 4).toDF()
