@@ -45,8 +45,9 @@ object Dedup {
     * This replaces the classic shingle self-equi-join: same output, but the
     * corpus is scanned once instead of four times (two join sides + two
     * df-guard subtrees), and the shingle kernel runs once per document. The
-    * `maxDf` cap bounds per-posting pair fan-out at C(maxDf,2) — the same
-    * quadratic guard the join needed, now also a memory bound.
+    * `maxDf` cap bounds per-posting pair fan-out at C(maxDf,2) rows — the
+    * same quadratic guard the join needed — and pair generation streams, so
+    * peak memory per posting is O(maxDf), not C(maxDf,2).
     *
     * `explode_outer` + post-filter (not `explode`): the generator's implicit
     * `size(grams)>0` pre-filter would push below the projection and
@@ -61,11 +62,15 @@ object Dedup {
     val postings = exploded.groupBy(col("gram"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxDf))
-    // all (i < j) pairs of one posting list; ids are sorted so id_a < id_b
-    val pairs = postings.select(explode(flatten(transform(col("ids"),
-      (x, i) => transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-        y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+    // all (i < j) pairs of one posting list; ids are sorted so id_a < id_b.
+    // Two chained generates STREAM the pairs: posexplode picks id_a, then a
+    // tail slice explodes into its partners — peak per-row allocation is one
+    // O(maxDf) slice, not a materialized O(maxDf^2) nested pairs array
+    // (C(1000,2) ≈ 500k structs for a near-cap posting).
+    val pairs = postings
+      .select(col("ids"), posexplode(col("ids")))
+      .select(col("col").as("id_a"),
+        explode(slice(col("ids"), col("pos") + lit(2), size(col("ids")))).as("id_b"))
     val shared = pairs.groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
     shared

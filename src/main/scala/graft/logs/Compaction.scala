@@ -29,14 +29,10 @@ object Compaction {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(root)
     val staging = new org.apache.hadoop.fs.Path(root + ".compact-staging")
-    val backup = new org.apache.hadoop.fs.Path(root + ".compact-backup")
     try {
       // staging is derived data — a crashed previous attempt left nothing
-      // unique there, so re-staging is always safe. backup is different: its
-      // presence means a swap crashed mid-way and needs an operator.
+      // unique there, so re-staging is always safe
       if (fs.exists(staging)) fs.delete(staging, true)
-      require(!fs.exists(backup),
-        s"$backup exists — a previous swap crashed mid-way; inspect and restore manually")
       // A store written by the STREAMING sink carries a _spark_metadata commit
       // log: spark.read.parquet(root) then trusts the log, so files appended
       // by batch writers (not in the log) would be INVISIBLE to this read —
@@ -64,19 +60,29 @@ object Compaction {
         .parquet(staging.toString)
       // verify the rewrite BEFORE touching the live tree — a short row count
       // means lost data and must abort while the original is still in place
-      val stagedRows = spark.read.parquet(staging.toString).count()
+      val staged = spark.read.parquet(staging.toString)
+      val stagedRows = staged.count()
       require(stagedRows == expectedRows,
         s"compaction wrote $stagedRows rows, expected $expectedRows; aborting with $live untouched")
-      // Swap via two renames. NOT atomic for readers: there is a window with
-      // no live root (object stores additionally rename per object). A query
-      // racing the swap fails cleanly and retries; nothing is lost — the
-      // backup is only deleted after the new tree is live and verified.
-      require(fs.rename(live, backup), s"rename $live -> $backup failed")
-      if (!fs.rename(staging, live)) {
-        fs.rename(backup, live) // restore; data was never at risk
-        throw new java.io.IOException(s"rename $staging -> $live failed; restored original")
-      }
-      fs.delete(backup, true)
+      // Swap per partition via dynamic partition overwrite: the live root is
+      // never renamed away, so concurrent readers always have a store — every
+      // partition is either its old files or its compacted replacement (the
+      // only unreadable window is the per-partition delete+rename inside job
+      // commit, milliseconds, vs the whole-rewrite window a root-rename swap
+      // had). A crash mid-commit leaves a mix of compacted and uncompacted
+      // partitions — each complete — and re-running converges. Requires no
+      // concurrent WRITER (same contract as before: appends racing the swap
+      // into an overwritten partition would be dropped).
+      staged.write
+        .partitionBy(partitionCols: _*)
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .mode("overwrite")
+        .parquet(live.toString)
+      val liveRows = spark.read.parquet(live.toString).count()
+      require(liveRows == expectedRows,
+        s"post-swap count $liveRows != expected $expectedRows — inspect $live against $staging")
+      fs.delete(staging, true) // only after the live tree is verified
     } finally spark.conf.set(inferKey, prevInfer)
   }
 }

@@ -125,11 +125,14 @@ object LogParityQueries {
     * (lag window function; integer output → exact oracle compare).
     */
   def interArrival(spark: SparkSession, dir: String): DataFrame = {
-    // window ordered by the raw ns column (+ unique tie-break) — identical to
-    // the oracle's ORDER BY ts, event_id; gaps are still computed in µs (the
-    // oracle compare's precision ceiling)
+    // window ordered by the µs-TRUNCATED key (+ unique tie-break): DuckDB
+    // reads the ns parquet column at µs precision, so its ORDER BY ts,
+    // event_id is (µs, event_id) — ordering by raw ns here would only agree
+    // while the data happens to be µs-aligned; this matches the oracle for
+    // sub-µs timestamps too
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .partitionBy(col("user_id"))
+      .orderBy(CriFunctions.nanosToMicros(col("ts")), col("event_id"))
     Tables.events(spark, dir)
       .withColumn("time_us", CriFunctions.nanosToMicros(col("ts")))
       .withColumn("gap_us", col("time_us") - lag(col("time_us"), 1).over(w))
@@ -170,10 +173,12 @@ object LogParityQueries {
     * >30 min gap; per-user session counts (lag window + conditional sum).
     */
   def sessionization(spark: SparkSession, dir: String): DataFrame = {
-    // same ns-ordered window as the oracle; the gap stays in the µs domain so
-    // the >30 min threshold test sees the exact values DuckDB computes
+    // µs-truncated window order (see interArrival): matches the oracle's
+    // effective (µs, event_id) ordering even for sub-µs data; the gap stays
+    // in the µs domain so the >30 min threshold sees DuckDB's exact values
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .partitionBy(col("user_id"))
+      .orderBy(CriFunctions.nanosToMicros(col("ts")), col("event_id"))
     Tables.events(spark, dir)
       .withColumn("time_us", CriFunctions.nanosToMicros(col("ts")))
       .withColumn("gap_us", col("time_us") - lag(col("time_us"), 1).over(w))
@@ -214,8 +219,11 @@ object LogParityQueries {
     * unbounded preceding to current row; integer outputs → exact compare).
     */
   def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    // µs-truncated window order (see interArrival) for oracle-identical
+    // row pairing under sub-µs timestamps
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .partitionBy(col("user_id"))
+      .orderBy(CriFunctions.nanosToMicros(col("ts")), col("event_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     Tables.events(spark, dir)
       .withColumn("running_n", count(lit(1)).over(w))

@@ -53,6 +53,50 @@ class IntrospectCompactionSpec extends SparkSpec {
       df.agg(sum(crc32($"message".cast("binary")))).head)
   }
 
+  test("compaction keeps the live root and every partition visible to concurrent readers") {
+    val root = Files.createTempDirectory("graft-compact3").resolve("store").toString
+    val parts = Seq("cluster", "namespace", "date")
+    val df = Tables.events(spark, sf)
+      .select(
+        graft.logs.CriFunctions.nanosToTimestamp($"ts").as("time"),
+        $"ts".as("time_ns"), lit("stdout").as("stream"), lit("F").as("logtag"),
+        $"props".as("message"), lit("dev").as("cluster"),
+        lit("ns0").as("namespace"), lit("n1").as("node"),
+        lit("p1").as("pod"), lit("app").as("container"))
+      .withColumn("date", date_format($"time", "yyyy-MM-dd"))
+      .withColumn("hour", date_format($"time", "HH"))
+    df.repartition(8).write.partitionBy(parts: _*)
+      .option("maxRecordsPerFile", 10).mode("overwrite").parquet(root)
+    val dateDirs = new java.io.File(s"$root/cluster=dev/namespace=ns0").list()
+      .filter(_.startsWith("date=")).toSet
+    assert(dateDirs.size > 10)
+    // Poll while compaction runs: the root must exist at EVERY sample (the
+    // old root-rename swap left it absent for the whole rewrite); the date
+    // partition set must be complete at every sample too, with one 50 ms
+    // recheck allowed for the ms-scale per-partition rename inside job commit.
+    @volatile var stop = false
+    val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reader = new Thread(() => {
+      while (!stop) {
+        if (!new java.io.File(root).exists()) violations.add("live root missing")
+        val ns = new java.io.File(s"$root/cluster=dev/namespace=ns0")
+        def seen = Option(ns.list()).map(_.filter(_.startsWith("date=")).toSet)
+          .getOrElse(Set.empty[String])
+        if (seen != dateDirs) {
+          Thread.sleep(50)
+          if (seen != dateDirs)
+            violations.add(s"partitions missing: ${(dateDirs -- seen).mkString(",")}")
+        }
+        Thread.sleep(5)
+      }
+    })
+    reader.start()
+    try Compaction.compactHive(spark, root, partitionCols = parts)
+    finally { stop = true; reader.join() }
+    assert(violations.isEmpty, s"concurrent reader saw: ${violations.toArray.mkString("; ")}")
+    assert(spark.read.parquet(root).count() == df.count())
+  }
+
   test("compaction refuses a streaming store unless conversion is requested") {
     val root = Files.createTempDirectory("graft-compact2").resolve("store").toString
     val parts = Seq("cluster", "date")
