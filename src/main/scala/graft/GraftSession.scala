@@ -38,12 +38,34 @@ object GraftSession {
     * `s3a://bucket/...` roots work in every reader/writer once this is set.
     */
   def configureS3a(spark: SparkSession, endpoint: String, accessKey: String,
-      secretKey: String, pathStyleAccess: Boolean = true): SparkSession = {
+      secretKey: String, pathStyleAccess: Boolean = true,
+      region: Option[String] = None, sslEnabled: Boolean = true): SparkSession = {
     val hc = spark.sparkContext.hadoopConfiguration
     hc.set("fs.s3a.endpoint", endpoint)
     hc.set("fs.s3a.access.key", accessKey)
     hc.set("fs.s3a.secret.key", secretKey)
     hc.set("fs.s3a.path.style.access", pathStyleAccess.toString)
+    hc.set("fs.s3a.connection.ssl.enabled", sslEnabled.toString)
+    region.foreach(hc.set("fs.s3a.endpoint.region", _))
+    spark
+  }
+
+  /** Env-driven S3 wiring, mirroring the reference deployment's variables
+    * (reference test.sh:40-44 / y-logcli:145-152: endpoint, keys, region,
+    * ssl off, path-style URLs for the gateway). No-op when `S3_ENDPOINT` is
+    * unset, so local runs are untouched; called from [[local]] so every CLI
+    * and main picks the store up without code changes.
+    */
+  def configureS3aFromEnv(spark: SparkSession,
+      env: Map[String, String] = sys.env): SparkSession = {
+    env.get("S3_ENDPOINT").foreach { ep =>
+      configureS3a(spark, ep,
+        accessKey = env.getOrElse("S3_ACCESS_KEY", ""),
+        secretKey = env.getOrElse("S3_SECRET_KEY", ""),
+        pathStyleAccess = env.get("S3_URL_STYLE").forall(_ == "path"),
+        region = env.get("S3_REGION"),
+        sslEnabled = env.get("S3_USE_SSL").forall(_.toBoolean))
+    }
     spark
   }
 
@@ -59,6 +81,6 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    configure(spark)
+    configureS3aFromEnv(configure(spark))
   }
 }

@@ -24,7 +24,8 @@ object LogCli {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty && args.head == "query",
       "usage: query '{selector}' --root=DIR [--context=cluster] [--since=5m] " +
-        "[-o table|raw|lines|columns|json] [-f parquet|arrow|both] [--layout=positional|hive]")
+        "[--limit=N] [-o table|raw|lines|columns|json] [-f parquet|arrow|both] " +
+        "[--layout=positional|hive]")
     var selector = LogSelector.empty
     var since: Option[Long] = None
     var output: LogOutput = LogOutput.Table
@@ -32,6 +33,7 @@ object LogCli {
     var format: LogFormat = LogFormat.Parquet
     var root: Option[String] = None
     var context: Option[String] = None
+    var limit: Option[Int] = None
     var i = 1
     while (i < args.length) {
       args(i) match {
@@ -39,6 +41,7 @@ object LogCli {
         case s if s.startsWith("--since=") => since = Some(SinceDuration.parseSeconds(s.drop(8)))
         case s if s.startsWith("--root=") => root = Some(s.drop(7))
         case s if s.startsWith("--context=") => context = Some(s.drop(10))
+        case s if s.startsWith("--limit=") => limit = Some(s.drop(8).toInt)
         case s if s.startsWith("--layout=") =>
           layout = if (s.drop(9) == "hive") LogLayout.Hive else LogLayout.Positional
         case "-o" => i += 1; output = LogOutput.parse(args(i))
@@ -54,26 +57,34 @@ object LogCli {
     }
     val spark = GraftSession.local("graft-logcli")
     try {
-      val df = LogQuery(selector, since, output, layout, format).dataFrame(spark, root.get)
+      val df0 = LogQuery(selector, since, output, layout, format).dataFrame(spark, root.get)
+      // --limit becomes a plan-level limit (TakeOrdered over the time sort),
+      // not a render-side truncation
+      val df = limit.fold(df0)(df0.limit)
       render(df, output)
       // plan echo ≙ reference's SQL echo (y-logcli:277-279)
       System.err.println(df.queryExecution.executedPlan.toString())
     } finally spark.stop()
   }
 
+  /** Streams rows through `toLocalIterator` (one partition in driver memory
+    * at a time, order preserved) — a selector-less `-o raw` over a large
+    * store behaves like `kubectl logs`, it does not `collect()` the result.
+    */
   def render(df: DataFrame, output: LogOutput): Unit = output match {
     case LogOutput.Raw =>
-      df.select("message").collect().foreach(r => println(r.getString(0)))
+      df.select("message").toLocalIterator().forEachRemaining(r => println(r.getString(0)))
     case LogOutput.Json =>
       // Spark's JSON writer handles escaping/unicode; time_ns is dropped like
       // the other modes (time_iso carries the lossless ns rendering)
-      df.drop("time_ns").toJSON.collect().foreach(println)
+      df.drop("time_ns").toJSON.toLocalIterator().forEachRemaining(println)
     case LogOutput.Columns =>
-      df.drop("time_ns").collect()
-        .foreach(r => println(r.toSeq.map(String.valueOf).mkString(" ")))
+      df.drop("time_ns").toLocalIterator()
+        .forEachRemaining(r => println(r.toSeq.map(String.valueOf).mkString(" ")))
     case LogOutput.Lines =>
-      val cols = df.drop("time_ns").columns
-      df.drop("time_ns").collect().foreach { r =>
+      val shown = df.drop("time_ns")
+      val cols = shown.columns
+      shown.toLocalIterator().forEachRemaining { r =>
         cols.zip(r.toSeq).foreach { case (k, v) => println(s"$k = $v") }
         println()
       }

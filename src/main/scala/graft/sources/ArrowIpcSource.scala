@@ -45,6 +45,18 @@ class ArrowIpcSource extends TableProvider with DataSourceRegister {
     val files = ArrowIpcSource.listFiles(paths(options))
     require(files.nonEmpty, s"no .arrow files under ${paths(options).mkString(",")}")
     val base = ArrowIpcSource.readSchema(files.head)
+    // Mixed-directory guard: the head file's schema speaks for the glob, so
+    // verify the rest agree. Footer reads are driver-side — bounded here
+    // (schemaCheckFiles, default 32) for huge globs; EVERY file is still
+    // verified at read time by the partition reader, so a mismatch past the
+    // bound fails with a clear error rather than silent misreads.
+    val checkN = Option(options.get("schemaCheckFiles")).map(_.toInt).getOrElse(32)
+    files.tail.take(math.max(0, checkN - 1)).foreach { f =>
+      val s = ArrowIpcSource.readSchema(f)
+      require(s == base,
+        s"arrow-ipc schema mismatch under ${paths(options).mkString(",")}: $f reads as " +
+          s"${s.simpleString} but ${files.head} (schema source) reads as ${base.simpleString}")
+    }
     // opt-in hidden-ish file path column (the positional layout carries label
     // columns in the path — SURVEY §1.3)
     if (options.getBoolean("withFilePath", false))
@@ -88,7 +100,7 @@ object ArrowIpcSource {
     }
   }
 
-  private def sparkType(f: org.apache.arrow.vector.types.pojo.Field): DataType = {
+  private[sources] def sparkType(f: org.apache.arrow.vector.types.pojo.Field): DataType = {
     import org.apache.arrow.vector.types.pojo.ArrowType
     // dictionary-encoded fields carry the INDEX type in the schema message;
     // readers surface the VALUE domain (strings here and in the reference's
@@ -166,14 +178,15 @@ class ArrowIpcScan(schema: StructType, files: Seq[String]) extends Scan with Bat
       // captured on the DRIVER at plan time: executors have no active session
       new org.apache.spark.util.SerializableConfiguration(
         SparkSession.active.sparkContext.hadoopConfiguration),
-      // data columns the pruned schema still needs, in schema order
-      schema.fields.map(_.name).filterNot(_ == ArrowIpcSource.FilePathColumn).toSeq)
+      // data columns the pruned schema still needs, in schema order (with
+      // types, so the reader can reject a mixed-schema file it was handed)
+      StructType(schema.fields.filterNot(_.name == ArrowIpcSource.FilePathColumn)))
   }
 }
 
 class ArrowIpcReaderFactory(withFilePath: Boolean,
     conf: org.apache.spark.util.SerializableConfiguration,
-    required: Seq[String]) extends PartitionReaderFactory {
+    required: StructType) extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = true
   override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
     throw new UnsupportedOperationException("columnar only")
@@ -188,7 +201,7 @@ class ArrowIpcReaderFactory(withFilePath: Boolean,
   */
 class ArrowIpcColumnarReader(file: String, withFilePath: Boolean,
     conf: org.apache.spark.util.SerializableConfiguration,
-    required: Option[Seq[String]] = None)
+    required: Option[StructType] = None)
     extends PartitionReader[ColumnarBatch] {
   private val alloc = new RootAllocator()
   private val reader = {
@@ -213,8 +226,21 @@ class ArrowIpcColumnarReader(file: String, withFilePath: Boolean,
     closeDecoded()
     if (!reader.loadNextBatch()) return false
     val root = reader.getVectorSchemaRoot
+    // per-file schema guard: the plan's schema came from the glob's head
+    // file — a mixed-schema directory must fail loudly here, not misread
     val selected = required match {
-      case Some(names) => names.map(n => root.getVector(n)).toArray
+      case Some(fields) => fields.fields.map { f =>
+        val v = root.getVector(f.name)
+        if (v == null) throw new IllegalStateException(
+          s"arrow-ipc schema mismatch: $file has no column '${f.name}' " +
+            s"(file columns: ${root.getSchema.getFields.toArray.map { case g: org.apache.arrow.vector.types.pojo.Field => g.getName }.mkString(", ")}); " +
+            "mixed-schema directory?")
+        val got = ArrowIpcSource.sparkType(v.getField)
+        if (got != f.dataType) throw new IllegalStateException(
+          s"arrow-ipc schema mismatch: $file column '${f.name}' reads as $got, " +
+            s"plan expects ${f.dataType}; mixed-schema directory?")
+        v
+      }
       case None => root.getFieldVectors.toArray
     }
     val dataCols: Array[ColumnVector] = selected.map {

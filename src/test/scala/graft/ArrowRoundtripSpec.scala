@@ -109,6 +109,30 @@ class ArrowRoundtripSpec extends SparkSpec {
     assert(got(1).isNullAt(0) && got(1).isNullAt(1) && got(1).isNullAt(2) && got(1).isNullAt(3))
   }
 
+  test("mixed-schema directory raises a clear error (driver check and read-time guard)") {
+    import org.apache.spark.sql.Row
+    val dir = work.resolve("mixed")
+    Files.createDirectories(dir)
+    ArrowLogWriter.writeFile(Seq(
+      Row("dev", "ns", "n1", "p1", "app", null, 1705314645123456789L, "stdout", "F", "m")),
+      dir.resolve("a_log.arrow").toFile)
+    // the reference-compact fixture has a different schema (time/stream/logtag/message)
+    Files.copy(java.nio.file.Paths.get(getClass.getResource("/reference-compact.arrow").getPath),
+      dir.resolve("b_ref.arrow"))
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format(classOf[ArrowIpcSource].getName).load(dir.toString).schema
+    }
+    assert(e.getMessage.contains("schema mismatch"), e.getMessage)
+    // with the driver check bounded below the file count, the partition
+    // reader must still refuse the mismatched file at execution time
+    val lazyRead = spark.read.format(classOf[ArrowIpcSource].getName)
+      .option("schemaCheckFiles", "1").load(dir.toString)
+    val ex = intercept[Exception] { lazyRead.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("schema mismatch")), messages(ex).mkString(" | "))
+  }
+
   test("selector pruning works on the arrow tree") {
     val none = LogQuery(LogSelector.parse("""{namespace="nope"}"""),
       output = LogOutput.Raw, format = LogFormat.Arrow).dataFrame(spark, store)

@@ -62,6 +62,47 @@ class CloseWriteSpec extends SparkSpec {
     assert(closed.queryExecution.analyzed.toString.contains("FlatMapGroupsWithState"))
   }
 
+  test("finalize consumes PodClosed events: closed stream compacted, open stream untouched") {
+    val work = Files.createTempDirectory("graft-finalize")
+    val podsRoot = work.resolve("varlog/pods")
+    for (pod <- Seq("web-1", "web-2")) {
+      val d = podsRoot.resolve(s"ns1_${pod}_u$pod/app")
+      Files.createDirectories(d)
+      Files.writeString(d.resolve("0.log"),
+        s"""2024-01-15T10:30:45.000000001Z stdout F $pod line one
+           |2024-01-15T10:30:46.000000002Z stdout F $pod line two
+           |""".stripMargin)
+    }
+    val ingested = graft.logs.LogIngest.readCri(spark,
+      podsRoot.toString + "/*/*/*.log", clusterName = "dev", nodeName = "n1")
+    val store = work.resolve("lake").toString
+    // two uploads → two files per stream (distinct minute dirs)
+    graft.logs.LogIngest.writePositional(ingested, store,
+      uploadTime = java.time.Instant.parse("2024-02-01T00:00:00Z"))
+    graft.logs.LogIngest.writePositional(ingested, store,
+      uploadTime = java.time.Instant.parse("2024-02-01T00:01:00Z"))
+    def filesOf(pod: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(store)).filter(f =>
+        f.getName.endsWith(".parquet") && f.getPath.contains(s"/$pod/"))
+    }
+    assert(filesOf("web-1").size == 2 && filesOf("web-2").size == 2)
+    val rowsBefore = spark.read.parquet(filesOf("web-1").map(_.getPath): _*).count()
+
+    // close event for web-1 only (what CloseWriteDetector's sink writes)
+    val closeRoot = work.resolve("close-events").toString
+    Seq(PodClosed("dev", "ns1", "web-1", "app", 4, 1L, 2L)).toDS().toDF()
+      .write.mode("append").parquet(closeRoot)
+    val finalized = graft.logs.StreamFinalize.finalizeClosed(spark, closeRoot, store)
+    assert(finalized == Seq(("dev", "ns1", "web-1", "app")))
+    assert(filesOf("web-1").size == 1, s"closed stream not compacted: ${filesOf("web-1")}")
+    assert(filesOf("web-2").size == 2, "open stream must be untouched")
+    assert(spark.read.parquet(filesOf("web-1").head.getPath).count() == rowsBefore)
+    // ledger makes re-runs no-ops
+    assert(graft.logs.StreamFinalize.finalizeClosed(spark, closeRoot, store).isEmpty)
+  }
+
   test("streaming dedup keeps first occurrence per key within watermark") {
     val work = Files.createTempDirectory("graft-sdedup")
     val in = work.resolve("in")
