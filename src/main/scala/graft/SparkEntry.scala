@@ -69,6 +69,14 @@ object SparkEntry {
     "q19_disjunctive_predicates" -> (RelationalQueries.disjunctivePredicates(_, _)),
     "q22_sales_opportunity" -> (RelationalQueries.globalSalesOpportunity(_, _)),
     "g4_cube" -> (RelationalQueries.cubeOrders(_, _)),
+    "q2_min_balance_supplier" -> (RelationalQueries.minBalanceSupplier(_, _)),
+    "q9_product_profit" -> (RelationalQueries.productProfit(_, _)),
+    "q11_important_parts" -> (RelationalQueries.importantParts(_, _)),
+    "q12_priority_lines" -> (RelationalQueries.priorityLines(_, _)),
+    "q16_supplier_cnt" -> (RelationalQueries.supplierCountByPart(_, _)),
+    "q17_small_quantity" -> (RelationalQueries.smallQuantityRevenue(_, _)),
+    "q20_potential_promotion" -> (RelationalQueries.potentialPromotion(_, _)),
+    "q21_waiting_suppliers" -> (RelationalQueries.waitingSuppliers(_, _)),
     "a3_distinct_suppliers" -> (RelationalQueries.distinctSuppliersPerBrand(_, _)),
     "u2_intersect" -> (LogParityQueries.intersectUsers(_, _)),
     "u3_except" -> (LogParityQueries.exceptUsers(_, _)),
@@ -382,6 +390,95 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q2_min_balance_supplier" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT p_type, l_suppkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |wb AS (
+        |  SELECT p_type, l_suppkey AS sk, CAST(s_acctbal AS DECIMAL(18,2)) AS bal_d
+        |  FROM pairs JOIN supplier ON l_suppkey = s_suppkey),
+        |m AS (SELECT p_type, MIN(bal_d) AS min_bal_d FROM wb GROUP BY 1),
+        |pick AS (
+        |  SELECT wb.p_type, MIN(wb.sk) AS s_suppkey, m.min_bal_d
+        |  FROM wb JOIN m ON wb.p_type = m.p_type AND wb.bal_d = m.min_bal_d
+        |  GROUP BY wb.p_type, m.min_bal_d)
+        |SELECT pick.p_type, pick.s_suppkey, s_name,
+        |  CAST(min_bal_d AS DOUBLE) AS min_bal
+        |FROM pick JOIN supplier ON pick.s_suppkey = supplier.s_suppkey
+        |ORDER BY p_type""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, strftime(o_orderdate, '%Y') AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_important_parts" ->
+      """WITH v AS (
+        |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_d
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, CAST(value_d AS DOUBLE) AS value
+        |FROM v
+        |WHERE CAST(value_d AS DOUBLE) >
+        |      (SELECT 1.2 * CAST(SUM(value_d) AS DOUBLE) / COUNT(*) FROM v)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q12_priority_lines" ->
+      """SELECT l_linestatus,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#11'
+        |  AND p_size IN (1, 5, 9, 14, 20, 27, 33, 40)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q17_small_quantity" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS avg_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#12'
+        |JOIN pa ON l_partkey = avg_partkey
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q20_potential_promotion" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1'
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH lo AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, count(*) AS numwait
+        |FROM lo l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.late
+        |  AND EXISTS (SELECT 1 FROM lo l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lo l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
     "a3_distinct_suppliers" ->
       """SELECT p_brand, count(DISTINCT l_suppkey) AS n_suppliers, count(*) AS n_lineitems
         |FROM lineitem JOIN part ON l_partkey = p_partkey

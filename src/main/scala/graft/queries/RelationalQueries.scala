@@ -368,6 +368,180 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** TPC-H Q2 shape (adapted: the testdata has no partsupp, so the
+    * part↔supplier relation is the distinct (partkey, suppkey) pairs observed
+    * in lineitem, and "min supply cost" becomes min supplier balance): for
+    * each part type, the minimum-balance supplier that ships it, lowest
+    * suppkey on ties. Scale: the argmin join-back operates on the tiny
+    * (type, supplier) aggregate, never on lineitem twice; dims broadcast.
+    */
+  def minBalanceSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_type"), col("l_suppkey")).distinct()
+    val withBal = pairs
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_type"), col("s_suppkey"), money(col("s_acctbal")).as("bal_d"))
+    val minBal = withBal.groupBy(col("p_type")).agg(min(col("bal_d")).as("min_bal_d"))
+    withBal
+      .join(broadcast(minBal.withColumnRenamed("p_type", "mt")),
+        col("p_type") === col("mt") && col("bal_d") === col("min_bal_d"))
+      .groupBy(col("p_type"), col("min_bal_d"))
+      .agg(min(col("s_suppkey")).as("s_suppkey"))
+      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
+        Seq("s_suppkey"))
+      .select(col("p_type"), col("s_suppkey"), col("s_name"),
+        col("min_bal_d").cast("double").as("min_bal"))
+      .orderBy(col("p_type"))
+  }
+
+  /** TPC-H Q9 shape (profit by supplier nation and order year for one part
+    * family; the testdata has no partsupp cost, so profit is the discounted
+    * price). Dimensions broadcast; the fact chain shuffles once on orderkey.
+    */
+  def productProfit(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).filter(col("p_name").like("red%"))
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        date_format(col("o_orderdate"), "yyyy").as("o_year"))
+      .agg(sum(discPrice).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** TPC-H Q11 shape (important stock: parts whose aggregate lineitem value
+    * exceeds a fraction of the global total). The global total is a scalar
+    * broadcast back over the tiny per-part aggregate — the full fact table is
+    * scanned exactly once.
+    */
+  def importantParts(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(money(col("l_extendedprice"))).as("value_d"))
+    // scale-free threshold (1.2× the mean per-part value): a fixed fraction
+    // of the grand total selects ~nothing once the part count grows, while a
+    // mean multiple tracks the distribution at every scale factor
+    val threshold = perPart.agg(
+      (lit(1.2) * sum(col("value_d")).cast("double") / count(lit(1))).as("thresh"))
+    perPart.join(broadcast(threshold))
+      .filter(col("value_d").cast("double") > col("thresh"))
+      .select(col("l_partkey"), col("value_d").cast("double").as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q12 shape (priority class counts per line status for one ship
+    * year; the testdata has no shipmode/commitdate, so the group key is
+    * l_linestatus and "late" semantics live in Q21). One shuffle join on
+    * orderkey, conditional counts in a single aggregate pass.
+    */
+  def priorityLines(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+
+  /** TPC-H Q16 shape: distinct supplier counts per (brand, type, size) for a
+    * size set, excluding one brand and "complaint" suppliers (negative
+    * balance stands in for the comment scan). The exclusion set is a
+    * broadcast anti join; the distinct runs as expand+aggregate.
+    */
+  def supplierCountByPart(spark: SparkSession, dir: String): DataFrame = {
+    val excluded = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+    Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_brand") =!= "Brand#11" &&
+            col("p_size").isin(1, 5, 9, 14, 20, 27, 33, 40))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q17 shape: revenue from small-quantity orders of one brand —
+    * the per-part average quantity is a correlated aggregate computed once
+    * and joined back (the per-part aggregate is tiny next to lineitem, so
+    * the join-back is cheap; AQE picks the strategy).
+    */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val perPartAvg = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("avg_partkey"))
+      .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+        .as("avg_qty"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).filter(col("p_brand") === "Brand#12")
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(perPartAvg, col("l_partkey") === col("avg_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(money(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"))
+  }
+
+  /** TPC-H Q20 shape: suppliers in one nation that shipped a meaningful
+    * volume of one part family — a nested aggregate feeding a semi join.
+    */
+  def potentialPromotion(spark: SparkSession, dir: String): DataFrame = {
+    val shippers = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir).filter(col("p_name").like("red%"))
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("ship_qty"))
+      .filter(col("ship_qty") > lit(50).cast("decimal(18,2)"))
+      .select(col("l_suppkey"))
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === "NATION_1")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(shippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q21 shape: suppliers who were the only late shipper in a finished
+    * multi-supplier order ("late" = shipped >60 days after the order date —
+    * the testdata has no commit/receipt dates). EXISTS/NOT EXISTS go through
+    * the SQL surface so Catalyst plans the semi/anti joins.
+    */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v_q21")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v_q21")
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier_v_q21")
+    spark.sql(
+      """WITH lo AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem_v_q21 JOIN orders_v_q21 ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, count(*) AS numwait
+        |FROM lo l1 JOIN supplier_v_q21 ON s_suppkey = l1.l_suppkey
+        |WHERE l1.late
+        |  AND EXISTS (SELECT 1 FROM lo l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lo l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin)
+  }
+
   /** Exact grouped COUNT(DISTINCT): suppliers per part brand. The distinct
     * runs as Spark's two-phase expand+aggregate; part is a broadcast dim.
     */
