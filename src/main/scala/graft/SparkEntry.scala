@@ -88,6 +88,7 @@ object SparkEntry {
     "d3_dedup_minhash_lsh" -> (ExtensionQueries.dedupMinhashLsh(_, _)),
     "d4_dedup_simhash" -> (ExtensionQueries.dedupSimhash(_, _)),
     "d5_dedup_embedding" -> (ExtensionQueries.dedupEmbedding(_, _)),
+    "d6_dedup_clusters" -> (ExtensionQueries.dedupClusters(_, _)),
     "t1_text_tokens" -> (ExtensionQueries.textTokens(_, _)),
     "t2_text_quality" -> (ExtensionQueries.textQuality(_, _)),
     "t3_text_langid" -> (ExtensionQueries.textLangId(_, _)),
@@ -531,6 +532,34 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    "d6_dedup_clusters" ->
+      """WITH RECURSIVE ws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                                for i in range(1, len(w) - 1)]) AS gs
+        |  FROM ws WHERE len(w) >= 3),
+        |g AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+        |sizes AS (SELECT doc_id, len(gs) AS sz FROM grams),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, dst AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+        |SELECT id AS doc_id, least(id, MIN(r)) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "t1_text_tokens" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w

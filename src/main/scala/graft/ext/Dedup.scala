@@ -158,6 +158,49 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Connected components over a near-dup pair list: every document in a
+    * pair gets `cluster_id` = the minimum doc id reachable through pairs —
+    * the canonical "keep one per duplicate cluster" step after any pairwise
+    * dedup (transitive closure: if A~B and B~C, all three share a cluster
+    * even when A~C was never scored).
+    *
+    * Algorithm: iterative min-label propagation. Each round every node takes
+    * the min of its own label and its neighbors' labels; rounds needed =
+    * component diameter, and near-dup components are shallow (a handful of
+    * hops), so this converges in a few joins. At 100 TB each round is one
+    * join + one groupBy on 8-byte ids — no driver-side graph.
+    * `localCheckpoint` cuts the growing lineage each round (the standard
+    * iterative-algorithm hygiene; without it round N replans rounds 1..N-1).
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val updated = labels.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"))
+        .localCheckpoint() // materialize: the convergence count and the next
+                           // round must see the same labels exactly once
+      converged = updated.filter(col("new_label") < col("label")).isEmpty
+      labels = updated.select(col("id"), col("new_label").as("label"))
+      i += 1
+    }
+    edges.unpersist()
+    require(converged, s"connectedComponents did not converge in $maxIter rounds " +
+      "— component diameter exceeds maxIter; raise it")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-dup pairs via random-hyperplane LSH buckets +
     * exact cosine verification (custom codegen kernel). Deterministic planes
     * derive from hashing the dimension index.

@@ -48,6 +48,15 @@ object ExtensionQueries {
       threshold = 0.45, planes = 12, bands = 6)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Duplicate clusters: connected components over the exact Jaccard pairs
+    * (DuckDB-verifiable via a recursive CTE over the same pair list).
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+        n = 3, threshold = 0.8))
+      .orderBy(col("doc_id"))
+
   /** Token + subword counts (DuckDB-verifiable integer outputs). */
   def textTokens(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

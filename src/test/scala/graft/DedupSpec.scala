@@ -27,6 +27,22 @@ class DedupSpec extends SparkSpec {
     assert(exactPairs.forall { case (a, b) => a < b })
   }
 
+  test("connected components: transitive chains collapse to the min id") {
+    // 1-2, 2-3, 3-4 chain; 10-11 pair; 20-21-22 triangle with a stray 22-23
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (22L, 23L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    // and over the real near-dup pairs: every pair's two sides share a cluster
+    val clusters = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8))
+      .as[(Long, Long)].collect().toMap
+    assert(exactPairs.forall { case (a, b) => clusters(a) == clusters(b) })
+    assert(clusters.forall { case (id, c) => c <= id })
+  }
+
   test("minhash LSH recall vs exact jaccard pairs") {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
       n = 3, numHashes = 64, bands = 16, threshold = 0.8)
