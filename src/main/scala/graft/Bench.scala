@@ -4,23 +4,30 @@ import org.apache.spark.sql.SparkSession
 import java.util.concurrent.{Executors, TimeUnit}
 
 /** Benchmark main (driver contract): runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints one JSON line.
+  * SPARK_GRAFT_SF_DIR and prints one JSON line (plus a short summary line
+  * LAST so bounded tail capture always yields a parsable total).
   *
   * Queries execute through the `noop` sink (full plan execution including
   * projections — a bare `.count()` lets Catalyst prune the work away) on a
   * small thread pool: Spark schedules concurrent jobs fairly, so short
   * queries fill the cores a long query leaves idle — the realistic
   * multi-tenant throughput shape. `value` is the wall-clock for the whole
-  * set; per-query numbers are each query's own span.
+  * set; per-query numbers are each query's own span (including pool queue
+  * time — they are throughput diagnostics, not isolated latencies).
+  *
+  * `SPARK_GRAFT_BENCH_REPEAT=2` adds a second, warm round after the cold one
+  * — its per-query map is printed as a separate `{"metric":"warm",...}` line
+  * (the headline `total` stays the cold round for cross-round comparability).
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val parallel = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARALLEL", "6").toInt
-    val spark = GraftSession.local("graft-bench")
-    // untimed warmup: session/codegen/FS init should not bill the first query
-    Tables.lineitem(spark, sfDir).count()
 
+  /** One full concurrent round. Returns (wall seconds, name → seconds with
+    * -1.0 for failed/hung, finishedCleanly). The snapshot is immutable and
+    * taken after shutdownNow, so a late-finishing task can never contradict
+    * the derived failed list.
+    */
+  private def runRound(spark: SparkSession, sfDir: String,
+      parallel: Int): (Double, Map[String, Double], Boolean) = {
     val pool = Executors.newFixedThreadPool(parallel)
     val results = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     val t0 = System.nanoTime()
@@ -46,24 +53,36 @@ object Bench {
       pool.shutdownNow() // interrupt stragglers so the snapshot below is final
     }
     val wall = (System.nanoTime() - t0) / 1e9
-
-    // One immutable snapshot drives ALL output: a task finishing after this
-    // point can no longer contradict the failed[] list. A query is failed iff
-    // it has no recorded time (hung/interrupted) or its sentinel is -1.0
-    // (threw) — both derived from the same snapshot.
     import scala.jdk.CollectionConverters._
     val snapshot: Map[String, Double] = SparkEntry.queries.keys.map { n =>
       n -> results.asScala.getOrElse(n, -1.0)
     }.toMap
-    val failedNames = snapshot.collect { case (n, t) if t == -1.0 => n }.toSeq.sorted
+    (wall, snapshot, finished)
+  }
 
-    val qs = snapshot.toSeq.sortBy(_._1)
+  private def queriesJson(snapshot: Map[String, Double]): String =
+    snapshot.toSeq.sortBy(_._1)
       .map { case (n, t) => "\"" + n + "\":" + t }.mkString("{", ",", "}")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val parallel = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARALLEL", "6").toInt
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
+    val spark = GraftSession.local("graft-bench")
+    // untimed warmup: session/codegen/FS init should not bill the first query
+    Tables.lineitem(spark, sfDir).count()
+
+    val (wall, snapshot, finished) = runRound(spark, sfDir, parallel)
+    val failedNames = snapshot.collect { case (n, t) if t == -1.0 => n }.toSeq.sorted
     val failedJson = failedNames.map(n => "\"" + n + "\"").mkString("[", ",", "]")
-    // Full line first; then a short driver-parsable summary line LAST so a
-    // bounded tail capture always sees a complete JSON object with the total
-    // (BENCH_r02 lost its head to tail truncation of the long line).
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Full line first; then (optionally) warm rounds; the short summary line
+    // goes LAST so a bounded tail capture always sees a complete JSON object
+    // with the total (BENCH_r02 lost its head to tail truncation).
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":${queriesJson(snapshot)},"failed":$failedJson,"sf":"$sfDir"}""")
+    if (finished) (2 to repeat).foreach { r =>
+      val (warmWall, warmSnap, _) = runRound(spark, sfDir, parallel)
+      println(s"""{"metric":"warm","round":$r,"value":$warmWall,"unit":"sec","queries":${queriesJson(warmSnap)},"sf":"$sfDir"}""")
+    }
     println(s"""{"metric":"total","value":$wall,"unit":"sec","failed":$failedJson,"sf":"$sfDir","n_queries":${snapshot.size}}""")
     if (!finished) sys.exit(1) // don't block on spark.stop() behind hung jobs
     spark.stop()
