@@ -98,7 +98,11 @@ object SparkEntry {
     "v2_knn_lsh" -> (ExtensionQueries.knnLsh(_, _)),
     "v3_knn_ivf" -> (ExtensionQueries.knnIvf(_, _)),
     "m1_multimodal_decode" -> (ExtensionQueries.multimodalDecode(_, _)),
-    "m2_multimodal_frames" -> (ExtensionQueries.multimodalFrames(_, _))
+    "m2_multimodal_frames" -> (ExtensionQueries.multimodalFrames(_, _)),
+    "z1_hash_sample" -> (ExtensionQueries.hashSample(_, _)),
+    "z2_train_val_split" -> (ExtensionQueries.trainValSplit(_, _)),
+    "z3_stratified_sample" -> (ExtensionQueries.stratifiedSample(_, _)),
+    "x8_range_join" -> (ExtensionQueries.rangeJoinRecent(_, _))
   )
 
   /** DuckDB-runnable oracle per hash-checkable query (same column names, same
@@ -532,6 +536,26 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    "z1_hash_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ((doc_id % 65536) * 40503) % 65536 < 6554
+        |ORDER BY doc_id""".stripMargin,
+    "z2_train_val_split" ->
+      """SELECT CASE WHEN ((doc_id % 65536) * 40503) % 65536 < 6554
+        |            THEN 'val' ELSE 'train' END AS split,
+        |  lang, count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    "z3_stratified_sample" ->
+      """SELECT source, count(*) AS n_docs FROM documents
+        |WHERE ((doc_id % 65536) * 40503) % 65536 <
+        |      CASE source WHEN 'src0' THEN 13107 WHEN 'src1' THEN 32768 ELSE 65536 END
+        |GROUP BY 1 ORDER BY source""".stripMargin,
+    "x8_range_join" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS time_us, event_type FROM events)
+        |SELECT l.event_id,
+        |  (SELECT COUNT(*) FROM e r
+        |   WHERE r.time_us > l.time_us - 60000000 AND r.time_us <= l.time_us) AS n_in_window
+        |FROM e l WHERE l.event_type = 'error' ORDER BY event_id""".stripMargin,
     "d6_dedup_clusters" ->
       """WITH RECURSIVE ws AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w

@@ -1,0 +1,50 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and split assignment for training-data pipelines.
+  *
+  * Scale design: pure map-side arithmetic on the id — no shuffle, no RNG
+  * state, bit-reproducible across runs, engines, and cluster sizes (the
+  * property `rand()` cannot give: Spark seeds it per partition, so adding an
+  * executor reshuffles the sample; a hash of the id never moves). The bucket
+  * is multiplicative (Fibonacci) hashing in a 16-bit domain, so every
+  * intermediate fits comfortably in any engine's 64-bit integer — the same
+  * expression runs verbatim in the DuckDB oracle.
+  */
+object Sampling {
+
+  /** Pseudo-random bucket in [0, 65536) derived from an integral id. */
+  def bucket(id: Column): Column = pmod(pmod(id, lit(65536L)) * lit(40503L), lit(65536L))
+
+  /** Keep ~`fraction` of rows, chosen deterministically by id. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction out of [0,1]")
+    df.filter(bucket(col(idCol)) < math.round(fraction * 65536).toInt)
+  }
+
+  /** Assign every row a stable train/val split (`valFraction` to "val"). A
+    * row's split never changes when the dataset grows — the holdout stays a
+    * holdout across pipeline re-runs.
+    */
+  def trainValSplit(df: DataFrame, idCol: String, valFraction: Double): DataFrame = {
+    require(valFraction >= 0 && valFraction <= 1, s"valFraction $valFraction out of [0,1]")
+    df.withColumn("split",
+      when(bucket(col(idCol)) < math.round(valFraction * 65536).toInt, "val")
+        .otherwise("train"))
+  }
+
+  /** Per-stratum sampling fractions (e.g. downsample web-crawled text,
+    * keep all books). Strata missing from `fractions` keep `default`.
+    * The fractions ride in a `when` chain — map-side only, no join.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      fractions: Map[String, Double], default: Double = 1.0): DataFrame = {
+    val threshold = fractions.foldLeft(lit(math.round(default * 65536).toInt)) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, math.round(f * 65536).toInt).otherwise(acc)
+    }
+    df.filter(bucket(col(idCol)) < threshold)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -159,4 +159,45 @@ object ExtensionQueries {
       .select(col("media_id"), col("kind"), col("byte_len"),
         col("width"), col("height"), col("n_frames"))
       .orderBy(col("media_id"))
+
+  /** Deterministic ~10% document sample (engine-portable hash arithmetic —
+    * the oracle runs the identical expression).
+    */
+  def hashSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.hashSample(Tables.documents(spark, dir), "doc_id", fraction = 0.1)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Stable train/val split assignment; output is the per-(split, lang)
+    * histogram so the oracle checks both the assignment and its balance.
+    */
+  def trainValSplit(spark: SparkSession, dir: String): DataFrame =
+    Sampling.trainValSplit(Tables.documents(spark, dir), "doc_id", valFraction = 0.1)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split"), col("lang"))
+
+  /** Stratified sampling: heavy downsample of one source, light of another,
+    * rest kept — per-source deterministic thresholds.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(Tables.documents(spark, dir), "doc_id", "source",
+      Map("src0" -> 0.2, "src1" -> 0.5), default = 1.0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+
+  /** Interval join: events within the preceding minute of each error event
+    * (bucketized equi-join, not a nested-loop theta join).
+    */
+  def rangeJoinRecent(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("time_us", graft.logs.CriFunctions.nanosToMicros(col("ts")))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("time_us"))
+    RangeJoin.countInWindow(errors, "event_id", "time_us",
+        ev.select(col("time_us")), "time_us", windowUs = 60000000L)
+      .select(col("event_id"), col("n_in_window"))
+      .orderBy(col("event_id"))
+  }
 }
