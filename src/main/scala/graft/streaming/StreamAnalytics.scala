@@ -44,4 +44,26 @@ object StreamAnalytics {
       .withWatermark("event_time", watermark)
       .groupBy(session_window(col("event_time"), gap), keyCol)
       .agg(count(lit(1)).as("n"))
+
+  /** Stream-stream interval join (the streaming analogue of
+    * [[graft.ext.RangeJoin]]): left rows match right rows with the same key
+    * and `r_time ∈ [l_time - before, l_time]`. Both sides carry watermarks
+    * and the join condition bounds both times, so Spark can expire join
+    * state — without the time bounds a stream-stream join retains every row
+    * forever (the state explosion this wrapper exists to prevent). The key
+    * equality keeps the join a hash join on key, never a time-only cross.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: Column, rightTime: Column,
+      before: String, watermark: String): DataFrame = {
+    require(keys.nonEmpty, "interval join requires at least one equi-key")
+    val l = left.withColumn("l_time", leftTime).withWatermark("l_time", watermark)
+    val r0 = right.withColumn("r_time", rightTime).withWatermark("r_time", watermark)
+    // rename right key columns so the join condition is unambiguous
+    val r = keys.foldLeft(r0)((df, k) => df.withColumnRenamed(k, s"r_$k"))
+    val keyCond = keys.map(k => col(k) === col(s"r_$k")).reduce(_ && _)
+    l.join(r, keyCond &&
+      col("r_time") >= col("l_time") - expr(s"INTERVAL $before") &&
+      col("r_time") <= col("l_time"))
+  }
 }

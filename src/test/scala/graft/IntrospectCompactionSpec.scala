@@ -181,6 +181,34 @@ class IntrospectCompactionSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val work = Files.createTempDirectory("graft-sjoin")
+    val lDir = work.resolve("l"); val rDir = work.resolve("r")
+    Files.createDirectories(lDir); Files.createDirectories(rDir)
+    // left rows at t=100s and 300s; right rows at 40/80/95/250/299s; with a
+    // 60s window ([l-60, l] inclusive): l=100 matches 40, 80, 95 and l=300
+    // matches 250, 299
+    def ts(s: Long) = s * 1000
+    Files.writeString(lDir.resolve("l.json"),
+      Seq(100L, 300L).map(s => s"""{"user_id":1,"lt":${ts(s)}}""").mkString("\n"))
+    Files.writeString(rDir.resolve("r.json"),
+      Seq(40L, 80L, 95L, 250L, 299L).map(s => s"""{"user_id":1,"rt":${ts(s)}}""").mkString("\n"))
+    val l = spark.readStream.schema("user_id LONG, lt LONG").json(lDir.toString)
+    val r = spark.readStream.schema("user_id LONG, rt LONG").json(rDir.toString)
+    val joined = StreamAnalytics.intervalJoin(l, r, Seq("user_id"),
+      timestamp_millis($"lt"), timestamp_millis($"rt"),
+      before = "60 SECONDS", watermark = "10 minutes")
+    val q = joined.select($"lt", $"rt").writeStream.outputMode("append")
+      .format("memory").queryName("sjoin").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sjoin").as[(Long, Long)].collect().toSet
+      val expect = Set((ts(100L), ts(40L)), (ts(100L), ts(80L)), (ts(100L), ts(95L)),
+        (ts(300L), ts(250L)), (ts(300L), ts(299L)))
+      assert(got == expect)
+    } finally q.stop()
+  }
+
   test("streaming windowed agg with watermark") {
     val work = Files.createTempDirectory("graft-streamagg")
     Tables.events(spark, sf).write.parquet(work.resolve("in").toString)

@@ -1,0 +1,45 @@
+package graft
+
+/** Plan-level scale gates: these assertions pin the PHYSICAL properties the
+  * 100 TB design depends on, so a refactor that silently degrades a plan
+  * (global sort instead of top-k, cartesian instead of equi-join, lost
+  * pushdown) fails CI rather than a production run.
+  */
+class PlanAssertSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    // default maxMetadataStringLength=100 elides PushedFilters mid-list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString()
+  }
+
+  test("top-k queries plan TakeOrderedAndProject, not a global sort") {
+    for (q <- Seq("q3_top_revenue", "q10_returned_revenue", "q18_large_orders"))
+      assert(plan(q).contains("TakeOrderedAndProject"), s"$q lost its top-k plan")
+  }
+
+  test("no query plans a cartesian product") {
+    // e2e queries build fixture stores inside dataFrame() and d6 executes its
+    // iterative loop eagerly — their plans are covered by their own specs
+    val skip = Set("e2e_log_pipeline", "e2e_log_pipeline_hive", "d6_dedup_clusters")
+    for (q <- SparkEntry.queries.keys.toSeq.sorted if !skip(q)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+
+  test("star joins broadcast their dimensions") {
+    for (q <- Seq("q5_local_volume", "q8_market_share", "q9_product_profit"))
+      assert(plan(q).contains("BroadcastHashJoin"), s"$q lost its broadcast dims")
+  }
+
+  test("predicates and projections push into the parquet scan") {
+    val p6 = plan("q6_forecast_revenue")
+    assert(p6.contains("GreaterThanOrEqual(l_shipdate"), "q6 date bound not pushed")
+    assert(p6.contains("LessThan(l_quantity"), "q6 quantity bound not pushed")
+    assert(!p6.contains("l_returnflag"), "q6 reads columns the query never touches")
+    val s6 = plan("s6_scan_filter_project")
+    assert(s6.contains("PushedFilters: [") && s6.contains("EqualTo(event_type,error)"),
+      "s6 selector predicate not pushed")
+  }
+}
