@@ -79,12 +79,14 @@ object Bench {
     // goes LAST so a bounded tail capture always sees a complete JSON object
     // with the total (BENCH_r02 lost its head to tail truncation).
     println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":${queriesJson(snapshot)},"failed":$failedJson,"sf":"$sfDir"}""")
+    var allFinished = finished
     if (finished) (2 to repeat).foreach { r =>
-      val (warmWall, warmSnap, _) = runRound(spark, sfDir, parallel)
+      val (warmWall, warmSnap, warmFinished) = runRound(spark, sfDir, parallel)
+      allFinished &= warmFinished
       println(s"""{"metric":"warm","round":$r,"value":$warmWall,"unit":"sec","queries":${queriesJson(warmSnap)},"sf":"$sfDir"}""")
     }
     println(s"""{"metric":"total","value":$wall,"unit":"sec","failed":$failedJson,"sf":"$sfDir","n_queries":${snapshot.size}}""")
-    if (!finished) sys.exit(1) // don't block on spark.stop() behind hung jobs
+    if (!allFinished) sys.exit(1) // don't block on spark.stop() behind hung jobs
     spark.stop()
   }
 }

@@ -47,6 +47,10 @@ object BenchScan {
     def time[A](f: => A): (Double, A) = {
       val t0 = System.nanoTime(); val a = f; ((System.nanoTime() - t0) / 1e9, a)
     }
+    // one untimed scan per format first: whichever format ran first would
+    // otherwise pay the shared JVM/JIT/scan-machinery warmup inside its
+    // "cold" number, biasing the comparison toward the second format
+    Seq(LogFormat.Parquet, LogFormat.Arrow).foreach(scan)
     for (fmt <- Seq(LogFormat.Parquet, LogFormat.Arrow)) {
       val (cold, n) = time(scan(fmt))
       val warms = (2 to runs).map(_ => time(scan(fmt))._1)

@@ -58,13 +58,17 @@ object GraftSession {
     */
   def configureS3aFromEnv(spark: SparkSession,
       env: Map[String, String] = sys.env): SparkSession = {
+    // lenient bool: gateway env conventions use 0/1/no/off as often as
+    // true/false, and a parse crash here would kill every entry point
+    def flag(v: String): Boolean =
+      !Set("false", "0", "no", "off").contains(v.trim.toLowerCase)
     env.get("S3_ENDPOINT").foreach { ep =>
       configureS3a(spark, ep,
         accessKey = env.getOrElse("S3_ACCESS_KEY", ""),
         secretKey = env.getOrElse("S3_SECRET_KEY", ""),
         pathStyleAccess = env.get("S3_URL_STYLE").forall(_ == "path"),
         region = env.get("S3_REGION"),
-        sslEnabled = env.get("S3_USE_SSL").forall(_.toBoolean))
+        sslEnabled = env.get("S3_USE_SSL").forall(flag))
     }
     spark
   }

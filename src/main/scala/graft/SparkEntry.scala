@@ -538,16 +538,16 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     "z1_hash_sample" ->
       """SELECT doc_id, lang, source FROM documents
-        |WHERE ((doc_id % 65536) * 40503) % 65536 < 6554
+        |WHERE ((abs(doc_id) % 65536) * 40503) % 65536 < 6554
         |ORDER BY doc_id""".stripMargin,
     "z2_train_val_split" ->
-      """SELECT CASE WHEN ((doc_id % 65536) * 40503) % 65536 < 6554
+      """SELECT CASE WHEN ((abs(doc_id) % 65536) * 40503) % 65536 < 6554
         |            THEN 'val' ELSE 'train' END AS split,
         |  lang, count(*) AS n_docs
         |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
     "z3_stratified_sample" ->
       """SELECT source, count(*) AS n_docs FROM documents
-        |WHERE ((doc_id % 65536) * 40503) % 65536 <
+        |WHERE ((abs(doc_id) % 65536) * 40503) % 65536 <
         |      CASE source WHEN 'src0' THEN 13107 WHEN 'src1' THEN 32768 ELSE 65536 END
         |GROUP BY 1 ORDER BY source""".stripMargin,
     "x8_range_join" ->

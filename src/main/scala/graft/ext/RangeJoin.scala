@@ -22,21 +22,23 @@ object RangeJoin {
 
   /** For each left row: the count of right rows with
     * `rightTs ∈ (leftTs - windowUs, leftTs]` (µs domain). Left rows with no
-    * matches surface with 0 — the left side is never dropped.
+    * matches surface with 0 — the left side is never dropped. Counts are
+    * keyed by (id, ts), so duplicate ids (or fully duplicated rows) each
+    * receive their own window's count, never a sum across duplicates.
     */
   def countInWindow(left: DataFrame, leftId: String, leftTs: String,
       right: DataFrame, rightTs: String, windowUs: Long): DataFrame = {
     require(windowUs > 0, "windowUs must be positive")
     val lb = CriFunctions.longDiv(col(leftTs), windowUs)
-    val probes = left.select(col(leftId), col(leftTs))
+    val probes = left.select(col(leftId), col(leftTs)).distinct()
       .withColumn("pb", explode(array(lb, lb - 1)))
     val r = right.select(col(rightTs).as("rt"))
       .withColumn("rb", CriFunctions.longDiv(col("rt"), windowUs))
     val counts = probes.join(r, col("pb") === col("rb"))
       .filter(col("rt") > col(leftTs) - windowUs && col("rt") <= col(leftTs))
-      .groupBy(col(leftId)).agg(count(lit(1)).as("n_in_window"))
+      .groupBy(col(leftId), col(leftTs)).agg(count(lit(1)).as("n_in_window"))
     left.select(col(leftId), col(leftTs))
-      .join(counts, Seq(leftId), "left")
+      .join(counts, Seq(leftId, leftTs), "left")
       .withColumn("n_in_window", coalesce(col("n_in_window"), lit(0L)))
   }
 }

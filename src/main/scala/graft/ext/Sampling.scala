@@ -15,8 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Pseudo-random bucket in [0, 65536) derived from an integral id. */
-  def bucket(id: Column): Column = pmod(pmod(id, lit(65536L)) * lit(40503L), lit(65536L))
+  /** Pseudo-random bucket in [0, 65536) derived from an integral id. `abs`
+    * first: Spark's `pmod` is non-negative but plain SQL `%` is
+    * sign-preserving, so without it a negative id (e.g. an xxhash64-derived
+    * one) would bucket differently in this engine than in the oracle's
+    * arithmetic. (Long.MinValue is the one id abs cannot normalize.)
+    */
+  def bucket(id: Column): Column =
+    pmod(pmod(abs(id), lit(65536L)) * lit(40503L), lit(65536L))
 
   /** Keep ~`fraction` of rows, chosen deterministically by id. */
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {

@@ -2,7 +2,7 @@ package graft.logs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Consumer for the close-write events produced by
   * [[graft.streaming.CloseWriteDetector]] (K5): in the reference, the
@@ -16,11 +16,17 @@ import org.apache.hadoop.fs.Path
   * Scale design: each closed stream is bounded by one container lifetime of
   * logs, so per-stream compaction is a small independent job; open streams
   * are never touched (their directories are not globbed). A processed-event
-  * ledger under `<closeEventsRoot>/_finalized` makes the job idempotent —
-  * re-runs and crashes re-converge. During the swap a concurrent reader can
-  * transiently see the compacted file alongside not-yet-deleted originals
-  * (at-least-once visibility, the same guarantee the reference's compact
-  * stage gives); it never sees an empty stream.
+  * ledger under `<closeEventsRoot>/_finalized` makes the job idempotent.
+  *
+  * Crash safety: the swap follows a plan-file protocol. The compacted files
+  * are verified complete, then a `_PLAN` (dest dir + original paths) is
+  * persisted BEFORE any rename or delete; recovery finishes an interrupted
+  * plan (rename remaining compacted files in, delete the listed originals)
+  * instead of rebuilding from a possibly half-deleted original set — the
+  * rebuild path would bake duplicate or missing rows into the store.
+  * Readers can transiently see compacted files alongside not-yet-deleted
+  * originals mid-swap (at-least-once visibility, like the reference's
+  * compact stage); they never see an empty stream.
   */
 object StreamFinalize {
 
@@ -46,7 +52,7 @@ object StreamFinalize {
     pending.foreach { case (cluster, ns, pod, container) =>
       compactPositionalStream(spark, storeRoot, cluster, ns, pod, container, maxRecordsPerFile)
       // ledger append AFTER the stream is compacted: a crash in between just
-      // re-compacts (idempotent), never skips
+      // re-compacts (idempotent via the plan protocol), never skips
       import spark.implicits._
       Seq((cluster, ns, pod, container)).toDF(streamKey: _*)
         .coalesce(1).write.mode("append").parquet(ledgerPath)
@@ -59,19 +65,27 @@ object StreamFinalize {
     * into files capped at `maxRecordsPerFile`, placed in the stream's latest
     * minute directory (the path time is upload time, never queried —
     * y-logcli:166 filters on the time column). Returns the number of small
-    * files replaced; 0 or 1 existing files are left as-is.
+    * files replaced; 0 or 1 remaining originals are left as-is. Output files
+    * are named `compact-*` and excluded from later recompaction input.
     */
   def compactPositionalStream(spark: SparkSession, root: String, cluster: String,
       ns: String, pod: String, container: String,
       maxRecordsPerFile: Long = 4000000L): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(root).getFileSystem(conf)
+    val scratch = new Path(s"${root.stripSuffix("/")}/.finalize-$cluster-$ns-$pod-$container")
+    val planFile = new Path(scratch, "_PLAN")
+    // finish an interrupted previous attempt BEFORE looking at the files:
+    // its plan is the only authority on which originals its compacted output
+    // already covers
+    if (fs.exists(planFile)) { finishPlan(fs, scratch, planFile); return 0 }
+    if (fs.exists(scratch)) fs.delete(scratch, true) // died before plan: rebuild is safe
     val glob = new Path(s"${root.stripSuffix("/")}/$cluster/$ns/*/*/*/*/$pod/$container/*/*/*.parquet")
     val files = Option(fs.globStatus(glob)).map(_.toSeq).getOrElse(Seq.empty).map(_.getPath)
+      .filterNot(_.getName.startsWith("compact-"))
     if (files.size <= 1) return 0
     val df = spark.read.parquet(files.map(_.toString): _*)
-    val scratch = new Path(s"${root.stripSuffix("/")}/.finalize-$cluster-$ns-$pod-$container")
-    fs.delete(scratch, true)
+    val expected = df.count()
     // one writer task: the stream is one container's bounded lifetime;
     // maxRecordsPerFile still splits a genuinely large stream into several
     // scan-sized files
@@ -79,15 +93,51 @@ object StreamFinalize {
       .sortWithinPartitions(col("time_ns"))
       .write.option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite").parquet(scratch.toString)
-    val destDir = new Path(files.map(_.getParent.toString).max)
-    fs.listStatus(scratch).filter(_.getPath.getName.endsWith(".parquet"))
-      .zipWithIndex.foreach { case (st, i) =>
-        require(fs.rename(st.getPath,
-          new Path(destDir, s"compact-$i-${java.util.UUID.randomUUID()}.parquet")),
-          s"rename of compacted file into $destDir failed")
-      }
-    files.foreach(f => fs.delete(f, false))
-    fs.delete(scratch, true)
+    val written = spark.read.parquet(scratch.toString).count()
+    require(written == expected,
+      s"stream compaction wrote $written rows, expected $expected; originals untouched")
+    val destDir = files.map(_.getParent.toString).max
+    // the plan persists dest + originals BEFORE any mutation of the store;
+    // from here on, crash recovery replays this plan to completion
+    writePlan(fs, planFile, destDir, files)
+    finishPlan(fs, scratch, planFile)
     files.size
+  }
+
+  /** Complete a persisted plan: move remaining compacted files from scratch
+    * into the destination, delete the originals the plan lists, drop the
+    * scratch dir. Every step is idempotent, so recovery can re-run it.
+    */
+  private def finishPlan(fs: FileSystem, scratch: Path, planFile: Path): Unit = {
+    val (destDir, originals) = readPlan(fs, planFile)
+    fs.mkdirs(new Path(destDir))
+    fs.listStatus(scratch)
+      .filter(st => st.getPath.getName.endsWith(".parquet"))
+      .foreach { st =>
+        // deterministic target name: on stores where rename is copy+delete
+        // (S3A) a crash can leave the file at BOTH ends — drop the scratch
+        // copy instead of failing on the existing destination
+        val dest = new Path(destDir, s"compact-${st.getPath.getName.stripPrefix("part-")}")
+        if (fs.exists(dest)) fs.delete(st.getPath, false)
+        else require(fs.rename(st.getPath, dest),
+          s"rename of compacted file ${st.getPath} into $destDir failed")
+      }
+    originals.foreach(o => fs.delete(new Path(o), false))
+    fs.delete(scratch, true)
+  }
+
+  private def writePlan(fs: FileSystem, planFile: Path, destDir: String,
+      originals: Seq[Path]): Unit = {
+    val out = fs.create(planFile, true)
+    try out.write((destDir +: originals.map(_.toString)).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readPlan(fs: FileSystem, planFile: Path): (String, Seq[String]) = {
+    val in = fs.open(planFile)
+    val lines =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").split("\n").toSeq
+      finally in.close()
+    (lines.head, lines.tail.filter(_.nonEmpty))
   }
 }

@@ -51,9 +51,12 @@ class ArrowIpcSource extends TableProvider with DataSourceRegister {
     // verified at read time by the partition reader, so a mismatch past the
     // bound fails with a clear error rather than silent misreads.
     val checkN = Option(options.get("schemaCheckFiles")).map(_.toInt).getOrElse(32)
+    // compare names+types, not nullability: writers legitimately mark a
+    // column non-nullable when their chunk happens to contain no nulls
+    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
     files.tail.take(math.max(0, checkN - 1)).foreach { f =>
       val s = ArrowIpcSource.readSchema(f)
-      require(s == base,
+      require(shape(s) == shape(base),
         s"arrow-ipc schema mismatch under ${paths(options).mkString(",")}: $f reads as " +
           s"${s.simpleString} but ${files.head} (schema source) reads as ${base.simpleString}")
     }

@@ -103,6 +103,42 @@ class CloseWriteSpec extends SparkSpec {
     assert(graft.logs.StreamFinalize.finalizeClosed(spark, closeRoot, store).isEmpty)
   }
 
+  test("finalize recovery completes an interrupted plan without duplicating rows") {
+    val work = Files.createTempDirectory("graft-finalize2")
+    val store = work.resolve("lake")
+    // two original files for one closed stream
+    val streamDir = store.resolve("dev/ns1/2024/02/01/n1/web-9/app/00")
+    val rows = (1L to 10L).map(i => (i * 1000L, i, "stdout", "F", s"line-$i"))
+      .toDF("time_us", "time_ns", "stream", "logtag", "message")
+    rows.filter($"time_ns" <= 5).coalesce(1).write.parquet(streamDir.resolve("00").toString)
+    rows.filter($"time_ns" > 5).coalesce(1).write.parquet(streamDir.resolve("01").toString)
+    def originals = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(store.toFile).filter(_.getName.endsWith(".parquet"))
+    }
+    val origFiles = originals.filterNot(_.getName.startsWith("compact-"))
+    assert(origFiles.size == 2)
+    // simulate the crash window: compacted output + _PLAN persisted, but no
+    // rename/delete happened yet
+    val scratch = store.resolve(".finalize-dev-ns1-web-9-app")
+    spark.read.parquet(origFiles.map(_.getPath): _*)
+      .coalesce(1).write.parquet(scratch.toString)
+    val destDir = streamDir.resolve("01").toString
+    Files.writeString(scratch.resolve("_PLAN"),
+      (destDir +: origFiles.map(_.getPath)).mkString("\n"))
+    graft.logs.StreamFinalize.compactPositionalStream(spark, store.toString,
+      "dev", "ns1", "web-9", "app")
+    val after = originals
+    assert(after.forall(_.getName.startsWith("compact-")), s"originals must be gone: $after")
+    assert(spark.read.parquet(after.map(_.getPath): _*).count() == 10,
+      "recovery must neither lose nor duplicate rows")
+    assert(!scratch.toFile.exists)
+    // a second run over the finished state is a no-op (compact files excluded)
+    assert(graft.logs.StreamFinalize.compactPositionalStream(spark, store.toString,
+      "dev", "ns1", "web-9", "app") == 0)
+  }
+
   test("streaming dedup keeps first occurrence per key within watermark") {
     val work = Files.createTempDirectory("graft-sdedup")
     val in = work.resolve("in")

@@ -97,6 +97,38 @@ class IntrospectCompactionSpec extends SparkSpec {
     assert(spark.read.parquet(root).count() == df.count())
   }
 
+  test("compaction recovers a partition lost mid-commit from the staging tree") {
+    val root = Files.createTempDirectory("graft-compact4").resolve("store").toString
+    val parts = Seq("cluster", "namespace", "date")
+    val df = Tables.events(spark, sf)
+      .select(
+        graft.logs.CriFunctions.nanosToTimestamp($"ts").as("time"),
+        $"ts".as("time_ns"), lit("stdout").as("stream"), lit("F").as("logtag"),
+        $"props".as("message"), lit("dev").as("cluster"),
+        lit("ns0").as("namespace"), lit("n1").as("node"),
+        lit("p1").as("pod"), lit("app").as("container"))
+      .withColumn("date", date_format($"time", "yyyy-MM-dd"))
+      .withColumn("hour", date_format($"time", "HH"))
+    df.repartition(4).write.partitionBy(parts: _*).mode("overwrite").parquet(root)
+    val expected = spark.read.parquet(root).count()
+    // simulate a crash inside the swap's job commit: staging fully written
+    // and the marker persisted, but one live partition is gone (deleted but
+    // its replacement never renamed in)
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    spark.read.parquet(root).repartition(parts.map(col): _*)
+      .write.partitionBy(parts: _*).mode("overwrite").parquet(root + ".compact-staging")
+    Files.writeString(java.nio.file.Paths.get(root + ".compact-inflight"),
+      expected.toString)
+    val lost = new java.io.File(s"$root/cluster=dev/namespace=ns0").listFiles()
+      .filter(_.getName.startsWith("date=")).head
+    org.apache.commons.io.FileUtils.deleteDirectory(lost)
+    assert(spark.read.parquet(root).count() < expected) // the partition IS lost
+    Compaction.compactHive(spark, root, partitionCols = parts)
+    assert(spark.read.parquet(root).count() == expected, "recovery must restore the lost partition")
+    assert(!new java.io.File(root + ".compact-inflight").exists)
+    assert(!new java.io.File(root + ".compact-staging").exists)
+  }
+
   test("compaction refuses a streaming store unless conversion is requested") {
     val root = Files.createTempDirectory("graft-compact2").resolve("store").toString
     val parts = Seq("cluster", "date")
