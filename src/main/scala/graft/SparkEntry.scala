@@ -102,6 +102,9 @@ object SparkEntry {
     "z1_hash_sample" -> (ExtensionQueries.hashSample(_, _)),
     "z2_train_val_split" -> (ExtensionQueries.trainValSplit(_, _)),
     "z3_stratified_sample" -> (ExtensionQueries.stratifiedSample(_, _)),
+    "z4_pack_bins" -> (ExtensionQueries.packBins(_, _)),
+    "t6_repetition_filter" -> (ExtensionQueries.repetitionFilter(_, _)),
+    "d7_decontamination" -> (ExtensionQueries.decontamination(_, _)),
     "x8_range_join" -> (ExtensionQueries.rangeJoinRecent(_, _))
   )
 
@@ -550,6 +553,41 @@ object SparkEntry {
         |WHERE ((abs(doc_id) % 65536) * 40503) % 65536 <
         |      CASE source WHEN 'src0' THEN 13107 WHEN 'src1' THEN 32768 ELSE 65536 END
         |GROUP BY 1 ORDER BY source""".stripMargin,
+    "z4_pack_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT source, cum_before // 2000 AS bin_id, count(*) AS n_docs,
+        |  SUM(n_tokens) AS bin_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY source, bin_id""".stripMargin,
+    "t6_repetition_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+        |  FROM documents),
+        |b AS (SELECT doc_id, [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bi FROM t)
+        |SELECT doc_id, CAST(len(bi) AS BIGINT) AS n_bigrams,
+        |  CAST(len(list_distinct(bi)) AS BIGINT) AS n_distinct,
+        |  CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE) / len(bi) AS dup_frac
+        |FROM b WHERE len(bi) > 0 ORDER BY doc_id""".stripMargin,
+    "d7_decontamination" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                                for i in range(1, len(w) - 1)]) AS gs
+        |  FROM ws WHERE len(w) >= 3),
+        |g AS (SELECT doc_id, unnest(gs) AS gram FROM grams)
+        |SELECT DISTINCT c.doc_id FROM g c
+        |WHERE c.doc_id >= 20
+        |  AND EXISTS (SELECT 1 FROM g b WHERE b.doc_id < 20 AND b.gram = c.gram)
+        |ORDER BY doc_id""".stripMargin,
     "x8_range_join" ->
       """WITH e AS (SELECT event_id, epoch_us(ts) AS time_us, event_type FROM events)
         |SELECT l.event_id,

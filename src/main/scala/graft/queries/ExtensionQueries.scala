@@ -187,6 +187,63 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("source"))
 
+  /** Repetition-based quality filter (the gopher-style duplicate-n-gram
+    * fraction): docs whose bigram stream repeats itself are boilerplate.
+    * Integer counts + one IEEE division → bit-identical to the oracle.
+    * Map-side only — no shuffle.
+    */
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    // bigrams as token-joined strings (the oracle builds the same list)
+    val bigrams = expr(
+      "transform(slice(_toks, 1, greatest(size(_toks) - 1, 0)), (t, i) -> concat(t, ' ', _toks[i + 1]))")
+    Tables.documents(spark, dir)
+      .withColumn("_toks", toks)
+      .withColumn("_bi", bigrams)
+      .select(col("doc_id"),
+        size(col("_bi")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("_bi"))).cast("long").as("n_distinct"))
+      .filter(col("n_bigrams") > 0)
+      .withColumn("dup_frac",
+        (col("n_bigrams") - col("n_distinct")).cast("double") / col("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark decontamination: flag corpus docs sharing any 3-gram with the
+    * benchmark set (here: doc_id < 20 stands in for an eval set). At scale
+    * the benchmark's shingle set is tiny → broadcast semi-join; the corpus
+    * is scanned once. Grams are compared as 8-byte hashes (injective modulo
+    * xxhash collisions; the oracle joins the gram strings).
+    */
+  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Dedup.shingleHashes(Tables.documents(spark, dir), "doc_id", "text", n = 3)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    val benchmark = grams.filter(col("doc_id") < 20).select(col("gram")).distinct()
+    grams.filter(col("doc_id") >= 20)
+      .join(broadcast(benchmark), Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Context-window packing: greedy assignment of docs (in id order) to
+    * fixed token-budget bins, independently per source. The running token
+    * sum is a window partitioned by `source` — sources pack in parallel, so
+    * no single reducer sees the whole corpus (the all-in-one-partition
+    * window this op must avoid at 100 TB).
+    */
+  def packBins(spark: SparkSession, dir: String, budget: Long = 2000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .withColumn("bin_id", graft.logs.CriFunctions.longDiv(
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)), budget))
+      .groupBy(col("source"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+      .orderBy(col("source"), col("bin_id"))
+  }
+
   /** Interval join: events within the preceding minute of each error event
     * (bucketized equi-join, not a nested-loop theta join).
     */
