@@ -192,22 +192,22 @@ object ExtensionQueries {
     * Integer counts + one IEEE division → bit-identical to the oracle.
     * Map-side only — no shuffle.
     */
-  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
-    // bigrams as token-joined strings (the oracle builds the same list)
-    val bigrams = expr(
-      "transform(slice(_toks, 1, greatest(size(_toks) - 1, 0)), (t, i) -> concat(t, ' ', _toks[i + 1]))")
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("_toks", toks)
-      .withColumn("_bi", bigrams)
       .select(col("doc_id"),
-        size(col("_bi")).cast("long").as("n_bigrams"),
-        size(array_distinct(col("_bi"))).cast("long").as("n_distinct"))
+        // total bigrams = tokens - 1; distinct bigrams from the one-pass
+        // codegen shingle kernel (8-byte hashes — same cardinality as
+        // distinct bigram strings, without materializing them; the string
+        // transform + array_distinct formulation was the bench's slowest
+        // query at sf0.1)
+        greatest(TextAnalysis.tokenCount(col("text")).cast("long") - 1L, lit(0L))
+          .as("n_bigrams"),
+        size(graft.expr.SketchFunctions.wordShingleHashes(col("text"), 2))
+          .cast("long").as("n_distinct"))
       .filter(col("n_bigrams") > 0)
       .withColumn("dup_frac",
         (col("n_bigrams") - col("n_distinct")).cast("double") / col("n_bigrams"))
       .orderBy(col("doc_id"))
-  }
 
   /** Benchmark decontamination: flag corpus docs sharing any 3-gram with the
     * benchmark set (here: doc_id < 20 stands in for an eval set). At scale
