@@ -97,6 +97,7 @@ object SparkEntry {
     "v1_knn_brute_force" -> (ExtensionQueries.knnBruteForce(_, _)),
     "v2_knn_lsh" -> (ExtensionQueries.knnLsh(_, _)),
     "v3_knn_ivf" -> (ExtensionQueries.knnIvf(_, _)),
+    "v4_knn_ivf_index" -> (ExtensionQueries.knnIvfIndex(_, _)),
     "m1_multimodal_decode" -> (ExtensionQueries.multimodalDecode(_, _)),
     "m2_multimodal_frames" -> (ExtensionQueries.multimodalFrames(_, _)),
     "z1_hash_sample" -> (ExtensionQueries.hashSample(_, _)),

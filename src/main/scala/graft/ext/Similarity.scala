@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -111,6 +111,54 @@ object Similarity {
     val probes = queries.select(col(queryId).as("qid"), col(queryVec).as("qv"),
       explode(SketchFunctions.nearestCentroids(col(queryVec), centroids, nProbe)).as("cell"))
     val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine", VecFunctions.cosineSim(col("qv"), col("cv")))
+    boundedTopK(cand, k, queryId)
+  }
+
+  /** Persisted IVF index: the corpus written partitioned BY CELL, plus a
+    * centroids table. This is the at-scale form of [[ivfTopK]]: assignment
+    * runs once at build time, and a search touches only its probed cells'
+    * PARTITION DIRECTORIES — the nProbe/nLists read reduction happens at the
+    * storage layer (partition pruning in the parquet scan, visible as
+    * `PartitionFilters: [cell IN (...)]`), not as a post-scan filter. A
+    * 100 TB corpus answers a query batch by listing a handful of
+    * directories.
+    */
+  def buildIvfIndex(corpus: DataFrame, path: String,
+      nLists: Int = 16, kmeansIters: Int = 5, sampleSize: Int = 2048,
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): Unit = {
+    requireIntegralId(corpus, corpusId, "corpus")
+    val centroids = trainCoarseQuantizer(corpus, corpusVec, nLists, kmeansIters, sampleSize)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    corpus.select(col(corpusId).as("cid"), col(corpusVec).as("cv"),
+        element_at(SketchFunctions.nearestCentroids(col(corpusVec), centroids, 1), 1)
+          .as("cell"))
+      .repartition(col("cell")) // one writer task per cell dir, no file storm
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/cells")
+  }
+
+  /** Search a [[buildIvfIndex]] store: each query's nProbe cells become a
+    * pushed-down partition filter, so only those directories are read.
+    */
+  def searchIvfIndex(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nProbe: Int = 4,
+      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Float](1).toArray)
+    val probes = queries.select(col(queryId).as("qid"), col(queryVec).as("qv"),
+      explode(SketchFunctions.nearestCentroids(col(queryVec), centroids, nProbe)).as("cell"))
+    // the probed-cell set is small (≤ |queries|·nProbe distinct cells):
+    // an IN filter on the partition column prunes at file listing time
+    val probedCells = probes.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val cand = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
+      .join(broadcast(probes), Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("cosine", VecFunctions.cosineSim(col("qv"), col("cv")))
     boundedTopK(cand, k, queryId)

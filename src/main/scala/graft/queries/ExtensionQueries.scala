@@ -143,6 +143,21 @@ object ExtensionQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Persisted IVF index build + search (partition-pruned cells; rows-only
+    * gate + SimilaritySpec recall/pruning asserts).
+    */
+  def knnIvfIndex(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfidx")
+      .resolve("idx").toString
+    Similarity.buildIvfIndex(emb, path, nLists = 16)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    Similarity.searchIvfIndex(spark, path, queries, k = 10, nProbe = 6)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Multimodal frame sampling (video fan-out; rows-only + spec). */
   def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.mediaFromDocuments(spark, Tables.documents(spark, dir))

@@ -114,6 +114,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall@10 on cluster-sorted corpus = $recall")
   }
 
+  test("persisted IVF index prunes cell partitions and keeps recall") {
+    val work = java.nio.file.Files.createTempDirectory("graft-ivfidx").resolve("idx").toString
+    val emb = Tables.embeddings(spark, sf)
+    Similarity.buildIvfIndex(emb, work, nLists = 8)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val res = Similarity.searchIvfIndex(spark, work, queries, k = 10, nProbe = 4)
+    val bf = Similarity.bruteForceTopK(queries, emb, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val got = res.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"index recall@10 = $recall")
+    // the probed cells must prune at the STORAGE layer: the cells scan
+    // carries a partition filter on cell, and fewer than all 8 dirs are read
+    val plan = res.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell#"),
+      s"no partition pruning in:\n${plan.take(2000)}")
+    val cellDirs = new java.io.File(s"$work/cells").list().count(_.startsWith("cell="))
+    assert(cellDirs == 8)
+  }
+
   test("multimodal frame sampling: 4 frames per video, 1 otherwise") {
     val media = graft.ext.Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sf))
     val frames = graft.ext.Multimodal.sampleFrames(media, 4).toDF()
