@@ -80,12 +80,17 @@ object Bench {
     // with the total (BENCH_r02 lost its head to tail truncation).
     println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":${queriesJson(snapshot)},"failed":$failedJson,"sf":"$sfDir"}""")
     var allFinished = finished
+    val allFailed = scala.collection.mutable.SortedSet(failedNames: _*)
     if (finished) (2 to repeat).foreach { r =>
       val (warmWall, warmSnap, warmFinished) = runRound(spark, sfDir, parallel)
       allFinished &= warmFinished
+      allFailed ++= warmSnap.collect { case (n, t) if t == -1.0 => n }
       println(s"""{"metric":"warm","round":$r,"value":$warmWall,"unit":"sec","queries":${queriesJson(warmSnap)},"sf":"$sfDir"}""")
     }
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","failed":$failedJson,"sf":"$sfDir","n_queries":${snapshot.size}}""")
+    // the summary line unions failures across ALL rounds: exiting 1 while the
+    // machine-readable tail says failed:[] would hide which query broke
+    val allFailedJson = allFailed.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","failed":$allFailedJson,"sf":"$sfDir","n_queries":${snapshot.size}}""")
     if (!allFinished) sys.exit(1) // don't block on spark.stop() behind hung jobs
     spark.stop()
   }

@@ -111,13 +111,21 @@ object Compaction {
     val liveRows = spark.read.parquet(live.toString).count()
     require(liveRows == expectedRows,
       s"post-swap count $liveRows != expected $expectedRows — inspect $live against $staging")
-    fs.delete(staging, true) // only after the live tree is verified
+    // marker FIRST: leftover staging without a marker is just re-staged on
+    // the next run, but a leftover marker without staging reads as an
+    // unrecoverable crash and blocks compaction on a healthy store
     fs.delete(marker, false)
+    fs.delete(staging, true)
   }
 
+  /** Atomic marker write (temp + rename): a torn marker would wedge every
+    * future run inside the recovery branch.
+    */
   private def writeMarker(fs: FileSystem, marker: Path, rows: Long): Unit = {
-    val out = fs.create(marker, true)
+    val tmp = new Path(marker.getParent, marker.getName + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(rows.toString.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, marker), s"atomic rename $tmp -> $marker failed")
   }
 
   private def readMarker(fs: FileSystem, marker: Path): Long = {

@@ -73,7 +73,7 @@ object StreamFinalize {
       maxRecordsPerFile: Long = 4000000L): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(root).getFileSystem(conf)
-    val scratch = new Path(s"${root.stripSuffix("/")}/.finalize-$cluster-$ns-$pod-$container")
+    val scratch = scratchPath(root, cluster, ns, pod, container)
     val planFile = new Path(scratch, "_PLAN")
     // finish an interrupted previous attempt BEFORE looking at the files:
     // its plan is the only authority on which originals its compacted output
@@ -104,6 +104,19 @@ object StreamFinalize {
     files.size
   }
 
+  /** Scratch dir for one stream's swap — named by a hash of the NUL-joined
+    * key: hyphen-joining would collide streams whose components themselves
+    * contain hyphens (routine in k8s names), and a collision would let one
+    * stream finish another's crash-recovery plan.
+    */
+  private[graft] def scratchPath(root: String, cluster: String, ns: String,
+      pod: String, container: String): Path = {
+    val keyHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(Seq(cluster, ns, pod, container).mkString("\u0000").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    new Path(s"${root.stripSuffix("/")}/.finalize-$keyHash")
+  }
+
   /** Complete a persisted plan: move remaining compacted files from scratch
     * into the destination, delete the originals the plan lists, drop the
     * scratch dir. Every step is idempotent, so recovery can re-run it.
@@ -126,11 +139,18 @@ object StreamFinalize {
     fs.delete(scratch, true)
   }
 
+  /** Atomic plan persistence: write to a temp name, then rename. A crash
+    * mid-write leaves only the temp file, which the died-before-plan path
+    * cleans up with the scratch dir — a torn `_PLAN` must never exist,
+    * because recovery replays it as authoritative.
+    */
   private def writePlan(fs: FileSystem, planFile: Path, destDir: String,
       originals: Seq[Path]): Unit = {
-    val out = fs.create(planFile, true)
+    val tmp = new Path(planFile.getParent, "_PLAN.tmp")
+    val out = fs.create(tmp, true)
     try out.write((destDir +: originals.map(_.toString)).mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    require(fs.rename(tmp, planFile), s"atomic rename $tmp -> $planFile failed")
   }
 
   private def readPlan(fs: FileSystem, planFile: Path): (String, Seq[String]) = {

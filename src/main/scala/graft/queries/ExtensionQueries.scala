@@ -148,8 +148,11 @@ object ExtensionQueries {
     */
   def knnIvfIndex(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val path = java.nio.file.Files.createTempDirectory("graft-ivfidx")
-      .resolve("idx").toString
+    // deterministic per-input path, rebuilt in place — a fresh temp dir per
+    // call would leak a full corpus copy every bench round
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-ivfidx-${math.abs(dir.hashCode)}").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     Similarity.buildIvfIndex(emb, path, nLists = 16)
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))

@@ -51,9 +51,17 @@ class ArrowIpcSource extends TableProvider with DataSourceRegister {
     // verified at read time by the partition reader, so a mismatch past the
     // bound fails with a clear error rather than silent misreads.
     val checkN = Option(options.get("schemaCheckFiles")).map(_.toInt).getOrElse(32)
-    // compare names+types, not nullability: writers legitimately mark a
-    // column non-nullable when their chunk happens to contain no nulls
-    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    // compare names+types, not nullability (normalized recursively — nested
+    // array-element/struct-field nullability too): writers legitimately mark
+    // a column non-nullable when their chunk happens to contain no nulls
+    def norm(dt: DataType): DataType = dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f => StructField(f.name, norm(f.dataType))))
+      case a: ArrayType => ArrayType(norm(a.elementType), containsNull = true)
+      case m: MapType => MapType(norm(m.keyType), norm(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+    def shape(s: StructType) = s.fields.map(f => (f.name, norm(f.dataType))).toSeq
     files.tail.take(math.max(0, checkN - 1)).foreach { f =>
       val s = ArrowIpcSource.readSchema(f)
       require(shape(s) == shape(base),

@@ -121,7 +121,8 @@ class CloseWriteSpec extends SparkSpec {
     assert(origFiles.size == 2)
     // simulate the crash window: compacted output + _PLAN persisted, but no
     // rename/delete happened yet
-    val scratch = store.resolve(".finalize-dev-ns1-web-9-app")
+    val scratch = java.nio.file.Paths.get(graft.logs.StreamFinalize
+      .scratchPath(store.toString, "dev", "ns1", "web-9", "app").toUri.getPath)
     spark.read.parquet(origFiles.map(_.getPath): _*)
       .coalesce(1).write.parquet(scratch.toString)
     val destDir = streamDir.resolve("01").toString

@@ -114,9 +114,13 @@ class IntrospectCompactionSpec extends SparkSpec {
     // simulate a crash inside the swap's job commit: staging fully written
     // and the marker persisted, but one live partition is gone (deleted but
     // its replacement never renamed in)
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    spark.read.parquet(root).repartition(parts.map(col): _*)
-      .write.partitionBy(parts: _*).mode("overwrite").parquet(root + ".compact-staging")
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prevInfer = spark.conf.get(inferKey)
+    spark.conf.set(inferKey, "false")
+    try {
+      spark.read.parquet(root).repartition(parts.map(col): _*)
+        .write.partitionBy(parts: _*).mode("overwrite").parquet(root + ".compact-staging")
+    } finally spark.conf.set(inferKey, prevInfer)
     Files.writeString(java.nio.file.Paths.get(root + ".compact-inflight"),
       expected.toString)
     val lost = new java.io.File(s"$root/cluster=dev/namespace=ns0").listFiles()
