@@ -105,6 +105,7 @@ object SparkEntry {
     "z3_stratified_sample" -> (ExtensionQueries.stratifiedSample(_, _)),
     "z4_pack_bins" -> (ExtensionQueries.packBins(_, _)),
     "t6_repetition_filter" -> (ExtensionQueries.repetitionFilter(_, _)),
+    "t7_oov_rate" -> (ExtensionQueries.oovRate(_, _)),
     "d7_decontamination" -> (ExtensionQueries.decontamination(_, _)),
     "x8_range_join" -> (ExtensionQueries.rangeJoinRecent(_, _))
   )
@@ -576,6 +577,19 @@ object SparkEntry {
         |  CAST(len(list_distinct(bi)) AS BIGINT) AS n_distinct,
         |  CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE) / len(bi) AS dup_frac
         |FROM b WHERE len(bi) > 0 ORDER BY doc_id""".stripMargin,
+    "t7_oov_rate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok FROM t GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 50),
+        |m AS (
+        |  SELECT doc_id, CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END AS iv
+        |  FROM t LEFT JOIN v ON t.tok = v.tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(SUM(iv) AS BIGINT) AS n_in_vocab,
+        |  CAST(count(*) - SUM(iv) AS DOUBLE) / count(*) AS oov_rate
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d7_decontamination" ->
       """WITH ws AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w

@@ -227,6 +227,27 @@ object ExtensionQueries {
         (col("n_bigrams") - col("n_distinct")).cast("double") / col("n_bigrams"))
       .orderBy(col("doc_id"))
 
+  /** Out-of-vocabulary rate: fraction of a doc's tokens outside the corpus
+    * top-K vocabulary — the "too much junk vocabulary" quality filter. Two
+    * passes over the exploded tokens: the vocab aggregate is tiny (K rows →
+    * broadcast), so the per-doc pass is one map-side join; integer counts +
+    * one IEEE division keep the oracle hash exact.
+    */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(50)
+      .select(col("tok"), lit(1L).as("iv"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("iv"), lit(0L))).as("n_in_vocab"))
+      .withColumn("oov_rate",
+        (col("n_tokens") - col("n_in_vocab")).cast("double") / col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination: flag corpus docs sharing any 3-gram with the
     * benchmark set (here: doc_id < 20 stands in for an eval set). At scale
     * the benchmark's shingle set is tiny → broadcast semi-join; the corpus
