@@ -34,21 +34,35 @@ object StreamFinalize {
 
   /** Compact every closed stream recorded under `closeEventsRoot` that the
     * ledger has not seen yet. Returns the finalized stream keys.
+    *
+    * `maxStreams` bounds one run's driver-side working set (the pending key
+    * list is collected): a long-lived deployment accumulates closed streams
+    * without bound, so a scheduled run processes a batch and the next run
+    * continues where it left off. Pair with retention on the close-events
+    * store itself (it is date-partitionable like any event stream) so the
+    * anti-join against the ledger stays proportional to recent churn, not
+    * to all history.
     */
   def finalizeClosed(spark: SparkSession, closeEventsRoot: String,
-      storeRoot: String, maxRecordsPerFile: Long = 4000000L): Seq[(String, String, String, String)] = {
+      storeRoot: String, maxRecordsPerFile: Long = 4000000L,
+      maxStreams: Int = 10000): Seq[(String, String, String, String)] = {
     val fs = new Path(closeEventsRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ledgerPath = s"${closeEventsRoot.stripSuffix("/")}/_finalized"
-    def keysOf(df: DataFrame) = df.select(streamKey.map(col): _*).distinct()
-      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
     val closedFiles = Option(fs.globStatus(new Path(closeEventsRoot, "*.parquet")))
       .map(_.toSeq).getOrElse(Seq.empty)
     if (closedFiles.isEmpty) return Seq.empty
-    val closed = keysOf(spark.read.parquet(closeEventsRoot))
-    val done: Set[(String, String, String, String)] =
-      if (fs.exists(new Path(ledgerPath))) keysOf(spark.read.parquet(ledgerPath)).toSet
-      else Set.empty
-    val pending = closed.filterNot(done)
+    val closedDf = spark.read.parquet(closeEventsRoot)
+      .select(streamKey.map(col): _*).distinct()
+    // anti-join against the ledger IN SPARK — only the bounded pending batch
+    // ever reaches the driver
+    val pendingDf =
+      if (fs.exists(new Path(ledgerPath)))
+        closedDf.join(
+          spark.read.parquet(ledgerPath).select(streamKey.map(col): _*).distinct(),
+          streamKey, "left_anti")
+      else closedDf
+    val pending = pendingDf.orderBy(streamKey.map(col): _*).limit(maxStreams)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
     pending.foreach { case (cluster, ns, pod, container) =>
       compactPositionalStream(spark, storeRoot, cluster, ns, pod, container, maxRecordsPerFile)
       // ledger append AFTER the stream is compacted: a crash in between just
