@@ -100,6 +100,8 @@ object SparkEntry {
     "v4_knn_ivf_index" -> (ExtensionQueries.knnIvfIndex(_, _)),
     "m1_multimodal_decode" -> (ExtensionQueries.multimodalDecode(_, _)),
     "m2_multimodal_frames" -> (ExtensionQueries.multimodalFrames(_, _)),
+    "a4_approx_distinct" -> (ExtensionQueries.approxDistinctUsers(_, _)),
+    "a5_approx_quantiles" -> (ExtensionQueries.approxQuantiles(_, _)),
     "z1_hash_sample" -> (ExtensionQueries.hashSample(_, _)),
     "z2_train_val_split" -> (ExtensionQueries.trainValSplit(_, _)),
     "z3_stratified_sample" -> (ExtensionQueries.stratifiedSample(_, _)),

@@ -227,6 +227,31 @@ object ExtensionQueries {
         (col("n_bigrams") - col("n_distinct")).cast("double") / col("n_bigrams"))
       .orderBy(col("doc_id"))
 
+  /** Sketch-based distinct counts: HyperLogLog++ per event type. At 100 TB
+    * the exact count-distinct shuffles every distinct (type, user) pair;
+    * the sketch carries a fixed-size buffer per group through a map-side
+    * partial aggregate. Accuracy is engine-specific → rows-only gate +
+    * SketchAccuracySpec tolerance vs exact.
+    */
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** Sketch-based quantiles: t-digest-style approx percentiles of order
+    * totals. Exact percentile sorts each group's full value set; the sketch
+    * is a bounded-memory partial aggregate. Rows-only + tolerance spec.
+    */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.95, 0.99), 10000)")
+        .as("price_quantiles"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
   /** Out-of-vocabulary rate: fraction of a doc's tokens outside the corpus
     * top-K vocabulary — the "too much junk vocabulary" quality filter. Two
     * passes over the exploded tokens: the vocab aggregate is tiny (K rows →
