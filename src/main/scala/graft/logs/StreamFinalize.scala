@@ -51,8 +51,11 @@ object StreamFinalize {
     val closedFiles = Option(fs.globStatus(new Path(closeEventsRoot, "*.parquet")))
       .map(_.toSeq).getOrElse(Seq.empty)
     if (closedFiles.isEmpty) return Seq.empty
+    // a NULL key component is a malformed event: under SQL equality it can
+    // never match the ledger (NULL = NULL is not true), so it would
+    // re-compact and re-append forever — drop it instead
     val closedDf = spark.read.parquet(closeEventsRoot)
-      .select(streamKey.map(col): _*).distinct()
+      .select(streamKey.map(col): _*).na.drop(streamKey).distinct()
     // anti-join against the ledger IN SPARK — only the bounded pending batch
     // ever reaches the driver
     val pendingDf =
