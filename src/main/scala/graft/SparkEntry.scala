@@ -439,8 +439,8 @@ object SparkEntry {
         |ORDER BY value DESC, l_partkey""".stripMargin,
     "q12_priority_lines" ->
       """SELECT l_linestatus,
-        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-        |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
@@ -564,11 +564,11 @@ object SparkEntry {
         |  FROM documents),
         |c AS (
         |  SELECT source, n_tokens,
-        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
         |  FROM t)
         |SELECT source, cum_before // 2000 AS bin_id, count(*) AS n_docs,
-        |  SUM(n_tokens) AS bin_tokens
+        |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY 1, 2 ORDER BY source, bin_id""".stripMargin,
     "t6_repetition_filter" ->
       """WITH t AS (

@@ -96,6 +96,41 @@ object LogStreamIngest {
     (main, closeQ)
   }
 
+  /** The K5 consumer as a live loop: watches the close-events store that
+    * [[startWithCloseEvents]] appends to and compacts each newly closed
+    * stream's small files (the reference's close-write flush → compact chain,
+    * close-write-flush.patch:106-156 + compact stage, run continuously).
+    *
+    * The batch rows themselves are ignored — a new close-event file is only
+    * the wake-up signal; [[StreamFinalize.finalizeClosed]]'s ledger anti-join
+    * decides what is actually pending. That keeps the loop idempotent and
+    * decoupled from the streaming checkpoint: replaying a batch after a crash
+    * re-runs a no-op, and events that arrived while the loop was down are
+    * still found because the ledger — not the checkpoint — is the source of
+    * truth.
+    */
+  def startAutoFinalize(spark: SparkSession, closeEventsRoot: String,
+      storeRoot: String, checkpoint: String,
+      triggerInterval: String = "60 seconds",
+      maxRecordsPerFile: Long = 4000000L): StreamingQuery = {
+    // the detector sink creates this dir on its first commit; create it up
+    // front so the finalize loop can start before any stream has closed
+    val root = new org.apache.hadoop.fs.Path(closeEventsRoot)
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(root)
+    spark.readStream
+      .schema(StreamFinalize.closeEventSchema)
+      .parquet(closeEventsRoot)
+      .writeStream
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        StreamFinalize.finalizeClosed(spark, closeEventsRoot, storeRoot,
+          maxRecordsPerFile)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .start()
+  }
+
   /** Dual-format streaming sink — the reference writes every stream TWICE
     * (two S3 outputs, parquet + arrow, fluent-bit.conf:32-67). foreachBatch
     * commits each micro-batch to the positional store in both formats; the

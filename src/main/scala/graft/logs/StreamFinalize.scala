@@ -2,6 +2,7 @@ package graft.logs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Consumer for the close-write events produced by
@@ -31,6 +32,24 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object StreamFinalize {
 
   private val streamKey = Seq("cluster", "namespace", "pod", "container")
+  // The ledger key includes the close event's last_ns as a generation marker:
+  // pod names are routinely reused after restart (StatefulSets), and a ledger
+  // keyed by name alone would anti-join the reborn stream's close event
+  // against the dead generation's row and never finalize it.
+  private val ledgerKey = streamKey :+ "last_ns"
+
+  /** Schema of the close-events store ([[graft.streaming.CloseWriteDetector.PodClosed]]
+    * rows) — public so the auto-finalize stream can watch the store with an
+    * explicit schema (streaming file sources cannot infer).
+    */
+  val closeEventSchema = StructType(Seq(
+    StructField("cluster", StringType), StructField("namespace", StringType),
+    StructField("pod", StringType), StructField("container", StringType),
+    StructField("lines", LongType), StructField("first_ns", LongType),
+    StructField("last_ns", LongType)))
+
+  private val ledgerSchema = StructType(
+    closeEventSchema.filter(f => ledgerKey.contains(f.name)))
 
   /** Compact every closed stream recorded under `closeEventsRoot` that the
     * ledger has not seen yet. Returns the finalized stream keys.
@@ -48,33 +67,41 @@ object StreamFinalize {
       maxStreams: Int = 10000): Seq[(String, String, String, String)] = {
     val fs = new Path(closeEventsRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ledgerPath = s"${closeEventsRoot.stripSuffix("/")}/_finalized"
-    val closedFiles = Option(fs.globStatus(new Path(closeEventsRoot, "*.parquet")))
-      .map(_.toSeq).getOrElse(Seq.empty)
-    if (closedFiles.isEmpty) return Seq.empty
+    if (!fs.exists(new Path(closeEventsRoot))) return Seq.empty
+    // explicit schema: an empty or freshly-created store reads as an empty
+    // frame instead of failing inference, and a date-partitioned store
+    // (hive-style subdirs — the recommended retention layout) is discovered
+    // by the normal reader instead of a flat top-level glob that would see
+    // nothing and silently disable finalize
     // a NULL key component is a malformed event: under SQL equality it can
     // never match the ledger (NULL = NULL is not true), so it would
     // re-compact and re-append forever — drop it instead
-    val closedDf = spark.read.parquet(closeEventsRoot)
-      .select(streamKey.map(col): _*).na.drop(streamKey).distinct()
+    val closedDf = spark.read.schema(closeEventSchema).parquet(closeEventsRoot)
+      .select(ledgerKey.map(col): _*).na.drop(ledgerKey).distinct()
     // anti-join against the ledger IN SPARK — only the bounded pending batch
     // ever reaches the driver
     val pendingDf =
       if (fs.exists(new Path(ledgerPath)))
         closedDf.join(
-          spark.read.parquet(ledgerPath).select(streamKey.map(col): _*).distinct(),
-          streamKey, "left_anti")
+          spark.read.schema(ledgerSchema).parquet(ledgerPath)
+            .select(ledgerKey.map(col): _*).distinct(),
+          ledgerKey, "left_anti")
       else closedDf
-    val pending = pendingDf.orderBy(streamKey.map(col): _*).limit(maxStreams)
-      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
-    pending.foreach { case (cluster, ns, pod, container) =>
+    val pending = pendingDf.orderBy(ledgerKey.map(col): _*).limit(maxStreams)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // several generations of one stream can be pending at once (close →
+    // reuse → close): compact the stream once, record every generation
+    val byStream = pending.groupBy { case (c, n, p, ct, _) => (c, n, p, ct) }
+    byStream.toSeq.sortBy(_._1).foreach { case ((cluster, ns, pod, container), gens) =>
       compactPositionalStream(spark, storeRoot, cluster, ns, pod, container, maxRecordsPerFile)
       // ledger append AFTER the stream is compacted: a crash in between just
       // re-compacts (idempotent via the plan protocol), never skips
       import spark.implicits._
-      Seq((cluster, ns, pod, container)).toDF(streamKey: _*)
+      gens.toSeq.toDF(ledgerKey: _*)
         .coalesce(1).write.mode("append").parquet(ledgerPath)
     }
-    pending.toSeq
+    byStream.keys.toSeq.sorted
   }
 
   /** Rewrite one closed stream's positional parquet files (under

@@ -248,8 +248,13 @@ object ExtensionQueries {
     Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
       .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.95, 0.99), 10000)")
-        .as("price_quantiles"),
+        .as("q"),
         count(lit(1)).as("n_orders"))
+      .select(col("o_orderpriority"),
+        element_at(col("q"), 1).as("p50"),
+        element_at(col("q"), 2).as("p95"),
+        element_at(col("q"), 3).as("p99"),
+        col("n_orders"))
       .orderBy(col("o_orderpriority"))
 
   /** Out-of-vocabulary rate: fraction of a doc's tokens outside the corpus

@@ -142,17 +142,60 @@ object ArrowIpcSource {
 
   def withReader[A](file: String)(f: ArrowFileReader => A): A = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    // seekable channel, not a whole-file buffer: the footer lives at the
+    // file's tail, so a driver-side schema read touches a few KB of a
+    // possibly scan-sized compacted file — and a file past 2 GB no longer
+    // overflows an Int-sized array
+    val ch = openChannel(file, conf)
+    val alloc = new RootAllocator()
+    val reader = new ArrowFileReader(ch, alloc)
+    try f(reader) finally { reader.close(); alloc.close(); ch.close() }
+  }
+
+  private[sources] def openChannel(file: String,
+      conf: org.apache.hadoop.conf.Configuration): HadoopSeekableChannel = {
     val path = new Path(file)
     val fs = path.getFileSystem(conf)
-    val len = fs.getFileStatus(path).getLen
-    val in = fs.open(path)
-    val bytes = new Array[Byte](len.toInt)
-    try in.readFully(0, bytes) finally in.close()
-    val alloc = new RootAllocator()
-    val reader = new ArrowFileReader(
-      new org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel(bytes), alloc)
-    try f(reader) finally { reader.close(); alloc.close() }
+    new HadoopSeekableChannel(fs.open(path), fs.getFileStatus(path).getLen)
   }
+}
+
+/** Read-only `SeekableByteChannel` over a Hadoop `FSDataInputStream` — lets
+  * Arrow's file reader seek straight to the footer / record-batch offsets
+  * instead of the file being staged in a heap byte array. Close is
+  * idempotent (ArrowFileReader closes the channel it was handed, and the
+  * opener closes it again defensively).
+  */
+private[sources] final class HadoopSeekableChannel(
+    in: org.apache.hadoop.fs.FSDataInputStream, length: Long)
+    extends java.nio.channels.SeekableByteChannel {
+  private var closed = false
+  override def read(dst: java.nio.ByteBuffer): Int = {
+    val pos = in.getPos
+    if (pos >= length) return -1
+    val toRead = math.min(dst.remaining().toLong, length - pos).toInt
+    if (dst.hasArray) {
+      val n = in.read(dst.array(), dst.arrayOffset() + dst.position(), toRead)
+      if (n > 0) dst.position(dst.position() + n)
+      n
+    } else {
+      val buf = new Array[Byte](toRead)
+      val n = in.read(buf, 0, toRead)
+      if (n > 0) dst.put(buf, 0, n)
+      n
+    }
+  }
+  override def write(src: java.nio.ByteBuffer): Int =
+    throw new java.nio.channels.NonWritableChannelException
+  override def position(): Long = in.getPos
+  override def position(newPosition: Long): java.nio.channels.SeekableByteChannel = {
+    in.seek(newPosition); this
+  }
+  override def size(): Long = length
+  override def truncate(size: Long): java.nio.channels.SeekableByteChannel =
+    throw new java.nio.channels.NonWritableChannelException
+  override def isOpen: Boolean = !closed
+  override def close(): Unit = if (!closed) { closed = true; in.close() }
 }
 
 class ArrowIpcTable(schema: StructType, files: Seq[String]) extends Table with SupportsRead {
@@ -215,17 +258,9 @@ class ArrowIpcColumnarReader(file: String, withFilePath: Boolean,
     required: Option[StructType] = None)
     extends PartitionReader[ColumnarBatch] {
   private val alloc = new RootAllocator()
-  private val reader = {
-    val path = new Path(file)
-    val fs = path.getFileSystem(conf.value)
-    val len = fs.getFileStatus(path).getLen
-    val in = fs.open(path)
-    val bytes = new Array[Byte](len.toInt)
-    try in.readFully(0, bytes) finally in.close()
-    new ArrowFileReader(
-      new org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel(bytes),
-      alloc, org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
-  }
+  private val channel = ArrowIpcSource.openChannel(file, conf.value)
+  private val reader = new ArrowFileReader(channel, alloc,
+    org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
   private var batch: ColumnarBatch = _
   // decode() allocates fresh vectors; track and free them per batch or the
   // allocator reports a leak on close
@@ -295,5 +330,7 @@ class ArrowIpcColumnarReader(file: String, withFilePath: Boolean,
   }
 
   override def get(): ColumnarBatch = batch
-  override def close(): Unit = { closeDecoded(); reader.close(); alloc.close() }
+  override def close(): Unit = {
+    closeDecoded(); reader.close(); alloc.close(); channel.close()
+  }
 }

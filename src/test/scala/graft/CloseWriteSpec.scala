@@ -101,6 +101,59 @@ class CloseWriteSpec extends SparkSpec {
     assert(spark.read.parquet(filesOf("web-1").head.getPath).count() == rowsBefore)
     // ledger makes re-runs no-ops
     assert(graft.logs.StreamFinalize.finalizeClosed(spark, closeRoot, store).isEmpty)
+
+    // a reborn pod (same name, new generation — routine for StatefulSets)
+    // must finalize again: the ledger key includes last_ns, so the new
+    // close event is not swallowed by the dead generation's ledger row
+    graft.logs.LogIngest.writePositional(ingested, store,
+      uploadTime = java.time.Instant.parse("2024-02-01T00:02:00Z"))
+    graft.logs.LogIngest.writePositional(ingested, store,
+      uploadTime = java.time.Instant.parse("2024-02-01T00:03:00Z"))
+    Seq(PodClosed("dev", "ns1", "web-1", "app", 4, 5L, 6L)).toDS().toDF()
+      .write.mode("append").parquet(closeRoot)
+    val reborn = graft.logs.StreamFinalize.finalizeClosed(spark, closeRoot, store)
+    assert(reborn == Seq(("dev", "ns1", "web-1", "app")))
+    // the reborn generation's two uploads merged; every file is now compacted
+    assert(filesOf("web-1").size == 2 &&
+      filesOf("web-1").forall(_.getName.startsWith("compact-")),
+      s"reborn stream not compacted: ${filesOf("web-1")}")
+  }
+
+  test("auto-finalize loop compacts a closed stream when its close event lands") {
+    val work = Files.createTempDirectory("graft-autofinalize")
+    val podsRoot = work.resolve("varlog/pods")
+    val d = podsRoot.resolve("ns1_web-5_u5/app")
+    Files.createDirectories(d)
+    Files.writeString(d.resolve("0.log"),
+      """2024-01-15T10:30:45.000000001Z stdout F one
+        |2024-01-15T10:30:46.000000002Z stdout F two
+        |""".stripMargin)
+    val ingested = graft.logs.LogIngest.readCri(spark,
+      podsRoot.toString + "/*/*/*.log", clusterName = "dev", nodeName = "n1")
+    val store = work.resolve("lake").toString
+    graft.logs.LogIngest.writePositional(ingested, store,
+      uploadTime = java.time.Instant.parse("2024-02-01T00:00:00Z"))
+    graft.logs.LogIngest.writePositional(ingested, store,
+      uploadTime = java.time.Instant.parse("2024-02-01T00:01:00Z"))
+    def files = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(store)).filter(_.getName.endsWith(".parquet"))
+    }
+    assert(files.size == 2)
+    val closeRoot = work.resolve("close-events").toString
+    val q = graft.logs.LogStreamIngest.startAutoFinalize(spark, closeRoot, store,
+      work.resolve("ckpt").toString, triggerInterval = "1 second")
+    try {
+      // loop is running but nothing has closed: store untouched
+      q.processAllAvailable()
+      assert(files.size == 2)
+      Seq(PodClosed("dev", "ns1", "web-5", "app", 2, 1L, 2L)).toDS().toDF()
+        .write.mode("append").parquet(closeRoot)
+      q.processAllAvailable()
+      assert(files.size == 1 && files.head.getName.startsWith("compact-"),
+        s"auto-finalize did not compact: $files")
+    } finally q.stop()
   }
 
   test("finalize recovery completes an interrupted plan without duplicating rows") {

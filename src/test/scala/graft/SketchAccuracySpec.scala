@@ -26,7 +26,7 @@ class SketchAccuracySpec extends SparkSpec {
 
   test("approx quantiles bracket the exact percentiles") {
     val approx = ExtensionQueries.approxQuantiles(spark, sf)
-      .select($"o_orderpriority", $"price_quantiles")
+      .select($"o_orderpriority", array($"p50", $"p95", $"p99").as("q"))
       .as[(String, Seq[Double])].collect().toMap
     val exact = Tables.orders(spark, sf)
       .groupBy($"o_orderpriority")
