@@ -109,6 +109,7 @@ object SparkEntry {
     "t6_repetition_filter" -> (ExtensionQueries.repetitionFilter(_, _)),
     "t7_oov_rate" -> (ExtensionQueries.oovRate(_, _)),
     "d7_decontamination" -> (ExtensionQueries.decontamination(_, _)),
+    "d8_dedup_keep_canonical" -> (ExtensionQueries.dedupKeepCanonical(_, _)),
     "x8_range_join" -> (ExtensionQueries.rangeJoinRecent(_, _))
   )
 
@@ -639,6 +640,46 @@ object SparkEntry {
         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
         |SELECT id AS doc_id, least(id, MIN(r)) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "d8_dedup_keep_canonical" ->
+      """WITH RECURSIVE ws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                                for i in range(1, len(w) - 1)]) AS gs
+        |  FROM ws WHERE len(w) >= 3),
+        |g AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+        |sizes AS (SELECT doc_id, len(gs) AS sz FROM grams),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, dst AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |clusters AS (
+        |  SELECT id AS doc_id, least(id, MIN(r)) AS cluster_id FROM reach GROUP BY id),
+        |tok AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM ws)
+        |SELECT t.doc_id, t.n_tokens FROM tok t
+        |LEFT JOIN clusters c ON t.doc_id = c.doc_id
+        |WHERE c.doc_id IS NULL
+        |UNION ALL
+        |SELECT doc_id, n_tokens FROM (
+        |  SELECT t.doc_id, t.n_tokens,
+        |    row_number() OVER (PARTITION BY c.cluster_id
+        |      ORDER BY t.n_tokens DESC, t.doc_id) AS rk
+        |  FROM tok t JOIN clusters c ON t.doc_id = c.doc_id) m
+        |WHERE rk = 1
+        |ORDER BY doc_id""".stripMargin,
     "t1_text_tokens" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 import graft.expr.{HashFunctions, SketchFunctions, VecFunctions}
 
 /** Deduplication operators for a training-data pipeline: exact, n-gram
@@ -173,7 +174,8 @@ object Dedup {
     * iterative-algorithm hygiene; without it round N replans rounds 1..N-1).
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+      idB: String = "id_b", maxIter: Int = 20,
+      driverMaxEdges: Long = 1000000L): DataFrame = {
     // both edge directions from ONE pass over pairs (a union of two selects
     // would evaluate the upstream pair pipeline twice)
     val edges = pairs.select(explode(array(
@@ -182,6 +184,50 @@ object Dedup {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist()
+    // Broadcast-scale fast path (same philosophy as Spark's own broadcast
+    // threshold): near-dup edge sets are minuscule relative to the corpus —
+    // most documents are unique — so the edge list usually fits on the
+    // driver, where union-find resolves components in one pass instead of
+    // maxIter rounds of join + checkpoint whose fixed per-job scheduling
+    // cost dominates at this size. Past the threshold (plausible at 100 TB)
+    // the distributed min-label propagation below takes over. Both paths
+    // produce identical labels: cluster_id = min member id.
+    val idType = edges.schema("src").dataType
+    val orderable = idType match {
+      case LongType | IntegerType | ShortType | ByteType | StringType => true
+      case _ => false
+    }
+    if (orderable && edges.count() <= driverMaxEdges) {
+      val spark = pairs.sparkSession
+      val parent = scala.collection.mutable.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      edges.collect().foreach { r =>
+        val a = r.get(0); val b = r.get(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb
+      }
+      edges.unpersist()
+      val ord: Ordering[Any] = {
+        case (a: Long, b: Long) => java.lang.Long.compare(a, b)
+        case (a: Int, b: Int) => Integer.compare(a, b)
+        case (a: Short, b: Short) => java.lang.Short.compare(a, b)
+        case (a: Byte, b: Byte) => java.lang.Byte.compare(a, b)
+        case (a: String, b: String) => a.compareTo(b)
+        case _ => throw new IllegalStateException("unreachable: orderable gate")
+      }
+      val rows = parent.keys.toSeq.groupBy(find).values.flatMap { members =>
+        val label = members.min(ord)
+        members.map(m => org.apache.spark.sql.Row(m, label))
+      }.toSeq
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("doc_id", idType), StructField("cluster_id", idType))))
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()

@@ -90,14 +90,24 @@ object PipelineE2E {
     })
   }
 
+  // Both layout variants ingest the identical fixture tree — share the
+  // parsed result (the CRI regex parse is the expensive half of ingest) the
+  // same way the fixture itself is shared.
+  private val ingestedCache = scala.collection.mutable.Map[String, DataFrame]()
+  private def criIngested(spark: SparkSession, dir: String): DataFrame = synchronized {
+    ingestedCache.getOrElseUpdate(dir, {
+      val criRoot = criFixture(spark, dir)
+      LogIngest.readCri(spark, criRoot.toString + "/pods/*/*/*.log",
+        clusterName = "dev", nodeName = "node-a").persist()
+    })
+  }
+
   private def run(spark: SparkSession, dir: String, layout: LogLayout): DataFrame = {
     val work = Files.createTempDirectory("graft-e2e")
     cleanupAtExit(work)
-    val criRoot = criFixture(spark, dir)
     val storeRoot = work.resolve("lake")
 
-    val ingested = LogIngest.readCri(spark, criRoot.toString + "/pods/*/*/*.log",
-      clusterName = "dev", nodeName = "node-a")
+    val ingested = criIngested(spark, dir)
     layout match {
       case LogLayout.Positional =>
         LogIngest.writePositional(ingested, storeRoot.toString,

@@ -43,6 +43,34 @@ class DedupSpec extends SparkSpec {
     assert(clusters.forall { case (id, c) => c <= id })
   }
 
+  test("connected components: driver union-find and distributed propagation agree") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (22L, 23L)).toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    // driverMaxEdges = 0 forces the at-scale iterative path
+    val dist = Dedup.connectedComponents(pairs, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == dist)
+  }
+
+  test("keep-canonical survivors: one doc per cluster, all unclustered docs kept") {
+    val survivors = graft.queries.ExtensionQueries.dedupKeepCanonical(spark, sf)
+      .as[(Long, Long)].collect()
+    val clusters = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8))
+      .as[(Long, Long)].collect()
+    val clustered = clusters.map(_._1).toSet
+    val all = docs.select($"doc_id").as[Long].collect().toSet
+    val survivorIds = survivors.map(_._1).toSet
+    // exactly one survivor per cluster...
+    val byCluster = clusters.groupBy(_._2)
+    assert(byCluster.forall { case (_, members) =>
+      members.map(_._1).count(survivorIds) == 1 })
+    // ...plus every unclustered doc
+    assert((all -- clustered).subsetOf(survivorIds))
+    assert(survivorIds.size == (all -- clustered).size + byCluster.size)
+  }
+
   test("minhash LSH recall vs exact jaccard pairs") {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
       n = 3, numHashes = 64, bands = 16, threshold = 0.8)
