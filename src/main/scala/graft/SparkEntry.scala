@@ -110,6 +110,8 @@ object SparkEntry {
     "t7_oov_rate" -> (ExtensionQueries.oovRate(_, _)),
     "d7_decontamination" -> (ExtensionQueries.decontamination(_, _)),
     "d8_dedup_keep_canonical" -> (ExtensionQueries.dedupKeepCanonical(_, _)),
+    "t8_pii_redaction" -> (ExtensionQueries.piiRedaction(_, _)),
+    "z5_chunk_documents" -> (ExtensionQueries.chunkDocuments(_, _)),
     "x8_range_join" -> (ExtensionQueries.rangeJoinRecent(_, _))
   )
 
@@ -680,6 +682,35 @@ object SparkEntry {
         |  FROM tok t JOIN clusters c ON t.doc_id = c.doc_id) m
         |WHERE rk = 1
         |ORDER BY doc_id""".stripMargin,
+    "t8_pii_redaction" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.' || CAST(doc_id % 100 AS VARCHAR)
+        |      || ' tel +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(aug, '\d{1,3}(\.\d{1,3}){3}')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(aug, '\+\d[\d-]{6,}\d')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{1,3}(\.\d{1,3}){3}', '<IP>', 'g'),
+        |    '\+\d[\d-]{6,}\d', '<PHONE>', 'g') AS redacted
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "z5_chunk_documents" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+        |  FROM documents),
+        |n AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens FROM t WHERE len(w) > 0),
+        |s AS (SELECT doc_id, w, n_tokens, unnest(range(0, n_tokens, 12)) AS start_tok FROM n)
+        |SELECT doc_id,
+        |  CAST(start_tok // 12 AS BIGINT) AS chunk_id,
+        |  CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(least(16, n_tokens - start_tok) AS BIGINT) AS chunk_len,
+        |  array_to_string(list_slice(w, start_tok + 1, start_tok + least(16, n_tokens - start_tok)), ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     "t1_text_tokens" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w

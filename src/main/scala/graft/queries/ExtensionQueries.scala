@@ -246,6 +246,57 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("source"))
 
+  /** PII scrubbing: regex redaction of emails, IPv4s, and phone numbers —
+    * the pre-training privacy pass. The corpus text is augmented with
+    * deterministic synthetic PII derived from doc_id (the test tables carry
+    * none), so the redaction is exercised for real and the oracle builds the
+    * identical input. Patterns are restricted to the RE2 ∩ java.util.regex
+    * common dialect so both engines match identically. Map-side only — no
+    * shuffle; the regexes run inside whole-stage codegen.
+    */
+  def piiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipPat = "\\d{1,3}(\\.\\d{1,3}){3}"
+    val phonePat = "\\+\\d[\\d-]{6,}\\d"
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+      lit(" ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+      lit("."), pmod(col("doc_id"), lit(100)).cast("string"),
+      lit(" tel +1-555-"), lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(emailPat), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("aug"), lit(ipPat), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all(col("aug"), lit(phonePat), lit(0))).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(regexp_replace(col("aug"),
+          emailPat, "<EMAIL>"), ipPat, "<IP>"), phonePat, "<PHONE>").as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixed-size token chunking with stride (context-window packing's
+    * upstream): each document becomes ⌈n/stride⌉ overlapping chunks of up to
+    * `size` tokens. Pure integer chunk geometry plus the chunk text itself —
+    * both engines slice the same token array, so the oracle is hash-exact.
+    * flatMap-shaped (posexplode), no shuffle.
+    */
+  def chunkDocuments(spark: SparkSession, dir: String,
+      chunkSize: Int = 16, stride: Int = 12): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    t.select(col("doc_id"), col("w"), col("n_tokens"),
+        posexplode(sequence(lit(0L), col("n_tokens") - 1, lit(stride.toLong))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        col("col").as("start_tok"),
+        least(lit(chunkSize.toLong), col("n_tokens") - col("col")).as("chunk_len"),
+        array_join(slice(col("w"), col("col").cast("int") + 1,
+          least(lit(chunkSize), (col("n_tokens") - col("col")).cast("int"))), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Repetition-based quality filter (the gopher-style duplicate-n-gram
     * fraction): docs whose bigram stream repeats itself are boilerplate.
     * Integer counts + one IEEE division → bit-identical to the oracle.

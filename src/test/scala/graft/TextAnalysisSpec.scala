@@ -48,6 +48,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == 1 + 2 + 1)
   }
 
+  test("pii redaction scrubs every planted email/ip/phone") {
+    val r = graft.queries.ExtensionQueries.piiRedaction(spark, sf)
+    // the augmentation plants exactly one of each per doc
+    assert(r.filter($"n_emails" =!= 1 || $"n_ips" =!= 1 || $"n_phones" =!= 1).count() == 0)
+    // and nothing PII-shaped survives redaction
+    assert(r.filter($"redacted".rlike("@|\\d{1,3}\\.\\d{1,3}\\.|\\+\\d")).count() == 0)
+    assert(r.filter(!$"redacted".contains("<EMAIL>") ||
+      !$"redacted".contains("<IP>") || !$"redacted".contains("<PHONE>")).count() == 0)
+  }
+
+  test("chunking covers every token with the configured overlap") {
+    val chunks = graft.queries.ExtensionQueries.chunkDocuments(spark, sf)
+      .as[(Long, Long, Long, Long, String)].collect()
+    val toks = Tables.documents(spark, sf)
+      .select($"doc_id", TextAnalysis.tokenCount($"text").as("n")).as[(Long, Long)]
+      .collect().toMap
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val n = toks(doc)
+      // chunk starts advance by the stride and the last chunk ends at n
+      assert(cs.map(_._3).toSeq.sorted == cs.indices.map(_ * 12L))
+      assert(cs.map(c => c._3 + c._4).max == n)
+      // every chunk_text has chunk_len tokens
+      assert(cs.forall(c => c._5.split(" ").length == c._4))
+    }
+  }
+
   test("multimodal stub codec: deterministic, byte-exact lengths") {
     val docs = Tables.documents(spark, sf)
     val a = Multimodal.decodedTable(spark, docs).orderBy("media_id").collect()
