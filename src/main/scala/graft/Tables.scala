@@ -20,11 +20,25 @@ object Tables {
 
   def enableCache(): Unit = cacheEnabled = true
 
+  /** Memoize `build` per key, but never serve a frame whose session is not
+    * the caller's (a stopped context would throw; a different live session
+    * would silently mix catalogs). Also shared by the dedup-stage and e2e
+    * memos — the cache is a single-session convenience, not a cross-session
+    * store, and assumes the files under the key are immutable for the JVM's
+    * lifetime (true for the driver's testdata contract).
+    */
+  private[graft] def memo[K](cache: java.util.concurrent.ConcurrentHashMap[K, DataFrame],
+      key: K, spark: SparkSession)(build: => DataFrame): DataFrame = {
+    val cur = cache.get(key)
+    if (cur != null && (cur.sparkSession eq spark) && !spark.sparkContext.isStopped) cur
+    else { val df = build; cache.put(key, df); df }
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     GraftSession.configure(spark)
     if (cacheEnabled)
-      cached.computeIfAbsent((sfDir, name),
-        _ => spark.read.parquet(s"$sfDir/$name.parquet").persist())
+      memo(cached, (sfDir, name), spark)(
+        spark.read.parquet(s"$sfDir/$name.parquet").persist())
     else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

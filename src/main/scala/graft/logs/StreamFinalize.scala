@@ -35,7 +35,11 @@ object StreamFinalize {
   // The ledger key includes the close event's last_ns as a generation marker:
   // pod names are routinely reused after restart (StatefulSets), and a ledger
   // keyed by name alone would anti-join the reborn stream's close event
-  // against the dead generation's row and never finalize it.
+  // against the dead generation's row and never finalize it. Upgrade note:
+  // ledger rows written before this key existed read with a NULL last_ns and
+  // never match the anti-join, so previously finalized streams re-finalize
+  // once — safe (compaction of an already-compacted stream is a no-op: ≤1
+  // non-compact file) and bounded per run by maxStreams.
   private val ledgerKey = streamKey :+ "last_ns"
 
   /** Schema of the close-events store ([[graft.streaming.CloseWriteDetector.PodClosed]]
@@ -87,7 +91,15 @@ object StreamFinalize {
             .select(ledgerKey.map(col): _*).distinct(),
           ledgerKey, "left_anti")
       else closedDf
-    val pending = pendingDf.orderBy(ledgerKey.map(col): _*).limit(maxStreams)
+    // maxStreams bounds STREAMS, not generation rows: limit the distinct
+    // stream keys first, then pull every pending generation of the chosen
+    // streams — a churny pod with thousands of close events can neither
+    // starve other streams of the whole budget nor straddle the cut (which
+    // would re-compact it once per run until its generations drained)
+    val chosen = pendingDf.select(streamKey.map(col): _*).distinct()
+      .orderBy(streamKey.map(col): _*).limit(maxStreams)
+    val pending = pendingDf.join(chosen, streamKey, "left_semi")
+      .orderBy(ledgerKey.map(col): _*)
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
     // several generations of one stream can be pending at once (close →

@@ -28,12 +28,12 @@ object ExtensionQueries {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def ngramPairs(spark: SparkSession, dir: String): DataFrame =
-    pairsCache.computeIfAbsent(dir, _ =>
+    Tables.memo(pairsCache, dir, spark)(
       Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
         n = 3, threshold = 0.8).persist())
 
   private def ngramClusters(spark: SparkSession, dir: String): DataFrame =
-    clustersCache.computeIfAbsent(dir, _ =>
+    Tables.memo(clustersCache, dir, spark)(
       Dedup.connectedComponents(ngramPairs(spark, dir)).persist())
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =

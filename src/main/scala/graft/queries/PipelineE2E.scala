@@ -93,13 +93,14 @@ object PipelineE2E {
   // Both layout variants ingest the identical fixture tree — share the
   // parsed result (the CRI regex parse is the expensive half of ingest) the
   // same way the fixture itself is shared.
-  private val ingestedCache = scala.collection.mutable.Map[String, DataFrame]()
+  private val ingestedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def criIngested(spark: SparkSession, dir: String): DataFrame = synchronized {
-    ingestedCache.getOrElseUpdate(dir, {
+    Tables.memo(ingestedCache, dir, spark) {
       val criRoot = criFixture(spark, dir)
       LogIngest.readCri(spark, criRoot.toString + "/pods/*/*/*.log",
         clusterName = "dev", nodeName = "node-a").persist()
-    })
+    }
   }
 
   private def run(spark: SparkSession, dir: String, layout: LogLayout): DataFrame = {

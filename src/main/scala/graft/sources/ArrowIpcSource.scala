@@ -170,6 +170,11 @@ private[sources] final class HadoopSeekableChannel(
     in: org.apache.hadoop.fs.FSDataInputStream, length: Long)
     extends java.nio.channels.SeekableByteChannel {
   private var closed = false
+  // Arrow's record-batch buffers are DIRECT (hasArray=false), so the staging
+  // branch is the hot path: reuse one bounded array instead of allocating a
+  // full-remaining-size one per read call (a 256 MB batch body would churn
+  // 256 MB of transient heap per retry otherwise).
+  private var staging: Array[Byte] = _
   override def read(dst: java.nio.ByteBuffer): Int = {
     val pos = in.getPos
     if (pos >= length) return -1
@@ -179,9 +184,10 @@ private[sources] final class HadoopSeekableChannel(
       if (n > 0) dst.position(dst.position() + n)
       n
     } else {
-      val buf = new Array[Byte](toRead)
-      val n = in.read(buf, 0, toRead)
-      if (n > 0) dst.put(buf, 0, n)
+      val chunk = math.min(toRead, 1 << 20)
+      if (staging == null || staging.length < chunk) staging = new Array[Byte](chunk)
+      val n = in.read(staging, 0, chunk)
+      if (n > 0) dst.put(staging, 0, n)
       n
     }
   }
