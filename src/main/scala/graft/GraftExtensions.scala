@@ -38,6 +38,7 @@ object GraftExtensions {
     "cri_timestamp_nanos" -> { args => CriTimestampNanos(args.head) },
     "poly_hash64" -> { args => PolyHash64(args.head) },
     "simhash64" -> { args => SimHash64(args.head) },
+    "simhash64_text" -> { args => SimHashText(args.head) },
     "cosine_sim" -> { args => CosineSimilarity(args(0), args(1)) },
     "dot_product" -> { args => DotProduct(args(0), args(1)) },
     "word_shingle_hashes" -> { args =>

@@ -49,6 +49,51 @@ object HashKernels {
   }
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** MurmurHash3's 64-bit finalizer: the polynomial token hash has weak
+    * high-bit diffusion on short tokens, and SimHash votes on every bit —
+    * without avalanching, high bits would barely vary and collapse the
+    * fingerprint space.
+    */
+  def fmix64(x: Long): Long = {
+    var h = x
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^ (h >>> 33)
+  }
+
+  /** Fused SimHash-64 straight from text: tokenize (lowercase, \s+ split,
+    * drop empties — the TextAnalysis.tokens convention), hash each token,
+    * vote per bit — one pass, zero intermediate arrays. This is the kernel
+    * form of `simhash64(transform(tokens(text), xxhash64))`, whose
+    * higher-order-function input drops the whole projection out of codegen.
+    */
+  def simHashText(text: UTF8String): Long = {
+    val s = text.toString.toLowerCase
+    val counts = new Array[Int](64)
+    val len = s.length
+    var i = 0
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      if (i < len) {
+        var h = 0xcbf29ce484222325L
+        while (i < len && !Character.isWhitespace(s.charAt(i))) {
+          h = h * 1099511628211L + s.charAt(i)
+          i += 1
+        }
+        h = fmix64(h)
+        var k = 0
+        while (k < 64) {
+          if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+          k += 1
+        }
+      }
+    }
+    var out = 0L
+    var k = 0
+    while (k < 64) { if (counts(k) > 0) out |= (1L << k); k += 1 }
+    out
+  }
 }
 
 /** `poly_hash64(string) → long` — document fingerprint (rolling hash). */
@@ -78,8 +123,21 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `simhash64_text(string) → long` — fused tokenize+hash+vote SimHash. */
+case class SimHashText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64_text"
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simHashText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.HashKernels.simHashText($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashText =
+    copy(child = newChild)
+}
+
 /** `hamming64(long, long) → int` — Hamming distance between fingerprints. */
 object HashFunctions {
   def polyHash64(c: Column): Column = Compat.column(PolyHash64(Compat.expression(c)))
   def simHash64(c: Column): Column = Compat.column(SimHash64(Compat.expression(c)))
+  def simHashText(c: Column): Column = Compat.column(SimHashText(Compat.expression(c)))
 }

@@ -140,9 +140,11 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // fused kernel: tokenize+hash+vote in one codegen pass — the
+    // transform(tokens(text), xxhash64) composition is a higher-order
+    // function and drops the projection out of whole-stage codegen
     val fp = docs.select(col(idCol).as("doc_id"),
-      HashFunctions.simHash64(
-        transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t))).as("fp"))
+      HashFunctions.simHashText(col(textCol)).as("fp"))
     val banded = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
