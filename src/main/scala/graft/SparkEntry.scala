@@ -111,7 +111,9 @@ object SparkEntry {
     "d7_decontamination" -> (ExtensionQueries.decontamination(_, _)),
     "d8_dedup_keep_canonical" -> (ExtensionQueries.dedupKeepCanonical(_, _)),
     "t8_pii_redaction" -> (ExtensionQueries.piiRedaction(_, _)),
+    "t9_token_rarity" -> (ExtensionQueries.tokenRarity(_, _)),
     "z5_chunk_documents" -> (ExtensionQueries.chunkDocuments(_, _)),
+    "z6_export_shards" -> (ExtensionQueries.exportShardManifest(_, _)),
     "x8_range_join" -> (ExtensionQueries.rangeJoinRecent(_, _))
   )
 
@@ -699,6 +701,23 @@ object SparkEntry {
         |    '\d{1,3}(\.\d{1,3}){3}', '<IP>', 'g'),
         |    '\+\d[\d-]{6,}\d', '<PHONE>', 'g') AS redacted
         |FROM a ORDER BY doc_id""".stripMargin,
+    "t9_token_rarity" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS tok
+        |  FROM documents),
+        |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM t GROUP BY tok)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(freq) AS BIGINT) AS sum_freq,
+        |  CAST(CAST(sum(freq) AS BIGINT) AS DOUBLE) / count(*) AS mean_freq
+        |FROM t JOIN f ON t.tok = f.tok
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "z6_export_shards" ->
+      """SELECT ((abs(doc_id) % 65536) * 40503) % 65536 % 8 AS shard_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(len(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS BIGINT)) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY 1 ORDER BY shard_id""".stripMargin,
     "z5_chunk_documents" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w

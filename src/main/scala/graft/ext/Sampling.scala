@@ -53,4 +53,30 @@ object Sampling {
     }
     df.filter(bucket(col(idCol)) < threshold)
   }
+
+  /** Stable shard assignment for training export: shard = hash-bucket mod
+    * `nShards`. A row's shard never changes as the dataset grows (same
+    * property as [[trainValSplit]]), so incremental exports append to the
+    * same shard a re-export would choose.
+    */
+  def withShard(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards $nShards must be positive")
+    df.withColumn("shard_id", pmod(bucket(col(idCol)), lit(nShards.toLong)))
+  }
+
+  /** Export rows into `nShards` deterministic shards under `path`
+    * (`shard_id=K/` hive dirs) and return the manifest (per-shard row
+    * count). Repartition on the shard column first: without it every task
+    * writes every shard dir — the small-file storm the hive writer always
+    * has (see LogIngest.writeHive).
+    */
+  def exportShards(df: DataFrame, idCol: String, path: String,
+      nShards: Int): DataFrame = {
+    val sharded = withShard(df, idCol, nShards)
+    sharded.repartition(col("shard_id"))
+      .write.partitionBy("shard_id").mode("overwrite").parquet(path)
+    sharded.sparkSession.read.parquet(path)
+      .groupBy(col("shard_id")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("shard_id"))
+  }
 }

@@ -297,6 +297,36 @@ object ExtensionQueries {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Token-rarity quality score: mean corpus frequency of a document's
+    * tokens — the integer-exact stand-in for a unigram-LM likelihood (a log
+    * form would hash-differ across engines on libm ulps). Low mean
+    * frequency = rare vocabulary. Two passes over the exploded tokens; at
+    * 100 TB the frequency table shuffles on the token — the same shape as
+    * any distributed word count.
+    */
+  def tokenRarity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    toks.join(freq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("freq")).as("sum_freq"))
+      .withColumn("mean_freq", col("sum_freq").cast("double") / col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shard-export manifest: deterministic shard assignment over documents
+    * (the export itself — partitioned parquet write — is spec-driven; the
+    * assignment arithmetic is what the oracle pins).
+    */
+  def exportShardManifest(spark: SparkSession, dir: String): DataFrame =
+    Sampling.withShard(Tables.documents(spark, dir), "doc_id", nShards = 8)
+      .groupBy(col("shard_id")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard_id"))
+
   /** Repetition-based quality filter (the gopher-style duplicate-n-gram
     * fraction): docs whose bigram stream repeats itself are boilerplate.
     * Integer counts + one IEEE division → bit-identical to the oracle.

@@ -41,6 +41,24 @@ class SamplingRangeSpec extends SparkSpec {
     assert(bySource.values.sum == full, "default 1.0 keeps every other stratum whole")
   }
 
+  test("shard export writes one hive dir per shard and the manifest matches") {
+    val docs = Tables.documents(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val manifest = Sampling.exportShards(docs, "doc_id", out, nShards = 4)
+      .as[(Long, Long)].collect().toMap
+    // every shard dir exists and row counts round-trip through the files
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard_id=")).sorted
+    assert(dirs.toSeq == manifest.keys.toSeq.sorted.map(k => s"shard_id=$k"))
+    assert(manifest.values.sum == docs.count())
+    // assignment is stable: re-deriving shards from ids matches the files
+    val reread = spark.read.parquet(out)
+      .select($"doc_id", $"shard_id".cast("long")).as[(Long, Long)].collect()
+    val expect = Sampling.withShard(docs, "doc_id", 4)
+      .select($"doc_id", $"shard_id").as[(Long, Long)].collect().toMap
+    assert(reread.forall { case (id, s) => expect(id) == s })
+  }
+
   test("bucketized range join matches the brute-force interval count") {
     val ev = Tables.events(spark, sf)
       .withColumn("time_us", graft.logs.CriFunctions.nanosToMicros($"ts"))
