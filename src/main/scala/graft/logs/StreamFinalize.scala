@@ -107,6 +107,9 @@ object StreamFinalize {
     val byStream = pending.groupBy { case (c, n, p, ct, _) => (c, n, p, ct) }
     byStream.toSeq.sortBy(_._1).foreach { case ((cluster, ns, pod, container), gens) =>
       compactPositionalStream(spark, storeRoot, cluster, ns, pod, container, maxRecordsPerFile)
+      // dual-format stores carry an arrow leg beside the parquet one; a
+      // parquet-only store globs nothing here and the call is a no-op
+      compactArrowStream(spark, storeRoot, cluster, ns, pod, container)
       // ledger append AFTER the stream is compacted: a crash in between just
       // re-compacts (idempotent via the plan protocol), never skips
       import spark.implicits._
@@ -160,15 +163,69 @@ object StreamFinalize {
     files.size
   }
 
+  /** Merge one closed stream's small `.arrow` files (the dual-format store's
+    * second leg — ArrowLogWriter writes one per flush batch) into one
+    * dict<int8>+ZSTD file: the engine's analogue of the reference's compact
+    * stage (compact_columns.c), which exists precisely to turn ~1 MB objects
+    * into scan-sized columnar files. Same plan-file crash protocol as the
+    * parquet side, under a format-distinct scratch dir so the two swaps
+    * cannot complete each other's plans.
+    */
+  def compactArrowStream(spark: SparkSession, root: String, cluster: String,
+      ns: String, pod: String, container: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(root).getFileSystem(conf)
+    val scratch = scratchPath(root, cluster, ns, pod, container, format = "arrow")
+    val planFile = new Path(scratch, "_PLAN")
+    if (fs.exists(planFile)) { finishPlan(fs, scratch, planFile); return 0 }
+    if (fs.exists(scratch)) fs.delete(scratch, true)
+    val glob = new Path(s"${root.stripSuffix("/")}/$cluster/$ns/*/*/*/*/$pod/$container/*/*/*.arrow")
+    val files = Option(fs.globStatus(glob)).map(_.toSeq).getOrElse(Seq.empty).map(_.getPath)
+      .filterNot(_.getName.startsWith("compact-"))
+    if (files.size <= 1) return 0
+    val df = spark.read.format("graft.sources.ArrowIpcSource")
+      .option("paths", files.map(_.toString).mkString(",")).load()
+    val expected = df.count()
+    // one writer task (a stream is one container's bounded lifetime);
+    // ArrowLogWriter.writeFile reads the keyed-row layout's positions 5..9,
+    // so prepend placeholder key columns (unused by the writer)
+    val keyed = df.select(lit(cluster), lit(ns), lit(""), lit(pod), lit(container),
+        col("time"), col("time_ns"), col("stream"), col("logtag"), col("message"))
+      .coalesce(1).sortWithinPartitions(col("time_ns"))
+    val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val scratchStr = scratch.toString
+    keyed.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val group = rows.toSeq
+      if (group.nonEmpty) {
+        val sfs = new Path(scratchStr).getFileSystem(sconf.value)
+        sfs.mkdirs(new Path(scratchStr))
+        val out = sfs.create(new Path(scratchStr, "part-merged.arrow"), true)
+        try graft.sources.ArrowLogWriter.writeFile(group,
+          java.nio.channels.Channels.newChannel(out))
+        finally out.close()
+      }
+    }
+    val written = spark.read.format("graft.sources.ArrowIpcSource")
+      .option("path", s"$scratchStr/*.arrow").load().count()
+    require(written == expected,
+      s"arrow stream compaction wrote $written rows, expected $expected; originals untouched")
+    val destDir = files.map(_.getParent.toString).max
+    writePlan(fs, planFile, destDir, files)
+    finishPlan(fs, scratch, planFile)
+    files.size
+  }
+
   /** Scratch dir for one stream's swap — named by a hash of the NUL-joined
     * key: hyphen-joining would collide streams whose components themselves
     * contain hyphens (routine in k8s names), and a collision would let one
-    * stream finish another's crash-recovery plan.
+    * stream finish another's crash-recovery plan. `format` separates the
+    * parquet and arrow swaps of the same stream so neither can complete the
+    * other's plan.
     */
   private[graft] def scratchPath(root: String, cluster: String, ns: String,
-      pod: String, container: String): Path = {
+      pod: String, container: String, format: String = "parquet"): Path = {
     val keyHash = java.security.MessageDigest.getInstance("MD5")
-      .digest(Seq(cluster, ns, pod, container).mkString("\u0000").getBytes("UTF-8"))
+      .digest(Seq(cluster, ns, pod, container, format).mkString("\u0000").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     new Path(s"${root.stripSuffix("/")}/.finalize-$keyHash")
   }
@@ -181,7 +238,8 @@ object StreamFinalize {
     val (destDir, originals) = readPlan(fs, planFile)
     fs.mkdirs(new Path(destDir))
     fs.listStatus(scratch)
-      .filter(st => st.getPath.getName.endsWith(".parquet"))
+      .filter(st => st.getPath.getName.endsWith(".parquet") ||
+        st.getPath.getName.endsWith(".arrow"))
       .foreach { st =>
         // deterministic target name: on stores where rename is copy+delete
         // (S3A) a crash can leave the file at BOTH ends — drop the scratch

@@ -119,6 +119,50 @@ class CloseWriteSpec extends SparkSpec {
       s"reborn stream not compacted: ${filesOf("web-1")}")
   }
 
+  test("finalize compacts the arrow leg of a dual-format store") {
+    val work = Files.createTempDirectory("graft-finalize-arrow")
+    val podsRoot = work.resolve("varlog/pods")
+    val d = podsRoot.resolve("ns1_web-7_u7/app")
+    Files.createDirectories(d)
+    Files.writeString(d.resolve("0.log"),
+      """2024-01-15T10:30:45.000000001Z stdout F alpha
+        |2024-01-15T10:30:46.000000002Z stderr F beta
+        |2024-01-15T10:30:47.000000003Z stdout P gamma
+        |""".stripMargin)
+    val ingested = graft.logs.LogIngest.readCri(spark,
+      podsRoot.toString + "/*/*/*.log", clusterName = "dev", nodeName = "n1")
+    val store = work.resolve("lake").toString
+    // dual-format: two uploads of both legs → 2 parquet + 2 arrow files
+    for (m <- Seq("2024-02-01T00:00:00Z", "2024-02-01T00:01:00Z")) {
+      val t = java.time.Instant.parse(m)
+      graft.logs.LogIngest.writePositional(ingested, store, uploadTime = t)
+      graft.sources.ArrowLogWriter.writePositional(ingested, store, uploadTime = t)
+    }
+    def filesBySuffix(suffix: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(store)).filter(_.getName.endsWith(suffix))
+    }
+    assert(filesBySuffix(".parquet").size == 2 && filesBySuffix(".arrow").size == 2)
+    val closeRoot = work.resolve("close-events").toString
+    Seq(PodClosed("dev", "ns1", "web-7", "app", 3, 1L, 3L)).toDS().toDF()
+      .write.mode("append").parquet(closeRoot)
+    graft.logs.StreamFinalize.finalizeClosed(spark, closeRoot, store)
+    // both legs compacted, each to one compact-* file
+    assert(filesBySuffix(".parquet").map(_.getName) match {
+      case Seq(n) => n.startsWith("compact-"); case other => false })
+    assert(filesBySuffix(".arrow").map(_.getName) match {
+      case Seq(n) => n.startsWith("compact-"); case other => false })
+    // the merged arrow file is readable, complete, and time-ordered
+    val merged = spark.read.format("graft.sources.ArrowIpcSource")
+      .option("path", filesBySuffix(".arrow").head.getPath).load()
+    assert(merged.count() == 6) // 3 lines × 2 uploads
+    val ns = merged.select($"time_ns").as[Long].collect()
+    assert(ns.toSeq == ns.sorted.toSeq)
+    assert(merged.select($"stream").distinct().as[String].collect().toSet ==
+      Set("stdout", "stderr"))
+  }
+
   test("auto-finalize loop compacts a closed stream when its close event lands") {
     val work = Files.createTempDirectory("graft-autofinalize")
     val podsRoot = work.resolve("varlog/pods")
