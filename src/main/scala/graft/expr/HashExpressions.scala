@@ -68,16 +68,25 @@ object HashKernels {
     * form of `simhash64(transform(tokens(text), xxhash64))`, whose
     * higher-order-function input drops the whole projection out of codegen.
     */
+  // Java regex \s — ASCII-only, exactly what TextAnalysis.tokens splits on.
+  // Character.isWhitespace would also match U+2000.. etc. and fork the
+  // tokenization from the documented-equivalent composition.
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 11.toChar || c == '\f' || c == '\r'
+
   def simHashText(text: UTF8String): Long = {
-    val s = text.toString.toLowerCase
+    // Locale.ROOT: default-locale toLowerCase is not deterministic across
+    // JVMs (tr-TR dots/undots 'i' even in pure ASCII) and fingerprints must
+    // be bit-reproducible on every executor
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val counts = new Array[Int](64)
     val len = s.length
     var i = 0
     while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && isWs(s.charAt(i))) i += 1
       if (i < len) {
         var h = 0xcbf29ce484222325L
-        while (i < len && !Character.isWhitespace(s.charAt(i))) {
+        while (i < len && !isWs(s.charAt(i))) {
           h = h * 1099511628211L + s.charAt(i)
           i += 1
         }

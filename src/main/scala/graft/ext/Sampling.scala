@@ -68,7 +68,10 @@ object Sampling {
     * (`shard_id=K/` hive dirs) and return the manifest (per-shard row
     * count). Repartition on the shard column first: without it every task
     * writes every shard dir — the small-file storm the hive writer always
-    * has (see LogIngest.writeHive).
+    * has (see LogIngest.writeHive). The manifest is deliberately computed
+    * by re-reading the WRITTEN files, not the input frame: an export
+    * manifest must describe what actually landed on disk (write
+    * verification), at the cost of one extra scan of the export.
     */
   def exportShards(df: DataFrame, idCol: String, path: String,
       nShards: Int): DataFrame = {

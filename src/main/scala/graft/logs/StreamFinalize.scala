@@ -129,87 +129,101 @@ object StreamFinalize {
     */
   def compactPositionalStream(spark: SparkSession, root: String, cluster: String,
       ns: String, pod: String, container: String,
+      maxRecordsPerFile: Long = 4000000L): Int =
+    compactStream(spark, root, cluster, ns, pod, container,
+      format = "parquet", suffix = ".parquet",
+      read = paths => spark.read.parquet(paths: _*),
+      writeScratch = (df, scratchStr) =>
+        // one writer task: the stream is one container's bounded lifetime;
+        // maxRecordsPerFile still splits a genuinely large stream into
+        // several scan-sized files
+        df.coalesce(1)
+          .sortWithinPartitions(col("time_ns"))
+          .write.option("maxRecordsPerFile", maxRecordsPerFile)
+          .mode("overwrite").parquet(scratchStr))
+
+  /** Merge one closed stream's small `.arrow` files (the dual-format store's
+    * second leg — ArrowLogWriter writes one per flush batch) into
+    * dict<int8>+ZSTD files capped at `maxRecordsPerFile` rows: the engine's
+    * analogue of the reference's compact stage (compact_columns.c), which
+    * exists precisely to turn ~1 MB objects into scan-sized columnar files.
+    * Same plan-file crash protocol as the parquet side, under a
+    * format-distinct scratch dir so the two swaps cannot complete each
+    * other's plans.
+    */
+  def compactArrowStream(spark: SparkSession, root: String, cluster: String,
+      ns: String, pod: String, container: String,
       maxRecordsPerFile: Long = 4000000L): Int = {
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    compactStream(spark, root, cluster, ns, pod, container,
+      format = "arrow", suffix = ".arrow",
+      read = paths => spark.read.format("graft.sources.ArrowIpcSource")
+        .option("paths", paths.mkString(",")).load(),
+      writeScratch = (df, scratchStr) => {
+        // one writer task (a stream is one container's bounded lifetime);
+        // ArrowLogWriter.writeFile reads the keyed-row layout's positions
+        // 5..9, so prepend placeholder key columns (unused by the writer)
+        val keyed = df.select(lit(cluster), lit(ns), lit(""), lit(pod), lit(container),
+            col("time"), col("time_ns"), col("stream"), col("logtag"), col("message"))
+          .coalesce(1).sortWithinPartitions(col("time_ns"))
+        keyed.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val sfs = new Path(scratchStr).getFileSystem(sconf.value)
+          // chunked batches: never materialize more than maxRecordsPerFile
+          // rows in the writer's heap, and name every file uniquely — a
+          // fixed name would collide with a prior compaction's output in the
+          // same destination dir and finishPlan's exists-check would drop
+          // the new rows as a presumed duplicate
+          val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+          def flush(): Unit = if (buf.nonEmpty) {
+            sfs.mkdirs(new Path(scratchStr))
+            val name = s"part-${java.util.UUID.randomUUID()}.arrow"
+            val out = sfs.create(new Path(scratchStr, name), true)
+            try graft.sources.ArrowLogWriter.writeFile(buf.toSeq,
+              java.nio.channels.Channels.newChannel(out))
+            finally out.close()
+            buf.clear()
+          }
+          rows.foreach { r =>
+            buf += r
+            if (buf.size >= maxRecordsPerFile) flush()
+          }
+          flush()
+        }
+      })
+  }
+
+  /** The shared swap skeleton both format legs run: plan recovery, scratch
+    * rebuild, glob + `compact-` exclusion, count-verified scratch write,
+    * plan persistence, swap. Exactly one copy of the crash-safety protocol —
+    * a fix here fixes both legs.
+    */
+  private def compactStream(spark: SparkSession, root: String, cluster: String,
+      ns: String, pod: String, container: String, format: String,
+      suffix: String, read: Seq[String] => DataFrame,
+      writeScratch: (DataFrame, String) => Unit): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(root).getFileSystem(conf)
-    val scratch = scratchPath(root, cluster, ns, pod, container)
+    val scratch = scratchPath(root, cluster, ns, pod, container, format)
     val planFile = new Path(scratch, "_PLAN")
     // finish an interrupted previous attempt BEFORE looking at the files:
     // its plan is the only authority on which originals its compacted output
     // already covers
     if (fs.exists(planFile)) { finishPlan(fs, scratch, planFile); return 0 }
     if (fs.exists(scratch)) fs.delete(scratch, true) // died before plan: rebuild is safe
-    val glob = new Path(s"${root.stripSuffix("/")}/$cluster/$ns/*/*/*/*/$pod/$container/*/*/*.parquet")
+    val glob = new Path(s"${root.stripSuffix("/")}/$cluster/$ns/*/*/*/*/$pod/$container/*/*/*$suffix")
     val files = Option(fs.globStatus(glob)).map(_.toSeq).getOrElse(Seq.empty).map(_.getPath)
       .filterNot(_.getName.startsWith("compact-"))
     if (files.size <= 1) return 0
-    val df = spark.read.parquet(files.map(_.toString): _*)
+    val df = read(files.map(_.toString))
     val expected = df.count()
-    // one writer task: the stream is one container's bounded lifetime;
-    // maxRecordsPerFile still splits a genuinely large stream into several
-    // scan-sized files
-    df.coalesce(1)
-      .sortWithinPartitions(col("time_ns"))
-      .write.option("maxRecordsPerFile", maxRecordsPerFile)
-      .mode("overwrite").parquet(scratch.toString)
-    val written = spark.read.parquet(scratch.toString).count()
+    writeScratch(df, scratch.toString)
+    val written = read(Seq(s"${scratch.toString}/*$suffix")).count()
     require(written == expected,
-      s"stream compaction wrote $written rows, expected $expected; originals untouched")
+      s"$format stream compaction wrote $written rows, expected $expected; originals untouched")
     val destDir = files.map(_.getParent.toString).max
     // the plan persists dest + originals BEFORE any mutation of the store;
     // from here on, crash recovery replays this plan to completion
-    writePlan(fs, planFile, destDir, files)
-    finishPlan(fs, scratch, planFile)
-    files.size
-  }
-
-  /** Merge one closed stream's small `.arrow` files (the dual-format store's
-    * second leg — ArrowLogWriter writes one per flush batch) into one
-    * dict<int8>+ZSTD file: the engine's analogue of the reference's compact
-    * stage (compact_columns.c), which exists precisely to turn ~1 MB objects
-    * into scan-sized columnar files. Same plan-file crash protocol as the
-    * parquet side, under a format-distinct scratch dir so the two swaps
-    * cannot complete each other's plans.
-    */
-  def compactArrowStream(spark: SparkSession, root: String, cluster: String,
-      ns: String, pod: String, container: String): Int = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(root).getFileSystem(conf)
-    val scratch = scratchPath(root, cluster, ns, pod, container, format = "arrow")
-    val planFile = new Path(scratch, "_PLAN")
-    if (fs.exists(planFile)) { finishPlan(fs, scratch, planFile); return 0 }
-    if (fs.exists(scratch)) fs.delete(scratch, true)
-    val glob = new Path(s"${root.stripSuffix("/")}/$cluster/$ns/*/*/*/*/$pod/$container/*/*/*.arrow")
-    val files = Option(fs.globStatus(glob)).map(_.toSeq).getOrElse(Seq.empty).map(_.getPath)
-      .filterNot(_.getName.startsWith("compact-"))
-    if (files.size <= 1) return 0
-    val df = spark.read.format("graft.sources.ArrowIpcSource")
-      .option("paths", files.map(_.toString).mkString(",")).load()
-    val expected = df.count()
-    // one writer task (a stream is one container's bounded lifetime);
-    // ArrowLogWriter.writeFile reads the keyed-row layout's positions 5..9,
-    // so prepend placeholder key columns (unused by the writer)
-    val keyed = df.select(lit(cluster), lit(ns), lit(""), lit(pod), lit(container),
-        col("time"), col("time_ns"), col("stream"), col("logtag"), col("message"))
-      .coalesce(1).sortWithinPartitions(col("time_ns"))
-    val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
-    val scratchStr = scratch.toString
-    keyed.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-      val group = rows.toSeq
-      if (group.nonEmpty) {
-        val sfs = new Path(scratchStr).getFileSystem(sconf.value)
-        sfs.mkdirs(new Path(scratchStr))
-        val out = sfs.create(new Path(scratchStr, "part-merged.arrow"), true)
-        try graft.sources.ArrowLogWriter.writeFile(group,
-          java.nio.channels.Channels.newChannel(out))
-        finally out.close()
-      }
-    }
-    val written = spark.read.format("graft.sources.ArrowIpcSource")
-      .option("path", s"$scratchStr/*.arrow").load().count()
-    require(written == expected,
-      s"arrow stream compaction wrote $written rows, expected $expected; originals untouched")
-    val destDir = files.map(_.getParent.toString).max
     writePlan(fs, planFile, destDir, files)
     finishPlan(fs, scratch, planFile)
     files.size
@@ -224,8 +238,15 @@ object StreamFinalize {
     */
   private[graft] def scratchPath(root: String, cluster: String, ns: String,
       pod: String, container: String, format: String = "parquet"): Path = {
+    // the parquet leg keeps the original 4-component hash: changing it would
+    // orphan any in-flight _PLAN a pre-upgrade binary left behind, silently
+    // dropping crash recovery across the upgrade (recovery would re-compact
+    // surviving originals and bake duplicates in). Only non-parquet formats
+    // append the discriminator.
+    val keyParts = Seq(cluster, ns, pod, container) ++
+      (if (format == "parquet") Nil else Seq(format))
     val keyHash = java.security.MessageDigest.getInstance("MD5")
-      .digest(Seq(cluster, ns, pod, container, format).mkString("\u0000").getBytes("UTF-8"))
+      .digest(keyParts.mkString("\u0000").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     new Path(s"${root.stripSuffix("/")}/.finalize-$keyHash")
   }

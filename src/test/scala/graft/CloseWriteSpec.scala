@@ -161,6 +161,25 @@ class CloseWriteSpec extends SparkSpec {
     assert(ns.toSeq == ns.sorted.toSeq)
     assert(merged.select($"stream").distinct().as[String].collect().toSet ==
       Set("stdout", "stderr"))
+
+    // reborn stream, arrow leg: a second compaction's output can land in a
+    // dest dir that already holds the first compact file — unique merged
+    // names must keep BOTH (a fixed name would make finishPlan's exists
+    // check silently drop the new rows)
+    for (m <- Seq("2024-02-01T00:00:00Z", "2024-02-01T00:01:00Z")) {
+      graft.sources.ArrowLogWriter.writePositional(ingested, store,
+        uploadTime = java.time.Instant.parse(m))
+    }
+    assert(filesBySuffix(".arrow").size == 3) // 1 compact + 2 reborn smalls
+    Seq(PodClosed("dev", "ns1", "web-7", "app", 3, 5L, 7L)).toDS().toDF()
+      .write.mode("append").parquet(closeRoot)
+    graft.logs.StreamFinalize.finalizeClosed(spark, closeRoot, store)
+    val after = filesBySuffix(".arrow")
+    assert(after.size == 2 && after.forall(_.getName.startsWith("compact-")),
+      s"reborn arrow stream mishandled: $after")
+    val total = spark.read.format("graft.sources.ArrowIpcSource")
+      .option("paths", after.map(_.getPath).mkString(",")).load().count()
+    assert(total == 12, s"rows lost in reborn-arrow compaction: $total != 12")
   }
 
   test("auto-finalize loop compacts a closed stream when its close event lands") {
