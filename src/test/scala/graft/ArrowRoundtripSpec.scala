@@ -109,6 +109,34 @@ class ArrowRoundtripSpec extends SparkSpec {
     assert(got(1).isNullAt(0) && got(1).isNullAt(1) && got(1).isNullAt(2) && got(1).isNullAt(3))
   }
 
+  test("multi-megabyte arrow file round-trips through the chunked channel") {
+    // record batches are read into DIRECT buffers via the seekable channel's
+    // 1 MB staging loop — a batch body well past the chunk size must arrive
+    // intact (bit-exact messages, exact count)
+    import org.apache.spark.sql.Row
+    // incompressible filler (deterministic LCG) so ZSTD can't shrink the
+    // batch body back under the staging chunk size
+    def filler(i: Int): String = {
+      var x = i * 2654435761L + 1
+      val sb = new StringBuilder(2048)
+      while (sb.length < 2048) { x = x * 6364136223846793005L + 1442695040888963407L
+        sb.append(((x >>> 33) % 94 + 33).toChar) }
+      sb.toString
+    }
+    val rows = (0 until 2000).map { i =>
+      Row("dev", "ns", "n1", "p1", "app", null, 1705314645000000000L + i,
+        "stdout", "F", s"$i-${filler(i)}")
+    }
+    val f = work.resolve("big.arrow").toFile
+    ArrowLogWriter.writeFile(rows, f)
+    assert(f.length() > (1 << 20), s"fixture too small: ${f.length()}")
+    val df = spark.read.format(classOf[ArrowIpcSource].getName).load(f.getPath)
+    assert(df.count() == 2000)
+    val got = df.select($"time_ns", $"message").orderBy($"time_ns").collect()
+    assert(got.zipWithIndex.forall { case (r, i) =>
+      r.getLong(0) == 1705314645000000000L + i && r.getString(1) == s"$i-${filler(i)}" })
+  }
+
   test("mixed-schema directory raises a clear error (driver check and read-time guard)") {
     import org.apache.spark.sql.Row
     val dir = work.resolve("mixed")

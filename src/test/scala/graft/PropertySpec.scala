@@ -81,6 +81,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: simHashText is whitespace-layout and case invariant") {
+    val wordGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val wordsGen = Gen.nonEmptyListOf(wordGen)
+    def fp(s: String): Long = graft.expr.HashKernels.simHashText(UTF8String.fromString(s))
+    forAll(wordsGen) { words =>
+      val canonical = fp(words.mkString(" "))
+      // extra/odd whitespace between the same tokens: identical fingerprint
+      assert(fp(words.mkString("  ")) == canonical)
+      assert(fp(words.mkString("\t")) == canonical)
+      assert(fp(" " + words.mkString("\n") + "  ") == canonical)
+      // ASCII case folding: identical fingerprint
+      assert(fp(words.map(_.toUpperCase(java.util.Locale.ROOT)).mkString(" ")) == canonical)
+      // duplicated content doubles every vote but flips no sign
+      assert(fp((words ++ words).mkString(" ")) == canonical)
+    }
+  }
+
+  test("property: simHashText near-duplicates have small hamming distance") {
+    val wordGen = Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString)
+    val wordsGen = Gen.listOfN(60, wordGen)
+    def fp(s: String): Long = graft.expr.HashKernels.simHashText(UTF8String.fromString(s))
+    forAll(wordsGen) { words =>
+      val a = fp(words.mkString(" "))
+      val b = fp((words.take(59) :+ "changedword").mkString(" "))
+      // one token of sixty changed: most bit-votes keep their sign
+      assert(graft.expr.HashKernels.hamming64(a, b) <= 24,
+        s"near-dup hamming too large: ${graft.expr.HashKernels.hamming64(a, b)}")
+    }
+  }
+
   test("property: glob always has the layout's fixed arity") {
     val keyGen = Gen.oneOf(graft.logs.LogSchema.selectorKeys.toSeq)
     val valGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
