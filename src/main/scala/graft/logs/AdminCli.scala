@@ -20,6 +20,12 @@ import graft.GraftSession
   * cutoff at directory granularity (no data scan); `finalize` consumes
   * pending close events once; `watch` runs the auto-finalize loop until
   * terminated (SIGTERM stops the streaming query cleanly — K6 semantics).
+  *
+  * All argument validation happens BEFORE the SparkSession starts: a typo'd
+  * command, a missing required key, or an unrecognized option fails
+  * instantly with the usage text, never with a Spark spin-up and a stack
+  * trace — and never by silently falling back to a default the operator did
+  * not ask for.
   */
 object AdminCli {
   private val usage =
@@ -29,39 +35,61 @@ object AdminCli {
       |  finalize  --root=DIR --close-events=DIR [--max-records=N]
       |  watch     --root=DIR --close-events=DIR --checkpoint=DIR [--interval=DUR]""".stripMargin
 
+  // per-command (required, optional) option keys — anything else is a typo
+  private val commands: Map[String, (Set[String], Set[String])] = Map(
+    "compact" -> (Set("root"), Set("max-records", "convert-streaming")),
+    "retention" -> (Set("root", "cutoff-date"), Set("convert-streaming")),
+    "finalize" -> (Set("root", "close-events"), Set("max-records")),
+    "watch" -> (Set("root", "close-events", "checkpoint"), Set("interval")))
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, usage)
     val cmd = args.head
+    val (required, optional) = commands.getOrElse(cmd,
+      throw new IllegalArgumentException(s"unknown command '$cmd'\n$usage"))
     val opts = args.tail.map { s =>
       val i = s.indexOf('=')
-      require(s.startsWith("--") && i > 2, s"unknown arg '$s'\n$usage")
+      require(s.startsWith("--") && i > 2, s"malformed arg '$s'\n$usage")
       s.substring(2, i) -> s.substring(i + 1)
     }.toMap
-    def opt(k: String): String =
-      opts.getOrElse(k, throw new IllegalArgumentException(s"missing --$k\n$usage"))
+    val unknown = opts.keySet -- required -- optional
+    require(unknown.isEmpty,
+      s"unrecognized option(s) for $cmd: ${unknown.map("--" + _).mkString(", ")}\n$usage")
+    val missing = required -- opts.keySet
+    require(missing.isEmpty,
+      s"missing required option(s) for $cmd: ${missing.map("--" + _).mkString(", ")}\n$usage")
+    // strict booleans: "--convert-streaming=True" silently meaning false
+    // would drop operator intent
+    def boolOpt(k: String): Boolean = opts.get(k) match {
+      case None => false
+      case Some("true") => true
+      case Some("false") => false
+      case Some(v) => throw new IllegalArgumentException(
+        s"--$k must be true or false, got '$v'\n$usage")
+    }
+    val maxRecords = opts.get("max-records").map(_.toLong).getOrElse(4000000L)
+
     val spark = GraftSession.local("graft-admin")
     try cmd match {
       case "compact" =>
-        Compaction.compactHive(spark, opt("root"),
-          maxRecordsPerFile = opts.getOrElse("max-records", "4000000").toLong,
-          convertStreamingStore = opts.get("convert-streaming").contains("true"))
-        println(s"[admin] compacted ${opt("root")}")
+        Compaction.compactHive(spark, opts("root"),
+          maxRecordsPerFile = maxRecords,
+          convertStreamingStore = boolOpt("convert-streaming"))
+        println(s"[admin] compacted ${opts("root")}")
       case "retention" =>
-        val dropped = Retention.enforceHive(spark, opt("root"), opt("cutoff-date"),
-          convertStreamingStore = opts.get("convert-streaming").contains("true"))
+        val dropped = Retention.enforceHive(spark, opts("root"), opts("cutoff-date"),
+          convertStreamingStore = boolOpt("convert-streaming"))
         println(s"[admin] dropped ${dropped.size} partitions: ${dropped.mkString(", ")}")
       case "finalize" =>
-        val done = StreamFinalize.finalizeClosed(spark, opt("close-events"), opt("root"),
-          maxRecordsPerFile = opts.getOrElse("max-records", "4000000").toLong)
+        val done = StreamFinalize.finalizeClosed(spark, opts("close-events"),
+          opts("root"), maxRecordsPerFile = maxRecords)
         println(s"[admin] finalized ${done.size} streams")
       case "watch" =>
-        val q = LogStreamIngest.startAutoFinalize(spark, opt("close-events"),
-          opt("root"), opt("checkpoint"),
-          triggerInterval = opts.getOrElse("interval", "60 seconds"))
-        println(s"[admin] auto-finalize running (trigger ${opts.getOrElse("interval", "60 seconds")})")
+        val interval = opts.getOrElse("interval", "60 seconds")
+        val q = LogStreamIngest.startAutoFinalize(spark, opts("close-events"),
+          opts("root"), opts("checkpoint"), triggerInterval = interval)
+        println(s"[admin] auto-finalize running (trigger $interval)")
         q.awaitTermination()
-      case other =>
-        throw new IllegalArgumentException(s"unknown command '$other'\n$usage")
     } finally spark.stop()
   }
 }

@@ -109,7 +109,8 @@ object StreamFinalize {
       compactPositionalStream(spark, storeRoot, cluster, ns, pod, container, maxRecordsPerFile)
       // dual-format stores carry an arrow leg beside the parquet one; a
       // parquet-only store globs nothing here and the call is a no-op
-      compactArrowStream(spark, storeRoot, cluster, ns, pod, container)
+      compactArrowStream(spark, storeRoot, cluster, ns, pod, container,
+        maxRecordsPerFile)
       // ledger append AFTER the stream is compacted: a crash in between just
       // re-compacts (idempotent via the plan protocol), never skips
       import spark.implicits._
@@ -205,11 +206,18 @@ object StreamFinalize {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(root).getFileSystem(conf)
     val scratch = scratchPath(root, cluster, ns, pod, container, format)
-    val planFile = new Path(scratch, "_PLAN")
     // finish an interrupted previous attempt BEFORE looking at the files:
     // its plan is the only authority on which originals its compacted output
-    // already covers
-    if (fs.exists(planFile)) { finishPlan(fs, scratch, planFile); return 0 }
+    // already covers. Probe every scratch-dir naming any prior build used —
+    // a plan left by an old binary under a hash this build no longer
+    // computes would otherwise be orphaned, and re-compacting its surviving
+    // originals bakes the already-moved rows in twice.
+    (scratch +: legacyScratchPaths(root, cluster, ns, pod, container, format))
+      .foreach { s =>
+        val pf = new Path(s, "_PLAN")
+        if (fs.exists(pf)) { finishPlan(fs, s, pf); return 0 }
+      }
+    val planFile = new Path(scratch, "_PLAN")
     if (fs.exists(scratch)) fs.delete(scratch, true) // died before plan: rebuild is safe
     val glob = new Path(s"${root.stripSuffix("/")}/$cluster/$ns/*/*/*/*/$pod/$container/*/*/*$suffix")
     val files = Option(fs.globStatus(glob)).map(_.toSeq).getOrElse(Seq.empty).map(_.getPath)
@@ -245,6 +253,20 @@ object StreamFinalize {
     // append the discriminator.
     val keyParts = Seq(cluster, ns, pod, container) ++
       (if (format == "parquet") Nil else Seq(format))
+    hashedScratch(root, keyParts)
+  }
+
+  /** Scratch-dir names earlier builds computed for the same stream+format —
+    * probed (never written) during plan recovery. One interim build hashed
+    * the parquet scratch with an explicit 5th "parquet" component.
+    */
+  private def legacyScratchPaths(root: String, cluster: String, ns: String,
+      pod: String, container: String, format: String): Seq[Path] =
+    if (format == "parquet")
+      Seq(hashedScratch(root, Seq(cluster, ns, pod, container, "parquet")))
+    else Seq.empty
+
+  private def hashedScratch(root: String, keyParts: Seq[String]): Path = {
     val keyHash = java.security.MessageDigest.getInstance("MD5")
       .digest(keyParts.mkString("\u0000").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
