@@ -15,9 +15,18 @@ import java.util.concurrent.{Executors, TimeUnit}
   * set; per-query numbers are each query's own span (including pool queue
   * time — they are throughput diagnostics, not isolated latencies).
   *
-  * `SPARK_GRAFT_BENCH_REPEAT=2` adds a second, warm round after the cold one
-  * — its per-query map is printed as a separate `{"metric":"warm",...}` line
-  * (the headline `total` stays the cold round for cross-round comparability).
+  * After the concurrent round a SEQUENTIAL round runs (pool of 1, tables
+  * already cache-warm) and prints `{"metric":"sequential",...}`: each span
+  * there is an isolated query latency with no scheduler contention, so
+  * per-query regressions are attributable from the artifact alone — the
+  * concurrent map alone made contention look like regressions twice
+  * (r02, r04). The headline `total` stays the concurrent wall.
+  *
+  * `SPARK_GRAFT_BENCH_REPEAT=2` adds a second, warm concurrent round — its
+  * per-query map is printed as a separate `{"metric":"warm",...}` line
+  * (the headline `total` stays the first round for cross-round
+  * comparability). All rounds are cache-warm/JVM-cold on round one: the
+  * warmup below materializes the columnar table cache before any timing.
   */
 object Bench {
 
@@ -88,6 +97,14 @@ object Bench {
     println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":${queriesJson(snapshot)},"failed":$failedJson,"sf":"$sfDir"}""")
     var allFinished = finished
     val allFailed = scala.collection.mutable.SortedSet(failedNames: _*)
+    if (finished) {
+      // isolated per-query latencies (cache-warm, no concurrency): the
+      // regression-attribution map VERDICT r04 asked for
+      val (seqWall, seqSnap, seqFinished) = runRound(spark, sfDir, 1)
+      allFinished &= seqFinished
+      allFailed ++= seqSnap.collect { case (n, t) if t == -1.0 => n }
+      println(s"""{"metric":"sequential","value":$seqWall,"unit":"sec","queries":${queriesJson(seqSnap)},"sf":"$sfDir"}""")
+    }
     if (finished) (2 to repeat).foreach { r =>
       val (warmWall, warmSnap, warmFinished) = runRound(spark, sfDir, parallel)
       allFinished &= warmFinished

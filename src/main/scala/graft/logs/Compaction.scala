@@ -11,8 +11,19 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * Strategy: read the hive store, re-write each partition's rows into files
   * capped by `maxRecordsPerFile` with one task per output partition
   * (repartition on the partition key — no global shuffle of unrelated
-  * partitions, and AQE coalesces the tiny ones). Readers see the swap
-  * atomically per partition thanks to dynamic partition overwrite.
+  * partitions, and AQE coalesces the tiny ones), then swap.
+  *
+  * Swap, two tiers:
+  *  - [[VersionedStore]] roots (engine-created; root is a symlink to the
+  *    current version dir): promote staging to the next version dir and
+  *    atomically retarget the symlink — ONE rename, readers see the whole
+  *    old tree or the whole new tree, no missing-partition window at all.
+  *  - legacy plain-dir roots: swap each leaf partition dir with two
+  *    metadata-only renames (old leaf → hidden trash, staged leaf → live);
+  *    the per-partition window is two rename syscalls, not the multi-file
+  *    delete+rename of a dynamic-overwrite job commit.
+  * On object stores (no atomic rename) run the same marker protocol over a
+  * pointer object readers resolve; rename-based swaps are local/HDFS tiers.
   *
   * Crash safety: an in-flight marker (`<root>.compact-inflight`, holding the
   * expected row count) brackets the swap. If a run dies inside job commit —
@@ -42,12 +53,15 @@ object Compaction {
         // Staging was verified complete before the marker was written, so it
         // is authoritative — re-apply it rather than re-staging from a live
         // tree that may have lost a partition mid-commit.
-        require(fs.exists(staging),
-          s"$marker exists but $staging is gone — a previous swap crashed and " +
-            "its staging tree was removed; restore from backup/upstream")
         val expected = readMarker(fs, marker)
-        applyStaging(spark, live, staging, marker, fs, partitionCols,
-          maxRecordsPerFile, expected)
+        if (VersionedStore.isVersioned(root)) {
+          recoverVersioned(spark, root, staging, marker, fs, expected)
+        } else {
+          require(fs.exists(staging),
+            s"$marker exists but $staging is gone — a previous swap crashed and " +
+              "its staging tree was removed; restore from backup/upstream")
+          applyStaging(spark, live, staging, marker, fs, expected)
+        }
         return
       }
       // staging without a marker is derived data from an attempt that died
@@ -84,30 +98,84 @@ object Compaction {
       require(stagedRows == expectedRows,
         s"compaction wrote $stagedRows rows, expected $expectedRows; aborting with $live untouched")
       writeMarker(fs, marker, expectedRows)
-      applyStaging(spark, live, staging, marker, fs, partitionCols,
-        maxRecordsPerFile, expectedRows)
+      if (VersionedStore.isVersioned(root))
+        commitVersioned(spark, root, staging, marker, fs, expectedRows)
+      else
+        applyStaging(spark, live, staging, marker, fs, expectedRows)
     } finally spark.conf.set(inferKey, prevInfer)
   }
 
-  /** Swap per partition via dynamic partition overwrite: the live root is
-    * never renamed away, so concurrent readers always have a store — every
-    * partition is either its old files or its compacted replacement (the
-    * only unreadable window is the per-partition delete+rename inside job
-    * commit, milliseconds, vs the whole-rewrite window a root-rename swap
-    * had). A crash anywhere in here leaves the marker + staging in place for
-    * the recovery path above. Requires no concurrent WRITER (appends racing
-    * the swap into an overwritten partition would be dropped).
+  /** Versioned-store commit: promote the verified staging tree to the next
+    * version directory (one rename — readers never look there), then retarget
+    * the root symlink atomically. A reader resolving the root at ANY instant
+    * sees the complete old version or the complete new one; there is no
+    * missing-partition window at all, unlike the per-leaf swap below.
+    */
+  private def commitVersioned(spark: SparkSession, root: String, staging: Path,
+      marker: Path, fs: FileSystem, expectedRows: Long): Unit = {
+    val next = VersionedStore.listVersions(root).max + 1
+    val versionDir = new Path(VersionedStore.versionName(root, next))
+    require(fs.rename(staging, versionDir), s"rename $staging -> $versionDir failed")
+    VersionedStore.retarget(root, next)
+    val liveRows = spark.read.parquet(root).count()
+    require(liveRows == expectedRows,
+      s"post-swap count $liveRows != expected $expectedRows — inspect $root")
+    fs.delete(marker, false)
+    VersionedStore.dropVersionsExcept(root, next)
+  }
+
+  /** Versioned-store crash recovery: if staging survived, the commit never
+    * promoted it — finish the commit. Otherwise a version dir ahead of the
+    * pointer holds the verified rewrite — retarget to it. Both paths are
+    * idempotent: re-running after a second crash converges.
+    */
+  private def recoverVersioned(spark: SparkSession, root: String, staging: Path,
+      marker: Path, fs: FileSystem, expectedRows: Long): Unit = {
+    if (fs.exists(staging)) {
+      commitVersioned(spark, root, staging, marker, fs, expectedRows)
+    } else {
+      val newest = VersionedStore.listVersions(root).max
+      if (newest > VersionedStore.currentVersion(root))
+        VersionedStore.retarget(root, newest)
+      val liveRows = spark.read.parquet(root).count()
+      require(liveRows == expectedRows,
+        s"recovered count $liveRows != expected $expectedRows — inspect $root")
+      fs.delete(marker, false)
+      VersionedStore.dropVersionsExcept(root, newest)
+    }
+  }
+
+  /** Swap each leaf partition directory with two single renames: the old
+    * leaf moves to a hidden `.compact-trash` dir inside the live root (names
+    * starting with `.` are pruned by Spark's file listing, so readers never
+    * see trash as a partition), then the staged leaf renames in. The live
+    * root is never renamed away, and a partition's unreadable window is two
+    * metadata operations — not the per-file delete+rename a job commit does.
+    *
+    * Idempotent for recovery: a leaf already swapped is gone from staging
+    * and is skipped; a leaf whose old dir was trashed but whose replacement
+    * never landed (crash between the two renames) still has its staged copy,
+    * which renames straight in. A crash anywhere in here leaves the marker +
+    * staging in place for the recovery path above. Requires no concurrent
+    * WRITER (appends racing the swap into a replaced partition would be
+    * trashed with the old files).
     */
   private def applyStaging(spark: SparkSession, live: Path, staging: Path,
-      marker: Path, fs: FileSystem, partitionCols: Seq[String],
-      maxRecordsPerFile: Long, expectedRows: Long): Unit = {
-    spark.read.parquet(staging.toString)
-      .write
-      .partitionBy(partitionCols: _*)
-      .option("partitionOverwriteMode", "dynamic")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .mode("overwrite")
-      .parquet(live.toString)
+      marker: Path, fs: FileSystem, expectedRows: Long): Unit = {
+    val trashRoot = new Path(live, ".compact-trash")
+    for (rel <- leafPartitionDirs(fs, staging)) {
+      val stagedLeaf = new Path(staging, rel)
+      val liveLeaf = new Path(live, rel)
+      val trashLeaf = new Path(trashRoot, rel)
+      // a trash leaf surviving a crashed attempt is superseded: the staged
+      // copy (verified complete before the marker was written) is authoritative
+      if (fs.exists(trashLeaf)) fs.delete(trashLeaf, true)
+      fs.mkdirs(trashLeaf.getParent)
+      fs.mkdirs(liveLeaf.getParent)
+      if (fs.exists(liveLeaf))
+        require(fs.rename(liveLeaf, trashLeaf), s"rename $liveLeaf -> $trashLeaf failed")
+      require(fs.rename(stagedLeaf, liveLeaf), s"rename $stagedLeaf -> $liveLeaf failed")
+    }
     val liveRows = spark.read.parquet(live.toString).count()
     require(liveRows == expectedRows,
       s"post-swap count $liveRows != expected $expectedRows — inspect $live against $staging")
@@ -116,6 +184,26 @@ object Compaction {
     // unrecoverable crash and blocks compaction on a healthy store
     fs.delete(marker, false)
     fs.delete(staging, true)
+    fs.delete(trashRoot, true)
+  }
+
+  /** Relative paths of the hive leaf partition dirs under `root`: the
+    * deepest directories whose every path component is `col=value`. Walks
+    * directories only (data files live inside leaves), skipping hidden and
+    * metadata names (`_SUCCESS`, `.compact-trash`).
+    */
+  private def leafPartitionDirs(fs: FileSystem, root: Path): Seq[String] = {
+    def walk(dir: Path, rel: String): Seq[String] = {
+      val subDirs = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.contains("=") && !n.startsWith("_") && !n.startsWith(".")
+        }
+      if (subDirs.isEmpty) { if (rel.nonEmpty) Seq(rel) else Seq.empty }
+      else subDirs.toSeq.flatMap(p =>
+        walk(p, if (rel.isEmpty) p.getName else s"$rel/${p.getName}"))
+    }
+    walk(root, "")
   }
 
   /** Atomic marker write (temp + rename): a torn marker would wedge every

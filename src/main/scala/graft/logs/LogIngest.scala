@@ -65,13 +65,23 @@ object LogIngest {
     */
   def writeHive(df: DataFrame, root: String,
       maxRecordsPerFile: Long = 1000000L,
-      partitionCols: Seq[String] = LogSchema.hivePartitionColumns): Unit =
+      partitionCols: Seq[String] = LogSchema.hivePartitionColumns): Unit = {
+    // Fresh local stores are created symlink-rooted (VersionedStore) so
+    // maintenance rewrites can swap the whole tree atomically under readers;
+    // appends resolve through the link transparently. Existing roots (plain
+    // dirs, remote URIs) are appended to as-is.
+    val uri = new Path(root).toUri
+    if ((uri.getScheme == null || uri.getScheme == "file") &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(uri.getPath),
+          java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      VersionedStore.init(uri.getPath)
     df.repartition(partitionCols.map(col): _*)
       .write
       .partitionBy(partitionCols: _*)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("append")
       .parquet(root)
+  }
 
   /** Reference-compatible positional-layout writer (SURVEY §1.3; layout
     * y-logcli:5). Spark can only emit `k=v` directories, so this writes

@@ -65,29 +65,29 @@ class IntrospectCompactionSpec extends SparkSpec {
         lit("p1").as("pod"), lit("app").as("container"))
       .withColumn("date", date_format($"time", "yyyy-MM-dd"))
       .withColumn("hour", date_format($"time", "HH"))
+    // engine-created store: symlink-rooted, so the compaction swap is one
+    // atomic pointer rename (VersionedStore) — zero visibility window
+    graft.logs.VersionedStore.init(root)
     df.repartition(8).write.partitionBy(parts: _*)
-      .option("maxRecordsPerFile", 10).mode("overwrite").parquet(root)
+      .option("maxRecordsPerFile", 10).mode("append").parquet(root)
     val dateDirs = new java.io.File(s"$root/cluster=dev/namespace=ns0").list()
       .filter(_.startsWith("date=")).toSet
     assert(dateDirs.size > 10)
-    // Poll while compaction runs: the root must exist at EVERY sample (the
-    // old root-rename swap left it absent for the whole rewrite); the date
-    // partition set must be complete at every sample too, with one 50 ms
-    // recheck allowed for the ms-scale per-partition rename inside job commit.
+    // Hammer the listing while compaction runs, NO grace and no recheck: the
+    // root must exist and the date partition set must be complete at every
+    // single sample. The old dynamic-overwrite swap had a per-partition
+    // delete+rename window inside job commit that this caught under load;
+    // the symlink retarget has no window at all.
     @volatile var stop = false
     val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val reader = new Thread(() => {
       while (!stop) {
         if (!new java.io.File(root).exists()) violations.add("live root missing")
         val ns = new java.io.File(s"$root/cluster=dev/namespace=ns0")
-        def seen = Option(ns.list()).map(_.filter(_.startsWith("date=")).toSet)
+        val seen = Option(ns.list()).map(_.filter(_.startsWith("date=")).toSet)
           .getOrElse(Set.empty[String])
-        if (seen != dateDirs) {
-          Thread.sleep(50)
-          if (seen != dateDirs)
-            violations.add(s"partitions missing: ${(dateDirs -- seen).mkString(",")}")
-        }
-        Thread.sleep(5)
+        if (seen != dateDirs)
+          violations.add(s"partitions missing: ${(dateDirs -- seen).mkString(",")}")
       }
     })
     reader.start()
@@ -95,6 +95,48 @@ class IntrospectCompactionSpec extends SparkSpec {
     finally { stop = true; reader.join() }
     assert(violations.isEmpty, s"concurrent reader saw: ${violations.toArray.mkString("; ")}")
     assert(spark.read.parquet(root).count() == df.count())
+    // the swap really happened: pointer moved on, exactly one version remains
+    assert(graft.logs.VersionedStore.currentVersion(root) == 2)
+    assert(graft.logs.VersionedStore.listVersions(root) == Seq(2))
+  }
+
+  test("versioned store recovers an interrupted commit from marker + staged version") {
+    val root = Files.createTempDirectory("graft-compact5").resolve("store").toString
+    val parts = Seq("cluster", "namespace", "date")
+    val df = Tables.events(spark, sf).limit(2000)
+      .select(
+        graft.logs.CriFunctions.nanosToTimestamp($"ts").as("time"),
+        $"ts".as("time_ns"), lit("stdout").as("stream"), lit("F").as("logtag"),
+        $"props".as("message"), lit("dev").as("cluster"),
+        lit("ns0").as("namespace"), lit("n1").as("node"),
+        lit("p1").as("pod"), lit("app").as("container"))
+      .withColumn("date", date_format($"time", "yyyy-MM-dd"))
+      .withColumn("hour", date_format($"time", "HH"))
+    graft.logs.VersionedStore.init(root)
+    df.write.partitionBy(parts: _*).mode("append").parquet(root)
+    val expected = spark.read.parquet(root).count()
+    // crash A: staging verified + marker written, but never promoted
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prevInfer = spark.conf.get(inferKey)
+    spark.conf.set(inferKey, "false")
+    try spark.read.parquet(root).repartition(parts.map(col): _*)
+      .write.partitionBy(parts: _*).mode("overwrite").parquet(root + ".compact-staging")
+    finally spark.conf.set(inferKey, prevInfer)
+    Files.writeString(java.nio.file.Paths.get(root + ".compact-inflight"), expected.toString)
+    Compaction.compactHive(spark, root, partitionCols = parts)
+    assert(spark.read.parquet(root).count() == expected)
+    assert(graft.logs.VersionedStore.currentVersion(root) == 2)
+    assert(!new java.io.File(root + ".compact-inflight").exists)
+    assert(!new java.io.File(root + ".compact-staging").exists)
+    // crash B: version promoted but pointer never retargeted (marker only)
+    val v3 = graft.logs.VersionedStore.versionName(root, 3)
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(graft.logs.VersionedStore.versionName(root, 2)), new java.io.File(v3))
+    Files.writeString(java.nio.file.Paths.get(root + ".compact-inflight"), expected.toString)
+    Compaction.compactHive(spark, root, partitionCols = parts)
+    assert(graft.logs.VersionedStore.currentVersion(root) == 3)
+    assert(graft.logs.VersionedStore.listVersions(root) == Seq(3))
+    assert(spark.read.parquet(root).count() == expected)
   }
 
   test("compaction recovers a partition lost mid-commit from the staging tree") {
