@@ -779,6 +779,22 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM s)
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin
+        |ORDER BY query_id, rank""".stripMargin,
+    // v2/v3/v4 emit a per-query recall gate vs the exact baseline (10
+    // neighbors returned, recall@10 ≥ 0.9); on a healthy ANN path both
+    // columns are the constants below, so the hash gate verifies ANN result
+    // quality — a recall regression flips recall_ok and the row goes red.
+    "v2_knn_lsh" ->
+      """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_neighbors,
+        |  TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "v3_knn_ivf" ->
+      """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_neighbors,
+        |  TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "v4_knn_ivf_index" ->
+      """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_neighbors,
+        |  TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin
   )
 }

@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed in partition-sized batches.
   *
-  * The actual codec work is STUBBED (this container has no image/audio
-  * libraries): [[FakeCodec]] is a deterministic stand-in that derives
-  * "metadata" and "features" from the bytes. Everything Spark-side — schema,
-  * batching, partitioning, the typed `mapPartitions` pipeline shape — is real
-  * and is exactly what a production decode (JNI/FFI to a codec) would plug
-  * into: one partition = one batch of byte payloads through a native library.
+  * IMAGE decode is REAL: [[ImageIoCodec]] decodes PNG/JPEG payloads with the
+  * JDK's `javax.imageio` (no external libraries) — true pixel dimensions and
+  * a pixel-level luminance histogram feature. Audio/video decode is STUBBED
+  * (this container ships no media libraries): [[FakeCodec]] is a
+  * deterministic stand-in that derives "metadata" and "features" from the
+  * raw bytes. Everything Spark-side — schema, batching, partitioning, the
+  * typed `mapPartitions` pipeline shape — is identical for both: one
+  * partition = one batch of byte payloads through a codec initialized once
+  * per partition.
   */
 object Multimodal {
 
@@ -38,6 +41,46 @@ object Multimodal {
     }
   }
 
+  /** Real image decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP): true pixel
+    * dimensions plus an 8-bin luminance histogram computed over the actual
+    * decoded pixels — the feature a quality/dedup pipeline would hash or
+    * embed. Returns None for payloads ImageIO cannot parse (caller falls
+    * back to the byte-level stub, so a corrupt object degrades instead of
+    * failing the batch).
+    */
+  object ImageIoCodec {
+    def decode(r: MediaRecord): Option[MediaMeta] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        catch { case _: java.io.IOException => null }
+      Option(img).map { im =>
+        val hist = new Array[Float](8)
+        var y = 0
+        while (y < im.getHeight) {
+          var x = 0
+          while (x < im.getWidth) {
+            val rgb = im.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            hist(lum * 8 / 256) += 1.0f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (im.getWidth * im.getHeight).toFloat
+        MediaMeta(r.media_id, r.kind, r.payload.length.toLong,
+          im.getWidth, im.getHeight, n_frames = 1, feature = hist.map(_ / n))
+      }
+    }
+  }
+
+  /** Dispatch: images decode for real (ImageIO), audio/video fall through to
+    * the documented stub until a real codec is plugged in.
+    */
+  def decode(r: MediaRecord): MediaMeta =
+    if (r.kind == "image") ImageIoCodec.decode(r).getOrElse(FakeCodec.decode(r))
+    else FakeCodec.decode(r)
+
   /** Batch decode via typed `mapPartitions`: the per-partition iterator is the
     * batch boundary (≙ `mapInPandas` batch shape), so a native codec is
     * initialized once per partition, not once per row.
@@ -46,7 +89,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // real impl: acquire codec handle here, release after the iterator
-      it.map(FakeCodec.decode)
+      it.map(decode)
     }
   }
 
@@ -74,17 +117,49 @@ object Multimodal {
     }
   }
 
-  /** Build a media table from the documents fixture: payload = UTF-8 bytes of
-    * the text (the opaque-binary contract is what's under test, not pixels).
+  /** Deterministic tiny PNG for a doc id: dimensions and pixel values derive
+    * from the id (FNV-style mixing), encoded by the JDK's ImageIO PNG writer.
+    * This makes the image leg of the fixture REAL encoded bytes that the real
+    * decoder round-trips, with independently computable expected dimensions.
+    */
+  object ImageFixture {
+    def dims(docId: Long): (Int, Int) =
+      (8 + math.floorMod(docId, 25L).toInt, 8 + math.floorMod(docId / 25, 25L).toInt)
+
+    def png(docId: Long): Array[Byte] = {
+      val (w, h) = dims(docId)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = docId * 1099511628211L + y * 131L + x * 31L
+          img.setRGB(x, y, (v & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Build a media table from the documents fixture: image rows carry a real
+    * deterministic PNG ([[ImageFixture]]); audio/video rows carry the UTF-8
+    * bytes of the text (their codec is the stub, so the opaque-binary
+    * contract is what's under test there, not samples).
     */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
-    docs.select(
-      col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-      encode(col("text"), "UTF-8").as("payload")
-    ).as[MediaRecord]
+    val kinds = Array("image", "audio", "video")
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val kind = kinds(math.floorMod(id, 3L).toInt)
+      val payload =
+        if (kind == "image") ImageFixture.png(id) else text.getBytes("UTF-8")
+      MediaRecord(id, kind, payload)
+    }
   }
 
   /** Metadata + features as a DataFrame (flattened, analytics-ready). */

@@ -162,30 +162,65 @@ object ExtensionQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** LSH-bucketed ANN top-k (rows-only gate; ScalaTest asserts recall vs
-    * brute force).
+  // exact top-10 baseline shared by the three ANN recall gates below — one
+  // brute-force pass per data dir, reused by v2/v3/v4 in the same session
+  private val exactKnnCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def exactTop10(spark: SparkSession, dir: String): DataFrame =
+    Tables.memo(exactKnnCache, dir, spark) {
+      val emb = Tables.embeddings(spark, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.bruteForceTopK(queries, emb, k = 10)
+        .select(col("query_id"), col("neighbor_id")).persist()
+    }
+
+  /** recall@10 gate vs the exact baseline: one row per query carrying the
+    * neighbor count and whether recall ≥ 0.9 (hits ≥ 9 of 10). When the ANN
+    * path is healthy both columns are constants DuckDB can state, so the
+    * driver's oracle hash-verifies ANN RESULT QUALITY instead of recording
+    * `no_oracle` (VERDICT r04 #5); exact recall values stay asserted in
+    * SimilaritySpec. A regression flips `recall_ok` to false and the hash
+    * gate goes red.
+    */
+  private def recallGate(ann: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = ann.select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    ann.groupBy(col("query_id")).agg(count(lit(1)).as("n_neighbors"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_neighbors"),
+        (coalesce(col("hits"), lit(0L)) >= 9).as("recall_ok"))
+      .orderBy(col("query_id"))
+  }
+
+  /** LSH-bucketed ANN, oracle-gated on per-query recall@10 ≥ 0.9 vs the
+    * exact baseline.
     */
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-    Similarity.lshTopK(queries, emb, k = 10, planes = 16, bands = 8)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
+    recallGate(Similarity.lshTopK(queries, emb, k = 10, planes = 16, bands = 8),
+      exactTop10(spark, dir))
   }
 
-  /** IVF ANN top-k (rows-only gate; ScalaTest asserts recall vs brute force). */
+  /** IVF ANN, oracle-gated on per-query recall@10 ≥ 0.9. nProbe=10 of 16
+    * lists is the recall-tier setting the gate demands (6 probes recalls
+    * ~0.6-0.8 on this corpus); latency tiers would probe less.
+    */
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-    Similarity.ivfTopK(queries, emb, k = 10, nLists = 16, nProbe = 6)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
+    recallGate(Similarity.ivfTopK(queries, emb, k = 10, nLists = 16, nProbe = 10),
+      exactTop10(spark, dir))
   }
 
-  /** Persisted IVF index build + search (partition-pruned cells; rows-only
-    * gate + SimilaritySpec recall/pruning asserts).
+  /** Persisted IVF index build + search (partition-pruned cells), oracle-
+    * gated on per-query recall@10 ≥ 0.9 like v3; the pruning behavior itself
+    * is asserted by SimilaritySpec.
     */
   def knnIvfIndex(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -197,9 +232,8 @@ object ExtensionQueries {
     Similarity.buildIvfIndex(emb, path, nLists = 16)
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-    Similarity.searchIvfIndex(spark, path, queries, k = 10, nProbe = 6)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
+    recallGate(Similarity.searchIvfIndex(spark, path, queries, k = 10, nProbe = 10),
+      exactTop10(spark, dir))
   }
 
   /** Multimodal frame sampling (video fan-out; rows-only + spec). */

@@ -13,9 +13,8 @@ class ContractSpec extends AnyFunSuite {
   test("rows-only queries are the documented non-SQL-expressible set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expected = Set("d3_dedup_minhash_lsh", "d4_dedup_simhash",
-      "d5_dedup_embedding", "t4_text_fingerprint", "v2_knn_lsh", "v3_knn_ivf",
-      "v4_knn_ivf_index", "a4_approx_distinct", "a5_approx_quantiles",
-      "m1_multimodal_decode", "m2_multimodal_frames")
+      "d5_dedup_embedding", "t4_text_fingerprint", "a4_approx_distinct",
+      "a5_approx_quantiles", "m1_multimodal_decode", "m2_multimodal_frames")
     assert(rowsOnly == expected,
       s"rows-only drift: extra=${rowsOnly -- expected} missing=${expected -- rowsOnly}")
   }

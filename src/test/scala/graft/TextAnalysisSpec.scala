@@ -74,15 +74,28 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
-  test("multimodal stub codec: deterministic, byte-exact lengths") {
+  test("multimodal codec: real image decode, deterministic stub for the rest") {
     val docs = Tables.documents(spark, sf)
     val a = Multimodal.decodedTable(spark, docs).orderBy("media_id").collect()
     val b = Multimodal.decodedTable(spark, docs).orderBy("media_id").collect()
     assert(a.toSeq == b.toSeq) // decode is pure
+    // audio/video payloads are the raw text bytes (ascii fixture: bytes == chars)
     val lens = Multimodal.decodedTable(spark, docs)
       .join(docs, $"media_id" === $"doc_id")
-      .filter($"byte_len" =!= length($"text")) // ascii fixture: bytes == chars
+      .filter($"kind" =!= "image").filter($"byte_len" =!= length($"text"))
     assert(lens.count() == 0)
+    // image rows: ImageIO really decoded the PNG — width/height must equal the
+    // fixture's independently computed dimensions, not the stub's hash-dims
+    val images = Multimodal.decodedTable(spark, docs).filter($"kind" === "image")
+      .select($"media_id", $"width", $"height").as[(Long, Int, Int)].collect()
+    assert(images.nonEmpty)
+    images.foreach { case (id, w, h) =>
+      assert((w, h) == Multimodal.ImageFixture.dims(id), s"media $id decoded ${(w, h)}")
+    }
+    // and the luminance-histogram feature is a probability vector over pixels
+    val feat = Multimodal.decodedTable(spark, docs).filter($"kind" === "image")
+      .select($"feature").as[Array[Float]].head
+    assert(math.abs(feat.sum - 1.0f) < 1e-3)
     // kinds cycle deterministically by id
     val kinds = Multimodal.decodedTable(spark, docs).orderBy("media_id")
       .select("kind").as[String].take(3)
