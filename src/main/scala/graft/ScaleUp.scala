@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up generator: replicates a driver testdata directory
+  * N× with consistent foreign keys, for scale rehearsals beyond the shipped
+  * factors (`ScaleUp <srcDir> <destDir> [reps]`).
+  *
+  * Key columns shift by `replica * (max_key + 1)` so joins stay exactly
+  * consistent; nation/region stay fixed (real dimension tables don't grow
+  * with fact data). Document text is salted per replica on every 3rd word so
+  * every 3-shingle differs across replicas — near-dup structure is preserved
+  * WITHIN a replica but replicas don't collide, keeping dedup pair counts
+  * linear in the scale factor (the honest shape: real corpora don't contain
+  * 10 byte-identical copies of everything). Embeddings perturb one dimension
+  * per replica for the same reason. Event timestamps shift by `replica`
+  * nanoseconds to keep the total order tie-free.
+  */
+object ScaleUp {
+
+  private def keySpan(df: DataFrame, key: String): Long =
+    df.agg(max(col(key))).head.getLong(0) + 1L
+
+  /** Replicate with per-replica shifts on the named key columns. */
+  private def replicate(df: DataFrame, reps: Int, shifts: Map[String, Long]): DataFrame = {
+    val replicas = df.sparkSession.range(reps).select(col("id").cast("int").as("__rep"))
+    val crossed = df.crossJoin(broadcast(replicas))
+    shifts.foldLeft(crossed) { case (d, (k, span)) =>
+      d.withColumn(k, col(k) + col("__rep") * span)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dest = args(1)
+    val reps = if (args.length > 2) args(2).toInt else 10
+    val spark = GraftSession.local("graft-scaleup")
+    import spark.implicits._
+
+    def t(name: String) = Tables.table(spark, src, name)
+    def write(df: DataFrame, name: String): Unit =
+      df.drop("__rep").coalesce(4).write.mode("overwrite")
+        .parquet(s"$dest/$name.parquet")
+
+    val ordSpan = keySpan(t("orders"), "o_orderkey")
+    val custSpan = keySpan(t("customer"), "c_custkey")
+    val partSpan = keySpan(t("part"), "p_partkey")
+    val suppSpan = keySpan(t("supplier"), "s_suppkey")
+
+    // fixed dimensions: copy once
+    t("nation").write.mode("overwrite").parquet(s"$dest/nation.parquet")
+    t("region").write.mode("overwrite").parquet(s"$dest/region.parquet")
+
+    write(replicate(t("customer"), reps, Map("c_custkey" -> custSpan)), "customer")
+    write(replicate(t("supplier"), reps, Map("s_suppkey" -> suppSpan)), "supplier")
+    write(replicate(t("part"), reps, Map("p_partkey" -> partSpan)), "part")
+    write(replicate(t("orders"), reps,
+      Map("o_orderkey" -> ordSpan, "o_custkey" -> custSpan)), "orders")
+    write(replicate(t("lineitem"), reps,
+      Map("l_orderkey" -> ordSpan, "l_partkey" -> partSpan, "l_suppkey" -> suppSpan)),
+      "lineitem")
+
+    val evSpan = keySpan(t("events"), "event_id")
+    val userSpan = keySpan(t("events"), "user_id")
+    write(replicate(t("events"), reps,
+      Map("event_id" -> evSpan, "user_id" -> userSpan))
+      .withColumn("ts", col("ts") + col("__rep").cast("long")), "events")
+
+    val docSpan = keySpan(t("documents"), "doc_id")
+    val docsRep = replicate(t("documents"), reps, Map("doc_id" -> docSpan))
+    val salted = docsRep.select($"doc_id", $"text", $"__rep")
+      .as[(Long, String, Int)]
+      .map { case (id, text, rep) =>
+        val saltedText =
+          if (rep == 0) text
+          else text.split(" ").zipWithIndex.map { case (w, i) =>
+            if (i % 3 == 0) s"r$rep$w" else w
+          }.mkString(" ")
+        (id, saltedText)
+      }.toDF("doc_id", "text")
+    // re-attach the descriptive columns; n_chars recomputed for the salted text
+    val full = salted
+      .join(docsRep.select($"doc_id", $"lang", $"source"), "doc_id")
+      .withColumn("n_chars", length($"text").cast("long"))
+    write(full.select($"doc_id", $"text", $"lang", $"source", $"n_chars"), "documents")
+
+    val vecSpan = keySpan(t("embeddings"), "vec_id")
+    val emb = replicate(t("embeddings"), reps, Map("vec_id" -> vecSpan))
+      .select($"vec_id", $"embedding", $"label", $"__rep")
+      .as[(Long, Array[Float], Int, Int)]
+      .map { case (id, v, label, rep) =>
+        val out = v.clone()
+        if (rep != 0 && out.nonEmpty) out(0) = out(0) + 0.001f * rep
+        (id, out, label)
+      }.toDF("vec_id", "embedding", "label")
+    write(emb, "embeddings")
+
+    println(s"""{"scaled":"$src","dest":"$dest","reps":$reps}""")
+    spark.stop()
+  }
+}

@@ -62,8 +62,8 @@ object ExtensionQueries {
     * at near-dup levels (0.95, narrow bands).
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      threshold = 0.45, planes = 12, bands = 6)
+    Dedup.embeddingNearDupPairsClustered(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", threshold = 0.45)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Duplicate clusters: connected components over the exact Jaccard pairs

@@ -89,6 +89,20 @@ class DedupSpec extends SparkSpec {
     assert(overlap >= 0.5, s"simhash/jaccard overlap $overlap")
   }
 
+  test("clustered embedding near-dup: exact precision, recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val clustered = Dedup.embeddingNearDupPairsClustered(emb, "vec_id", "embedding",
+      threshold = 0.45)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val bf = emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
+      .withColumn("c", graft.expr.VecFunctions.cosineSim($"a.embedding", $"b.embedding"))
+      .filter($"c" >= 0.45)
+      .select($"a.vec_id", $"b.vec_id").as[(Long, Long)].collect().toSet
+    assert(clustered.subsetOf(bf)) // exact verification: no false positives
+    val recall = if (bf.isEmpty) 1.0 else clustered.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.7, s"cell-capture recall $recall over ${bf.size} true pairs")
+  }
+
   test("embedding near-dup LSH candidates verify against brute force") {
     val emb = Tables.embeddings(spark, sf)
     val lsh = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
