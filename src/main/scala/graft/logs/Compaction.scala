@@ -37,6 +37,11 @@ object Compaction {
       maxRecordsPerFile: Long = 4000000L,
       partitionCols: Seq[String] = LogSchema.hivePartitionColumns,
       convertStreamingStore: Boolean = false): Unit = {
+    if (GraftStore.isPointerStore(spark, root)) {
+      compactPointerStore(spark, root, maxRecordsPerFile, partitionCols,
+        convertStreamingStore)
+      return
+    }
     // keep partition dir names byte-identical: type inference would read
     // 'hour=00' back as int 0 and rewrite the dir as 'hour=0', forking the
     // partition from future string-valued appends
@@ -102,6 +107,70 @@ object Compaction {
         commitVersioned(spark, root, staging, marker, fs, expectedRows)
       else
         applyStaging(spark, live, staging, marker, fs, expectedRows)
+    } finally spark.conf.set(inferKey, prevInfer)
+  }
+
+  /** Object-store (pointer) tier: stage the rewrite under the NEXT version
+    * prefix — readers only ever list the pointed-at prefix, so staging is
+    * invisible without any rename — verify it, persist the marker, then
+    * commit by overwriting `_current` with ONE atomic PUT. No rename
+    * anywhere in the protocol, which is what object stores (rename =
+    * copy+delete, non-atomic) require. The marker's presence certifies that
+    * the newest version prefix is a verified complete rewrite, so recovery
+    * after a crash is: finish the flip, re-verify, clean up.
+    */
+  private def compactPointerStore(spark: SparkSession, root: String,
+      maxRecordsPerFile: Long, partitionCols: Seq[String],
+      convertStreamingStore: Boolean): Unit = {
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prevInfer = spark.conf.get(inferKey, "true")
+    spark.conf.set(inferKey, "false")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(root, "_compact-inflight")
+    try {
+      if (fs.exists(marker)) {
+        val expected = readMarker(fs, marker)
+        val newest = GraftStore.listVersions(spark, root).max
+        if (newest > GraftStore.currentVersion(spark, root))
+          GraftStore.writePointer(spark, root, newest)
+        val liveRows = spark.read.parquet(GraftStore.resolve(spark, root)).count()
+        require(liveRows == expected,
+          s"recovered count $liveRows != expected $expected — inspect $root")
+        fs.delete(marker, false)
+        GraftStore.dropVersionsExcept(spark, root, newest)
+        return
+      }
+      // version prefixes ahead of the pointer without a marker are debris
+      // from an attempt that died mid-stage; the pointed-at version is the
+      // authoritative complete store
+      val cur = GraftStore.currentVersion(spark, root)
+      GraftStore.dropVersionsExcept(spark, root, cur)
+      val dataRoot = s"$root/${GraftStore.versionPrefix(cur)}"
+      val sinkLog = new Path(dataRoot, "_spark_metadata")
+      if (fs.exists(sinkLog)) {
+        require(convertStreamingStore,
+          s"$root was written by the streaming sink (_spark_metadata present); " +
+            "stop the streaming query and pass convertStreamingStore=true")
+        fs.delete(sinkLog, true)
+      }
+      val input = spark.read.parquet(dataRoot)
+      val expectedRows = input.count()
+      val next = cur + 1
+      val nextDir = s"$root/${GraftStore.versionPrefix(next)}"
+      input.repartition(partitionCols.map(col): _*)
+        .write.partitionBy(partitionCols: _*)
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .mode("overwrite").parquet(nextDir)
+      val stagedRows = spark.read.parquet(nextDir).count()
+      require(stagedRows == expectedRows,
+        s"compaction wrote $stagedRows rows, expected $expectedRows; aborting with $dataRoot live")
+      writeMarker(fs, marker, expectedRows)
+      GraftStore.writePointer(spark, root, next) // THE commit: one atomic PUT
+      val liveRows = spark.read.parquet(GraftStore.resolve(spark, root)).count()
+      require(liveRows == expectedRows,
+        s"post-commit count $liveRows != expected $expectedRows — inspect $root")
+      fs.delete(marker, false)
+      GraftStore.dropVersionsExcept(spark, root, next)
     } finally spark.conf.set(inferKey, prevInfer)
   }
 

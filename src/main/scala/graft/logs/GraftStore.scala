@@ -1,0 +1,94 @@
+package graft.logs
+
+import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Pointer-file store tier — the object-store analogue of [[VersionedStore]].
+  *
+  * Object stores have no symlinks and no atomic rename (rename is
+  * copy+delete, which [[graft.sources.S3LiteFileSystem]] demonstrates
+  * in-sandbox), but a single-object PUT IS atomic. So the store root holds
+  * version prefixes (`<root>/v000001`, `v000002`, ...) plus one tiny pointer
+  * object `<root>/_current` naming the live version; a maintenance commit
+  * writes the whole replacement tree under the next prefix — invisible to
+  * readers, who only ever list the pointed-at prefix — verifies it, then
+  * flips the pointer with one PUT. Readers resolving at any instant get the
+  * complete old tree or the complete new tree. This is the manifest
+  * "current pointer" commit (Iceberg's version-hint file) without the
+  * manifest machinery: partition listing still comes from the filesystem,
+  * only the root is indirected.
+  *
+  * `resolve` is the read-side contract: every engine path that opens a hive
+  * store goes through it (plain dirs and symlink roots pass through
+  * unchanged, so the three tiers share one code path).
+  */
+object GraftStore {
+
+  val PointerName = "_current"
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def versionPrefix(n: Int): String = f"v$n%06d"
+
+  def isPointerStore(spark: SparkSession, root: String): Boolean = {
+    val p = new Path(root, PointerName)
+    fsOf(spark, p).exists(p)
+  }
+
+  /** Data root readers should scan: `<root>/<version>` for pointer stores,
+    * `root` itself otherwise (symlinks resolve in the filesystem).
+    */
+  def resolve(spark: SparkSession, root: String): String =
+    if (isPointerStore(spark, root)) s"$root/${readPointer(spark, root)}"
+    else root
+
+  def readPointer(spark: SparkSession, root: String): String = {
+    val p = new Path(root, PointerName)
+    val in = fsOf(spark, p).open(p)
+    val v = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+    finally in.close()
+    require(v.matches("v\\d{6}"), s"corrupt pointer $p: '$v'")
+    v
+  }
+
+  def currentVersion(spark: SparkSession, root: String): Int =
+    readPointer(spark, root).stripPrefix("v").toInt
+
+  /** One atomic PUT: object-store writes publish all-or-nothing, which is
+    * the commit primitive this tier is built on. (On a plain filesystem this
+    * is create+overwrite — fine for tests; the tier targets object stores.)
+    */
+  def writePointer(spark: SparkSession, root: String, n: Int): Unit = {
+    val p = new Path(root, PointerName)
+    val out = fsOf(spark, p).create(p, true)
+    try out.write(versionPrefix(n).getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Create an empty pointer store (version 1). */
+  def init(spark: SparkSession, root: String): Unit = {
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    require(!fs.exists(new Path(root, PointerName)), s"$root is already a pointer store")
+    fs.mkdirs(new Path(root, versionPrefix(1)))
+    writePointer(spark, root, 1)
+  }
+
+  /** Version numbers present under the root (current, staged-ahead, stale). */
+  def listVersions(spark: SparkSession, root: String): Seq[Int] = {
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    if (!fs.exists(rootPath)) return Seq.empty
+    fs.listStatus(rootPath).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d{6}") => n.stripPrefix("v").toInt }
+      .sorted
+  }
+
+  def dropVersionsExcept(spark: SparkSession, root: String, keep: Int): Unit = {
+    val fs = fsOf(spark, new Path(root))
+    listVersions(spark, root).filter(_ != keep).foreach { n =>
+      fs.delete(new Path(root, versionPrefix(n)), true)
+    }
+  }
+}

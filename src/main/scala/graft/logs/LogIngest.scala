@@ -66,21 +66,28 @@ object LogIngest {
   def writeHive(df: DataFrame, root: String,
       maxRecordsPerFile: Long = 1000000L,
       partitionCols: Seq[String] = LogSchema.hivePartitionColumns): Unit = {
-    // Fresh local stores are created symlink-rooted (VersionedStore) so
-    // maintenance rewrites can swap the whole tree atomically under readers;
-    // appends resolve through the link transparently. Existing roots (plain
-    // dirs, remote URIs) are appended to as-is.
+    // Fresh stores are created versioned so maintenance rewrites can swap
+    // the whole tree atomically under readers: symlink-rooted on local
+    // paths (VersionedStore — appends resolve through the link in the
+    // kernel), pointer-file stores on remote/object-store URIs (GraftStore —
+    // appends resolve through `_current` here). Existing plain roots are
+    // appended to as-is.
+    val spark = df.sparkSession
     val uri = new Path(root).toUri
-    if ((uri.getScheme == null || uri.getScheme == "file") &&
-        !java.nio.file.Files.exists(java.nio.file.Paths.get(uri.getPath),
-          java.nio.file.LinkOption.NOFOLLOW_LINKS))
+    val local = uri.getScheme == null || uri.getScheme == "file"
+    if (local && !java.nio.file.Files.exists(java.nio.file.Paths.get(uri.getPath),
+        java.nio.file.LinkOption.NOFOLLOW_LINKS))
       VersionedStore.init(uri.getPath)
+    else if (!local &&
+        !new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(new Path(root)))
+      GraftStore.init(spark, root)
     df.repartition(partitionCols.map(col): _*)
       .write
       .partitionBy(partitionCols: _*)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("append")
-      .parquet(root)
+      .parquet(GraftStore.resolve(spark, root))
   }
 
   /** Reference-compatible positional-layout writer (SURVEY §1.3; layout

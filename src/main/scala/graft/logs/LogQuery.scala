@@ -114,7 +114,9 @@ final case class LogQuery(
               .unionByName(positionalScan(spark, root, "arrow"))
         }
       case LogLayout.Hive =>
-        spark.read.parquet(root)
+        // pointer stores (object-store tier) indirect through _current;
+        // plain/symlink roots pass through unchanged
+        spark.read.parquet(GraftStore.resolve(spark, root))
     }
 
     val selected = selector.labels.foldLeft(base) {

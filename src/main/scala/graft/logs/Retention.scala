@@ -15,10 +15,15 @@ object Retention {
     * string comparison is date order for this format). Returns the deleted
     * partition paths.
     */
-  def enforceHive(spark: SparkSession, root: String, cutoffDate: String,
+  def enforceHive(spark: SparkSession, rawRoot: String, cutoffDate: String,
       convertStreamingStore: Boolean = false): Seq[String] = {
-    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(root))) return Seq.empty
+    val fs = new Path(rawRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(rawRoot))) return Seq.empty
+    // pointer stores: drop partitions inside the CURRENT version prefix
+    // (partition-granularity delete, like the other tiers; snapshot-isolated
+    // retention would stage a full copy — not worth O(store) writes to drop
+    // a directory)
+    val root = GraftStore.resolve(spark, rawRoot)
     // A store written by the STREAMING sink carries a _spark_metadata commit
     // log that lists every data file; deleting partitions under it would make
     // readers (which trust the log, not the listing) fail on missing files.

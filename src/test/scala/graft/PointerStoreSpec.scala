@@ -1,0 +1,140 @@
+package graft
+
+import graft.logs.{Compaction, GraftStore, LogIngest, Retention}
+import org.apache.spark.sql.functions._
+
+/** The object-store maintenance tier, executed against the in-JVM S3 gateway
+  * over real HTTP: stores on `s3l://` are pointer-file versioned
+  * (`_current`), compaction commits by staging the next version prefix and
+  * flipping the pointer with one atomic PUT — no rename anywhere, because
+  * the S3 rename (copy+delete, non-atomic) that [[graft.sources
+  * .S3LiteFileSystem]] faithfully implements can never be a commit
+  * primitive. Mirrors the reference's versitygw-backed store
+  * (test.sh:40-44), with the maintenance jobs the reference doesn't have.
+  */
+class PointerStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture() = Tables.events(spark, sf).limit(1000)
+    .select(
+      graft.logs.CriFunctions.nanosToTimestamp($"ts").as("time"),
+      $"ts".as("time_ns"), lit("stdout").as("stream"), lit("F").as("logtag"),
+      $"props".as("message"), lit("dev").as("cluster"),
+      lit("ns0").as("namespace"), lit("n1").as("node"),
+      lit("p1").as("pod"), lit("app").as("container"))
+    .withColumn("date", date_format($"time", "yyyy-MM-dd"))
+    .withColumn("hour", date_format($"time", "HH"))
+
+  test("pointer store over s3l: ingest, atomic pointer-flip compaction, retention") {
+    val srv = new graft.sources.S3StubServer()
+    try {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3l.impl", classOf[graft.sources.S3LiteFileSystem].getName)
+      hc.set("fs.s3l.endpoint", srv.endpoint)
+      hc.set("fs.s3l.impl.disable.cache", "true")
+      val root = "s3l://graft-store/hive-lake"
+      val parts = Seq("cluster", "namespace", "date")
+
+      // writeHive on a remote URI creates a pointer store and appends through it
+      val df = fixture()
+      LogIngest.writeHive(df, root, partitionCols = parts)
+      // second append: a small-file mess for compaction (every task, every dir)
+      df.repartition(8).write.partitionBy(parts: _*)
+        .option("maxRecordsPerFile", 25).mode("append")
+        .parquet(GraftStore.resolve(spark, root))
+      assert(GraftStore.isPointerStore(spark, root))
+      assert(GraftStore.currentVersion(spark, root) == 1)
+      val rows = spark.read.parquet(GraftStore.resolve(spark, root)).count()
+      assert(rows == 2 * df.count())
+      val dateDirs = {
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"${GraftStore.resolve(spark, root)}/cluster=dev/namespace=ns0"))
+          .map(_.getPath.getName).filter(_.startsWith("date=")).toSet
+      }
+      assert(dateDirs.size > 5)
+      def objectsOf(version: String) = srv.keys.count(k =>
+        k.contains(s"/$version/") && k.endsWith(".parquet"))
+      val filesBefore = objectsOf("v000001")
+
+      // reader thread: resolve the pointer and list the partition set — the
+      // read contract — at every sample the set must be complete in
+      // WHICHEVER version the pointer names (old or new, never partial)
+      @volatile var stop = false
+      val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val reader = new Thread(() => {
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        while (!stop) {
+          try {
+            val resolved = GraftStore.resolve(spark, root)
+            val seen = fs.listStatus(new org.apache.hadoop.fs.Path(
+              s"$resolved/cluster=dev/namespace=ns0"))
+              .map(_.getPath.getName).filter(_.startsWith("date=")).toSet
+            if (seen != dateDirs)
+              violations.add(s"$resolved missing: ${(dateDirs -- seen).mkString(",")}")
+          } catch { case e: Exception => violations.add(s"reader failed: $e") }
+        }
+      })
+      reader.start()
+      try Compaction.compactHive(spark, root, partitionCols = parts)
+      finally { stop = true; reader.join() }
+      assert(violations.isEmpty, s"reader saw: ${violations.toArray.mkString("; ")}")
+      assert(GraftStore.currentVersion(spark, root) == 2)
+      assert(GraftStore.listVersions(spark, root) == Seq(2))
+      assert(spark.read.parquet(GraftStore.resolve(spark, root)).count() == rows)
+      assert(objectsOf("v000002") < filesBefore,
+        s"compaction did not reduce files: $filesBefore -> ${objectsOf("v000002")}")
+
+      // retention drops the oldest date inside the current version prefix
+      val cutoff = dateDirs.map(_.stripPrefix("date=")).toSeq.sorted.apply(1)
+      val deleted = Retention.enforceHive(spark, root, cutoff)
+      assert(deleted.size == 1 && deleted.head.contains(dateDirs.toSeq.sorted.head))
+      val remaining = spark.read.parquet(GraftStore.resolve(spark, root))
+      assert(remaining.select(min($"date".cast("string"))).head.getString(0) == cutoff)
+    } finally srv.stop()
+  }
+
+  test("pointer store crash recovery: marker resumes the flip; debris is swept") {
+    val srv = new graft.sources.S3StubServer()
+    try {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3l.impl", classOf[graft.sources.S3LiteFileSystem].getName)
+      hc.set("fs.s3l.endpoint", srv.endpoint)
+      hc.set("fs.s3l.impl.disable.cache", "true")
+      val root = "s3l://graft-store/crash-lake"
+      val parts = Seq("cluster", "namespace", "date")
+      val df = fixture()
+      LogIngest.writeHive(df, root, partitionCols = parts)
+      val expected = spark.read.parquet(GraftStore.resolve(spark, root)).count()
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+      // crash A: v2 fully staged + marker written, pointer never flipped
+      val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val prev = spark.conf.get(inferKey)
+      spark.conf.set(inferKey, "false")
+      try spark.read.parquet(s"$root/v000001").repartition(parts.map(col): _*)
+        .write.partitionBy(parts: _*).mode("overwrite").parquet(s"$root/v000002")
+      finally spark.conf.set(inferKey, prev)
+      val marker = new org.apache.hadoop.fs.Path(root, "_compact-inflight")
+      val out = fs.create(marker, true)
+      try out.write(expected.toString.getBytes("UTF-8")) finally out.close()
+      Compaction.compactHive(spark, root, partitionCols = parts)
+      assert(GraftStore.currentVersion(spark, root) == 2)
+      assert(GraftStore.listVersions(spark, root) == Seq(2))
+      assert(spark.read.parquet(GraftStore.resolve(spark, root)).count() == expected)
+      assert(!fs.exists(marker))
+
+      // crash B: debris — a staged v3 with NO marker (died mid-stage, maybe
+      // incomplete); a fresh compaction must sweep it and commit its own
+      spark.read.parquet(s"$root/v000002").limit(10)
+        .write.partitionBy(parts: _*).mode("overwrite").parquet(s"$root/v000003")
+      Compaction.compactHive(spark, root, partitionCols = parts)
+      // debris v3 replaced by the real rewrite (numbering continues past it)
+      assert(spark.read.parquet(GraftStore.resolve(spark, root)).count() == expected)
+      assert(GraftStore.listVersions(spark, root).size == 1)
+    } finally srv.stop()
+  }
+}
