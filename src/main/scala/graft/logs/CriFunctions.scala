@@ -20,15 +20,18 @@ object CriFunctions {
     * message)`; invalid lines yield null fields.
     */
   def parseCriLine(line: Column): Column = {
-    val parts = split(line, " ", 4)
-    val ok = size(parts) === 4 &&
-      element_at(parts, 2).isin("stdout", "stderr") &&
-      element_at(parts, 3).isin("F", "P")
+    // One-pass codegen splitter (graft.expr.CriLineSplit): the regex
+    // `split(value, " ", 4)` it replaces sat under `when(ok, ...)`
+    // conditionals, which block whole-stage codegen's subexpression
+    // elimination — the split ran per FIELD reference, dominating ingest
+    // parse cost. The kernel returns null for non-CRI lines, so the field
+    // projections below are unconditional and the splitter runs once.
+    val parts = Compat.column(graft.expr.CriLineSplit(Compat.expression(line)))
     struct(
-      when(ok, element_at(parts, 1)).as("time_str"),
-      when(ok, element_at(parts, 2)).as("stream"),
-      when(ok, element_at(parts, 3)).as("logtag"),
-      when(ok, element_at(parts, 4)).as("message")
+      element_at(parts, 1).as("time_str"),
+      element_at(parts, 2).as("stream"),
+      element_at(parts, 3).as("logtag"),
+      element_at(parts, 4).as("message")
     )
   }
 

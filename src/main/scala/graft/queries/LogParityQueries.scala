@@ -97,7 +97,15 @@ object LogParityQueries {
     * nanosecond, a split-eaten space) breaks the hash.
     */
   def criRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    // Sort FIRST, on the source columns the output keys are lossless images
+    // of (time_us = ts/1000, message = props): a global sort placed above
+    // the render→parse chain samples its child for range partitioning and
+    // then evaluates it again to sort — paying the whole roundtrip twice.
+    // Below the chain it sorts cheap source longs/strings once, and the
+    // narrow render→parse maps preserve both partition order and intra-
+    // partition order, so the output ordering contract is identical.
     val ev = Tables.events(spark, dir)
+      .orderBy(CriFunctions.nanosToMicros(col("ts")), col("props"))
     val lines = ev.select(concat(
       CriFunctions.nsIso8601(col("ts")),
       lit(" "),
@@ -107,7 +115,6 @@ object LogParityQueries {
     CriFunctions.parsed(lines, "test-cluster")
       .select(CriFunctions.nanosToMicros(col("time_ns")).as("time_us"),
         col("stream"), col("logtag"), col("message"))
-      .orderBy(col("time_us"), col("message"))
   }
 
   /** Grouped time-bucket aggregation (SURVEY §7.8's log-analytics extension):
