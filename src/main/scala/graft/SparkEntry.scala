@@ -117,6 +117,31 @@ object SparkEntry {
     "x8_range_join" -> (ExtensionQueries.rangeJoinRecent(_, _))
   )
 
+  /** Exact 3-gram Jaccard pair list (threshold 0.8) recomputed from the raw
+    * text — the d2 oracle body, shared by the d3/d4 gate oracles, which only
+    * need its COUNT.
+    */
+  private val exactJaccardPairsBody: String =
+    """WITH ws AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                                for i in range(1, len(w) - 1)]) AS gs
+      |  FROM ws WHERE len(w) >= 3),
+      |g AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+      |sizes AS (SELECT doc_id, len(gs) AS sz FROM grams),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.8""".stripMargin
+
   /** DuckDB-runnable oracle per hash-checkable query (same column names, same
     * ORDER BY — the driver sorts columns by name and hashes values).
     */
@@ -528,26 +553,46 @@ object SparkEntry {
       """SELECT props, min(event_id) AS keep_id, count(*) AS n_copies
         |FROM events GROUP BY props ORDER BY props""".stripMargin,
     "d2_dedup_ngram_jaccard" ->
-      """WITH ws AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |                                for i in range(1, len(w) - 1)]) AS gs
-        |  FROM ws WHERE len(w) >= 3),
-        |g AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
-        |sizes AS (SELECT doc_id, len(gs) AS sz FROM grams),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        |  CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS jaccard
-        |FROM pairs
-        |JOIN sizes sa ON sa.doc_id = id_a
-        |JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin,
+      (exactJaccardPairsBody + "\nORDER BY id_a, id_b"),
+    // d3/d4/d5 gate oracles: the checkable number is recomputed from raw
+    // data; the booleans are the engine's own verified claims (subset /
+    // overlap / recall), which hash-fail the row if any regresses
+    "d3_dedup_minhash_lsh" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs, TRUE AS subset_ok, " +
+        "TRUE AS recall_ok FROM (" + exactJaccardPairsBody + ")"),
+    "d4_dedup_simhash" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs, TRUE AS nonempty_ok, " +
+        "TRUE AS overlap_ok FROM (" + exactJaccardPairsBody + ")"),
+    "d5_dedup_embedding" ->
+      """WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs_subset,
+        |  TRUE AS precision_ok, TRUE AS recall_ok
+        |FROM s a JOIN s b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
+    "t4_text_fingerprint" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents a
+        |     JOIN documents b ON a.doc_id < b.doc_id AND a.text = b.text)
+        |    AS n_dup_text_pairs,
+        |  TRUE AS fp_agree_ok""".stripMargin,
+    "a4_approx_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact_users,
+        |  CAST(count(*) AS BIGINT) AS n_events, TRUE AS approx_ok
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "a5_approx_quantiles" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "m1_multimodal_decode" ->
+      """SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |  ELSE 'video' END AS kind,
+        |  CAST(count(*) AS BIGINT) AS n, TRUE AS decode_ok
+        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
+    "m2_multimodal_frames" ->
+      """SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |  ELSE 'video' END AS kind,
+        |  CAST(count(*) AS BIGINT) AS n_media, TRUE AS frames_ok
+        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
     "z1_hash_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE ((abs(doc_id) % 65536) * 40503) % 65536 < 6554

