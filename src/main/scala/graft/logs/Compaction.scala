@@ -42,6 +42,18 @@ object Compaction {
         convertStreamingStore)
       return
     }
+    // the rename-based tiers below require an atomic rename primitive;
+    // object-store "rename" is copy+delete, so a plain (pre-pointer) store
+    // there must be migrated, not silently swapped with a seconds-long
+    // partition-missing window per leaf
+    val scheme = Option(new Path(root).toUri.getScheme).getOrElse("file")
+    val objectStoreSchemes =
+      Set("s3", "s3a", "s3n", "s3l", "gs", "wasb", "wasbs", "abfs", "abfss", "oss")
+    require(!objectStoreSchemes.contains(scheme),
+      s"$root is a plain directory on an object store ($scheme), where rename " +
+        "is non-atomic copy+delete. Create the store with LogIngest.writeHive " +
+        "(pointer-versioned) or migrate it: copy the tree under <root>/v000001 " +
+        "and GraftStore.init-style-write <root>/_current")
     // keep partition dir names byte-identical: type inference would read
     // 'hour=00' back as int 0 and rewrite the dir as 'hour=0', forking the
     // partition from future string-valued appends
@@ -130,21 +142,23 @@ object Compaction {
     try {
       if (fs.exists(marker)) {
         val expected = readMarker(fs, marker)
+        val prev = GraftStore.currentVersion(spark, root)
         val newest = GraftStore.listVersions(spark, root).max
-        if (newest > GraftStore.currentVersion(spark, root))
-          GraftStore.writePointer(spark, root, newest)
+        if (newest > prev) GraftStore.writePointer(spark, root, newest)
         val liveRows = spark.read.parquet(GraftStore.resolve(spark, root)).count()
         require(liveRows == expected,
           s"recovered count $liveRows != expected $expected — inspect $root")
         fs.delete(marker, false)
-        GraftStore.dropVersionsExcept(spark, root, newest)
+        GraftStore.dropVersionsExcept(spark, root, Set(prev, newest))
         return
       }
-      // version prefixes ahead of the pointer without a marker are debris
-      // from an attempt that died mid-stage; the pointed-at version is the
-      // authoritative complete store
+      // version prefixes AHEAD of the pointer without a marker are debris
+      // from an attempt that died mid-stage; versions BEHIND it are grace
+      // snapshots for in-flight readers and die only at commit below
       val cur = GraftStore.currentVersion(spark, root)
-      GraftStore.dropVersionsExcept(spark, root, cur)
+      GraftStore.listVersions(spark, root).filter(_ > cur).foreach { n =>
+        fs.delete(new Path(root, GraftStore.versionPrefix(n)), true)
+      }
       val dataRoot = s"$root/${GraftStore.versionPrefix(cur)}"
       val sinkLog = new Path(dataRoot, "_spark_metadata")
       if (fs.exists(sinkLog)) {
@@ -170,7 +184,8 @@ object Compaction {
       require(liveRows == expectedRows,
         s"post-commit count $liveRows != expected $expectedRows — inspect $root")
       fs.delete(marker, false)
-      GraftStore.dropVersionsExcept(spark, root, next)
+      // keep the replaced version as a grace snapshot for in-flight readers
+      GraftStore.dropVersionsExcept(spark, root, Set(cur, next))
     } finally spark.conf.set(inferKey, prevInfer)
   }
 
@@ -182,6 +197,7 @@ object Compaction {
     */
   private def commitVersioned(spark: SparkSession, root: String, staging: Path,
       marker: Path, fs: FileSystem, expectedRows: Long): Unit = {
+    val prev = VersionedStore.currentVersion(root)
     val next = VersionedStore.listVersions(root).max + 1
     val versionDir = new Path(VersionedStore.versionName(root, next))
     require(fs.rename(staging, versionDir), s"rename $staging -> $versionDir failed")
@@ -190,7 +206,9 @@ object Compaction {
     require(liveRows == expectedRows,
       s"post-swap count $liveRows != expected $expectedRows — inspect $root")
     fs.delete(marker, false)
-    VersionedStore.dropVersionsExcept(root, next)
+    // keep the replaced version as a grace snapshot for in-flight readers;
+    // it is reclaimed by the NEXT commit
+    VersionedStore.dropVersionsExcept(root, Set(prev, next))
   }
 
   /** Versioned-store crash recovery: if staging survived, the commit never
@@ -203,14 +221,14 @@ object Compaction {
     if (fs.exists(staging)) {
       commitVersioned(spark, root, staging, marker, fs, expectedRows)
     } else {
+      val prev = VersionedStore.currentVersion(root)
       val newest = VersionedStore.listVersions(root).max
-      if (newest > VersionedStore.currentVersion(root))
-        VersionedStore.retarget(root, newest)
+      if (newest > prev) VersionedStore.retarget(root, newest)
       val liveRows = spark.read.parquet(root).count()
       require(liveRows == expectedRows,
         s"recovered count $liveRows != expected $expectedRows — inspect $root")
       fs.delete(marker, false)
-      VersionedStore.dropVersionsExcept(root, newest)
+      VersionedStore.dropVersionsExcept(root, Set(prev, newest))
     }
   }
 
@@ -257,18 +275,22 @@ object Compaction {
   }
 
   /** Relative paths of the hive leaf partition dirs under `root`: the
-    * deepest directories whose every path component is `col=value`. Walks
-    * directories only (data files live inside leaves), skipping hidden and
-    * metadata names (`_SUCCESS`, `.compact-trash`).
+    * deepest directories whose every path component is `col=value` AND that
+    * actually hold data files. The file check is load-bearing for recovery:
+    * a crashed swap leaves intermediate staging dirs whose leaves were
+    * already renamed out — without it, recovery would mistake such an
+    * EMPTIED intermediate dir for a leaf and swap it over a populated live
+    * subtree. Hidden/metadata names (`_SUCCESS`, `.compact-trash`) are
+    * skipped at both levels.
     */
   private def leafPartitionDirs(fs: FileSystem, root: Path): Seq[String] = {
+    def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
     def walk(dir: Path, rel: String): Seq[String] = {
-      val subDirs = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
-        .filter { p =>
-          val n = p.getName
-          n.contains("=") && !n.startsWith("_") && !n.startsWith(".")
-        }
-      if (subDirs.isEmpty) { if (rel.nonEmpty) Seq(rel) else Seq.empty }
+      val entries = fs.listStatus(dir)
+      val subDirs = entries.filter(_.isDirectory).map(_.getPath)
+        .filter(p => p.getName.contains("=") && visible(p.getName))
+      val hasData = entries.exists(e => e.isFile && visible(e.getPath.getName))
+      if (subDirs.isEmpty) { if (rel.nonEmpty && hasData) Seq(rel) else Seq.empty }
       else subDirs.toSeq.flatMap(p =>
         walk(p, if (rel.isEmpty) p.getName else s"$rel/${p.getName}"))
     }

@@ -85,9 +85,13 @@ object GraftStore {
       .sorted
   }
 
-  def dropVersionsExcept(spark: SparkSession, root: String, keep: Int): Unit = {
+  /** Delete version prefixes outside `keep` (see
+    * [[VersionedStore.dropVersionsExcept]] for the one-snapshot grace
+    * contract commits follow).
+    */
+  def dropVersionsExcept(spark: SparkSession, root: String, keep: Set[Int]): Unit = {
     val fs = fsOf(spark, new Path(root))
-    listVersions(spark, root).filter(_ != keep).foreach { n =>
+    listVersions(spark, root).filterNot(keep).foreach { n =>
       fs.delete(new Path(root, versionPrefix(n)), true)
     }
   }

@@ -67,21 +67,35 @@ object LogIngest {
       maxRecordsPerFile: Long = 1000000L,
       partitionCols: Seq[String] = LogSchema.hivePartitionColumns): Unit = {
     // Fresh stores are created versioned so maintenance rewrites can swap
-    // the whole tree atomically under readers: symlink-rooted on local
-    // paths (VersionedStore — appends resolve through the link in the
-    // kernel), pointer-file stores on remote/object-store URIs (GraftStore —
-    // appends resolve through `_current` here). Existing plain roots are
-    // appended to as-is.
+    // the whole tree atomically under readers: symlink-rooted when the path
+    // RESOLVES to the local filesystem (VersionedStore — symlinks are a
+    // local-FS primitive), pointer-file stores everywhere else, HDFS
+    // included (GraftStore — appends resolve through `_current`). The tier
+    // decision comes from the Hadoop FileSystem the path actually maps to,
+    // NOT the URI scheme: a scheme-less path on a cluster whose
+    // fs.defaultFS is HDFS must get the pointer tier, never a driver-local
+    // symlink. Existing plain roots are appended to as-is. A concurrent
+    // first writer can lose the init race — benign, the store the winner
+    // created is exactly the one the loser wanted.
     val spark = df.sparkSession
-    val uri = new Path(root).toUri
-    val local = uri.getScheme == null || uri.getScheme == "file"
-    if (local && !java.nio.file.Files.exists(java.nio.file.Paths.get(uri.getPath),
-        java.nio.file.LinkOption.NOFOLLOW_LINKS))
-      VersionedStore.init(uri.getPath)
-    else if (!local &&
-        !new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(new Path(root)))
-      GraftStore.init(spark, root)
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (isLocal) {
+      val p = java.nio.file.Paths.get(rootPath.toUri.getPath)
+      if (!java.nio.file.Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        try VersionedStore.init(p.toString)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => ()
+          case e: IllegalArgumentException if e.getMessage.contains("already exists") => ()
+        }
+    } else if (!fs.exists(rootPath)) {
+      try GraftStore.init(spark, root)
+      catch {
+        case e: IllegalArgumentException if e.getMessage.contains("already") => ()
+      }
+    }
     df.repartition(partitionCols.map(col): _*)
       .write
       .partitionBy(partitionCols: _*)

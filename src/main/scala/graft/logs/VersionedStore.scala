@@ -8,13 +8,13 @@ import java.nio.file.{Files, LinkOption, Paths, StandardCopyOption}
   * the root sees the complete old tree or the complete new tree — never a
   * partial tree, never a missing root, never a missing partition. This is the
   * filesystem form of a manifest "current pointer" commit (what Iceberg's
-  * version-hint file or Delta's log head do): local filesystems and HDFS
-  * resolve the link below `open`/`listStatus`, so plain
-  * `spark.read.parquet(root)` works unchanged for every reader.
+  * version-hint file or Delta's log head do): the local filesystem resolves
+  * the link below `open`/`listStatus`, so plain `spark.read.parquet(root)`
+  * works unchanged for every reader.
   *
-  * Object stores have no symlinks (and no atomic rename), so this layout is
-  * the local/HDFS tier; an S3 deployment runs the same protocol over a
-  * pointer object that readers resolve (see `Compaction` scaladoc). The
+  * This is the LOCAL-FILESYSTEM tier only — symlinks are a local-FS
+  * primitive. Every other filesystem (HDFS, object stores) runs the same
+  * protocol over a pointer object readers resolve ([[GraftStore]]). The
   * reference never needs any of this because it only ever appends immutable
   * objects (`fluent-bit.conf:42` flushes fresh keys; `y-logcli` reads them
   * in place) — rewriting maintenance jobs are what create the isolation
@@ -75,9 +75,14 @@ object VersionedStore {
     Files.move(tmp, rootPath, StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Delete every version directory except `keep` (post-swap cleanup). */
-  def dropVersionsExcept(root: String, keep: Int): Unit =
-    listVersions(root).filter(_ != keep).foreach { n =>
+  /** Delete every version directory outside `keep`. Commits keep BOTH the
+    * new version and the one it replaced: readers that resolved the root
+    * before the flip keep their files for one full compaction interval (the
+    * grace version dies at the NEXT commit) — the same deferred-deletion
+    * contract as Delta/Iceberg vacuum, bounded to exactly one old snapshot.
+    */
+  def dropVersionsExcept(root: String, keep: Set[Int]): Unit =
+    listVersions(root).filterNot(keep).foreach { n =>
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(versionName(root, n)))
     }

@@ -311,9 +311,13 @@ object ExtensionQueries {
     val frames = Multimodal.sampleFrames(media, n = 4).toDF()
     // oracle gate: exactly 4 distinct frames per video, 1 per image/audio —
     // per-kind media counts DuckDB recomputes from doc_id % 3
+    // kind derives from media_id % 3 (the fixture contract) — joining back
+    // to `media` would re-run the typed map and PNG-encode every image a
+    // second time
+    val kinds = array(lit("image"), lit("audio"), lit("video"))
     frames.groupBy(col("media_id"))
       .agg(count(lit(1)).as("nf"), countDistinct(col("frame_idx")).as("nd"))
-      .join(media.toDF().select(col("media_id"), col("kind")), "media_id")
+      .withColumn("kind", element_at(kinds, (pmod(col("media_id"), lit(3)) + 1).cast("int")))
       .withColumn("ok",
         when(col("kind") === "video", col("nf") === 4L && col("nd") === 4L)
           .otherwise(col("nf") === 1L))

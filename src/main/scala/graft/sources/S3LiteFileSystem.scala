@@ -168,9 +168,14 @@ final class S3LiteFileSystem extends FileSystem {
       val (code, bytes, _) = http("GET", key,
         Map("Range" -> s"bytes=$pos-${pos + want - 1}"))
       if (code != 206 && code != 200) throw new IOException(s"GET $key: HTTP $code")
-      System.arraycopy(bytes, 0, b, off, bytes.length)
-      pos += bytes.length
-      bytes.length
+      // a server may ignore Range and answer 200 with the FULL object —
+      // slice our span out instead of overflowing the caller's buffer
+      val (src, srcOff, got) =
+        if (code == 200 && bytes.length > want) (bytes, pos.toInt, want)
+        else (bytes, 0, math.min(bytes.length, want))
+      System.arraycopy(src, srcOff, b, off, got)
+      pos += got
+      got
     }
     override def close(): Unit = ()
   }
@@ -221,7 +226,10 @@ final class S3LiteFileSystem extends FileSystem {
           val rel = k.stripPrefix(srcPrefix).stripPrefix("/")
           val from = s"$bucket/$k"
           val to = if (rel.isEmpty) effDst else s"$effDst/$rel"
-          if (k.endsWith("/")) http("PUT", to + "/", body = Array.emptyByteArray)
+          // dir-marker keys already end in '/' — normalize so the copied
+          // marker is 'dst/sub/' and never a stray 'dst/sub//'
+          if (k.endsWith("/"))
+            http("PUT", to.stripSuffix("/") + "/", body = Array.emptyByteArray)
           else copyObject(from, to)
           http("DELETE", from)
         }

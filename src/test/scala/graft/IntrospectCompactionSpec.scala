@@ -95,9 +95,10 @@ class IntrospectCompactionSpec extends SparkSpec {
     finally { stop = true; reader.join() }
     assert(violations.isEmpty, s"concurrent reader saw: ${violations.toArray.mkString("; ")}")
     assert(spark.read.parquet(root).count() == df.count())
-    // the swap really happened: pointer moved on, exactly one version remains
+    // the swap really happened: pointer moved on; the replaced version is
+    // kept as a grace snapshot for in-flight readers (reclaimed next commit)
     assert(graft.logs.VersionedStore.currentVersion(root) == 2)
-    assert(graft.logs.VersionedStore.listVersions(root) == Seq(2))
+    assert(graft.logs.VersionedStore.listVersions(root) == Seq(1, 2))
   }
 
   test("versioned store recovers an interrupted commit from marker + staged version") {
@@ -135,7 +136,8 @@ class IntrospectCompactionSpec extends SparkSpec {
     Files.writeString(java.nio.file.Paths.get(root + ".compact-inflight"), expected.toString)
     Compaction.compactHive(spark, root, partitionCols = parts)
     assert(graft.logs.VersionedStore.currentVersion(root) == 3)
-    assert(graft.logs.VersionedStore.listVersions(root) == Seq(3))
+    // grace contract: v2 (the replaced current) survives, v1 is reclaimed
+    assert(graft.logs.VersionedStore.listVersions(root) == Seq(2, 3))
     assert(spark.read.parquet(root).count() == expected)
   }
 

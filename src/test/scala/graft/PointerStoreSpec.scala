@@ -82,7 +82,8 @@ class PointerStoreSpec extends SparkSpec {
       finally { stop = true; reader.join() }
       assert(violations.isEmpty, s"reader saw: ${violations.toArray.mkString("; ")}")
       assert(GraftStore.currentVersion(spark, root) == 2)
-      assert(GraftStore.listVersions(spark, root) == Seq(2))
+      // replaced version kept as a grace snapshot for in-flight readers
+      assert(GraftStore.listVersions(spark, root) == Seq(1, 2))
       assert(spark.read.parquet(GraftStore.resolve(spark, root)).count() == rows)
       assert(objectsOf("v000002") < filesBefore,
         s"compaction did not reduce files: $filesBefore -> ${objectsOf("v000002")}")
@@ -123,7 +124,7 @@ class PointerStoreSpec extends SparkSpec {
       try out.write(expected.toString.getBytes("UTF-8")) finally out.close()
       Compaction.compactHive(spark, root, partitionCols = parts)
       assert(GraftStore.currentVersion(spark, root) == 2)
-      assert(GraftStore.listVersions(spark, root) == Seq(2))
+      assert(GraftStore.listVersions(spark, root) == Seq(1, 2))
       assert(spark.read.parquet(GraftStore.resolve(spark, root)).count() == expected)
       assert(!fs.exists(marker))
 
@@ -134,7 +135,9 @@ class PointerStoreSpec extends SparkSpec {
       Compaction.compactHive(spark, root, partitionCols = parts)
       // debris v3 replaced by the real rewrite (numbering continues past it)
       assert(spark.read.parquet(GraftStore.resolve(spark, root)).count() == expected)
-      assert(GraftStore.listVersions(spark, root).size == 1)
+      // debris v3 was swept, the rewrite recommitted, and the grace rule
+      // kept exactly the replaced version
+      assert(GraftStore.listVersions(spark, root) == Seq(2, 3))
     } finally srv.stop()
   }
 }
