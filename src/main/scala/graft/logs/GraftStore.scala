@@ -43,6 +43,23 @@ object GraftStore {
     if (isPointerStore(spark, root)) s"$root/${readPointer(spark, root)}"
     else root
 
+  /** Snapshot read (time travel, one step): the data root of a SPECIFIC
+    * retained version. Commits keep the replaced version as a grace
+    * snapshot until the next commit, so the previous snapshot stays
+    * readable while (and after) the current one changes — `resolveVersion
+    * (root, currentVersion - 1)` is the "as of before that compaction"
+    * view. Fails fast when the version has been reclaimed.
+    */
+  def resolveVersion(spark: SparkSession, root: String, n: Int): String = {
+    val versions =
+      if (isPointerStore(spark, root)) listVersions(spark, root)
+      else VersionedStore.listVersions(root)
+    require(versions.contains(n),
+      s"version $n of $root is not on disk (retained: ${versions.mkString(",")})")
+    if (isPointerStore(spark, root)) s"$root/${versionPrefix(n)}"
+    else VersionedStore.versionName(root, n)
+  }
+
   def readPointer(spark: SparkSession, root: String): String = {
     val p = new Path(root, PointerName)
     val in = fsOf(spark, p).open(p)

@@ -99,6 +99,10 @@ class IntrospectCompactionSpec extends SparkSpec {
     // kept as a grace snapshot for in-flight readers (reclaimed next commit)
     assert(graft.logs.VersionedStore.currentVersion(root) == 2)
     assert(graft.logs.VersionedStore.listVersions(root) == Seq(1, 2))
+    // snapshot read (time travel): the grace version serves the
+    // pre-compaction small-file view with identical rows
+    val snap = graft.logs.GraftStore.resolveVersion(spark, root, 1)
+    assert(spark.read.parquet(snap).count() == df.count())
   }
 
   test("versioned store recovers an interrupted commit from marker + staged version") {

@@ -88,12 +88,21 @@ class PointerStoreSpec extends SparkSpec {
       assert(objectsOf("v000002") < filesBefore,
         s"compaction did not reduce files: $filesBefore -> ${objectsOf("v000002")}")
 
+      // snapshot read (time travel): the grace version still serves the full
+      // pre-compaction view
+      assert(spark.read.parquet(GraftStore.resolveVersion(spark, root, 1)).count() == rows)
+
       // retention drops the oldest date inside the current version prefix
       val cutoff = dateDirs.map(_.stripPrefix("date=")).toSeq.sorted.apply(1)
       val deleted = Retention.enforceHive(spark, root, cutoff)
       assert(deleted.size == 1 && deleted.head.contains(dateDirs.toSeq.sorted.head))
       val remaining = spark.read.parquet(GraftStore.resolve(spark, root))
       assert(remaining.select(min($"date".cast("string"))).head.getString(0) == cutoff)
+      // ...while the v1 snapshot still holds the dropped date (retention is
+      // scoped to the CURRENT version; snapshots are immutable)
+      assert(spark.read.parquet(GraftStore.resolveVersion(spark, root, 1)).count() == rows)
+      // a reclaimed version fails fast
+      intercept[IllegalArgumentException](GraftStore.resolveVersion(spark, root, 7))
     } finally srv.stop()
   }
 
