@@ -13,13 +13,20 @@ import graft.GraftSession
   * runMain graft.logs.AdminCli finalize  --root=/data/lake --close-events=/data/close
   * runMain graft.logs.AdminCli watch     --root=/data/lake --close-events=/data/close \
   *     --checkpoint=/data/ckpt/finalize [--interval='60 seconds']
+  * runMain graft.logs.AdminCli snapshots --root=/data/lake
+  * runMain graft.logs.AdminCli vacuum    --root=/data/lake
   * }}}
   *
   * `compact` rewrites a hive store's partitions into scan-sized files
   * (atomic per-partition swap); `retention` drops partitions older than the
   * cutoff at directory granularity (no data scan); `finalize` consumes
   * pending close events once; `watch` runs the auto-finalize loop until
-  * terminated (SIGTERM stops the streaming query cleanly — K6 semantics).
+  * terminated (SIGTERM stops the streaming query cleanly — K6 semantics);
+  * `snapshots` inventories the retained versions of a versioned store (live
+  * one flagged `*`, each readable via `GraftStore.resolveVersion` — one-step
+  * time travel); `vacuum` reclaims grace snapshots immediately instead of at
+  * the next commit (zero-retention VACUUM; staged-ahead versions of an
+  * in-flight commit are kept).
   *
   * All argument validation happens BEFORE the SparkSession starts: a typo'd
   * command, a missing required key, or an unrecognized option fails
@@ -33,14 +40,18 @@ object AdminCli {
       |  compact   --root=DIR [--max-records=N] [--convert-streaming=true]
       |  retention --root=DIR --cutoff-date=YYYY-MM-DD [--convert-streaming=true]
       |  finalize  --root=DIR --close-events=DIR [--max-records=N]
-      |  watch     --root=DIR --close-events=DIR --checkpoint=DIR [--interval=DUR]""".stripMargin
+      |  watch     --root=DIR --close-events=DIR --checkpoint=DIR [--interval=DUR]
+      |  snapshots --root=DIR
+      |  vacuum    --root=DIR""".stripMargin
 
   // per-command (required, optional) option keys — anything else is a typo
   private val commands: Map[String, (Set[String], Set[String])] = Map(
     "compact" -> (Set("root"), Set("max-records", "convert-streaming")),
     "retention" -> (Set("root", "cutoff-date"), Set("convert-streaming")),
     "finalize" -> (Set("root", "close-events"), Set("max-records")),
-    "watch" -> (Set("root", "close-events", "checkpoint"), Set("interval")))
+    "watch" -> (Set("root", "close-events", "checkpoint"), Set("interval")),
+    "snapshots" -> (Set("root"), Set.empty[String]),
+    "vacuum" -> (Set("root"), Set.empty[String]))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, usage)
@@ -90,6 +101,15 @@ object AdminCli {
           opts("root"), opts("checkpoint"), triggerInterval = interval)
         println(s"[admin] auto-finalize running (trigger $interval)")
         q.awaitTermination()
+      case "snapshots" =>
+        GraftStore.snapshots(spark, opts("root")).foreach { s =>
+          val flag = if (s.current) "*" else " "
+          println(f"[admin] ${GraftStore.versionPrefix(s.version)} $flag files=${s.files}%d bytes=${s.bytes}%d")
+        }
+      case "vacuum" =>
+        val dropped = GraftStore.vacuum(spark, opts("root"))
+        println(s"[admin] vacuumed ${dropped.size} snapshot(s): " +
+          dropped.map(GraftStore.versionPrefix).mkString(", "))
     } finally spark.stop()
   }
 }

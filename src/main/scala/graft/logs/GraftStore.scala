@@ -51,14 +51,58 @@ object GraftStore {
     * view. Fails fast when the version has been reclaimed.
     */
   def resolveVersion(spark: SparkSession, root: String, n: Int): String = {
-    val versions =
-      if (isPointerStore(spark, root)) listVersions(spark, root)
-      else VersionedStore.listVersions(root)
+    val (versions, _, dirOf) = tierOf(spark, root)
     require(versions.contains(n),
       s"version $n of $root is not on disk (retained: ${versions.mkString(",")})")
-    if (isPointerStore(spark, root)) s"$root/${versionPrefix(n)}"
-    else VersionedStore.versionName(root, n)
+    dirOf(n)
   }
+
+  /** One row per retained version, with the live one flagged. */
+  final case class SnapshotInfo(version: Int, current: Boolean, files: Long, bytes: Long)
+
+  /** Inventory of retained snapshots (either versioned tier): version
+    * number, whether it is the live one, and its file count / byte size
+    * (recursive listing of the version dir — bounded by version count,
+    * which the grace contract keeps at ~2).
+    */
+  def snapshots(spark: SparkSession, root: String): Seq[SnapshotInfo] = {
+    val (versions, cur, dirOf) = tierOf(spark, root)
+    versions.map { n =>
+      val p = new Path(dirOf(n))
+      val s = fsOf(spark, p).getContentSummary(p)
+      SnapshotInfo(n, n == cur, s.getFileCount, s.getLength)
+    }
+  }
+
+  /** Reclaim grace snapshots NOW instead of at the next commit: drops every
+    * version BELOW the live one, keeping the live version and any
+    * staged-ahead version an in-flight commit may still be writing.
+    * Returns the dropped version numbers. Readers mid-scan on a dropped
+    * snapshot lose their files — same contract as Delta/Iceberg VACUUM with
+    * a zero retention window; the default (do nothing) already reclaims at
+    * the next commit.
+    */
+  def vacuum(spark: SparkSession, root: String): Seq[Int] = {
+    val (versions, cur, _) = tierOf(spark, root)
+    val keep = versions.filter(_ >= cur).toSet
+    if (isPointerStore(spark, root)) dropVersionsExcept(spark, root, keep)
+    else VersionedStore.dropVersionsExcept(root, keep)
+    versions.filterNot(keep)
+  }
+
+  /** (retained versions, live version, version → data dir) for whichever
+    * versioned tier `root` is; refuses plain unversioned directories.
+    */
+  private def tierOf(spark: SparkSession, root: String): (Seq[Int], Int, Int => String) =
+    if (isPointerStore(spark, root))
+      (listVersions(spark, root), currentVersion(spark, root),
+        n => s"$root/${versionPrefix(n)}")
+    else {
+      require(VersionedStore.isVersioned(root),
+        s"$root is not a versioned store (no $PointerName pointer, not a version symlink)")
+      (VersionedStore.listVersions(root), VersionedStore.currentVersion(root),
+        n => VersionedStore.versionName(root, n))
+    }
 
   def readPointer(spark: SparkSession, root: String): String = {
     val p = new Path(root, PointerName)

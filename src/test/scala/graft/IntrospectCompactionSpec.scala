@@ -103,6 +103,18 @@ class IntrospectCompactionSpec extends SparkSpec {
     // pre-compaction small-file view with identical rows
     val snap = graft.logs.GraftStore.resolveVersion(spark, root, 1)
     assert(spark.read.parquet(snap).count() == df.count())
+    // snapshot inventory: both versions listed, live one flagged, the
+    // compacted version holds fewer files than the small-file grace one
+    val snaps = graft.logs.GraftStore.snapshots(spark, root)
+    assert(snaps.map(s => (s.version, s.current)) == Seq((1, false), (2, true)))
+    assert(snaps.forall(s => s.files > 0 && s.bytes > 0))
+    assert(snaps(1).files < snaps(0).files)
+    // vacuum reclaims the grace snapshot now instead of at the next commit
+    assert(graft.logs.GraftStore.vacuum(spark, root) == Seq(1))
+    assert(graft.logs.VersionedStore.listVersions(root) == Seq(2))
+    intercept[IllegalArgumentException](
+      graft.logs.GraftStore.resolveVersion(spark, root, 1))
+    assert(spark.read.parquet(root).count() == df.count())
   }
 
   test("versioned store recovers an interrupted commit from marker + staged version") {

@@ -103,6 +103,17 @@ class PointerStoreSpec extends SparkSpec {
       assert(spark.read.parquet(GraftStore.resolveVersion(spark, root, 1)).count() == rows)
       // a reclaimed version fails fast
       intercept[IllegalArgumentException](GraftStore.resolveVersion(spark, root, 7))
+      // snapshot inventory over s3l: both versions, live flag on v2
+      val snaps = GraftStore.snapshots(spark, root)
+      assert(snaps.map(s => (s.version, s.current)) == Seq((1, false), (2, true)))
+      assert(snaps.forall(s => s.files > 0 && s.bytes > 0))
+      // vacuum drops the grace prefix with object-store deletes; the live
+      // version keeps serving (minus the retained date drop above)
+      assert(GraftStore.vacuum(spark, root) == Seq(1))
+      assert(GraftStore.listVersions(spark, root) == Seq(2))
+      intercept[IllegalArgumentException](GraftStore.resolveVersion(spark, root, 1))
+      assert(spark.read.parquet(GraftStore.resolve(spark, root)).count() ==
+        remaining.count())
     } finally srv.stop()
   }
 
