@@ -112,6 +112,10 @@ object SparkEntry {
     "d8_dedup_keep_canonical" -> (ExtensionQueries.dedupKeepCanonical(_, _)),
     "t8_pii_redaction" -> (ExtensionQueries.piiRedaction(_, _)),
     "t9_token_rarity" -> (ExtensionQueries.tokenRarity(_, _)),
+    // oracle projection: ppl is spec-gated (transcendental), Catalyst prunes it
+    "t10_lm_bigram" -> ((s, dir) => ExtensionQueries.lmBigramScore(s, dir)
+      .select("doc_id", "n_bigrams", "sum_bigram_freq", "sum_ctx_freq", "typicality")
+      .orderBy("doc_id")),
     "z5_chunk_documents" -> (ExtensionQueries.chunkDocuments(_, _)),
     "z6_export_shards" -> (ExtensionQueries.exportShardManifest(_, _)),
     "x8_range_join" -> (ExtensionQueries.rangeJoinRecent(_, _))
@@ -757,6 +761,23 @@ object SparkEntry {
         |  CAST(CAST(sum(freq) AS BIGINT) AS DOUBLE) / count(*) AS mean_freq
         |FROM t JOIN f ON t.tok = f.tok
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "t10_lm_bigram" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+        |  FROM documents),
+        |ix AS (SELECT doc_id, w, UNNEST(range(1, len(w))) AS i FROM t WHERE len(w) >= 2),
+        |p AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM ix),
+        |f12 AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2),
+        |f1 AS (SELECT w1, count(*) AS c1 FROM p GROUP BY 1),
+        |j AS (SELECT p.doc_id, f12.c12, f1.c1
+        |      FROM p JOIN f12 USING (w1, w2) JOIN f1 USING (w1))
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(c12) AS BIGINT) AS sum_bigram_freq,
+        |  CAST(sum(c1) AS BIGINT) AS sum_ctx_freq,
+        |  CAST(CAST(sum(c12) AS BIGINT) AS DOUBLE) / CAST(sum(c1) AS BIGINT) AS typicality
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "z6_export_shards" ->
       """SELECT ((abs(doc_id) % 65536) * 40503) % 65536 % 8 AS shard_id,
         |  CAST(count(*) AS BIGINT) AS n_docs,

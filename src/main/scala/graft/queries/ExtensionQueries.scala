@@ -448,6 +448,61 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram language-model quality score (the CCNet/Gopher perplexity-filter
+    * shape): train bigram + context counts on the corpus itself, then score
+    * every document by how typical its bigram stream is under that model.
+    * `ppl` = exp(-mean ln P(w2|w1)) is the classic perplexity (lower =
+    * more typical); `typicality` = sum(c12)/sum(c1) is its exact-arithmetic
+    * companion (integer aggregates + ONE IEEE division), which is what the
+    * DuckDB oracle can hash-match — transcendental ln and order-dependent
+    * double summation cannot be bit-identical across engines, so `ppl` is
+    * spec-gated (TextAnalysisSpec) and PRUNED by Catalyst when the caller
+    * selects only the oracle columns.
+    *
+    * Scale shape: both count tables are word-count aggregations (map-side
+    * combine); the context count joins onto the bigram table first, so the
+    * corpus-sized pair stream shuffles ONCE on the bigram key. Documents
+    * with fewer than two tokens have no bigrams and drop out, exactly as
+    * the SQL restatement does. Three consumers read the pair stream
+    * (bigram counts, context counts, scoring join) and Spark has no
+    * automatic subplan reuse, so the tokenized pairs are materialized once
+    * per data dir — at 100 TB this is the "write the tokenized corpus to
+    * scratch storage once" step every LM-filter pipeline has, not a cache
+    * you could skip.
+    */
+  private val bigramPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def bigramPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.memo(bigramPairsCache, dir, spark)(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+        .where(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 1), " +
+            "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .persist())
+
+  def lmBigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = bigramPairs(spark, dir)
+    val f12 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val f1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val model = f12.join(f1, "w1")
+    pairs.join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("c12")).as("sum_bigram_freq"),
+        sum(col("c1")).as("sum_ctx_freq"),
+        avg(log(col("c12").cast("double") / col("c1"))).as("mean_lp"))
+      .select(
+        col("doc_id"), col("n_bigrams"), col("sum_bigram_freq"), col("sum_ctx_freq"),
+        (col("sum_bigram_freq").cast("double") / col("sum_ctx_freq")).as("typicality"),
+        exp(-col("mean_lp")).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Shard-export manifest: deterministic shard assignment over documents
     * (the export itself — partitioned parquet write — is spec-driven; the
     * assignment arithmetic is what the oracle pins).

@@ -13,6 +13,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1).isEmpty && got(2).isEmpty)
   }
 
+  test("bigram LM score: ppl matches a first-principles recomputation") {
+    val got = graft.queries.ExtensionQueries.lmBigramScore(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+
+    // independent model: plain Scala maps over the same corpus
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val allBigrams = docs.flatMap { case (_, w) => w.sliding(2).filter(_.length == 2).map(a => (a(0), a(1))) }
+    val c12 = allBigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = allBigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+
+    var checked = 0
+    for ((id, w) <- docs if w.length >= 2) {
+      val bs = w.sliding(2).filter(_.length == 2).map(a => (a(0), a(1))).toSeq
+      val (n, sbf, scf, typ, ppl) = got(id)
+      assert(n == bs.size && sbf == bs.map(c12).sum && scf == bs.map(b => c1(b._1)).sum)
+      assert(typ == sbf.toDouble / scf) // single IEEE division, bit-exact
+      val expectPpl = math.exp(-bs.map(b => math.log(c12(b).toDouble / c1(b._1))).sum / bs.size)
+      assert(math.abs(ppl - expectPpl) <= 1e-9 * expectPpl,
+        s"doc $id ppl $ppl vs $expectPpl")
+      assert(ppl >= 1.0 - 1e-12 && typ > 0.0 && typ <= 1.0)
+      checked += 1
+    }
+    assert(checked > 0 && got.size == checked) // sub-2-token docs drop out on both sides
+  }
+
   test("word n-grams: count and shape; shorter-than-n -> empty") {
     val got = Seq("a b c d", "a b").toDF("t")
       .select(TextAnalysis.wordNgrams($"t", 3)).as[Seq[String]].collect()
