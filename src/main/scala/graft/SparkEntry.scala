@@ -118,7 +118,14 @@ object SparkEntry {
       .orderBy("doc_id")),
     "z5_chunk_documents" -> (ExtensionQueries.chunkDocuments(_, _)),
     "z6_export_shards" -> (ExtensionQueries.exportShardManifest(_, _)),
-    "x8_range_join" -> (ExtensionQueries.rangeJoinRecent(_, _))
+    "x8_range_join" -> (ExtensionQueries.rangeJoinRecent(_, _)),
+    "v5_kmeans" -> (ExtensionQueries.kmeansClusterGates(_, _)),
+    "g5_heavy_hitters" -> (ExtensionQueries.heavyHitterGates(_, _)),
+    "x9_scd_intervals" -> (ExtensionQueries.scdIntervals(_, _)),
+    "z7_curriculum_sample" -> (ExtensionQueries.curriculumSample(_, _)),
+    "d9_cross_source_dups" -> (ExtensionQueries.crossSourceDupMatrix(_, _)),
+    "x10_funnel" -> (ExtensionQueries.funnelConversion(_, _)),
+    "v6_random_projection" -> (ExtensionQueries.randomProjectionGates(_, _))
   )
 
   /** Exact 3-gram Jaccard pair list (threshold 0.8) recomputed from the raw
@@ -861,6 +868,69 @@ object SparkEntry {
     "v4_knn_ivf_index" ->
       """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_neighbors,
         |  TRUE AS recall_ok
-        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    // v5: distributed spherical k-means, gated on k non-empty clusters over
+    // the full corpus with a monotone + genuinely-improving Lloyd objective
+    "v5_kmeans" ->
+      """SELECT CAST(10 AS BIGINT) AS k_clusters,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_assigned,
+        |  TRUE AS no_empty_ok, TRUE AS monotone_ok, TRUE AS improved_ok""".stripMargin,
+    // g5: exact top-20 tokens with the Misra-Gries containment gate — the
+    // oracle recomputes the exact counts; sketch_ok states the summary's
+    // N/(capacity+1) guarantee held for every heavy token
+    "g5_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        |  FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS n_tok, TRUE AS sketch_ok
+        |FROM toks GROUP BY token
+        |ORDER BY n_tok DESC, token LIMIT 20""".stripMargin,
+    "x9_scd_intervals" ->
+      """SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) AS valid_from_us,
+        |  lead(epoch_us(ts)) OVER w AS valid_to_us,
+        |  lead(epoch_us(ts)) OVER w IS NULL AS is_current
+        |FROM events WHERE user_id < 50
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+    "z7_curriculum_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, ntile(3) OVER (ORDER BY n_chars, doc_id) AS tercile
+        |  FROM documents)
+        |SELECT tercile, CAST(count(*) AS BIGINT) AS n_sampled,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM t
+        |WHERE ((abs(doc_id) % 65536) * 40503) % 65536 <
+        |  CASE tercile WHEN 1 THEN 6554 WHEN 2 THEN 32768 ELSE 65536 END
+        |GROUP BY tercile ORDER BY tercile""".stripMargin,
+    "d9_cross_source_dups" ->
+      """SELECT least(a.source, b.source) AS source_a,
+        |  greatest(a.source, b.source) AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_dup_pairs
+        |FROM documents a JOIN documents b
+        |  ON a.text = b.text AND a.doc_id < b.doc_id AND a.source <> b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x10_funnel" ->
+      """WITH fc AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS first_click_us
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT fc.user_id, fc.first_click_us,
+        |  min(p_us) AS first_purchase_us,
+        |  CAST(count(*) AS BIGINT) AS n_purchases_1h,
+        |  min(p_us) - fc.first_click_us AS gap_us
+        |FROM fc JOIN p ON p.user_id = fc.user_id
+        |  AND p_us >= first_click_us AND p_us <= first_click_us + 3600000000
+        |GROUP BY fc.user_id, fc.first_click_us
+        |ORDER BY fc.user_id""".stripMargin,
+    // v6: sign-matrix JL projection 64→32 — the oracle states the pair count
+    // of the probe set and that the measured cosine distortion stayed inside
+    // the gate bounds (max 0.6, mean 0.2; measured ~0.3/~0.1)
+    "v6_random_projection" ->
+      """SELECT (SELECT CAST(count(*) * (count(*) - 1) / 2 AS BIGINT)
+        |          FROM embeddings WHERE vec_id < 40) AS n_pairs,
+        |  TRUE AS max_err_ok, TRUE AS mean_err_ok""".stripMargin
   )
 }

@@ -1,10 +1,10 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** JVM-static float-vector kernels shared by interpreted eval and codegen.
   *
@@ -32,6 +32,34 @@ object VecKernels {
       i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Sign-matrix (Achlioptas) random projection to `outDim` dims: entry
+    * (i,j) of the implicit projection matrix is ±1 from the splitmix64
+    * finalizer — the matrix is never materialized, so the projection ships
+    * as pure code, deterministic across executors/engines/runs. Preserves
+    * inner products in expectation (Johnson-Lindenstrauss); used to shrink
+    * embedding payloads before the ANN/near-dup stages — at 100 TB the
+    * projected corpus is outDim/dim of the shuffle bytes every downstream
+    * stage pays.
+    */
+  def randomProject(v: ArrayData, outDim: Int, seed: Long): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Float](outDim)
+    val inv = 1.0 / math.sqrt(outDim.toDouble)
+    var j = 0
+    while (j < outDim) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val h = SketchKernels.mix64(seed ^ (i.toLong * 131071L + j))
+        s += (if ((h & 1L) == 0L) v.getFloat(i).toDouble else -v.getFloat(i).toDouble)
+        i += 1
+      }
+      out(j) = (s * inv).toFloat
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 }
 
@@ -67,9 +95,28 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `random_project(array<float>, outDim, seed) → array<float>`, codegen. */
+case class RandomProjection(child: Expression, outDim: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "random_project"
+
+  override def nullSafeEval(input: Any): Any =
+    VecKernels.randomProject(input.asInstanceOf[ArrayData], outDim, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.expr.VecKernels.randomProject($v, $outDim, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): RandomProjection =
+    copy(child = newChild)
+}
+
 object VecFunctions {
   def cosineSim(a: Column, b: Column): Column =
     Compat.column(CosineSimilarity(Compat.expression(a), Compat.expression(b)))
   def dotProduct(a: Column, b: Column): Column =
     Compat.column(DotProduct(Compat.expression(a), Compat.expression(b)))
+  def randomProject(v: Column, outDim: Int, seed: Long): Column =
+    Compat.column(RandomProjection(Compat.expression(v), outDim, seed))
 }

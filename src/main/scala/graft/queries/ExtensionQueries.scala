@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Clustering, Dedup, MisraGries, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -647,5 +647,182 @@ object ExtensionQueries {
         ev.select(col("time_us")), "time_us", windowUs = 60000000L)
       .select(col("event_id"), col("n_in_window"))
       .orderBy(col("event_id"))
+  }
+
+  // ——— round-5 additions: clustering, bounded sketches, CDC shapes ———
+
+  /** Distributed spherical k-means over the embedding corpus (v5), stated as
+    * oracle-checkable gates (same scheme as v2-v4): k non-empty clusters,
+    * every vector assigned, and the Lloyd objective non-decreasing AND
+    * genuinely improved over the seed assignment. The labels column is NOT a
+    * geometric ground truth on this fixture (measured intra-label mean
+    * cosine ≈ inter-label), so cluster recovery is asserted where it is
+    * true — the separated-blob fixture in ClusteringSpec.
+    */
+  private val kmeansCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Clustering.KMeansModel]()
+
+  def kmeansClusterGates(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val model = kmeansCache.computeIfAbsent(dir, _ =>
+      Clustering.kmeans(emb, "embedding", "vec_id", k = 10, iters = 3))
+    val objs = model.objective
+    val monotone = objs.zip(objs.tail).forall { case (a, b) => b >= a - 1e-9 }
+    val improved = objs.last - objs.head >= 0.01
+    model.assign(emb, "embedding")
+      .agg(countDistinct(col("cluster")).as("k_clusters"),
+        count(lit(1)).as("n_assigned"))
+      .withColumn("no_empty_ok", col("k_clusters") === 10L)
+      .withColumn("monotone_ok", lit(monotone))
+      .withColumn("improved_ok", lit(improved))
+  }
+
+  /** Exact top-20 tokens with a Misra-Gries containment gate (g5): the
+    * bounded-memory summary must contain every heavy token with an estimate
+    * inside the N/(capacity+1) error band. DuckDB recomputes the exact
+    * top-20 and states the gate TRUE, so the sketch's guarantee is
+    * hash-checked by the driver; adversarial under-capacity behavior is
+    * asserted in HeavyHittersSpec.
+    */
+  private val hhCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def heavyHitterGates(spark: SparkSession, dir: String): DataFrame =
+    Tables.memo(hhCache, dir, spark) {
+      import spark.implicits._
+      val cap = 64
+      val toks = Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+      val n = toks.count()
+      val sketch: Map[String, Long] = toks.as[String]
+        .select(new MisraGries(cap).toColumn).head()
+      val bound = n.toDouble / (cap + 1)
+      val est = sketch.toSeq.toDF("token", "est")
+      toks.groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
+        .orderBy(desc("n_tok"), asc("token")).limit(20)
+        .join(broadcast(est), Seq("token"), "left")
+        .withColumn("sketch_ok",
+          col("est").isNotNull && col("est") <= col("n_tok") &&
+            col("est") >= col("n_tok") - lit(bound))
+        .select(col("token"), col("n_tok"), col("sketch_ok"))
+        .orderBy(desc("n_tok"), asc("token")).persist()
+    }
+
+  /** SCD-2 validity intervals from the event changelog (x9): each event is
+    * valid from its own timestamp until the user's next event (NULL = still
+    * current). One keyed window — a single narrow shuffle on user_id.
+    * µs-truncated ordering for the same reason as [[LogParityQueries
+    * .interArrival]]: DuckDB reads the ns parquet at µs precision.
+    */
+  def scdIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("valid_from_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 50)
+      .withColumn("valid_from_us",
+        graft.logs.CriFunctions.nanosToMicros(col("ts")))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+  }
+
+  /** Curriculum sampling (z7): documents bucketed into length terciles, then
+    * deterministically hash-sampled at per-tercile rates (keep all long
+    * documents, thin the short tail) — the quality-weighted variant of
+    * [[Sampling.stratifiedSample]] where the stratum is COMPUTED from a
+    * quality proxy instead of read from a column. ntile here is the
+    * oracle-exact boundary; at 100 TB the tercile cutoffs come from one
+    * approx-quantile pass and the assignment stays map-only.
+    */
+  def curriculumSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("tercile", ntile(3).over(w))
+      .filter(Sampling.bucket(col("doc_id")) <
+        when(col("tercile") === 1, lit(6554))
+          .when(col("tercile") === 2, lit(32768))
+          .otherwise(lit(65536)))
+      .groupBy(col("tercile"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("tercile"))
+  }
+
+  /** First-touch conversion funnel (x10): users whose first click converts
+    * to a purchase within one hour, with the purchase count inside the
+    * window and the click→purchase gap. Two filtered per-user aggregates +
+    * one broadcastable join — no self-join of the raw event stream, so at
+    * 100 TB the shuffles carry one row per user, not per event.
+    */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("time_us", graft.logs.CriFunctions.nanosToMicros(col("ts")))
+    val firstClick = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("time_us")).as("first_click_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("time_us").as("p_us"))
+    firstClick.join(purchases, Seq("user_id"))
+      .filter(col("p_us") >= col("first_click_us") &&
+        col("p_us") <= col("first_click_us") + lit(3600000000L))
+      .groupBy(col("user_id"), col("first_click_us"))
+      .agg(min(col("p_us")).as("first_purchase_us"),
+        count(lit(1)).as("n_purchases_1h"))
+      .withColumn("gap_us", col("first_purchase_us") - col("first_click_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Sign-matrix random projection 64→32 dims (v6), gated on distortion:
+    * the implicit ±1 matrix is regenerated from the splitmix64 finalizer
+    * inside codegen (map-only, no matrix broadcast), and the gates state
+    * the JL guarantee actually held on this corpus — bounded max and mean
+    * |cosine(hi) − cosine(lo)| over all pairs of the probe set.
+    */
+  def randomProjectionGates(spark: SparkSession, dir: String): DataFrame = {
+    val proj = Tables.embeddings(spark, dir).filter(col("vec_id") < 40)
+      .select(col("vec_id"), col("embedding"),
+        graft.expr.VecFunctions.randomProject(col("embedding"), 32, 0xA5EED5EEDL)
+          .as("proj"))
+    val a = proj.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+      col("proj").as("pa"))
+    val b = proj.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+      col("proj").as("pb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(
+        graft.expr.VecFunctions.cosineSim(col("ea"), col("eb")).as("hi"),
+        graft.expr.VecFunctions.cosineSim(col("pa"), col("pb")).as("lo"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(abs(col("hi") - col("lo"))).as("max_err"),
+        avg(abs(col("hi") - col("lo"))).as("mean_err"))
+      .select(col("n_pairs"),
+        (col("max_err") <= 0.6).as("max_err_ok"),
+        (col("mean_err") <= 0.2).as("mean_err_ok"))
+  }
+
+  /** Cross-source exact-duplicate matrix (d9): how many identical documents
+    * leak between each pair of sources — the contamination report run before
+    * mixing corpora. Join key is the 8-byte text hash (narrow shuffle
+    * partitioning at 100 TB); text equality is still verified on the
+    * surviving candidates so a hash collision can never fabricate a pair.
+    */
+  def crossSourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        xxhash64(col("text")).as("h"))
+    val a = d.select(col("h"), col("doc_id").as("id_a"),
+      col("source").as("src_a"), col("text").as("text_a"))
+    val b = d.select(col("h"), col("doc_id").as("id_b"),
+      col("source").as("src_b"), col("text").as("text_b"))
+    a.join(b, Seq("h"))
+      .filter(col("id_a") < col("id_b") && col("src_a") =!= col("src_b") &&
+        col("text_a") === col("text_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
   }
 }
