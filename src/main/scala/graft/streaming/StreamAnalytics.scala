@@ -45,6 +45,27 @@ object StreamAnalytics {
       .groupBy(session_window(col("event_time"), gap), keyCol)
       .agg(count(lit(1)).as("n"))
 
+  /** Per-window heavy hitters: the streaming form of
+    * [[graft.ext.MisraGries]] — each window's state is one bounded
+    * ≤`capacity`-entry summary (merged across partitions/batches by the
+    * aggregator's mergeable-summaries rule), never the full token domain.
+    * The batch analogue shuffles every distinct token; here the state store
+    * holds `capacity` entries per open window, so the trending-tokens query
+    * on an unbounded stream runs in fixed memory.
+    */
+  def windowedHeavyHitters(stream: DataFrame, eventTime: Column,
+      tokenCol: Column, windowLength: String, watermark: String,
+      capacity: Int): DataFrame = {
+    val mg = udaf(new graft.ext.MisraGries(capacity),
+      org.apache.spark.sql.Encoders.STRING)
+    stream
+      .withColumn("event_time", eventTime)
+      .withColumn("token", tokenCol)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLength))
+      .agg(mg(col("token")).as("hitters"))
+  }
+
   /** Stream-stream interval join (the streaming analogue of
     * [[graft.ext.RangeJoin]]): left rows match right rows with the same key
     * and `r_time ∈ [l_time - before, l_time]`. Both sides carry watermarks

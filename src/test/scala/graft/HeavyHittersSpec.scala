@@ -75,6 +75,37 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("streaming windowed heavy hitters: bounded per-window summaries " +
+      "catch the hot tokens") {
+    val work = java.nio.file.Files.createTempDirectory("graft-streamhh")
+    val in = work.resolve("in")
+    java.nio.file.Files.createDirectories(in)
+    // two 1-minute windows; 'hot' dominates the first, 'warm' the second
+    def row(sec: Long, t: String) = s"""{"ms":${sec * 1000},"tok":"$t"}"""
+    val w1 = (0 until 30).map(i => row(10 + i % 20, "hot")) ++
+      (0 until 10).map(i => row(15, s"noise$i"))
+    val w2 = (0 until 25).map(i => row(70 + i % 20, "warm")) ++
+      (0 until 8).map(i => row(75, s"late$i"))
+    java.nio.file.Files.writeString(in.resolve("a.json"),
+      (w1 ++ w2).mkString("\n"))
+    val stream = spark.readStream.schema("ms LONG, tok STRING")
+      .json(in.toString)
+    val agg = graft.streaming.StreamAnalytics.windowedHeavyHitters(stream,
+      timestamp_millis($"ms"), $"tok", "1 minute", "10 minutes", capacity = 4)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("streamhh").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("streamhh")
+      .select($"window.start".cast("long"), $"hitters").collect()
+    assert(rows.length == 2, s"expected 2 windows, got ${rows.toSeq}")
+    val byWindow = rows.map(r => (r.getLong(0), r.getMap[String, Long](1))).toMap
+    val first = byWindow(0L); val second = byWindow(60L)
+    assert(first.contains("hot") && first.size <= 4,
+      s"window 1 summary wrong: $first")
+    assert(second.contains("warm") && second.size <= 4,
+      s"window 2 summary wrong: $second")
+  }
+
   test("merge keeps summaries at capacity") {
     val mg = new MisraGries(4)
     val a = Map("a" -> 10L, "b" -> 8L, "c" -> 5L, "d" -> 3L)
