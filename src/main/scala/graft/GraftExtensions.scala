@@ -33,6 +33,13 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   /** name → FunctionBuilder for every SQL-expressible custom expression. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cri_timestamp_nanos" -> { args => CriTimestampNanos(args.head) },
@@ -45,7 +52,9 @@ object GraftExtensions {
       WordShingleHashes(args.head, intArg(args(1), "n")) },
     "minhash_sig" -> { args => MinHashSig(args.head, intArg(args(1), "k")) },
     "hyperplane_bands" -> { args =>
-      HyperplaneBands(args.head, intArg(args(1), "planes"), intArg(args(2), "bands")) }
+      HyperplaneBands(args.head, intArg(args(1), "planes"), intArg(args(2), "bands")) },
+    "random_project" -> { args =>
+      RandomProjection(args.head, intArg(args(1), "outDim"), longArg(args(2), "seed")) }
   )
 
   /** Install on an existing session (temp-function registry). */

@@ -15,9 +15,11 @@ class SqlFunctionsSpec extends SparkSpec {
         |       poly_hash64(txt) AS fp,
         |       size(word_shingle_hashes(txt, 1)) AS n_shingles,
         |       cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS cs,
-        |       dot_product(array(2.0F, 3.0F), array(4.0F, 5.0F)) AS dp
+        |       dot_product(array(2.0F, 3.0F), array(4.0F, 5.0F)) AS dp,
+        |       size(random_project(array(1.0F, 2.0F, 3.0F), 8, 42)) AS rp_dim
         |FROM t""".stripMargin).collect().head
     assert(r.getAs[Long]("ns") == 1705314645123456789L)
+    assert(r.getAs[Int]("rp_dim") == 8)
     assert(r.getAs[Long]("fp") == graft.expr.HashKernels.polyHash(
       org.apache.spark.unsafe.types.UTF8String.fromString("hello world")))
     assert(r.getAs[Int]("n_shingles") == 2)
