@@ -125,7 +125,9 @@ object SparkEntry {
     "z7_curriculum_sample" -> (ExtensionQueries.curriculumSample(_, _)),
     "d9_cross_source_dups" -> (ExtensionQueries.crossSourceDupMatrix(_, _)),
     "x10_funnel" -> (ExtensionQueries.funnelConversion(_, _)),
-    "v6_random_projection" -> (ExtensionQueries.randomProjectionGates(_, _))
+    "v6_random_projection" -> (ExtensionQueries.randomProjectionGates(_, _)),
+    "t11_bpe_vocab" -> (ExtensionQueries.bpeVocabGates(_, _)),
+    "v7_quantize_int8" -> (ExtensionQueries.quantizationGates(_, _))
   )
 
   /** Exact 3-gram Jaccard pair list (threshold 0.8) recomputed from the raw
@@ -931,6 +933,28 @@ object SparkEntry {
     "v6_random_projection" ->
       """SELECT (SELECT CAST(count(*) * (count(*) - 1) / 2 AS BIGINT)
         |          FROM embeddings WHERE vec_id < 40) AS n_pairs,
-        |  TRUE AS max_err_ok, TRUE AS mean_err_ok""".stripMargin
+        |  TRUE AS max_err_ok, TRUE AS mean_err_ok""".stripMargin,
+    // t11: DuckDB independently re-derives BPE merge #1 — the argmax
+    // adjacent char pair over the word-count table, (count desc, pair asc)
+    // tie order — and states the 8-round trainer's loop invariants
+    "t11_bpe_vocab" ->
+      """WITH words AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+        |  FROM documents),
+        |wc AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+        |p AS (
+        |  SELECT unnest([substr(w, i, 2) for i in range(1, len(w))]) AS pair, c
+        |  FROM wc WHERE len(w) >= 2),
+        |top AS (
+        |  SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM p GROUP BY pair
+        |  ORDER BY n DESC, pair LIMIT 1)
+        |SELECT CAST(8 AS BIGINT) AS n_merges,
+        |  (SELECT pair FROM top) AS first_merge_token,
+        |  (SELECT n FROM top) AS first_merge_count,
+        |  TRUE AS counts_positive_ok, TRUE AS distinct_tokens_ok""".stripMargin,
+    "v7_quantize_int8" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |  TRUE AS quant_err_ok, TRUE AS err_nonneg_ok
+        |FROM embeddings""".stripMargin
   )
 }

@@ -61,6 +61,38 @@ object VecKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Symmetric int8 quantization round-trip check in one pass: quantize with
+    * the vector's own max-abs scale (q = round(x·127/maxabs) ∈ [−127,127]),
+    * dequantize, and return the worst reconstruction error NORMALIZED by the
+    * theoretical half-step bound maxabs/254 — ≤ 1 (+ float noise) iff the
+    * quantizer is correct. Int8 payloads are ¼ the bytes of float32 through
+    * every downstream shuffle; this kernel is the correctness gate for that
+    * compression (v7).
+    */
+  def int8QuantErr(v: ArrayData): Double = {
+    val n = v.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getFloat(i).toDouble)
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    if (maxAbs == 0.0) return 0.0
+    val scale = 127.0 / maxAbs
+    val halfStep = maxAbs / 254.0
+    var worst = 0.0
+    i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      val q = math.round(x * scale).toDouble // in [-127, 127] by construction
+      val err = math.abs(x - q / scale)
+      if (err > worst) worst = err
+      i += 1
+    }
+    worst / halfStep
+  }
 }
 
 /** `cosine_sim(array<float>, array<float>) → double`, codegen-enabled. */
@@ -112,6 +144,21 @@ case class RandomProjection(child: Expression, outDim: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** `int8_quant_err(array<float>) → double` (normalized, ≤1 when correct). */
+case class Int8QuantError(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "int8_quant_err"
+
+  override def nullSafeEval(input: Any): Any =
+    VecKernels.int8QuantErr(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.expr.VecKernels.int8QuantErr($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): Int8QuantError =
+    copy(child = newChild)
+}
+
 object VecFunctions {
   def cosineSim(a: Column, b: Column): Column =
     Compat.column(CosineSimilarity(Compat.expression(a), Compat.expression(b)))
@@ -119,4 +166,6 @@ object VecFunctions {
     Compat.column(DotProduct(Compat.expression(a), Compat.expression(b)))
   def randomProject(v: Column, outDim: Int, seed: Long): Column =
     Compat.column(RandomProjection(Compat.expression(v), outDim, seed))
+  def int8QuantErr(v: Column): Column =
+    Compat.column(Int8QuantError(Compat.expression(v)))
 }

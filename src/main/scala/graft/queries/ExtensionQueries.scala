@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Clustering, Dedup, MisraGries, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Bpe, Clustering, Dedup, MisraGries, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -801,6 +801,40 @@ object ExtensionQueries {
         (col("max_err") <= 0.6).as("max_err_ok"),
         (col("mean_err") <= 0.2).as("mean_err_ok"))
   }
+
+  /** Distributed BPE vocabulary induction (t11), gated on the independently
+    * recomputable parts: DuckDB re-derives merge #1 (the argmax adjacent
+    * char pair over the word-count table, ties broken lexicographically)
+    * and states the loop invariants the 8-round trainer must satisfy. The
+    * full merge table is asserted exactly in BpeSpec.
+    */
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Bpe.Merge]]()
+
+  def bpeVocabGates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = bpeCache.computeIfAbsent(dir, _ =>
+      Bpe.train(Tables.documents(spark, dir), "text", rounds = 8))
+    val first = merges.head
+    Seq((merges.length.toLong, first.token, first.count,
+      merges.forall(_.count > 0L),
+      merges.map(_.token).distinct.length == merges.length))
+      .toDF("n_merges", "first_merge_token", "first_merge_count",
+        "counts_positive_ok", "distinct_tokens_ok")
+  }
+
+  /** Symmetric int8 embedding quantization (v7), gated on the reconstruction
+    * bound: every vector must round-trip float32→int8→float32 within the
+    * theoretical half-step error maxabs/254 — the correctness condition for
+    * shipping 4× smaller embedding payloads through downstream stages. The
+    * normalized-error kernel runs fused in codegen (one pass per vector).
+    */
+  def quantizationGates(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(graft.expr.VecFunctions.int8QuantErr(col("embedding")).as("e"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (max(col("e")) <= 1.000001).as("quant_err_ok"),
+        (min(col("e")) >= 0.0).as("err_nonneg_ok"))
 
   /** Cross-source exact-duplicate matrix (d9): how many identical documents
     * leak between each pair of sources — the contamination report run before

@@ -54,6 +54,24 @@ class SimilaritySpec extends SparkSpec {
     assert(errs._2 <= 0.2, s"mean distortion ${errs._2} breached the v6 gate")
   }
 
+  test("int8 quantization round-trip: worst error inside the half-step " +
+      "bound, zero vector safe") {
+    // hand-checkable vector: maxabs=1 -> scale=127, halfStep=1/254
+    val direct = VecKernels.int8QuantErr(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(1.0f, -0.5f, 0.25f, 0.0f)))
+    assert(direct >= 0.0 && direct <= 1.000001, s"normalized err $direct")
+    val zero = VecKernels.int8QuantErr(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(0.0f, 0.0f)))
+    assert(zero == 0.0)
+    // codegen path over the real corpus: every vector inside the bound
+    val worst = Tables.embeddings(spark, sf)
+      .select(VecFunctions.int8QuantErr($"embedding").as("e"))
+      .agg(max($"e")).as[Double].head()
+    assert(worst <= 1.000001 && worst > 0.0, s"corpus worst err $worst")
+  }
+
   test("brute-force top-k: self excluded, k respected, ranks contiguous") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" < 3)
