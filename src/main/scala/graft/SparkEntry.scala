@@ -127,7 +127,8 @@ object SparkEntry {
     "x10_funnel" -> (ExtensionQueries.funnelConversion(_, _)),
     "v6_random_projection" -> (ExtensionQueries.randomProjectionGates(_, _)),
     "t11_bpe_vocab" -> (ExtensionQueries.bpeVocabGates(_, _)),
-    "v7_quantize_int8" -> (ExtensionQueries.quantizationGates(_, _))
+    "v7_quantize_int8" -> (ExtensionQueries.quantizationGates(_, _)),
+    "g6_topk_per_group" -> (ExtensionQueries.topKPerGroup(_, _))
   )
 
   /** Exact 3-gram Jaccard pair list (threshold 0.8) recomputed from the raw
@@ -955,6 +956,12 @@ object SparkEntry {
     "v7_quantize_int8" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
         |  TRUE AS quant_err_ok, TRUE AS err_nonneg_ok
-        |FROM embeddings""".stripMargin
+        |FROM embeddings""".stripMargin,
+    "g6_topk_per_group" ->
+      """SELECT lang, CAST(rank AS INT) AS rank, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents)
+        |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin
   )
 }

@@ -70,6 +70,26 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"), col("col._1").as("cosine"))
   }
 
+  /** Generic grouped top-k (top documents per language, top spenders per
+    * region, ...) via the bounded aggregator instead of a `row_number`
+    * window: the window idiom sorts every group's FULL row set inside each
+    * task; the bounded partial aggregate keeps ≤k rows per group per map
+    * task, so only k-element buffers cross the shuffle — at 100 TB the
+    * difference between a corpus-wide sort and a streaming pre-filter.
+    * Ranking order is (score desc, id asc), the same total order as
+    * `row_number() OVER (... ORDER BY score DESC, id)`.
+    */
+  def groupedTopK(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    requireIntegralId(df, idCol, "grouped-top-k input")
+    val topk = udaf(new TopKByCosine(k))
+    df.groupBy(col(groupCol))
+      .agg(topk(col(idCol).cast("long"), col(scoreCol).cast("double")).as("nn"))
+      .select(col(groupCol), posexplode(col("nn")))
+      .select(col(groupCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as(idCol), col("col._1").as("score"))
+  }
+
   /** Brute-force exact top-k cosine neighbors for each query vector
     * (numeric ids). `queries` is broadcast; the corpus is scanned once.
     * Two-phase top-k via a bounded [[TopKByCosine]] aggregate: partial

@@ -836,6 +836,19 @@ object ExtensionQueries {
         (max(col("e")) <= 1.000001).as("quant_err_ok"),
         (min(col("e")) >= 0.0).as("err_nonneg_ok"))
 
+  /** Grouped top-k without a window sort (g6): top-3 longest documents per
+    * language through the bounded [[Similarity.groupedTopK]] aggregate —
+    * map-side top-k pre-filter, no per-group full sort. The oracle restates
+    * it with the row_number idiom; both share the (score desc, id asc)
+    * total order.
+    */
+  def topKPerGroup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.groupedTopK(Tables.documents(spark, dir),
+        groupCol = "lang", idCol = "doc_id", scoreCol = "n_chars", k = 3)
+      .select(col("lang"), col("rank"), col("doc_id"),
+        col("score").cast("long").as("n_chars"))
+      .orderBy(col("lang"), col("rank"))
+
   /** Cross-source exact-duplicate matrix (d9): how many identical documents
     * leak between each pair of sources — the contamination report run before
     * mixing corpora. Join key is the 8-byte text hash (narrow shuffle

@@ -28,6 +28,13 @@ class PlanAssertSpec extends SparkSpec {
     }
   }
 
+  test("grouped top-k uses the bounded aggregate, not a window sort") {
+    val p = plan("g6_topk_per_group")
+    assert(!p.contains("Window"), s"g6 fell back to a window sort:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"g6 lost its typed bounded aggregate:\n$p")
+  }
+
   test("star joins broadcast their dimensions") {
     for (q <- Seq("q5_local_volume", "q8_market_share", "q9_product_profit"))
       assert(plan(q).contains("BroadcastHashJoin"), s"$q lost its broadcast dims")
