@@ -34,9 +34,12 @@ object Bpe {
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .as[(String, Long)]
-    // symbol sequences start as single characters
+    // symbol sequences start as single CODE POINTS (not UTF-16 units — a
+    // char-level split would shear astral-plane text into lone surrogates,
+    // which UTF8String replaces on shuffle; DuckDB's substr pairs code
+    // points, so this is also what keeps the t11 oracle comparable)
     var syms: Dataset[(Seq[String], Long)] = wordCounts
-      .map { case (w, c) => (w.map(_.toString): Seq[String], c) }
+      .map { case (w, c) => (codePointSyms(w), c) }
       .persist()
     val merges = Vector.newBuilder[Merge]
     var rank = 1
@@ -66,6 +69,18 @@ object Bpe {
     merges.result()
   }
 
+  /** Unicode code points of a word as one-symbol strings. */
+  def codePointSyms(w: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** One merge pass over a symbol sequence (left-to-right, non-overlapping —
     * the standard BPE application order).
     */
@@ -82,7 +97,7 @@ object Bpe {
 
   /** Segment a word with a learned merge table (greedy in merge order). */
   def encode(word: String, merges: Seq[Merge]): Seq[String] =
-    merges.sortBy(_.rank).foldLeft(word.map(_.toString): Seq[String]) {
+    merges.sortBy(_.rank).foldLeft(codePointSyms(word)) {
       (s, m) => applyMerge(s, m.left, m.right)
     }
 }

@@ -667,7 +667,10 @@ object ExtensionQueries {
     val model = kmeansCache.computeIfAbsent(dir, _ =>
       Clustering.kmeans(emb, "embedding", "vec_id", k = 10, iters = 3))
     val objs = model.objective
-    val monotone = objs.zip(objs.tail).forall { case (a, b) => b >= a - 1e-9 }
+    // tolerance covers the float32 centroid quantization (~1e-7 relative)
+    // the update step introduces — exact-arithmetic monotonicity does not
+    // survive the Array[Float] truncation, 1e-9 would flake near convergence
+    val monotone = objs.zip(objs.tail).forall { case (a, b) => b >= a - 1e-6 }
     val improved = objs.last - objs.head >= 0.01
     model.assign(emb, "embedding")
       .agg(countDistinct(col("cluster")).as("k_clusters"),
@@ -694,17 +697,26 @@ object ExtensionQueries {
       val toks = Tables.documents(spark, dir)
         .select(explode(split(col("text"), " ")).as("token"))
         .filter(length(col("token")) > 0)
-      val n = toks.count()
       val sketch: Map[String, Long] = toks.as[String]
         .select(new MisraGries(cap).toColumn).head()
+      // exact counts once; N is their sum — a vocab-sized agg, not a third
+      // corpus scan
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
+        .persist()
+      val n = exact.agg(sum(col("n_tok"))).head().getLong(0)
       val bound = n.toDouble / (cap + 1)
       val est = sketch.toSeq.toDF("token", "est")
-      toks.groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
+      // the gate states EXACTLY the Misra-Gries guarantee: presence (inside
+      // the error band) is only promised for tokens with true count above
+      // N/(cap+1); a sub-bound token in the top-20 passes vacuously, so the
+      // gate carries no corpus-shape assumption
+      exact
         .orderBy(desc("n_tok"), asc("token")).limit(20)
         .join(broadcast(est), Seq("token"), "left")
         .withColumn("sketch_ok",
-          col("est").isNotNull && col("est") <= col("n_tok") &&
-            col("est") >= col("n_tok") - lit(bound))
+          (col("n_tok") <= lit(bound)) ||
+            (col("est").isNotNull && col("est") <= col("n_tok") &&
+              col("est") >= col("n_tok") - lit(bound)))
         .select(col("token"), col("n_tok"), col("sketch_ok"))
         .orderBy(desc("n_tok"), asc("token")).persist()
     }
@@ -815,9 +827,13 @@ object ExtensionQueries {
     import spark.implicits._
     val merges = bpeCache.computeIfAbsent(dir, _ =>
       Bpe.train(Tables.documents(spark, dir), "text", rounds = 8))
-    val first = merges.head
-    Seq((merges.length.toLong, first.token, first.count,
-      merges.forall(_.count > 0L),
+    // a pair-exhausted corpus yields fewer merges: emit the honest row (the
+    // oracle's n_merges=8 then goes red, which is the correct loud outcome)
+    // rather than crashing the harness on merges.head
+    val firstTok = merges.headOption.map(_.token).getOrElse("")
+    val firstCnt = merges.headOption.map(_.count).getOrElse(0L)
+    Seq((merges.length.toLong, firstTok, firstCnt,
+      merges.nonEmpty && merges.forall(_.count > 0L),
       merges.map(_.token).distinct.length == merges.length))
       .toDF("n_merges", "first_merge_token", "first_merge_count",
         "counts_positive_ok", "distinct_tokens_ok")

@@ -39,7 +39,8 @@ class ClusteringSpec extends SparkSpec {
     val objs = model.objective
     assert(objs.length == 3)
     objs.zip(objs.tail).foreach { case (a, b) =>
-      assert(b >= a - 1e-9, s"objective regressed: $objs")
+      // 1e-6 covers the float32 centroid quantization noise (see v5 gate)
+      assert(b >= a - 1e-6, s"objective regressed: $objs")
     }
     assert(objs.last > objs.head, s"no improvement: $objs")
   }

@@ -35,14 +35,17 @@ class SimilaritySpec extends SparkSpec {
     val p2 = emb.select($"vec_id", $"proj").collect().map(r =>
       (r.getLong(0), r.getSeq[Float](1))).toMap
     assert(p1 == p2)
-    // codegen path agrees with the interpreted kernel
-    val row = emb.select($"embedding").head().getSeq[Float](0).toArray
+    // codegen path agrees with the interpreted kernel — same vec_id's row
+    val idRow = emb.select($"vec_id", $"embedding").head()
     val viaKernel = VecKernels.randomProject(
-      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(row), 32, 0xA5EED5EEDL)
-    val viaPlan = p1.head._2
-    // (head() row order is not pinned; just check dims and determinism here,
-    // exactness is covered by p1 == p2 over codegen evaluations)
-    assert(viaKernel.numElements() == 32 && viaPlan.length == 32)
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        idRow.getSeq[Float](1).toArray), 32, 0xA5EED5EEDL)
+    val viaPlan = p1(idRow.getLong(0))
+    assert(viaPlan.length == 32)
+    (0 until 32).foreach { j =>
+      assert(viaKernel.getFloat(j) == viaPlan(j),
+        s"codegen/interpreted divergence at dim $j")
+    }
     // distortion gates with 2x headroom over the measured ~0.3 / ~0.1
     val a = emb.select($"vec_id".as("id_a"), $"embedding".as("ea"), $"proj".as("pa"))
     val b = emb.select($"vec_id".as("id_b"), $"embedding".as("eb"), $"proj".as("pb"))
