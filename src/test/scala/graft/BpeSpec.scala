@@ -43,6 +43,22 @@ class BpeSpec extends SparkSpec {
     assert(segs.nonEmpty && segs.mkString("") == "lowest")
   }
 
+  test("astral-plane text splits into code points, not surrogate halves") {
+    val emoji = new String(Character.toChars(0x1F600)) // 😀, outside the BMP
+    val word = s"a${emoji}b"
+    val syms = Bpe.codePointSyms(word)
+    assert(syms == Seq("a", emoji, "b"), s"got $syms")
+    // and the trainer survives a corpus containing it (no shuffled-surrogate
+    // corruption): merges stay well-formed strings
+    val docs = Seq.fill(4)(Tuple1(word + " " + word)).toDF("text")
+    val merges = Bpe.train(docs, "text", rounds = 2)
+    assert(merges.nonEmpty)
+    merges.foreach { m =>
+      assert(!m.token.contains('�'), s"replacement char leaked into $m")
+    }
+    assert(merges.head.count == 8L, s"got ${merges.head}") // 4 docs x 2 words
+  }
+
   test("applyMerge is left-to-right non-overlapping") {
     assert(Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
     assert(Bpe.applyMerge(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
