@@ -128,7 +128,8 @@ object SparkEntry {
     "v6_random_projection" -> (ExtensionQueries.randomProjectionGates(_, _)),
     "t11_bpe_vocab" -> (ExtensionQueries.bpeVocabGates(_, _)),
     "v7_quantize_int8" -> (ExtensionQueries.quantizationGates(_, _)),
-    "g6_topk_per_group" -> (ExtensionQueries.topKPerGroup(_, _))
+    "g6_topk_per_group" -> (ExtensionQueries.topKPerGroup(_, _)),
+    "t12_bpe_encode" -> (ExtensionQueries.bpeEncodeGates(_, _))
   )
 
   /** Exact 3-gram Jaccard pair list (threshold 0.8) recomputed from the raw
@@ -962,6 +963,14 @@ object SparkEntry {
         |  SELECT lang, doc_id, n_chars,
         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank
         |  FROM documents)
-        |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+    // t12: DuckDB restates the doc/word totals from raw text; the lossless-
+    // segmentation and >=1-token-per-word gates hold for ANY merge table,
+    // so a tokenizer bug (dropped char, swallowed word) flips them red
+    "t12_bpe_encode" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+        |  (SELECT CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT)
+        |     FROM documents) AS n_words_total,
+        |  TRUE AS chars_conserved_ok, TRUE AS tokens_ge_words_ok""".stripMargin
   )
 }

@@ -839,6 +839,29 @@ object ExtensionQueries {
         "counts_positive_ok", "distinct_tokens_ok")
   }
 
+  /** Corpus tokenization with the learned BPE vocab (t12): the
+    * [[graft.expr.BpeEncode]] codegen expression carries t11's merge table
+    * into a map-only pass — no join, no UDF. Gates: every document's
+    * subword tokens concatenate back to its text minus spaces (lossless
+    * segmentation) and every word yields ≥1 token; DuckDB restates the doc
+    * and word totals from the raw text.
+    */
+  def bpeEncodeGates(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeCache.computeIfAbsent(dir, _ =>
+      Bpe.train(Tables.documents(spark, dir), "text", rounds = 8))
+    Tables.documents(spark, dir)
+      .select(col("text"),
+        graft.expr.BpeFunctions.bpeEncode(col("text"), merges).as("toks"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_words"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words_total"),
+        (min(when(length(concat_ws("", col("toks"))) ===
+          length(regexp_replace(col("text"), " ", "")), 1).otherwise(0)) === 1)
+          .as("chars_conserved_ok"),
+        (min(when(size(col("toks")).cast("long") >= col("n_words"), 1)
+          .otherwise(0)) === 1).as("tokens_ge_words_ok"))
+  }
+
   /** Symmetric int8 embedding quantization (v7), gated on the reconstruction
     * bound: every vector must round-trip float32→int8→float32 within the
     * theoretical half-step error maxabs/254 — the correctness condition for

@@ -65,6 +65,21 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.applyMerge(Seq("x"), "a", "b") == Seq("x"))
   }
 
+  test("BpeEncode expression matches driver-side encode under codegen") {
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(6)("newest"))
+      .map(w => Tuple1(w)).toDF("text")
+    val merges = Bpe.train(docs, "text", rounds = 8)
+    val got = Seq(Tuple1("low newest lowest unseen"))
+      .toDF("text")
+      .select(graft.expr.BpeFunctions.bpeEncode($"text", merges))
+      .head().getSeq[String](0)
+    val expect = Seq("low", "newest", "lowest", "unseen")
+      .flatMap(w => Bpe.encode(w, merges))
+    assert(got == expect, s"got $got expect $expect")
+    // lossless: concatenation reconstructs the text minus spaces
+    assert(got.mkString("") == "lownewestlowestunseen")
+  }
+
   test("trainer is deterministic and gates hold on the real corpus") {
     val docs = Tables.documents(spark, sf)
     val m1 = Bpe.train(docs, "text", rounds = 5)
