@@ -129,7 +129,8 @@ object SparkEntry {
     "t11_bpe_vocab" -> (ExtensionQueries.bpeVocabGates(_, _)),
     "v7_quantize_int8" -> (ExtensionQueries.quantizationGates(_, _)),
     "g6_topk_per_group" -> (ExtensionQueries.topKPerGroup(_, _)),
-    "t12_bpe_encode" -> (ExtensionQueries.bpeEncodeGates(_, _))
+    "t12_bpe_encode" -> (ExtensionQueries.bpeEncodeGates(_, _)),
+    "m3_multimodal_resize" -> (ExtensionQueries.multimodalResize(_, _))
   )
 
   /** Exact 3-gram Jaccard pair list (threshold 0.8) recomputed from the raw
@@ -971,6 +972,11 @@ object SparkEntry {
       """SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
         |  (SELECT CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT)
         |     FROM documents) AS n_words_total,
-        |  TRUE AS chars_conserved_ok, TRUE AS tokens_ge_words_ok""".stripMargin
+        |  TRUE AS chars_conserved_ok, TRUE AS tokens_ge_words_ok""".stripMargin,
+    "m3_multimodal_resize" ->
+      """SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |  ELSE 'video' END AS kind,
+        |  CAST(count(*) AS BIGINT) AS n, TRUE AS resize_ok
+        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin
   )
 }

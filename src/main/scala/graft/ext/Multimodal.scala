@@ -74,6 +74,49 @@ object Multimodal {
     }
   }
 
+  /** Real image resize via the JDK: decode → bilinear scale → PNG re-encode.
+    * None when the payload isn't a decodable image.
+    */
+  object ImageResize {
+    def resize(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      Option(img).map { im =>
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(im, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+    }
+  }
+
+  case class ResizedMedia(media_id: Long, kind: String, width: Int,
+      height: Int, payload: Array[Byte])
+
+  /** Batch resize with the same per-partition batch shape as [[decodeAll]]:
+    * images re-encode at (w, h); non-image kinds pass through untouched with
+    * sentinel dims (their codec is the stub). An undecodable image payload
+    * degrades to the sentinel instead of failing the batch.
+    */
+  def resizeAll(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      if (r.kind == "image")
+        ImageResize.resize(r.payload, w, h) match {
+          case Some(p) => ResizedMedia(r.media_id, r.kind, w, h, p)
+          case None => ResizedMedia(r.media_id, r.kind, -1, -1, r.payload)
+        }
+      else ResizedMedia(r.media_id, r.kind, -1, -1, r.payload)
+    })
+  }
+
   /** Dispatch: images decode for real (ImageIO), audio/video fall through to
     * the documented stub until a real codec is plugged in.
     */

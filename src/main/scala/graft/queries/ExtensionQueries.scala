@@ -352,6 +352,31 @@ object ExtensionQueries {
       .orderBy(col("kind"))
   }
 
+  /** Multimodal resize (m3): every image is resized 24×16 through the real
+    * JDK pipeline (decode → bilinear scale → PNG re-encode) and then
+    * RE-DECODED — the gate asserts the round-tripped output's true pixel
+    * dimensions, not the resize call's claim. Non-image kinds must pass
+    * through untouched (sentinel dims). Per-kind counts restated by DuckDB
+    * from the doc_id % 3 fixture contract, like m1/m2.
+    */
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.mediaFromDocuments(spark, Tables.documents(spark, dir))
+    Multimodal.resizeAll(media, 24, 16).map { r =>
+      val ok =
+        if (r.kind == "image")
+          Multimodal.ImageIoCodec.decode(
+            Multimodal.MediaRecord(r.media_id, "image", r.payload))
+            .exists(m => m.width == 24 && m.height == 16)
+        else r.width == -1 && r.height == -1
+      (r.kind, ok)
+    }.toDF("kind", "ok")
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        (min(when(col("ok"), 1).otherwise(0)) === 1).as("resize_ok"))
+      .orderBy(col("kind"))
+  }
+
   /** Deterministic ~10% document sample (engine-portable hash arithmetic —
     * the oracle runs the identical expression).
     */

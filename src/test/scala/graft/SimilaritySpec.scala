@@ -197,6 +197,31 @@ class SimilaritySpec extends SparkSpec {
     assert(byKind("image") == 1.0 && byKind("audio") == 1.0)
   }
 
+  test("multimodal resize: images round-trip at the target dims, " +
+      "non-images pass through") {
+    import graft.ext.Multimodal
+    val media = Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sf))
+    val resized = Multimodal.resizeAll(media, 10, 7).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      if (r.kind == "image") {
+        assert(r.width == 10 && r.height == 7, s"claimed dims wrong: $r")
+        val dec = Multimodal.ImageIoCodec.decode(
+          Multimodal.MediaRecord(r.media_id, "image", r.payload))
+        assert(dec.exists(m => m.width == 10 && m.height == 7),
+          s"re-decoded dims wrong for ${r.media_id}: $dec")
+      } else {
+        assert(r.width == -1 && r.height == -1)
+      }
+    }
+    // pixels actually changed scale: resized payload is a different PNG
+    val orig = media.collect().map(m => m.media_id -> m.payload).toMap
+    resized.filter(_.kind == "image").foreach { r =>
+      assert(!java.util.Arrays.equals(r.payload, orig(r.media_id)),
+        s"resize was a no-op for ${r.media_id}")
+    }
+  }
+
   test("simhash: identical token sets collide, small edits stay close") {
     def sim(tokens: Seq[String]): Long = {
       import org.apache.spark.sql.catalyst.util.GenericArrayData
