@@ -42,7 +42,8 @@ object AdminCli {
       |  finalize  --root=DIR --close-events=DIR [--max-records=N]
       |  watch     --root=DIR --close-events=DIR --checkpoint=DIR [--interval=DUR]
       |  snapshots --root=DIR
-      |  vacuum    --root=DIR""".stripMargin
+      |  vacuum    --root=DIR
+      |  diff      --root=DIR [--from=N] [--to=N]   (defaults: previous -> live)""".stripMargin
 
   // per-command (required, optional) option keys — anything else is a typo
   private val commands: Map[String, (Set[String], Set[String])] = Map(
@@ -51,7 +52,8 @@ object AdminCli {
     "finalize" -> (Set("root", "close-events"), Set("max-records")),
     "watch" -> (Set("root", "close-events", "checkpoint"), Set("interval")),
     "snapshots" -> (Set("root"), Set.empty[String]),
-    "vacuum" -> (Set("root"), Set.empty[String]))
+    "vacuum" -> (Set("root"), Set.empty[String]),
+    "diff" -> (Set("root"), Set("from", "to")))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, usage)
@@ -110,6 +112,20 @@ object AdminCli {
         val dropped = GraftStore.vacuum(spark, opts("root"))
         println(s"[admin] vacuumed ${dropped.size} snapshot(s): " +
           dropped.map(GraftStore.versionPrefix).mkString(", "))
+      case "diff" =>
+        val versions = GraftStore.snapshots(spark, opts("root")).map(_.version)
+        require(versions.size >= 2 || (opts.contains("from") && opts.contains("to")),
+          s"need two retained snapshots to diff; have ${versions.mkString(",")}")
+        val to = opts.get("to").map(_.toInt).getOrElse(versions.max)
+        val from = opts.get("from").map(_.toInt)
+          .getOrElse(versions.filter(_ < to).max)
+        val d = GraftStore.diffVersions(spark, opts("root"), from, to)
+        println(s"[admin] diff ${GraftStore.versionPrefix(from)} -> " +
+          s"${GraftStore.versionPrefix(to)}: +${d.added.size} files " +
+          s"(+${d.bytesAdded} B), -${d.removed.size} files (-${d.bytesRemoved} B), " +
+          s"row delta ${d.rowDelta}")
+        d.added.foreach(f => println(s"[admin]   + $f"))
+        d.removed.foreach(f => println(s"[admin]   - $f"))
     } finally spark.stop()
   }
 }

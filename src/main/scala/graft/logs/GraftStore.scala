@@ -74,6 +74,43 @@ object GraftStore {
     }
   }
 
+  /** What a maintenance commit changed between two retained snapshots:
+    * file-level adds/removes (by version-relative path; a rewritten file
+    * counts on both sides) plus the net ROW delta read from the data
+    * itself. The row delta is the audit invariant operators care about:
+    * compaction must show 0, retention shows exactly the expired rows —
+    * a nonzero delta after a compact is data loss, caught here before
+    * the grace snapshot is reclaimed.
+    */
+  final case class SnapshotDiff(from: Int, to: Int,
+      added: Seq[String], removed: Seq[String],
+      bytesAdded: Long, bytesRemoved: Long, rowDelta: Long)
+
+  def diffVersions(spark: SparkSession, root: String, from: Int, to: Int): SnapshotDiff = {
+    def files(dir: String): Map[String, Long] = {
+      val p = new Path(dir)
+      val fs = fsOf(spark, p)
+      val base = p.toUri.getPath
+      val it = fs.listFiles(p, true)
+      val out = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val f = it.next()
+        out += (f.getPath.toUri.getPath.stripPrefix(base) -> f.getLen)
+      }
+      out.result()
+    }
+    def rows(dir: String): Long =
+      spark.read.parquet(dir).count()
+    val a = files(resolveVersion(spark, root, from))
+    val b = files(resolveVersion(spark, root, to))
+    val added = (b.keySet -- a.keySet).toSeq.sorted
+    val removed = (a.keySet -- b.keySet).toSeq.sorted
+    SnapshotDiff(from, to, added, removed,
+      bytesAdded = added.map(b).sum, bytesRemoved = removed.map(a).sum,
+      rowDelta = rows(resolveVersion(spark, root, to)) -
+        rows(resolveVersion(spark, root, from)))
+  }
+
   /** Reclaim grace snapshots NOW instead of at the next commit: drops every
     * version BELOW the live one, keeping the live version and any
     * staged-ahead version an in-flight commit may still be writing.

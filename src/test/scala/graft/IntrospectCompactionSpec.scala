@@ -53,6 +53,33 @@ class IntrospectCompactionSpec extends SparkSpec {
       df.agg(sum(crc32($"message".cast("binary")))).head)
   }
 
+  test("snapshot diff audits a compaction: files swap, row delta is zero") {
+    val root = Files.createTempDirectory("graft-diff").resolve("store").toString
+    val parts = Seq("cluster", "namespace", "date")
+    val df = Tables.events(spark, sf)
+      .select(
+        graft.logs.CriFunctions.nanosToTimestamp($"ts").as("time"),
+        $"ts".as("time_ns"),
+        lit("stdout").as("stream"), lit("F").as("logtag"),
+        $"props".as("message"), lit("dev").as("cluster"),
+        lit("ns0").as("namespace"), lit("n1").as("node"),
+        lit("p1").as("pod"), lit("app").as("container"))
+      .withColumn("date", date_format($"time", "yyyy-MM-dd"))
+    // versioned store with a small-files mess (~10-row files per date dir)
+    graft.logs.LogIngest.writeHive(df.repartition(4), root,
+      maxRecordsPerFile = 10L, partitionCols = parts)
+    graft.logs.Compaction.compactHive(spark, root, partitionCols = parts)
+    val versions = graft.logs.GraftStore.snapshots(spark, root).map(_.version)
+    assert(versions.size >= 2, s"expected a grace snapshot, got $versions")
+    val d = graft.logs.GraftStore.diffVersions(spark, root,
+      versions.min, versions.max)
+    assert(d.rowDelta == 0L, s"compaction changed row count: $d")
+    assert(d.added.nonEmpty && d.removed.nonEmpty,
+      s"compaction should rewrite files: $d")
+    assert(d.removed.size > d.added.size,
+      s"compaction should shrink the file count: +${d.added.size} -${d.removed.size}")
+  }
+
   test("compaction keeps the live root and every partition visible to concurrent readers") {
     val root = Files.createTempDirectory("graft-compact3").resolve("store").toString
     val parts = Seq("cluster", "namespace", "date")
