@@ -41,16 +41,25 @@ object BpeKernels {
   }
 }
 
-case class BpeEncode(child: Expression, merges: Array[Array[String]])
+/** `merges` is a Seq (not an Array) on purpose: case-class equality over an
+  * Array field is reference-based, which would make semantically identical
+  * expressions never compare/canonicalize equal — subexpression elimination
+  * and plan-cache reuse would silently miss. The kernel's Array shape is
+  * materialized once per expression instance.
+  */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "bpe_encode"
 
+  @transient private lazy val mergeArr: Array[Array[String]] =
+    merges.map(m => Array(m._1, m._2)).toArray
+
   override def nullSafeEval(input: Any): Any =
-    BpeKernels.encode(input.asInstanceOf[UTF8String], merges)
+    BpeKernels.encode(input.asInstanceOf[UTF8String], mergeArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bpeMerges", merges, "java.lang.String[][]")
+    val ref = ctx.addReferenceObj("bpeMerges", mergeArr, "java.lang.String[][]")
     defineCodeGen(ctx, ev, v => s"graft.expr.BpeKernels.encode($v, $ref)")
   }
 
@@ -61,5 +70,5 @@ case class BpeEncode(child: Expression, merges: Array[Array[String]])
 object BpeFunctions {
   def bpeEncode(text: Column, merges: Seq[graft.ext.Bpe.Merge]): Column =
     Compat.column(BpeEncode(Compat.expression(text),
-      merges.sortBy(_.rank).map(m => Array(m.left, m.right)).toArray))
+      merges.sortBy(_.rank).map(m => (m.left, m.right))))
 }

@@ -38,12 +38,15 @@ object Clustering {
       objective: Seq[Double]) {
 
     /** Map-only assignment: adds `cluster` (int) and `cosine` (double, to
-      * the assigned centroid) columns.
+      * the assigned centroid) columns. These are the documented OUTPUT
+      * column names — same-named input columns are replaced (dropped first,
+      * so the semantics are explicit rather than a silent withColumn
+      * overwrite).
       */
     def assign(df: DataFrame, vecCol: String): DataFrame = {
       val cosArr = array(centroids.map(c =>
         VecFunctions.cosineSim(col(vecCol), centroidLit(c))): _*)
-      df.withColumn("cosine", array_max(cosArr))
+      df.drop("cosine", "cluster").withColumn("cosine", array_max(cosArr))
         // array_position compares the (bit-identical) double values; ties
         // resolve to the lowest cluster id — deterministic
         .withColumn("cluster",
@@ -72,19 +75,22 @@ object Clustering {
       // norms vary, and the monotone gate would be a lie); zero vectors
       // can't be normalized and carry cosine 0 everywhere — excluded from
       // the update consistently with their zero objective contribution
+      // internal columns carry a __graft_ prefix so a caller DataFrame that
+      // already has nrm/pos/col columns can't collide (posexplode would
+      // fail outright on a pre-existing `pos` or `col`)
       val assigned = KMeansModel(centroids, Nil).assign(df, vecCol)
-        .withColumn("nrm",
+        .withColumn("__graft_nrm",
           sqrt(VecFunctions.dotProduct(col(vecCol), col(vecCol))))
-        .filter(col("nrm") > 0.0)
+        .filter(col("__graft_nrm") > 0.0)
       // one narrow (cluster, dim) shuffle carrying sums+counts; the pos==0
       // slice doubles as the objective accumulator so the whole iteration
       // is a single Spark job
       val cells = assigned
-        .select(col("cluster"), col("cosine"), col("nrm"),
-          posexplode(col(vecCol)))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(sum(col("col") / col("nrm")).as("s"), count(lit(1)).as("n"),
-          sum(col("cosine")).as("cs"))
+        .select(col("cluster"), col("cosine"), col("__graft_nrm"),
+          posexplode(col(vecCol)).as(Seq("__graft_pos", "__graft_dim")))
+        .groupBy(col("cluster"), col("__graft_pos"))
+        .agg(sum(col("__graft_dim") / col("__graft_nrm")).as("s"),
+          count(lit(1)).as("n"), sum(col("cosine")).as("cs"))
         .collect()
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)

@@ -80,8 +80,11 @@ object Multimodal {
   object ImageResize {
     def resize(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
       val img =
+        // ImageIO plugins throw RuntimeExceptions (IllegalArgument, AIOOBE)
+        // on corrupt payloads, not just IOException — any decode failure
+        // must degrade to the sentinel instead of failing the whole task
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       Option(img).map { im =>
         val out = new java.awt.image.BufferedImage(w, h,
           java.awt.image.BufferedImage.TYPE_INT_RGB)

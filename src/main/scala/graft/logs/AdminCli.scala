@@ -113,12 +113,23 @@ object AdminCli {
         println(s"[admin] vacuumed ${dropped.size} snapshot(s): " +
           dropped.map(GraftStore.versionPrefix).mkString(", "))
       case "diff" =>
-        val versions = GraftStore.snapshots(spark, opts("root")).map(_.version)
-        require(versions.size >= 2 || (opts.contains("from") && opts.contains("to")),
-          s"need two retained snapshots to diff; have ${versions.mkString(",")}")
-        val to = opts.get("to").map(_.toInt).getOrElse(versions.max)
-        val from = opts.get("from").map(_.toInt)
-          .getOrElse(versions.filter(_ < to).max)
+        val snaps = GraftStore.snapshots(spark, opts("root"))
+        val versions = snaps.map(_.version)
+        // default `to` is the LIVE pointer, not versions.max: a staged-ahead
+        // version an in-flight commit is still writing (which vacuum
+        // retains) can exceed the live one, and diffing against it would
+        // read a half-written snapshot
+        val live = snaps.find(_.current).map(_.version)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no live version among retained snapshots ${versions.mkString(",")}"))
+        val to = opts.get("to").map(_.toInt).getOrElse(live)
+        val from = opts.get("from").map(_.toInt).getOrElse {
+          val preds = versions.filter(_ < to)
+          require(preds.nonEmpty,
+            s"no retained snapshot precedes v$to to diff against " +
+              s"(retained: ${versions.mkString(",")})")
+          preds.max
+        }
         val d = GraftStore.diffVersions(spark, opts("root"), from, to)
         println(s"[admin] diff ${GraftStore.versionPrefix(from)} -> " +
           s"${GraftStore.versionPrefix(to)}: +${d.added.size} files " +

@@ -877,7 +877,11 @@ object ExtensionQueries {
     Tables.documents(spark, dir)
       .select(col("text"),
         graft.expr.BpeFunctions.bpeEncode(col("text"), merges).as("toks"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_words"))
+        // same split the tokenizer and the DuckDB oracle use (literal single
+        // space, empties dropped) — tokenCount's \s+ would diverge on
+        // tabs/newlines and could flip tokens_ge_words_ok spuriously
+        size(filter(split(col("text"), " "), w => length(w) > 0))
+          .cast("long").as("n_words"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("n_words_total"),
         (min(when(length(concat_ws("", col("toks"))) ===
