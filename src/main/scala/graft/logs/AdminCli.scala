@@ -38,22 +38,27 @@ object AdminCli {
   private val usage =
     """usage: AdminCli <compact|retention|finalize|watch> --key=value...
       |  compact   --root=DIR [--max-records=N] [--convert-streaming=true]
+      |            [--full=true] [--retain=N]   (incremental by default:
+      |            only dirty partitions rewrite; --retain keeps N grace
+      |            snapshots, default 1)
       |  retention --root=DIR --cutoff-date=YYYY-MM-DD [--convert-streaming=true]
       |  finalize  --root=DIR --close-events=DIR [--max-records=N]
       |  watch     --root=DIR --close-events=DIR --checkpoint=DIR [--interval=DUR]
       |  snapshots --root=DIR
-      |  vacuum    --root=DIR
-      |  diff      --root=DIR [--from=N] [--to=N]   (defaults: previous -> live)""".stripMargin
+      |  vacuum    --root=DIR [--retain=N]   (keep N snapshots below live, default 0)
+      |  diff      --root=DIR [--from=N] [--to=N]   (defaults: previous -> live)
+      |  break-lease --root=DIR   (remove a lease left by a crashed maintainer)""".stripMargin
 
   // per-command (required, optional) option keys — anything else is a typo
   private val commands: Map[String, (Set[String], Set[String])] = Map(
-    "compact" -> (Set("root"), Set("max-records", "convert-streaming")),
+    "compact" -> (Set("root"), Set("max-records", "convert-streaming", "full", "retain")),
     "retention" -> (Set("root", "cutoff-date"), Set("convert-streaming")),
     "finalize" -> (Set("root", "close-events"), Set("max-records")),
     "watch" -> (Set("root", "close-events", "checkpoint"), Set("interval")),
     "snapshots" -> (Set("root"), Set.empty[String]),
-    "vacuum" -> (Set("root"), Set.empty[String]),
-    "diff" -> (Set("root"), Set("from", "to")))
+    "vacuum" -> (Set("root"), Set("retain")),
+    "diff" -> (Set("root"), Set("from", "to")),
+    "break-lease" -> (Set("root"), Set.empty[String]))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, usage)
@@ -87,7 +92,9 @@ object AdminCli {
       case "compact" =>
         Compaction.compactHive(spark, opts("root"),
           maxRecordsPerFile = maxRecords,
-          convertStreamingStore = boolOpt("convert-streaming"))
+          convertStreamingStore = boolOpt("convert-streaming"),
+          full = boolOpt("full"),
+          retainSnapshots = opts.get("retain").map(_.toInt).getOrElse(1))
         println(s"[admin] compacted ${opts("root")}")
       case "retention" =>
         val dropped = Retention.enforceHive(spark, opts("root"), opts("cutoff-date"),
@@ -109,7 +116,8 @@ object AdminCli {
           println(f"[admin] ${GraftStore.versionPrefix(s.version)} $flag files=${s.files}%d bytes=${s.bytes}%d")
         }
       case "vacuum" =>
-        val dropped = GraftStore.vacuum(spark, opts("root"))
+        val dropped = GraftStore.vacuum(spark, opts("root"),
+          retain = opts.get("retain").map(_.toInt).getOrElse(0))
         println(s"[admin] vacuumed ${dropped.size} snapshot(s): " +
           dropped.map(GraftStore.versionPrefix).mkString(", "))
       case "diff" =>
@@ -137,6 +145,10 @@ object AdminCli {
           s"row delta ${d.rowDelta}")
         d.added.foreach(f => println(s"[admin]   + $f"))
         d.removed.foreach(f => println(s"[admin]   - $f"))
+      case "break-lease" =>
+        val existed = MaintenanceLease.breakLease(spark, opts("root"))
+        println(if (existed) s"[admin] lease on ${opts("root")} broken"
+          else s"[admin] no lease held on ${opts("root")}")
     } finally spark.stop()
   }
 }

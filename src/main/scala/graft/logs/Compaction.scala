@@ -1,47 +1,138 @@
 package graft.logs
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 
 /** Small-files compaction (SURVEY §7.8): the reference's 1 MB-object design
   * (`total_file_size 1M`, fluent-bit.conf:42) produces ~10⁸ objects at
   * 100 TB; scan efficiency needs periodic rewrite into scan-sized files.
   *
-  * Strategy: read the hive store, re-write each partition's rows into files
-  * capped by `maxRecordsPerFile` with one task per output partition
-  * (repartition on the partition key — no global shuffle of unrelated
-  * partitions, and AQE coalesces the tiny ones), then swap.
+  * INCREMENTAL since round 6: a commit rewrites ONLY the dirty partitions
+  * (more than `dirtyMaxFiles` files, or multiple files averaging under
+  * `dirtyMinAvgBytes`) and carries every untouched partition into the next
+  * version without data I/O — so maintenance cost is proportional to dirty
+  * data, not store size, which is the difference between "correct at sf1"
+  * and "operable at 100 TB" (the same economics as Delta/Iceberg OPTIMIZE).
+  * How a partition is carried depends on the tier:
+  *  - pointer stores: by REFERENCE — a `_graft_manifest` beside the new
+  *    version's data maps each carried partition to the version prefix that
+  *    physically holds it ([[GraftStore.readManifest]]); zero bytes move.
+  *  - symlink ([[VersionedStore]]) roots: by HARD LINK into the staged next
+  *    version — metadata-only, same inodes, and the version dir stays
+  *    self-contained so plain `spark.read.parquet(root)` keeps working.
+  *  - legacy plain roots: untouched leaves are simply never swapped.
   *
-  * Swap, two tiers:
-  *  - [[VersionedStore]] roots (engine-created; root is a symlink to the
-  *    current version dir): promote staging to the next version dir and
-  *    atomically retarget the symlink — ONE rename, readers see the whole
-  *    old tree or the whole new tree, no missing-partition window at all.
-  *  - legacy plain-dir roots: swap each leaf partition dir with two
-  *    metadata-only renames (old leaf → hidden trash, staged leaf → live);
-  *    the per-partition window is two rename syscalls, not the multi-file
-  *    delete+rename of a dynamic-overwrite job commit.
-  * On object stores (no atomic rename) run the same marker protocol over a
-  * pointer object readers resolve; rename-based swaps are local/HDFS tiers.
+  * Rewritten partitions are `sortWithinPartitions(time_ns)` (when present),
+  * matching the finalize path (StreamFinalize.scala:142): near-disjoint
+  * row-group time ranges keep the engine's `--since` row-group pruning
+  * effective after compaction destroys ingest order.
   *
-  * Crash safety: an in-flight marker (`<root>.compact-inflight`, holding the
-  * expected row count) brackets the swap. If a run dies inside job commit —
-  * the one window where a partition can exist in neither tree — the next run
-  * finds the marker and re-applies the verified staging tree (the surviving
-  * full copy) instead of re-staging from the possibly-truncated live store.
+  * Swap protocol per tier (unchanged from round 5, all snapshot-isolated):
+  *  - [[VersionedStore]] roots: promote staging to the next version dir and
+  *    atomically retarget the symlink — ONE rename.
+  *  - [[GraftStore]] pointer roots: stage under the next version prefix,
+  *    flip `_current` with ONE atomic PUT (no rename on object stores).
+  *  - legacy plain-dir roots: two metadata-only renames per dirty leaf.
+  *
+  * Crash safety: an in-flight marker (holding the expected TOTAL row count)
+  * brackets the swap; recovery re-applies the verified staging tree /
+  * staged version. Mutual exclusion: the whole operation holds the root's
+  * [[MaintenanceLease]], so two compactors (or compaction racing retention
+  * or vacuum) cannot interleave — the loser aborts before touching
+  * anything.
   */
 object Compaction {
 
   def compactHive(spark: SparkSession, root: String,
       maxRecordsPerFile: Long = 4000000L,
       partitionCols: Seq[String] = LogSchema.hivePartitionColumns,
-      convertStreamingStore: Boolean = false): Unit = {
-    if (GraftStore.isPointerStore(spark, root)) {
-      compactPointerStore(spark, root, maxRecordsPerFile, partitionCols,
-        convertStreamingStore)
-      return
+      convertStreamingStore: Boolean = false,
+      dirtyMaxFiles: Int = 4,
+      dirtyMinAvgBytes: Long = 32L << 20,
+      full: Boolean = false,
+      retainSnapshots: Int = 1): Unit =
+    MaintenanceLease.withLease(spark, root, "compact") {
+      if (GraftStore.isPointerStore(spark, root))
+        compactPointerStore(spark, root, maxRecordsPerFile, partitionCols,
+          convertStreamingStore, dirtyMaxFiles, dirtyMinAvgBytes, full,
+          retainSnapshots)
+      else
+        compactRenameTiers(spark, root, maxRecordsPerFile, partitionCols,
+          convertStreamingStore, dirtyMaxFiles, dirtyMinAvgBytes, full,
+          retainSnapshots)
     }
+
+  /** A partition needs rewrite when its file count exceeds `dirtyMaxFiles`,
+    * or it holds several files averaging under `dirtyMinAvgBytes`. A
+    * single-file partition is never dirty — rewriting it buys nothing.
+    */
+  private def isDirty(files: Seq[FileStatus], dirtyMaxFiles: Int,
+      dirtyMinAvgBytes: Long): Boolean = {
+    val n = files.size
+    n > dirtyMaxFiles || (n > 1 && files.map(_.getLen).sum / n < dirtyMinAvgBytes)
+  }
+
+  /** The one data-moving step: shuffle the dirty rows onto their partition
+    * keys (one task per output partition; AQE coalesces small ones) and
+    * sort within tasks by the partition prefix + `time_ns`, so every
+    * rewritten file has near-disjoint row-group time ranges — the explicit
+    * sort also satisfies the dynamic-partition writer's required ordering,
+    * so Spark adds no second sort of its own.
+    */
+  private def rewrite(input: DataFrame, partitionCols: Seq[String],
+      maxRecordsPerFile: Long, dest: String): Unit = {
+    val sortCols = partitionCols ++ Seq("time_ns").filter(input.columns.contains)
+    input
+      .repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write
+      .partitionBy(partitionCols: _*)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(dest)
+  }
+
+  private def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+
+  private def dataFilesUnder(fs: FileSystem, dir: Path): Seq[FileStatus] = {
+    if (!fs.exists(dir)) return Seq.empty
+    val it = fs.listFiles(dir, true)
+    val out = Seq.newBuilder[FileStatus]
+    while (it.hasNext) {
+      val f = it.next()
+      if (visible(f.getPath.getName)) out += f
+    }
+    out.result()
+  }
+
+  /** Partition dirs at exactly `depth` `col=` levels below `root`, each with
+    * ALL data files recursively below it. Dirtiness and swapping operate at
+    * the REWRITE granularity (`partitionCols.length`), not at the deepest
+    * physical level: a store laid out deeper than the rewrite key (e.g.
+    * hour= under date= when compacting to date) must treat the whole
+    * rewrite-level dir as one unit, or an incremental swap would replace a
+    * populated subtree with a partial one.
+    */
+  private def partitionLeaves(fs: FileSystem, root: Path,
+      depth: Int): Seq[(String, Seq[FileStatus])] = {
+    def walk(dir: Path, rel: String, d: Int): Seq[(String, Seq[FileStatus])] =
+      if (d == 0) {
+        val fl = dataFilesUnder(fs, dir)
+        if (fl.nonEmpty) Seq((rel, fl)) else Seq.empty
+      } else fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
+          visible(s.getPath.getName))
+        .flatMap(s => walk(s.getPath,
+          if (rel.isEmpty) s.getPath.getName else s"$rel/${s.getPath.getName}", d - 1))
+    if (!fs.exists(root)) Seq.empty else walk(root, "", depth)
+  }
+
+  /** Rename tiers: symlink-versioned roots and legacy plain dirs. */
+  private def compactRenameTiers(spark: SparkSession, root: String,
+      maxRecordsPerFile: Long, partitionCols: Seq[String],
+      convertStreamingStore: Boolean, dirtyMaxFiles: Int,
+      dirtyMinAvgBytes: Long, full: Boolean, retainSnapshots: Int): Unit = {
     // the rename-based tiers below require an atomic rename primitive;
     // object-store "rename" is copy+delete, so a plain (pre-pointer) store
     // there must be migrated, not silently swapped with a seconds-long
@@ -72,7 +163,7 @@ object Compaction {
         // tree that may have lost a partition mid-commit.
         val expected = readMarker(fs, marker)
         if (VersionedStore.isVersioned(root)) {
-          recoverVersioned(spark, root, staging, marker, fs, expected)
+          recoverVersioned(spark, root, staging, marker, fs, expected, retainSnapshots)
         } else {
           require(fs.exists(staging),
             s"$marker exists but $staging is gone — a previous swap crashed and " +
@@ -100,40 +191,81 @@ object Compaction {
             "to drop the log and compact the full listing")
         fs.delete(sinkLog, true)
       }
-      val input = spark.read.parquet(root)
-      val expectedRows = input.count() // parquet footer metadata, not a data scan
-      input
-        .repartition(partitionCols.map(col): _*)
-        .write
-        .partitionBy(partitionCols: _*)
-        .option("maxRecordsPerFile", maxRecordsPerFile)
-        .mode("overwrite")
-        .parquet(staging.toString)
+      val leaves = partitionLeaves(fs, live, partitionCols.length)
+      val dirty = leaves.filter(l =>
+        full || isDirty(l._2, dirtyMaxFiles, dirtyMinAvgBytes))
+      if (dirty.isEmpty) return // every partition already compact: no commit
+      val expectedRows = spark.read.parquet(root).count() // footer metadata only
+      val input = spark.read.option("basePath", root)
+        .parquet(dirty.map(d => s"$root/${d._1}"): _*)
+      val dirtyRows = input.count()
+      rewrite(input, partitionCols, maxRecordsPerFile, staging.toString)
       // verify the rewrite BEFORE touching the live tree — a short row count
       // means lost data and must abort while the original is still in place
       val stagedRows = spark.read.parquet(staging.toString).count()
-      require(stagedRows == expectedRows,
-        s"compaction wrote $stagedRows rows, expected $expectedRows; aborting with $live untouched")
-      writeMarker(fs, marker, expectedRows)
-      if (VersionedStore.isVersioned(root))
-        commitVersioned(spark, root, staging, marker, fs, expectedRows)
-      else
+      require(stagedRows == dirtyRows,
+        s"compaction wrote $stagedRows rows, expected $dirtyRows; aborting with $live untouched")
+      if (VersionedStore.isVersioned(root)) {
+        // carry every untouched partition into the staged tree by hard link
+        // (metadata-only, same inodes) so the promoted version dir stays
+        // self-contained and plain reads through the symlink keep working
+        val dirtyRels = dirty.map(_._1).toSet
+        hardLinkCarry(leaves.filterNot(l => dirtyRels(l._1)), staging)
+        val totalStaged = spark.read.parquet(staging.toString).count()
+        require(totalStaged == expectedRows,
+          s"staging holds $totalStaged rows, expected $expectedRows; aborting with $live untouched")
+        writeMarker(fs, marker, expectedRows)
+        commitVersioned(spark, root, staging, marker, fs, expectedRows, retainSnapshots)
+      } else {
+        // legacy tier: only the dirty leaves are staged, so only they swap;
+        // untouched leaves are never renamed at all
+        writeMarker(fs, marker, expectedRows)
         applyStaging(spark, live, staging, marker, fs, expectedRows)
+      }
     } finally spark.conf.set(inferKey, prevInfer)
   }
 
-  /** Object-store (pointer) tier: stage the rewrite under the NEXT version
-    * prefix — readers only ever list the pointed-at prefix, so staging is
-    * invisible without any rename — verify it, persist the marker, then
-    * commit by overwriting `_current` with ONE atomic PUT. No rename
-    * anywhere in the protocol, which is what object stores (rename =
-    * copy+delete, non-atomic) require. The marker's presence certifies that
-    * the newest version prefix is a verified complete rewrite, so recovery
-    * after a crash is: finish the flip, re-verify, clean up.
+  /** Carry untouched partitions into the staged next version with hard
+    * links: one metadata syscall per file, zero data movement, and the
+    * carried file keeps its name+size (and inode), so a snapshot diff shows
+    * it as unchanged. Falls back to a copy on filesystems without link
+    * support (the symlink tier is local-FS by contract, so this is a
+    * safety net, not a path).
+    */
+  private def hardLinkCarry(leaves: Seq[(String, Seq[FileStatus])],
+      staging: Path): Unit = {
+    import java.nio.file.{Files, Paths}
+    leaves.foreach { case (rel, files) =>
+      files.foreach { f =>
+        val src = Paths.get(f.getPath.toUri.getPath)
+        // preserve the full physical layout below the carry root, including
+        // levels deeper than the rewrite key (e.g. hour= under date=)
+        val srcUri = f.getPath.toUri.getPath
+        val relFile = srcUri.substring(srcUri.lastIndexOf(s"/$rel/") + 1)
+        val dst = Paths.get(staging.toUri.getPath, relFile)
+        Files.createDirectories(dst.getParent)
+        try Files.createLink(dst, src)
+        catch {
+          case _: UnsupportedOperationException => Files.copy(src, dst)
+        }
+      }
+    }
+  }
+
+  /** Object-store (pointer) tier: stage ONLY the dirty partitions under the
+    * NEXT version prefix — readers only ever list the pointed-at prefix, so
+    * staging is invisible — write the carried-partition manifest beside
+    * them, verify the composite, persist the marker, then commit by
+    * overwriting `_current` with ONE atomic PUT. No rename anywhere, which
+    * is what object stores (rename = copy+delete, non-atomic) require.
+    * Carried partitions chain to the version that PHYSICALLY holds them
+    * (an entry carried across N commits still names its original prefix),
+    * and cleanup keeps the manifest closure of every retained snapshot.
     */
   private def compactPointerStore(spark: SparkSession, root: String,
       maxRecordsPerFile: Long, partitionCols: Seq[String],
-      convertStreamingStore: Boolean): Unit = {
+      convertStreamingStore: Boolean, dirtyMaxFiles: Int,
+      dirtyMinAvgBytes: Long, full: Boolean, retainSnapshots: Int): Unit = {
     val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val prevInfer = spark.conf.get(inferKey, "true")
     spark.conf.set(inferKey, "false")
@@ -141,15 +273,17 @@ object Compaction {
     val marker = new Path(root, "_compact-inflight")
     try {
       if (fs.exists(marker)) {
+        // marker certifies the newest version prefix is a verified complete
+        // snapshot (data + manifest): finish the flip, re-verify, clean up
         val expected = readMarker(fs, marker)
         val prev = GraftStore.currentVersion(spark, root)
         val newest = GraftStore.listVersions(spark, root).max
         if (newest > prev) GraftStore.writePointer(spark, root, newest)
-        val liveRows = spark.read.parquet(GraftStore.resolve(spark, root)).count()
+        val liveRows = GraftStore.readStore(spark, root).count()
         require(liveRows == expected,
           s"recovered count $liveRows != expected $expected — inspect $root")
         fs.delete(marker, false)
-        GraftStore.dropVersionsExcept(spark, root, Set(prev, newest))
+        cleanupPointer(spark, root, retainSnapshots)
         return
       }
       // version prefixes AHEAD of the pointer without a marker are debris
@@ -159,34 +293,77 @@ object Compaction {
       GraftStore.listVersions(spark, root).filter(_ > cur).foreach { n =>
         fs.delete(new Path(root, GraftStore.versionPrefix(n)), true)
       }
-      val dataRoot = s"$root/${GraftStore.versionPrefix(cur)}"
-      val sinkLog = new Path(dataRoot, "_spark_metadata")
+      val curDir = s"$root/${GraftStore.versionPrefix(cur)}"
+      val sinkLog = new Path(curDir, "_spark_metadata")
       if (fs.exists(sinkLog)) {
         require(convertStreamingStore,
           s"$root was written by the streaming sink (_spark_metadata present); " +
             "stop the streaming query and pass convertStreamingStore=true")
         fs.delete(sinkLog, true)
       }
-      val input = spark.read.parquet(dataRoot)
-      val expectedRows = input.count()
+      // composite partition inventory: the current prefix's own leaves plus
+      // everything its manifest carries; a partition can span both (appends
+      // after a carry), in which case its file set is the union
+      val depth = partitionCols.length
+      val own = partitionLeaves(fs, new Path(curDir), depth)
+        .map { case (rel, fls) => (rel, cur, fls) }
+      val carried = GraftStore.readManifest(spark, curDir).map { case (v, rel) =>
+        (rel, v, dataFilesUnder(fs,
+          new Path(s"$root/${GraftStore.versionPrefix(v)}/$rel")))
+      }
+      val byRel = (own ++ carried).groupBy(_._1)
+      val dirtyRels = byRel.collect { case (rel, legs)
+        if full || isDirty(legs.flatMap(_._3), dirtyMaxFiles, dirtyMinAvgBytes) => rel
+      }.toSet
+      if (dirtyRels.isEmpty) return // every partition already compact
+      val expectedRows = GraftStore.readVersion(spark, root, cur).count()
       val next = cur + 1
       val nextDir = s"$root/${GraftStore.versionPrefix(next)}"
-      input.repartition(partitionCols.map(col): _*)
-        .write.partitionBy(partitionCols: _*)
-        .option("maxRecordsPerFile", maxRecordsPerFile)
-        .mode("overwrite").parquet(nextDir)
-      val stagedRows = spark.read.parquet(nextDir).count()
+      // read ONLY the dirty partitions, one leg per version prefix that
+      // physically holds some of them
+      val input = byRel.filter(e => dirtyRels(e._1)).values.flatten.toSeq
+        .groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (v, legs) =>
+          val vdir = s"$root/${GraftStore.versionPrefix(v)}"
+          spark.read.option("basePath", vdir)
+            .parquet(legs.map(l => s"$vdir/${l._1}"): _*)
+        }
+        .reduce(_.unionByName(_))
+      rewrite(input, partitionCols, maxRecordsPerFile, nextDir)
+      // carry every untouched partition by reference, chained to the prefix
+      // that physically holds its files — zero data movement
+      val carryEntries = byRel.filter(e => !dirtyRels(e._1)).values.flatten.toSeq
+        .collect { case (rel, v, fls) if fls.nonEmpty => (v, rel) }
+        .sortBy(e => (e._2, e._1))
+      if (carryEntries.nonEmpty)
+        GraftStore.writeManifest(spark, nextDir, carryEntries)
+      val stagedRows = GraftStore.readVersion(spark, root, next).count()
       require(stagedRows == expectedRows,
-        s"compaction wrote $stagedRows rows, expected $expectedRows; aborting with $dataRoot live")
+        s"staged snapshot holds $stagedRows rows, expected $expectedRows; " +
+          s"aborting with $curDir live")
       writeMarker(fs, marker, expectedRows)
       GraftStore.writePointer(spark, root, next) // THE commit: one atomic PUT
-      val liveRows = spark.read.parquet(GraftStore.resolve(spark, root)).count()
+      val liveRows = GraftStore.readStore(spark, root).count()
       require(liveRows == expectedRows,
         s"post-commit count $liveRows != expected $expectedRows — inspect $root")
       fs.delete(marker, false)
-      // keep the replaced version as a grace snapshot for in-flight readers
-      GraftStore.dropVersionsExcept(spark, root, Set(cur, next))
+      cleanupPointer(spark, root, retainSnapshots)
     } finally spark.conf.set(inferKey, prevInfer)
+  }
+
+  /** Reclaim after a pointer commit: keep the live version, the newest
+    * `retainSnapshots` versions below it (grace snapshots for in-flight
+    * readers / time travel), and the manifest closure of all of them —
+    * a version physically holding carried partitions lives as long as any
+    * retained snapshot references it.
+    */
+  private def cleanupPointer(spark: SparkSession, root: String,
+      retainSnapshots: Int): Unit = {
+    val live = GraftStore.currentVersion(spark, root)
+    val versions = GraftStore.listVersions(spark, root)
+    val seed = versions.filter(_ < live).takeRight(retainSnapshots).toSet + live
+    val keep = seed.flatMap(n => GraftStore.referencedVersions(spark, root, n))
+    GraftStore.dropVersionsExcept(spark, root, keep)
   }
 
   /** Versioned-store commit: promote the verified staging tree to the next
@@ -196,8 +373,8 @@ object Compaction {
     * missing-partition window at all, unlike the per-leaf swap below.
     */
   private def commitVersioned(spark: SparkSession, root: String, staging: Path,
-      marker: Path, fs: FileSystem, expectedRows: Long): Unit = {
-    val prev = VersionedStore.currentVersion(root)
+      marker: Path, fs: FileSystem, expectedRows: Long,
+      retainSnapshots: Int): Unit = {
     val next = VersionedStore.listVersions(root).max + 1
     val versionDir = new Path(VersionedStore.versionName(root, next))
     require(fs.rename(staging, versionDir), s"rename $staging -> $versionDir failed")
@@ -206,9 +383,11 @@ object Compaction {
     require(liveRows == expectedRows,
       s"post-swap count $liveRows != expected $expectedRows — inspect $root")
     fs.delete(marker, false)
-    // keep the replaced version as a grace snapshot for in-flight readers;
-    // it is reclaimed by the NEXT commit
-    VersionedStore.dropVersionsExcept(root, Set(prev, next))
+    // keep the newest retainSnapshots replaced versions as grace snapshots
+    // for in-flight readers / time travel; reclaimed by later commits
+    val keep = VersionedStore.listVersions(root).filter(_ < next)
+      .takeRight(retainSnapshots).toSet + next
+    VersionedStore.dropVersionsExcept(root, keep)
   }
 
   /** Versioned-store crash recovery: if staging survived, the commit never
@@ -217,27 +396,32 @@ object Compaction {
     * idempotent: re-running after a second crash converges.
     */
   private def recoverVersioned(spark: SparkSession, root: String, staging: Path,
-      marker: Path, fs: FileSystem, expectedRows: Long): Unit = {
+      marker: Path, fs: FileSystem, expectedRows: Long,
+      retainSnapshots: Int): Unit = {
     if (fs.exists(staging)) {
-      commitVersioned(spark, root, staging, marker, fs, expectedRows)
+      commitVersioned(spark, root, staging, marker, fs, expectedRows, retainSnapshots)
     } else {
-      val prev = VersionedStore.currentVersion(root)
       val newest = VersionedStore.listVersions(root).max
-      if (newest > prev) VersionedStore.retarget(root, newest)
+      if (newest > VersionedStore.currentVersion(root))
+        VersionedStore.retarget(root, newest)
       val liveRows = spark.read.parquet(root).count()
       require(liveRows == expectedRows,
         s"recovered count $liveRows != expected $expectedRows — inspect $root")
       fs.delete(marker, false)
-      VersionedStore.dropVersionsExcept(root, Set(prev, newest))
+      val keep = VersionedStore.listVersions(root).filter(_ < newest)
+        .takeRight(retainSnapshots).toSet + newest
+      VersionedStore.dropVersionsExcept(root, keep)
     }
   }
 
-  /** Swap each leaf partition directory with two single renames: the old
-    * leaf moves to a hidden `.compact-trash` dir inside the live root (names
-    * starting with `.` are pruned by Spark's file listing, so readers never
-    * see trash as a partition), then the staged leaf renames in. The live
-    * root is never renamed away, and a partition's unreadable window is two
-    * metadata operations — not the per-file delete+rename a job commit does.
+  /** Swap each STAGED leaf partition directory with two single renames: the
+    * old leaf moves to a hidden `.compact-trash` dir inside the live root
+    * (names starting with `.` are pruned by Spark's file listing, so readers
+    * never see trash as a partition), then the staged leaf renames in. Only
+    * dirty leaves are staged, so untouched partitions are never renamed at
+    * all; the live root is never renamed away, and a partition's unreadable
+    * window is two metadata operations — not the per-file delete+rename a
+    * job commit does.
     *
     * Idempotent for recovery: a leaf already swapped is gone from staging
     * and is skipped; a leaf whose old dir was trashed but whose replacement
@@ -284,7 +468,6 @@ object Compaction {
     * skipped at both levels.
     */
   private def leafPartitionDirs(fs: FileSystem, root: Path): Seq[String] = {
-    def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
     def walk(dir: Path, rel: String): Seq[String] = {
       val entries = fs.listStatus(dir)
       val subDirs = entries.filter(_.isDirectory).map(_.getPath)

@@ -1,6 +1,6 @@
 package graft.logs
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Pointer-file store tier — the object-store analogue of [[VersionedStore]].
@@ -13,18 +13,22 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * writes the whole replacement tree under the next prefix — invisible to
   * readers, who only ever list the pointed-at prefix — verifies it, then
   * flips the pointer with one PUT. Readers resolving at any instant get the
-  * complete old tree or the complete new tree. This is the manifest
-  * "current pointer" commit (Iceberg's version-hint file) without the
-  * manifest machinery: partition listing still comes from the filesystem,
-  * only the root is indirected.
+  * complete old tree or the complete new tree. This is the "current pointer"
+  * commit (Iceberg's version-hint file); since round 6 a version may also
+  * carry a partition→version manifest ([[readManifest]]) so maintenance
+  * commits stage only DIRTY partitions — partition listing still comes from
+  * the filesystem, the manifest only says which version prefixes to list.
   *
-  * `resolve` is the read-side contract: every engine path that opens a hive
-  * store goes through it (plain dirs and symlink roots pass through
-  * unchanged, so the three tiers share one code path).
+  * Read-side contract: `resolve` names the live version's own directory
+  * (what appends write into); [[readStore]] is the composite read every
+  * engine query path uses (own + carried partitions). Plain dirs and
+  * symlink roots pass through both unchanged, so the three tiers share one
+  * code path.
   */
 object GraftStore {
 
   val PointerName = "_current"
+  val ManifestName = "_graft_manifest"
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -57,20 +61,141 @@ object GraftStore {
     dirOf(n)
   }
 
+  // ---- carried-partition manifest (incremental-commit support) ----------
+
+  /** Carried-partition manifest of a version directory: `(version, relPath)`
+    * lines meaning "this snapshot ALSO includes the files under
+    * `<root>/<version>/<relPath>`". Written by incremental compaction so a
+    * maintenance commit only REWRITES dirty partitions and carries untouched
+    * ones into the next version by reference — commit cost proportional to
+    * dirty data, not store size (the same economics as Delta/Iceberg
+    * OPTIMIZE). The manifest lives INSIDE the version dir it describes, so
+    * the one-PUT pointer flip publishes data and manifest atomically; its
+    * `_`-prefix keeps it out of Spark's file listing. Absent manifest =
+    * self-contained version (plain read) — the pre-incremental layout reads
+    * unchanged.
+    */
+  def readManifest(spark: SparkSession, versionDir: String): Seq[(Int, String)] = {
+    val p = new Path(versionDir, ManifestName)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return Seq.empty
+    val in = fs.open(p)
+    val text = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+    text.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('\t')
+      require(i > 0, s"corrupt manifest line in $p: '$line'")
+      val v = line.substring(0, i)
+      require(v.matches("v\\d{6}"), s"corrupt manifest version in $p: '$line'")
+      (v.stripPrefix("v").toInt, line.substring(i + 1))
+    }
+  }
+
+  def writeManifest(spark: SparkSession, versionDir: String,
+      entries: Seq[(Int, String)]): Unit = {
+    val p = new Path(versionDir, ManifestName)
+    val out = fsOf(spark, p).create(p, true)
+    try out.write(entries.map { case (v, rel) => s"${versionPrefix(v)}\t$rel" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Versions whose files snapshot `n` reads: itself plus every version its
+    * manifest carries partitions from. Reclaim (vacuum / post-commit
+    * cleanup) must keep the CLOSURE of what it retains — dropping a version
+    * another retained snapshot still references would corrupt that snapshot.
+    */
+  def referencedVersions(spark: SparkSession, root: String, n: Int): Set[Int] = {
+    val (versions, _, dirOf) = tierOf(spark, root)
+    if (!versions.contains(n)) Set(n)
+    else readManifest(spark, dirOf(n)).map(_._1).toSet + n
+  }
+
+  /** Composite snapshot read: the version's own files plus every carried
+    * partition, each leg anchored with `basePath` at its version prefix so
+    * hive partition columns resolve identically, then unioned. Partition
+    * pruning still applies per leg (the carried legs enumerate exactly the
+    * referenced leaf dirs). No-manifest versions take the plain one-dir
+    * read.
+    */
+  def readVersion(spark: SparkSession, root: String, n: Int): DataFrame = {
+    val (_, _, dirOf) = tierOf(spark, root)
+    val dir = resolveVersion(spark, root, n)
+    val entries = readManifest(spark, dir)
+    if (entries.isEmpty) return spark.read.parquet(dir)
+    val own =
+      if (hasDataFiles(spark, dir)) Seq(spark.read.option("basePath", dir).parquet(dir))
+      else Seq.empty // retention can empty a version that still carries refs
+    val carried = entries.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, es) =>
+      val vdir = dirOf(v)
+      spark.read.option("basePath", vdir).parquet(es.map(e => s"$vdir/${e._2}"): _*)
+    }
+    (own ++ carried).reduce(_.unionByName(_))
+  }
+
+  /** The read-side entry point every engine query path uses: composite read
+    * of the live snapshot for pointer stores, plain read otherwise (symlink
+    * roots resolve in the filesystem and are always self-contained).
+    */
+  def readStore(spark: SparkSession, root: String): DataFrame =
+    if (isPointerStore(spark, root))
+      readVersion(spark, root, currentVersion(spark, root))
+    else spark.read.parquet(root)
+
+  private def hasDataFiles(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val name = it.next().getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) return true
+    }
+    false
+  }
+
+  /** Physical files of snapshot `n` (own + carried), keyed by store-layout-
+    * relative path: a carried file keeps the SAME key across versions, so a
+    * snapshot diff shows it as unchanged — carried by reference, not
+    * rewritten — while rewritten files (fresh task UUID names) show as
+    * removed+added.
+    */
+  private def compositeFiles(spark: SparkSession, root: String, n: Int): Map[String, Long] = {
+    val (_, _, dirOf) = tierOf(spark, root)
+    def list(dir: String, keyPrefix: String): Seq[(String, Long)] = {
+      val p = new Path(dir)
+      val fs = fsOf(spark, p)
+      if (!fs.exists(p)) return Seq.empty
+      val base = p.toUri.getPath
+      val it = fs.listFiles(p, true)
+      val out = Seq.newBuilder[(String, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        out += ((keyPrefix + f.getPath.toUri.getPath.stripPrefix(base), f.getLen))
+      }
+      out.result()
+    }
+    val dir = resolveVersion(spark, root, n)
+    val own = list(dir, "")
+    val carried = readManifest(spark, dir).flatMap { case (v, rel) =>
+      list(s"${dirOf(v)}/$rel", s"/$rel")
+    }
+    (own ++ carried).toMap
+  }
+
   /** One row per retained version, with the live one flagged. */
   final case class SnapshotInfo(version: Int, current: Boolean, files: Long, bytes: Long)
 
   /** Inventory of retained snapshots (either versioned tier): version
-    * number, whether it is the live one, and its file count / byte size
-    * (recursive listing of the version dir — bounded by version count,
-    * which the grace contract keeps at ~2).
+    * number, whether it is the live one, and its composite file count /
+    * byte size (own + carried partitions; listing-bounded, not a data
+    * scan).
     */
   def snapshots(spark: SparkSession, root: String): Seq[SnapshotInfo] = {
-    val (versions, cur, dirOf) = tierOf(spark, root)
+    val (versions, cur, _) = tierOf(spark, root)
     versions.map { n =>
-      val p = new Path(dirOf(n))
-      val s = fsOf(spark, p).getContentSummary(p)
-      SnapshotInfo(n, n == cur, s.getFileCount, s.getLength)
+      val fl = compositeFiles(spark, root, n)
+      SnapshotInfo(n, n == cur, fl.size.toLong, fl.values.sum)
     }
   }
 
@@ -87,45 +212,36 @@ object GraftStore {
       bytesAdded: Long, bytesRemoved: Long, rowDelta: Long)
 
   def diffVersions(spark: SparkSession, root: String, from: Int, to: Int): SnapshotDiff = {
-    def files(dir: String): Map[String, Long] = {
-      val p = new Path(dir)
-      val fs = fsOf(spark, p)
-      val base = p.toUri.getPath
-      val it = fs.listFiles(p, true)
-      val out = Map.newBuilder[String, Long]
-      while (it.hasNext) {
-        val f = it.next()
-        out += (f.getPath.toUri.getPath.stripPrefix(base) -> f.getLen)
-      }
-      out.result()
-    }
-    def rows(dir: String): Long =
-      spark.read.parquet(dir).count()
-    val a = files(resolveVersion(spark, root, from))
-    val b = files(resolveVersion(spark, root, to))
+    val a = compositeFiles(spark, root, from)
+    val b = compositeFiles(spark, root, to)
     val added = (b.keySet -- a.keySet).toSeq.sorted
     val removed = (a.keySet -- b.keySet).toSeq.sorted
     SnapshotDiff(from, to, added, removed,
       bytesAdded = added.map(b).sum, bytesRemoved = removed.map(a).sum,
-      rowDelta = rows(resolveVersion(spark, root, to)) -
-        rows(resolveVersion(spark, root, from)))
+      rowDelta = readVersion(spark, root, to).count() -
+        readVersion(spark, root, from).count())
   }
 
-  /** Reclaim grace snapshots NOW instead of at the next commit: drops every
-    * version BELOW the live one, keeping the live version and any
-    * staged-ahead version an in-flight commit may still be writing.
-    * Returns the dropped version numbers. Readers mid-scan on a dropped
-    * snapshot lose their files — same contract as Delta/Iceberg VACUUM with
-    * a zero retention window; the default (do nothing) already reclaims at
-    * the next commit.
+  /** Reclaim grace snapshots NOW instead of at the next commit: drops
+    * versions below the live one, keeping the live version, the newest
+    * `retain` snapshots below it (multi-step time travel), any staged-ahead
+    * version an in-flight commit may still be writing — and the manifest
+    * CLOSURE of all of those (a version carrying partitions for a kept
+    * snapshot must itself be kept). Returns the dropped version numbers.
+    * Readers mid-scan on a dropped snapshot lose their files — same
+    * contract as Delta/Iceberg VACUUM; the default (retain 0, do nothing)
+    * already reclaims at the next commit.
     */
-  def vacuum(spark: SparkSession, root: String): Seq[Int] = {
-    val (versions, cur, _) = tierOf(spark, root)
-    val keep = versions.filter(_ >= cur).toSet
-    if (isPointerStore(spark, root)) dropVersionsExcept(spark, root, keep)
-    else VersionedStore.dropVersionsExcept(root, keep)
-    versions.filterNot(keep)
-  }
+  def vacuum(spark: SparkSession, root: String, retain: Int = 0): Seq[Int] =
+    MaintenanceLease.withLease(spark, root, "vacuum") {
+      val (versions, cur, _) = tierOf(spark, root)
+      val seed = versions.filter(_ >= cur).toSet ++
+        versions.filter(_ < cur).sorted.takeRight(retain)
+      val keep = seed.flatMap(n => referencedVersions(spark, root, n))
+      if (isPointerStore(spark, root)) dropVersionsExcept(spark, root, keep)
+      else VersionedStore.dropVersionsExcept(root, keep)
+      versions.filterNot(keep)
+    }
 
   /** (retained versions, live version, version → data dir) for whichever
     * versioned tier `root` is; refuses plain unversioned directories.

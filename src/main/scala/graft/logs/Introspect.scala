@@ -61,6 +61,48 @@ object Introspect {
       "encodings", "codec", "num_values", "compressed_bytes", "uncompressed_bytes")
   }
 
+  /** Per-row-group min/max statistics of one int64 column: the physical
+    * layout evidence behind row-group pruning. Used to assert that a
+    * compaction rewrite preserved `time_ns` clustering (near-disjoint
+    * row-group ranges), i.e. that the engine's own `--since` pushdown still
+    * prunes after ingest order was destroyed and re-established by sort.
+    */
+  def parquetRowGroupStats(spark: SparkSession, pathGlob: String,
+      column: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(pathGlob)
+    val fs = p.getFileSystem(conf)
+    val files = Option(fs.globStatus(p)).getOrElse(Array.empty)
+      .flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+        else Array(st)
+      }
+      .map(_.getPath)
+    val rows = files.flatMap { file =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        reader.getFooter.getBlocks.toArray.zipWithIndex.flatMap {
+          case (b: org.apache.parquet.hadoop.metadata.BlockMetaData, rg) =>
+            b.getColumns.toArray.collect {
+              case c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData
+                if c.getPath.toDotString == column && c.getStatistics != null &&
+                  !c.getStatistics.isEmpty =>
+                def asLong(v: Comparable[_]): Long = v match {
+                  case n: Number => n.longValue()
+                  case other => other.toString.toLong
+                }
+                (file.toString, rg, b.getRowCount,
+                  asLong(c.getStatistics.genericGetMin),
+                  asLong(c.getStatistics.genericGetMax))
+            }
+        }
+      } finally reader.close()
+    }
+    rows.toSeq.toDF("file", "row_group", "num_rows", "min", "max")
+  }
+
   /** M1 as data: a DataFrame's schema rendered `name: TYPE` (y-logcli:267-273
     * prints the same header before table output).
     */

@@ -114,9 +114,10 @@ final case class LogQuery(
               .unionByName(positionalScan(spark, root, "arrow"))
         }
       case LogLayout.Hive =>
-        // pointer stores (object-store tier) indirect through _current;
-        // plain/symlink roots pass through unchanged
-        spark.read.parquet(GraftStore.resolve(spark, root))
+        // pointer stores (object-store tier) indirect through _current and
+        // may carry partitions from older version prefixes by manifest
+        // (incremental compaction); plain/symlink roots are a plain read
+        GraftStore.readStore(spark, root)
     }
 
     val selected = selector.labels.foldLeft(base) {

@@ -1,0 +1,90 @@
+package graft.logs
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Mutual exclusion for store maintenance (compaction, retention, vacuum).
+  *
+  * The commit protocols in [[Compaction]] are atomic against READERS, but
+  * two concurrent MAINTAINERS on one root could both observe no in-flight
+  * marker, both stage the next version, and race the pointer flip — or
+  * retention could delete partitions out of a tree a compactor is staging.
+  * A lease object acquired with an if-absent create closes that: exactly
+  * one maintainer holds the root at a time; a second aborts fast and
+  * cleanly before touching anything.
+  *
+  * Lease placement: inside the root (`_maintenance-lease`, `_`-prefix keeps
+  * it out of Spark listings) for pointer stores — a single-object
+  * create-if-absent, which [[graft.sources.S3LiteFileSystem]] honors with a
+  * HEAD-then-PUT; a SIBLING file (`<root>.maintenance-lease`) for symlink
+  * and plain roots, because the symlink tier retargets the root mid-commit
+  * and a lease inside it would migrate between versions. On `file:` roots
+  * the acquire uses `Files.createFile` (atomic CREATE_NEW at the syscall
+  * level) rather than Hadoop's check-then-create.
+  *
+  * A crashed maintainer leaves its lease behind — deliberately: the lease
+  * names the holder and acquire time, and the operator breaks it explicitly
+  * (`AdminCli break-lease`) after confirming the job is dead. Auto-expiry
+  * would trade a visible stall for a silent double-commit.
+  */
+object MaintenanceLease {
+
+  def leasePath(spark: SparkSession, root: String): Path =
+    if (GraftStore.isPointerStore(spark, root)) new Path(root, "_maintenance-lease")
+    else new Path(root + ".maintenance-lease")
+
+  final class LeaseHeldException(msg: String) extends IllegalStateException(msg)
+
+  def withLease[T](spark: SparkSession, root: String, op: String)(f: => T): T = {
+    val p = acquire(spark, root, op)
+    try f finally release(spark, p)
+  }
+
+  private def acquire(spark: SparkSession, root: String, op: String): Path = {
+    val p = leasePath(spark, root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val payload =
+      s"$op pid=${ProcessHandle.current().pid()} since=${java.time.Instant.now()}"
+    def held(): Nothing = {
+      val holder =
+        try {
+          val in = fs.open(p)
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+          finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => "<unreadable>" }
+      throw new LeaseHeldException(
+        s"maintenance lease on $root is held ($holder); a concurrent " +
+          "compaction/retention/vacuum is running. If that job crashed, " +
+          "break the lease explicitly: AdminCli break-lease --root=" + root)
+    }
+    val scheme = Option(p.toUri.getScheme).getOrElse("file")
+    try {
+      if (scheme == "file") {
+        val nio = Paths.get(p.toUri.getPath)
+        Files.write(nio, payload.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW,
+          StandardOpenOption.WRITE)
+      } else {
+        val out = fs.create(p, false) // if-absent create: throws when held
+        try out.write(payload.getBytes("UTF-8")) finally out.close()
+      }
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => held()
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => held()
+      case e: java.io.IOException if e.getMessage != null &&
+          e.getMessage.contains("already exists") => held()
+    }
+    p
+  }
+
+  private def release(spark: SparkSession, p: Path): Unit =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+
+  /** Operator escape hatch for a lease left by a crashed job. Returns true
+    * when a lease existed and was removed.
+    */
+  def breakLease(spark: SparkSession, root: String): Boolean = {
+    val p = leasePath(spark, root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+  }
+}

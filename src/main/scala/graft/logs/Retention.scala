@@ -19,6 +19,15 @@ object Retention {
       convertStreamingStore: Boolean = false): Seq[String] = {
     val fs = new Path(rawRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(rawRoot))) return Seq.empty
+    // retention must not interleave with a compaction staging the same root
+    // (it could delete partitions out of the tree being staged)
+    MaintenanceLease.withLease(spark, rawRoot, "retention") {
+      enforceHeld(spark, rawRoot, cutoffDate, convertStreamingStore, fs)
+    }
+  }
+
+  private def enforceHeld(spark: SparkSession, rawRoot: String, cutoffDate: String,
+      convertStreamingStore: Boolean, fs: org.apache.hadoop.fs.FileSystem): Seq[String] = {
     // pointer stores: drop partitions inside the CURRENT version prefix
     // (partition-granularity delete, like the other tiers; snapshot-isolated
     // retention would stage a full copy — not worth O(store) writes to drop
@@ -48,6 +57,22 @@ object Retention {
       // only count partitions the filesystem actually removed
       if (fs.delete(datePart.getPath, true))
         deleted += datePart.getPath.toString
+    }
+    // partitions carried by manifest (incremental compaction) live in OLDER
+    // version prefixes: dropping the manifest entry removes them from the
+    // live view at metadata cost; the physical files belong to retained
+    // snapshots and are reclaimed when their version is
+    if (GraftStore.isPointerStore(spark, rawRoot)) {
+      def expired(rel: String) = rel.split('/').exists(c =>
+        c.startsWith("date=") && c.stripPrefix("date=") < cutoffDate)
+      val manifest = GraftStore.readManifest(spark, root)
+      val (drop, keep) = manifest.partition(e => expired(e._2))
+      if (drop.nonEmpty) {
+        GraftStore.writeManifest(spark, root, keep)
+        drop.foreach { case (v, rel) =>
+          deleted += s"$rawRoot/${GraftStore.versionPrefix(v)}/$rel"
+        }
+      }
     }
     deleted.result()
   }

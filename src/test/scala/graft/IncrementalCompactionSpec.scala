@@ -1,0 +1,287 @@
+package graft
+
+import graft.logs.{Compaction, GraftStore, Introspect, LogIngest, MaintenanceLease, Retention, VersionedStore}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Incremental compaction (round-6 gate): a maintenance commit must be
+  * proportional to DIRTY data, not store size. Covers all three tiers:
+  * symlink roots carry untouched partitions by hard link (same inode — the
+  * file-identity proof), pointer stores carry them by `_graft_manifest`
+  * reference (zero bytes move), and the legacy per-leaf swap never touches
+  * clean leaves. Plus: time_ns-sorted rewrites (row-group pruning survives
+  * compaction), the maintenance lease (two maintainers can't interleave),
+  * retain-N snapshots with multi-step time travel, and manifest-aware
+  * retention/vacuum.
+  */
+class IncrementalCompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val parts = Seq("cluster", "namespace", "date")
+
+  /** events rows shaped like the log store, one date per calendar day. */
+  private def fixture() = Tables.events(spark, sf)
+    .select(
+      graft.logs.CriFunctions.nanosToTimestamp($"ts").as("time"),
+      $"ts".as("time_ns"), lit("stdout").as("stream"), lit("F").as("logtag"),
+      $"props".as("message"), lit("dev").as("cluster"),
+      lit("ns0").as("namespace"), lit("n1").as("node"),
+      lit("p1").as("pod"), lit("app").as("container"))
+    .withColumn("date", date_format($"time", "yyyy-MM-dd"))
+
+  private def inode(p: String): Long =
+    Files.getAttribute(Paths.get(p), "unix:ino").asInstanceOf[java.lang.Long]
+
+  private def filesUnder(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+  }
+
+  test("symlink tier: only the dirty partition rewrites; the rest carry by hard link") {
+    val root = Files.createTempDirectory("graft-incr").resolve("store").toString
+    val df = fixture()
+    // base load: one compact file per date partition (clean by definition)
+    LogIngest.writeHive(df, root, partitionCols = parts)
+    val dates = df.select($"date").distinct().as[String].collect().sorted
+    assert(dates.length > 10)
+    val dirtyDate = dates.head
+    // small-file mess in exactly ONE partition
+    df.filter($"date" === dirtyDate).repartition(4)
+      .write.partitionBy(parts: _*).option("maxRecordsPerFile", 10)
+      .mode("append").parquet(root)
+    val total = spark.read.parquet(root).count()
+    val v1Dir = VersionedStore.versionName(root, 1)
+    val v1Files = filesUnder(v1Dir).map(f => f.getPath.stripPrefix(v1Dir) -> f).toMap
+    val dirtyRel = s"/cluster=dev/namespace=ns0/date=$dirtyDate"
+    assert(v1Files.keys.count(_.startsWith(dirtyRel)) > 4, "mess is real")
+
+    Compaction.compactHive(spark, root, partitionCols = parts)
+
+    assert(VersionedStore.currentVersion(root) == 2)
+    assert(spark.read.parquet(root).count() == total)
+    val v2Dir = VersionedStore.versionName(root, 2)
+    val v2Files = filesUnder(v2Dir).map(f => f.getPath.stripPrefix(v2Dir) -> f).toMap
+    // the 19+ clean partitions carried over with the SAME file identities:
+    // identical relative names AND identical inodes (hard links, no rewrite)
+    val carried = v1Files.keys.filterNot(_.startsWith(dirtyRel)).toSeq
+    assert(carried.nonEmpty)
+    carried.foreach { rel =>
+      assert(v2Files.contains(rel), s"clean partition file $rel was not carried")
+      assert(inode(v1Dir + rel) == inode(v2Dir + rel),
+        s"$rel was rewritten, not hard-linked")
+    }
+    // the dirty partition was rewritten into fewer files with fresh names
+    val dirtyV2 = v2Files.keys.filter(_.startsWith(dirtyRel)).toSeq
+    assert(dirtyV2.size < v1Files.keys.count(_.startsWith(dirtyRel)))
+    assert(dirtyV2.forall(rel => !v1Files.contains(rel)))
+    // snapshot diff: row delta 0, and ONLY the dirty partition's files moved
+    val d = GraftStore.diffVersions(spark, root, 1, 2)
+    assert(d.rowDelta == 0L, s"compaction changed rows: $d")
+    assert(d.added.nonEmpty && d.removed.nonEmpty)
+    assert((d.added ++ d.removed).forall(_.contains(s"date=$dirtyDate")),
+      s"carried partitions appear in the diff: $d")
+  }
+
+  test("rewritten partitions are time_ns-sorted with near-disjoint row groups") {
+    val root = Files.createTempDirectory("graft-sort").resolve("store").toString
+    // one fat partition (all rows on one date) so the rewritten file spans
+    // several row groups at the shrunken block size below
+    val df = fixture().withColumn("date", lit("2024-01-01"))
+    // ingest in SHUFFLED order so time clustering is genuinely destroyed
+    df.orderBy($"message").repartition(8)
+      .write.partitionBy(parts: _*).option("maxRecordsPerFile", 2000)
+      .mode("overwrite").parquet(root)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hc.get("parquet.block.size")
+    hc.set("parquet.block.size", "16384") // force several row groups per file
+    try Compaction.compactHive(spark, root, partitionCols = parts)
+    finally if (prevBlock == null) hc.unset("parquet.block.size")
+    else hc.set("parquet.block.size", prevBlock)
+    // every rewritten file is internally sorted by time_ns
+    val aFile = filesUnder(root).head.getPath
+    val ts = spark.read.parquet(aFile).select($"time_ns").as[Long].collect()
+    assert(ts.length > 1)
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b }, "file not time-sorted")
+    // row-group stats: consecutive groups have non-overlapping time ranges,
+    // which is what makes the --since row-group pruning effective
+    val stats = Introspect.parquetRowGroupStats(spark, aFile, "time_ns")
+      .orderBy($"row_group").select($"min", $"max").as[(Long, Long)].collect()
+    assert(stats.length > 1, "fixture too small to split row groups")
+    stats.zip(stats.tail).foreach { case ((_, max1), (min2, _)) =>
+      assert(max1 <= min2, s"row groups overlap: $max1 > $min2")
+    }
+  }
+
+  test("pointer tier: dirty partition rewrites, the rest carry by manifest reference") {
+    val srv = new graft.sources.S3StubServer()
+    try {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3l.impl", classOf[graft.sources.S3LiteFileSystem].getName)
+      hc.set("fs.s3l.endpoint", srv.endpoint)
+      hc.set("fs.s3l.impl.disable.cache", "true")
+      val root = "s3l://graft-store/incr-lake"
+      val df = fixture().limit(2000).cache()
+      LogIngest.writeHive(df, root, partitionCols = parts)
+      val dates = df.select($"date").distinct().as[String].collect().sorted
+      val dirtyDate = dates.last // retention below targets the CARRIED oldest
+      df.filter($"date" === dirtyDate).repartition(4)
+        .write.partitionBy(parts: _*).option("maxRecordsPerFile", 10)
+        .mode("append").parquet(GraftStore.resolve(spark, root))
+      val total = GraftStore.readStore(spark, root).count()
+
+      Compaction.compactHive(spark, root, partitionCols = parts)
+
+      assert(GraftStore.currentVersion(spark, root) == 2)
+      // v2 physically holds ONLY the dirty partition's rewrite
+      val v2Parquet = srv.keys.filter(k => k.contains("/v000002/") && k.endsWith(".parquet"))
+      assert(v2Parquet.nonEmpty)
+      assert(v2Parquet.forall(_.contains(s"date=$dirtyDate")),
+        s"clean partitions were rewritten: $v2Parquet")
+      // the clean partitions are carried by reference to v1
+      val manifest = GraftStore.readManifest(spark, s"$root/v000002")
+      assert(manifest.nonEmpty && manifest.forall(_._1 == 1))
+      assert(manifest.map(_._2).forall(!_.contains(s"date=$dirtyDate")))
+      // composite read sees everything; so does the snapshot diff
+      assert(GraftStore.readStore(spark, root).count() == total)
+      assert(GraftStore.readStore(spark, root)
+        .filter($"date".cast("string") === dates.head).count() > 0)
+      val d = GraftStore.diffVersions(spark, root, 1, 2)
+      assert(d.rowDelta == 0L, s"compaction changed rows: $d")
+      assert((d.added ++ d.removed).filter(_.endsWith(".parquet"))
+        .forall(_.contains(s"date=$dirtyDate")), s"carried files moved: $d")
+      // vacuum must NOT reclaim v1: the live manifest references it
+      assert(GraftStore.vacuum(spark, root) == Seq.empty)
+      assert(GraftStore.listVersions(spark, root) == Seq(1, 2))
+      // manifest-aware retention: the oldest date lives only as a carried
+      // reference; dropping it is a manifest edit, physically nothing moves
+      val deleted = Retention.enforceHive(spark, root, dates(1))
+      assert(deleted.size == 1 && deleted.head.contains(s"date=${dates.head}"))
+      val remaining = GraftStore.readStore(spark, root)
+      val remainingCount = remaining.count()
+      assert(remaining.select(min($"date".cast("string"))).head.getString(0) == dates(1))
+      // ...while the v1 snapshot still serves the dropped date (immutable)
+      assert(GraftStore.readVersion(spark, root, 1).count() ==
+        df.count() + df.filter($"date" === dirtyDate).count())
+      // a full rewrite makes v3 self-contained; vacuum then reclaims 1 and 2
+      Compaction.compactHive(spark, root, partitionCols = parts, full = true)
+      assert(GraftStore.readManifest(spark,
+        s"$root/${GraftStore.readPointer(spark, root)}").isEmpty)
+      assert(GraftStore.vacuum(spark, root).nonEmpty)
+      val live = GraftStore.currentVersion(spark, root)
+      assert(GraftStore.listVersions(spark, root) == Seq(live))
+      assert(GraftStore.readStore(spark, root).count() == remainingCount)
+    } finally srv.stop()
+  }
+
+  test("maintenance lease: a held root aborts fast; break-lease recovers; racers don't corrupt") {
+    val root = Files.createTempDirectory("graft-lease").resolve("store").toString
+    val df = fixture().limit(1000)
+    LogIngest.writeHive(df, root, partitionCols = parts)
+    df.repartition(4).write.partitionBy(parts: _*).option("maxRecordsPerFile", 10)
+      .mode("append").parquet(root)
+    val total = spark.read.parquet(root).count()
+    // simulate a concurrent maintainer: lease present => compaction, retention
+    // and vacuum all abort BEFORE touching anything, naming the holder
+    val lease = MaintenanceLease.leasePath(spark, root)
+    Files.writeString(Paths.get(lease.toUri.getPath), "compact pid=999 since=test")
+    val e = intercept[IllegalStateException](
+      Compaction.compactHive(spark, root, partitionCols = parts))
+    assert(e.getMessage.contains("break-lease"))
+    intercept[IllegalStateException](Retention.enforceHive(spark, root, "2099-01-01"))
+    intercept[IllegalStateException](GraftStore.vacuum(spark, root))
+    assert(VersionedStore.currentVersion(root) == 1, "aborted maintainer must not commit")
+    assert(spark.read.parquet(root).count() == total)
+    // operator breaks the stale lease; maintenance proceeds
+    assert(MaintenanceLease.breakLease(spark, root))
+    assert(!MaintenanceLease.breakLease(spark, root)) // idempotent, reports absence
+    Compaction.compactHive(spark, root, partitionCols = parts)
+    assert(VersionedStore.currentVersion(root) == 2)
+    assert(spark.read.parquet(root).count() == total)
+    // two racing compactors: at most one can hold the lease at a time; any
+    // loser fails ONLY with the lease error and the store stays intact
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        start.await()
+        try Compaction.compactHive(spark, root, partitionCols = parts, full = true)
+        catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(errors.size < 2, "at least one racer must win")
+    errors.forEach(t => assert(t.isInstanceOf[MaintenanceLease.LeaseHeldException],
+      s"loser must abort on the lease, got: $t"))
+    assert(spark.read.parquet(root).count() == total)
+    assert(!Files.exists(Paths.get(lease.toUri.getPath)), "lease must be released")
+  }
+
+  test("retain-N: multi-step time travel across retained snapshots, vacuum to policy") {
+    val root = Files.createTempDirectory("graft-retain").resolve("store").toString
+    val df = fixture().limit(3000)
+    LogIngest.writeHive(df, root, partitionCols = parts)
+    // three maintenance commits, each preceded by an append. Appends land in
+    // the LIVE version dir, so a superseded snapshot is frozen at the count
+    // it had when the next commit flipped away from it — which equals the
+    // count of the version that replaced it at ITS commit instant.
+    val liveAtCommit = scala.collection.mutable.Map.empty[Int, Long]
+    for (round <- 2 to 4) {
+      df.limit(100 * round).repartition(3)
+        .write.partitionBy(parts: _*).option("maxRecordsPerFile", 10)
+        .mode("append").parquet(root)
+      val liveRows = spark.read.parquet(root).count()
+      Compaction.compactHive(spark, root, partitionCols = parts,
+        retainSnapshots = 3)
+      liveAtCommit(round) = liveRows // frozen content of v(round-1) AND of v(round) at commit
+    }
+    assert(VersionedStore.currentVersion(root) == 4)
+    assert(VersionedStore.listVersions(root) == Seq(1, 2, 3, 4))
+    // every retained snapshot reads as of the commit that superseded it
+    // (multi-step time travel); the live one reads the latest state
+    for (v <- 1 to 3)
+      assert(GraftStore.readVersion(spark, root, v).count() == liveAtCommit(v + 1),
+        s"snapshot v$v")
+    assert(GraftStore.readVersion(spark, root, 4).count() == liveAtCommit(4))
+    // vacuum to a retain-1 policy: v3 (one below live) survives, 1..2 drop
+    assert(GraftStore.vacuum(spark, root, retain = 1) == Seq(1, 2))
+    assert(VersionedStore.listVersions(root) == Seq(3, 4))
+    assert(GraftStore.readVersion(spark, root, 3).count() == liveAtCommit(4))
+    assert(spark.read.parquet(root).count() == liveAtCommit(4))
+  }
+
+  test("legacy tier: clean leaves are never staged or swapped") {
+    val root = Files.createTempDirectory("graft-legacy").resolve("store").toString
+    val df = fixture()
+    df.repartition(parts.map(col): _*).write.partitionBy(parts: _*)
+      .mode("overwrite").parquet(root) // one file per partition: all clean
+    val dates = df.select($"date").distinct().as[String].collect().sorted
+    val dirtyDate = dates.head
+    df.filter($"date" === dirtyDate).repartition(4)
+      .write.partitionBy(parts: _*).option("maxRecordsPerFile", 10)
+      .mode("append").parquet(root)
+    val total = spark.read.parquet(root).count()
+    val cleanBefore = filesUnder(root)
+      .filterNot(_.getPath.contains(s"date=$dirtyDate"))
+      .map(f => f.getPath -> inode(f.getPath)).toMap
+    Compaction.compactHive(spark, root, partitionCols = parts)
+    assert(spark.read.parquet(root).count() == total)
+    // clean leaves: same paths, same inodes — they were never renamed
+    val cleanAfter = filesUnder(root)
+      .filterNot(_.getPath.contains(s"date=$dirtyDate"))
+      .map(f => f.getPath -> inode(f.getPath)).toMap
+    assert(cleanAfter == cleanBefore)
+    // the dirty leaf got compacted
+    assert(filesUnder(root).count(_.getPath.contains(s"date=$dirtyDate")) <= 2)
+  }
+
+  test("a fully clean store is a no-op: no new version, no data movement") {
+    val root = Files.createTempDirectory("graft-noop").resolve("store").toString
+    val df = fixture().limit(1000)
+    LogIngest.writeHive(df, root, partitionCols = parts)
+    assert(VersionedStore.currentVersion(root) == 1)
+    Compaction.compactHive(spark, root, partitionCols = parts)
+    assert(VersionedStore.currentVersion(root) == 1, "clean store must not commit")
+    assert(VersionedStore.listVersions(root) == Seq(1))
+  }
+}

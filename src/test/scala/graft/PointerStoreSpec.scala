@@ -150,9 +150,11 @@ class PointerStoreSpec extends SparkSpec {
 
       // crash B: debris — a staged v3 with NO marker (died mid-stage, maybe
       // incomplete); a fresh compaction must sweep it and commit its own
+      // (full=true: v2 is already compact, so the incremental default would
+      // correctly no-op after sweeping — force a rewrite to prove recommit)
       spark.read.parquet(s"$root/v000002").limit(10)
         .write.partitionBy(parts: _*).mode("overwrite").parquet(s"$root/v000003")
-      Compaction.compactHive(spark, root, partitionCols = parts)
+      Compaction.compactHive(spark, root, partitionCols = parts, full = true)
       // debris v3 replaced by the real rewrite (numbering continues past it)
       assert(spark.read.parquet(GraftStore.resolve(spark, root)).count() == expected)
       // debris v3 was swept, the rewrite recommitted, and the grace rule
