@@ -104,6 +104,21 @@ object Bench {
       allFinished &= seqFinished
       allFailed ++= seqSnap.collect { case (n, t) if t == -1.0 => n }
       println(s"""{"metric":"sequential","value":$seqWall,"unit":"sec","queries":${queriesJson(seqSnap)},"sf":"$sfDir"}""")
+      // v4 split: the gate times build+search together, but at 100 TB the
+      // index BUILD is a batch job and SEARCH is the query — time them
+      // apart so the search span reflects its pruned-cell scan
+      try {
+        val b0 = System.nanoTime()
+        val idx = graft.queries.ExtensionQueries.ivfIndexBuild(spark, sfDir)
+        val bSec = (System.nanoTime() - b0) / 1e9
+        val s0 = System.nanoTime()
+        graft.queries.ExtensionQueries.ivfIndexSearch(spark, sfDir, idx)
+          .write.format("noop").mode("overwrite").save()
+        val sSec = (System.nanoTime() - s0) / 1e9
+        println(s"""{"metric":"v4_split","queries":{"v4_build":$bSec,"v4_search":$sSec},"unit":"sec","sf":"$sfDir"}""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] v4 split failed: ${e.getMessage}")
+      }
     }
     if (finished) (2 to repeat).foreach { r =>
       val (warmWall, warmSnap, warmFinished) = runRound(spark, sfDir, parallel)

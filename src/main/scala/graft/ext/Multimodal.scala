@@ -8,13 +8,15 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: [[ImageIoCodec]] decodes PNG/JPEG payloads with the
   * JDK's `javax.imageio` (no external libraries) — true pixel dimensions and
-  * a pixel-level luminance histogram feature. Audio/video decode is STUBBED
-  * (this container ships no media libraries): [[FakeCodec]] is a
-  * deterministic stand-in that derives "metadata" and "features" from the
-  * raw bytes. Everything Spark-side — schema, batching, partitioning, the
-  * typed `mapPartitions` pipeline shape — is identical for both: one
-  * partition = one batch of byte payloads through a codec initialized once
-  * per partition.
+  * a pixel-level luminance histogram feature. AUDIO decode is REAL too:
+  * [[WavCodec]] parses PCM WAV with the JDK's `javax.sound.sampled` — true
+  * sample rate, channel count and frame count, plus an 8-window RMS feature
+  * over the decoded samples. Only VIDEO decode is STUBBED (no video codec
+  * ships in the JDK): [[FakeCodec]] is a deterministic stand-in that derives
+  * "metadata" and "features" from the raw bytes. Everything Spark-side —
+  * schema, batching, partitioning, the typed `mapPartitions` pipeline
+  * shape — is identical for all three: one partition = one batch of byte
+  * payloads through a codec initialized once per partition.
   */
 object Multimodal {
 
@@ -74,6 +76,53 @@ object Multimodal {
     }
   }
 
+  /** Real audio decode via the JDK's `javax.sound.sampled`: parses the WAV
+    * container, reporting the TRUE sample rate (as `width`), channel count
+    * (as `height`) and per-channel frame count (as `n_frames`), plus an
+    * 8-window RMS envelope over the decoded PCM16 samples — the feature an
+    * audio quality/dedup pipeline would threshold or embed. None when the
+    * payload isn't parseable audio (caller degrades to the byte-level stub,
+    * which the m1 gate then flags loudly: stub dims never match the
+    * fixture's expected metadata).
+    */
+  object WavCodec {
+    def decode(r: MediaRecord): Option[MediaMeta] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        try {
+          val f = in.getFormat
+          val frames = in.getFrameLength
+          val pcm = in.readAllBytes()
+          // 8-window RMS over interleaved 16-bit little-endian samples,
+          // normalized to [0,1] by the int16 range
+          val nSamples = pcm.length / 2
+          val rms = new Array[Float](8)
+          if (nSamples > 0) {
+            val window = math.max(nSamples / 8, 1)
+            val acc = new Array[Double](8)
+            val cnt = new Array[Long](8)
+            var i = 0
+            while (i < nSamples) {
+              val s = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toDouble
+              val w = math.min(i / window, 7)
+              acc(w) += s * s
+              cnt(w) += 1
+              i += 1
+            }
+            var w = 0
+            while (w < 8) {
+              if (cnt(w) > 0) rms(w) = (math.sqrt(acc(w) / cnt(w)) / 32768.0).toFloat
+              w += 1
+            }
+          }
+          Some(MediaMeta(r.media_id, r.kind, r.payload.length.toLong,
+            width = f.getSampleRate.toInt, height = f.getChannels,
+            n_frames = frames.toInt, feature = rms))
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Real image resize via the JDK: decode → bilinear scale → PNG re-encode.
     * None when the payload isn't a decodable image.
     */
@@ -120,12 +169,14 @@ object Multimodal {
     })
   }
 
-  /** Dispatch: images decode for real (ImageIO), audio/video fall through to
-    * the documented stub until a real codec is plugged in.
+  /** Dispatch: images (ImageIO) and audio (javax.sound) decode for real;
+    * video falls through to the documented stub until a codec is plugged in.
     */
-  def decode(r: MediaRecord): MediaMeta =
-    if (r.kind == "image") ImageIoCodec.decode(r).getOrElse(FakeCodec.decode(r))
-    else FakeCodec.decode(r)
+  def decode(r: MediaRecord): MediaMeta = r.kind match {
+    case "image" => ImageIoCodec.decode(r).getOrElse(FakeCodec.decode(r))
+    case "audio" => WavCodec.decode(r).getOrElse(FakeCodec.decode(r))
+    case _ => FakeCodec.decode(r)
+  }
 
   /** Batch decode via typed `mapPartitions`: the per-partition iterator is the
     * batch boundary (≙ `mapInPandas` batch shape), so a native codec is
@@ -192,18 +243,56 @@ object Multimodal {
     }
   }
 
+  /** Deterministic PCM16 WAV for a doc id: sample rate, channel count and
+    * frame count all derive from the id with plain integer arithmetic a SQL
+    * oracle can restate, sample values from an LCG. Encoded through the
+    * JDK's own WAV writer so the bytes are a real RIFF container the real
+    * decoder round-trips — with independently computable expected metadata.
+    */
+  object WavFixture {
+    private val rates = Array(8000, 16000, 44100)
+    def sampleRate(docId: Long): Int = rates(math.floorMod(docId / 3, 3L).toInt)
+    def channels(docId: Long): Int = 1 + math.floorMod(docId / 5, 2L).toInt
+    def frames(docId: Long): Int = 200 + math.floorMod(docId, 100L).toInt
+
+    def wav(docId: Long): Array[Byte] = {
+      val ch = channels(docId)
+      val n = frames(docId)
+      val pcm = new Array[Byte](n * ch * 2)
+      var i = 0
+      while (i < n * ch) {
+        val s = (math.floorMod(docId * 7919L + i * 104729L, 20000L) - 10000L).toShort
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate(docId).toFloat, 16, ch, true, false)
+      val stream = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(stream,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
   /** Build a media table from the documents fixture: image rows carry a real
-    * deterministic PNG ([[ImageFixture]]); audio/video rows carry the UTF-8
-    * bytes of the text (their codec is the stub, so the opaque-binary
-    * contract is what's under test there, not samples).
+    * deterministic PNG ([[ImageFixture]]), audio rows a real deterministic
+    * PCM WAV ([[WavFixture]]); video rows carry the UTF-8 bytes of the text
+    * (their codec is the stub, so the opaque-binary contract is what's
+    * under test there, not samples).
     */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
     val kinds = Array("image", "audio", "video")
     docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
       val kind = kinds(math.floorMod(id, 3L).toInt)
-      val payload =
-        if (kind == "image") ImageFixture.png(id) else text.getBytes("UTF-8")
+      val payload = kind match {
+        case "image" => ImageFixture.png(id)
+        case "audio" => WavFixture.wav(id)
+        case _ => text.getBytes("UTF-8")
+      }
       MediaRecord(id, kind, payload)
     }
   }

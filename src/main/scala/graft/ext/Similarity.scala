@@ -162,6 +162,29 @@ object Similarity {
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/cells")
   }
 
+  /** Incremental append to a [[buildIvfIndex]] store: assign the NEW vectors
+    * with the EXISTING centroids (read from the index, held fixed) and
+    * append them into their `cell=` partition directories — pre-existing
+    * cell files are never rewritten, and searches keep pruning exactly as
+    * before. This is how a growing corpus is indexed at 100 TB: deltas
+    * append; re-training the quantizer is a separate, explicit rebuild
+    * (assignment quality degrades only if the data DISTRIBUTION drifts,
+    * not with volume).
+    */
+  def appendIvfIndex(spark: SparkSession, path: String, newVectors: DataFrame,
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): Unit = {
+    requireIntegralId(newVectors, corpusId, "corpus")
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(centroids.nonEmpty, s"$path/centroids is empty — build the index first")
+    newVectors.select(col(corpusId).as("cid"), col(corpusVec).as("cv"),
+        element_at(SketchFunctions.nearestCentroids(col(corpusVec), centroids, 1), 1)
+          .as("cell"))
+      .repartition(col("cell")) // one writer task per touched cell dir
+      .write.partitionBy("cell").mode("append").parquet(s"$path/cells")
+  }
+
   /** Search a [[buildIvfIndex]] store: each query's nProbe cells become a
     * pushed-down partition filter, so only those directories are read.
     */

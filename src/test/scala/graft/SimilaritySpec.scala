@@ -186,6 +186,40 @@ class SimilaritySpec extends SparkSpec {
     assert(cellDirs == 8)
   }
 
+  test("IVF index append: new vectors join their cells, old files untouched, recall holds") {
+    val work = java.nio.file.Files.createTempDirectory("graft-ivfapp").resolve("idx").toString
+    val emb = Tables.embeddings(spark, sf)
+    // build on HALF the corpus, then append the other half with the
+    // centroids held fixed — the growing-corpus path: no retrain, no rewrite
+    Similarity.buildIvfIndex(emb.filter($"vec_id" % 2 === 0), work, nLists = 8)
+    def cellFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$work/cells")).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = cellFiles
+    Similarity.appendIvfIndex(spark, work, emb.filter($"vec_id" % 2 === 1))
+    val after = cellFiles
+    // every pre-existing cell file survived the append byte-identical
+    // (same path, same mtime): appends are additive, never a rewrite
+    before.foreach { case (p, m) =>
+      assert(after.get(p).contains(m), s"pre-existing index file rewritten: $p")
+    }
+    assert(after.size > before.size, "append added no files")
+    // the appended index covers the full corpus and searches with the same
+    // recall contract as a fresh build
+    assert(spark.read.parquet(s"$work/cells").count() == emb.count())
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val bf = Similarity.bruteForceTopK(queries, emb, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.searchIvfIndex(spark, work, queries, k = 10, nProbe = 8)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.7, s"post-append recall@10 = $recall")
+  }
+
   test("multimodal frame sampling: 4 frames per video, 1 otherwise") {
     val media = graft.ext.Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sf))
     val frames = graft.ext.Multimodal.sampleFrames(media, 4).toDF()

@@ -107,11 +107,25 @@ class TextAnalysisSpec extends SparkSpec {
     val a = Multimodal.decodedTable(spark, docs).orderBy("media_id").collect()
     val b = Multimodal.decodedTable(spark, docs).orderBy("media_id").collect()
     assert(a.toSeq == b.toSeq) // decode is pure
-    // audio/video payloads are the raw text bytes (ascii fixture: bytes == chars)
+    // video payloads are the raw text bytes (ascii fixture: bytes == chars)
     val lens = Multimodal.decodedTable(spark, docs)
       .join(docs, $"media_id" === $"doc_id")
-      .filter($"kind" =!= "image").filter($"byte_len" =!= length($"text"))
+      .filter($"kind" === "video").filter($"byte_len" =!= length($"text"))
     assert(lens.count() == 0)
+    // audio rows: javax.sound really parsed the WAV — decoded sample rate /
+    // channels / frames must equal the fixture's independently computed
+    // values, and the RMS envelope is a nonzero [0,1] vector
+    val audio = Multimodal.decodedTable(spark, docs).filter($"kind" === "audio")
+      .select($"media_id", $"width", $"height", $"n_frames", $"feature")
+      .as[(Long, Int, Int, Int, Array[Float])].collect()
+    assert(audio.nonEmpty)
+    audio.foreach { case (id, rate, ch, nf, feat) =>
+      assert(rate == Multimodal.WavFixture.sampleRate(id), s"media $id rate $rate")
+      assert(ch == Multimodal.WavFixture.channels(id), s"media $id channels $ch")
+      assert(nf == Multimodal.WavFixture.frames(id), s"media $id frames $nf")
+      assert(feat.length == 8 && feat.forall(v => v > 0f && v <= 1f),
+        s"media $id rms ${feat.mkString(",")}")
+    }
     // image rows: ImageIO really decoded the PNG — width/height must equal the
     // fixture's independently computed dimensions, not the stub's hash-dims
     val images = Multimodal.decodedTable(spark, docs).filter($"kind" === "image")
