@@ -42,6 +42,8 @@ object AdminCli {
       |            only dirty partitions rewrite; --retain keeps N grace
       |            snapshots, default 1)
       |  retention --root=DIR --cutoff-date=YYYY-MM-DD [--convert-streaming=true]
+      |            [--snapshot=true]   (commit the drop as a new version;
+      |            pre-retention snapshot stays time-travelable)
       |  finalize  --root=DIR --close-events=DIR [--max-records=N]
       |  watch     --root=DIR --close-events=DIR --checkpoint=DIR [--interval=DUR]
       |  snapshots --root=DIR
@@ -52,7 +54,7 @@ object AdminCli {
   // per-command (required, optional) option keys — anything else is a typo
   private val commands: Map[String, (Set[String], Set[String])] = Map(
     "compact" -> (Set("root"), Set("max-records", "convert-streaming", "full", "retain")),
-    "retention" -> (Set("root", "cutoff-date"), Set("convert-streaming")),
+    "retention" -> (Set("root", "cutoff-date"), Set("convert-streaming", "snapshot")),
     "finalize" -> (Set("root", "close-events"), Set("max-records")),
     "watch" -> (Set("root", "close-events", "checkpoint"), Set("interval")),
     "snapshots" -> (Set("root"), Set.empty[String]),
@@ -97,8 +99,11 @@ object AdminCli {
           retainSnapshots = opts.get("retain").map(_.toInt).getOrElse(1))
         println(s"[admin] compacted ${opts("root")}")
       case "retention" =>
-        val dropped = Retention.enforceHive(spark, opts("root"), opts("cutoff-date"),
-          convertStreamingStore = boolOpt("convert-streaming"))
+        val dropped =
+          if (boolOpt("snapshot"))
+            Retention.enforceHiveSnapshot(spark, opts("root"), opts("cutoff-date"))
+          else Retention.enforceHive(spark, opts("root"), opts("cutoff-date"),
+            convertStreamingStore = boolOpt("convert-streaming"))
         println(s"[admin] dropped ${dropped.size} partitions: ${dropped.mkString(", ")}")
       case "finalize" =>
         val done = StreamFinalize.finalizeClosed(spark, opts("close-events"),

@@ -93,9 +93,9 @@ object Compaction {
       .parquet(dest)
   }
 
-  private def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+  private[logs] def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
 
-  private def dataFilesUnder(fs: FileSystem, dir: Path): Seq[FileStatus] = {
+  private[logs] def dataFilesUnder(fs: FileSystem, dir: Path): Seq[FileStatus] = {
     if (!fs.exists(dir)) return Seq.empty
     val it = fs.listFiles(dir, true)
     val out = Seq.newBuilder[FileStatus]
@@ -114,7 +114,7 @@ object Compaction {
     * rewrite-level dir as one unit, or an incremental swap would replace a
     * populated subtree with a partial one.
     */
-  private def partitionLeaves(fs: FileSystem, root: Path,
+  private[logs] def partitionLeaves(fs: FileSystem, root: Path,
       depth: Int): Seq[(String, Seq[FileStatus])] = {
     def walk(dir: Path, rel: String, d: Int): Seq[(String, Seq[FileStatus])] =
       if (d == 0) {
@@ -232,7 +232,7 @@ object Compaction {
     * support (the symlink tier is local-FS by contract, so this is a
     * safety net, not a path).
     */
-  private def hardLinkCarry(leaves: Seq[(String, Seq[FileStatus])],
+  private[logs] def hardLinkCarry(leaves: Seq[(String, Seq[FileStatus])],
       staging: Path): Unit = {
     import java.nio.file.{Files, Paths}
     leaves.foreach { case (rel, files) =>
@@ -375,6 +375,7 @@ object Compaction {
   private def commitVersioned(spark: SparkSession, root: String, staging: Path,
       marker: Path, fs: FileSystem, expectedRows: Long,
       retainSnapshots: Int): Unit = {
+    val prev = VersionedStore.currentVersion(root)
     val next = VersionedStore.listVersions(root).max + 1
     val versionDir = new Path(VersionedStore.versionName(root, next))
     require(fs.rename(staging, versionDir), s"rename $staging -> $versionDir failed")
@@ -383,9 +384,11 @@ object Compaction {
     require(liveRows == expectedRows,
       s"post-swap count $liveRows != expected $expectedRows — inspect $root")
     fs.delete(marker, false)
-    // keep the newest retainSnapshots replaced versions as grace snapshots
-    // for in-flight readers / time travel; reclaimed by later commits
-    val keep = VersionedStore.listVersions(root).filter(_ < next)
+    // keep the newest retainSnapshots REPLACED versions (anchored at the
+    // version the pointer actually named — a debris dir ahead of it must
+    // not displace the real grace snapshot) for in-flight readers /
+    // time travel; reclaimed by later commits
+    val keep = VersionedStore.listVersions(root).filter(_ <= prev)
       .takeRight(retainSnapshots).toSet + next
     VersionedStore.dropVersionsExcept(root, keep)
   }
@@ -401,14 +404,14 @@ object Compaction {
     if (fs.exists(staging)) {
       commitVersioned(spark, root, staging, marker, fs, expectedRows, retainSnapshots)
     } else {
+      val prev = VersionedStore.currentVersion(root)
       val newest = VersionedStore.listVersions(root).max
-      if (newest > VersionedStore.currentVersion(root))
-        VersionedStore.retarget(root, newest)
+      if (newest > prev) VersionedStore.retarget(root, newest)
       val liveRows = spark.read.parquet(root).count()
       require(liveRows == expectedRows,
         s"recovered count $liveRows != expected $expectedRows — inspect $root")
       fs.delete(marker, false)
-      val keep = VersionedStore.listVersions(root).filter(_ < newest)
+      val keep = VersionedStore.listVersions(root).filter(_ <= prev)
         .takeRight(retainSnapshots).toSet + newest
       VersionedStore.dropVersionsExcept(root, keep)
     }

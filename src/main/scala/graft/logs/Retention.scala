@@ -8,6 +8,13 @@ import org.apache.spark.sql.SparkSession
   * granularity is a metadata operation per partition — no scan, no rewrite —
   * which is what makes retention tractable on a 100 TB store (the positional
   * layout gets the same effect by deleting `YYYY/MM/DD` prefixes).
+  *
+  * Two modes on versioned stores: [[enforceHive]] deletes in place inside
+  * the live version (cheapest, but the live snapshot mutates under readers),
+  * while [[enforceHiveSnapshot]] COMMITS the drop as a new version whose
+  * manifest / hard links carry every surviving partition — still zero data
+  * movement, but in-flight readers keep their complete snapshot and the
+  * pre-retention view stays time-travelable until vacuumed.
   */
 object Retention {
 
@@ -63,10 +70,8 @@ object Retention {
     // live view at metadata cost; the physical files belong to retained
     // snapshots and are reclaimed when their version is
     if (GraftStore.isPointerStore(spark, rawRoot)) {
-      def expired(rel: String) = rel.split('/').exists(c =>
-        c.startsWith("date=") && c.stripPrefix("date=") < cutoffDate)
       val manifest = GraftStore.readManifest(spark, root)
-      val (drop, keep) = manifest.partition(e => expired(e._2))
+      val (drop, keep) = manifest.partition(e => relExpired(e._2, cutoffDate))
       if (drop.nonEmpty) {
         GraftStore.writeManifest(spark, root, keep)
         drop.foreach { case (v, rel) =>
@@ -75,5 +80,115 @@ object Retention {
       }
     }
     deleted.result()
+  }
+
+  private def relExpired(rel: String, cutoffDate: String): Boolean =
+    rel.split('/').exists(c =>
+      c.startsWith("date=") && c.stripPrefix("date=") < cutoffDate)
+
+  /** Snapshot-isolated retention on a VERSIONED store: instead of deleting
+    * inside the live version, commit a NEW version that carries every
+    * surviving partition and omits the expired ones — by manifest reference
+    * on the pointer tier (the new prefix holds ONE object, its manifest) and
+    * by hard link on the symlink tier. Zero data bytes move either way; the
+    * pre-retention snapshot stays complete for in-flight readers and for
+    * time travel, and is reclaimed by vacuum / the next commit like any
+    * grace snapshot. This is the manifest layer doing for retention what it
+    * does for compaction: a drop becomes an O(partitions) metadata commit.
+    *
+    * Returns the dropped partition paths (their physical, pre-retention
+    * locations). Refuses plain unversioned roots — use [[enforceHive]].
+    */
+  def enforceHiveSnapshot(spark: SparkSession, rawRoot: String,
+      cutoffDate: String): Seq[String] = {
+    val fs = new Path(rawRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(rawRoot))) return Seq.empty
+    MaintenanceLease.withLease(spark, rawRoot, "retention") {
+      if (GraftStore.isPointerStore(spark, rawRoot))
+        snapshotPointer(spark, rawRoot, cutoffDate, fs)
+      else {
+        require(VersionedStore.isVersioned(rawRoot),
+          s"$rawRoot is not a versioned store; snapshot-isolated retention " +
+            "needs a version commit primitive — use enforceHive for plain roots")
+        snapshotSymlink(spark, rawRoot, cutoffDate, fs)
+      }
+    }
+  }
+
+  /** date-level partition inventory (cluster/namespace/date = 3 levels) of a
+    * version's OWN directory.
+    */
+  private def ownDateLeaves(fs: org.apache.hadoop.fs.FileSystem, dir: String) =
+    Compaction.partitionLeaves(fs, new Path(dir), 3)
+
+  private def snapshotPointer(spark: SparkSession, root: String,
+      cutoffDate: String, fs: org.apache.hadoop.fs.FileSystem): Seq[String] = {
+    // a compaction marker certifies a staged-ahead version pending recovery;
+    // committing a retention version over it would orphan that recovery
+    require(!fs.exists(new Path(root, "_compact-inflight")),
+      s"$root has an in-flight compaction marker — run compaction (recovery) first")
+    val cur = GraftStore.currentVersion(spark, root)
+    // markerless version prefixes ahead of the pointer are debris from a
+    // crashed stage; sweep them so the manifest-only commit below can't
+    // land beside stale data files
+    GraftStore.listVersions(spark, root).filter(_ > cur).foreach { n =>
+      fs.delete(new Path(root, GraftStore.versionPrefix(n)), true)
+    }
+    val curDir = s"$root/${GraftStore.versionPrefix(cur)}"
+    // composite inventory: own date dirs chain as (cur, rel); carried ones
+    // keep pointing at the version that physically holds them
+    val own = ownDateLeaves(fs, curDir).map { case (rel, _) => (cur, rel) }
+    val carried = GraftStore.readManifest(spark, curDir)
+    val (expired, survivors) = (own ++ carried).partition(e => relExpired(e._2, cutoffDate))
+    if (expired.isEmpty) return Seq.empty
+    val expectedRows =
+      if (survivors.isEmpty) 0L
+      else GraftStore.readVersion(spark, root, cur).count() -
+        expiredRowCount(spark, root, expired)
+    val next = cur + 1
+    val nextDir = s"$root/${GraftStore.versionPrefix(next)}"
+    // the new version holds exactly ONE object — its manifest; every
+    // surviving partition is a reference, every expired one is absent
+    GraftStore.writeManifest(spark, nextDir, survivors.sortBy(e => (e._2, e._1)))
+    if (survivors.nonEmpty) {
+      val staged = GraftStore.readVersion(spark, root, next).count()
+      require(staged == expectedRows,
+        s"snapshot retention staged $staged rows, expected $expectedRows; " +
+          s"aborting with $curDir live")
+    }
+    GraftStore.writePointer(spark, root, next) // one atomic PUT
+    // grace contract: keep the replaced snapshot + manifest closure
+    val keep = (Set(cur, next)).flatMap(n => GraftStore.referencedVersions(spark, root, n))
+    GraftStore.dropVersionsExcept(spark, root, keep)
+    expired.map { case (v, rel) => s"$root/${GraftStore.versionPrefix(v)}/$rel" }
+  }
+
+  private def expiredRowCount(spark: SparkSession, root: String,
+      expired: Seq[(Int, String)]): Long =
+    expired.groupBy(_._1).map { case (v, es) =>
+      val vdir = s"$root/${GraftStore.versionPrefix(v)}"
+      spark.read.option("basePath", vdir)
+        .parquet(es.map(e => s"$vdir/${e._2}"): _*).count() // footer-only
+    }.sum
+
+  private def snapshotSymlink(spark: SparkSession, root: String,
+      cutoffDate: String, fs: org.apache.hadoop.fs.FileSystem): Seq[String] = {
+    val prev = VersionedStore.currentVersion(root)
+    val curDir = VersionedStore.versionName(root, prev)
+    val leaves = ownDateLeaves(fs, curDir)
+    val (expired, survivors) = leaves.partition(l => relExpired(l._1, cutoffDate))
+    if (expired.isEmpty) return Seq.empty
+    val next = VersionedStore.listVersions(root).max + 1
+    val staging = new Path(root + ".retention-staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    fs.mkdirs(staging)
+    Compaction.hardLinkCarry(survivors, staging) // metadata-only carry
+    val versionDir = new Path(VersionedStore.versionName(root, next))
+    require(fs.rename(staging, versionDir), s"rename $staging -> $versionDir failed")
+    VersionedStore.retarget(root, next)
+    val keep = VersionedStore.listVersions(root).filter(_ <= prev)
+      .takeRight(1).toSet + next
+    VersionedStore.dropVersionsExcept(root, keep)
+    expired.map { case (rel, _) => s"$curDir/$rel" }
   }
 }

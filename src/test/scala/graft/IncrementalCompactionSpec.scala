@@ -275,6 +275,75 @@ class IncrementalCompactionSpec extends SparkSpec {
     assert(filesUnder(root).count(_.getPath.contains(s"date=$dirtyDate")) <= 2)
   }
 
+  test("snapshot-isolated retention: the drop is a versioned commit, zero bytes move") {
+    val srv = new graft.sources.S3StubServer()
+    try {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3l.impl", classOf[graft.sources.S3LiteFileSystem].getName)
+      hc.set("fs.s3l.endpoint", srv.endpoint)
+      hc.set("fs.s3l.impl.disable.cache", "true")
+      val root = "s3l://graft-store/snapret-lake"
+      val df = fixture().limit(2000).cache()
+      LogIngest.writeHive(df, root, partitionCols = parts)
+      val dates = df.select($"date").distinct().as[String].collect().sorted
+      val total = GraftStore.readStore(spark, root).count()
+      val expiredRows = df.filter($"date" === dates.head).count()
+      val objectsBefore = srv.keys.count(_.endsWith(".parquet"))
+
+      val deleted = Retention.enforceHiveSnapshot(spark, root, dates(1))
+
+      assert(deleted.size == 1 && deleted.head.contains(s"date=${dates.head}"))
+      assert(GraftStore.currentVersion(spark, root) == 2)
+      // the commit moved ZERO data bytes: v2 holds exactly one object, its
+      // manifest; every survivor is a reference into v1
+      assert(!srv.keys.exists(k => k.contains("/v000002/") && k.endsWith(".parquet")))
+      val manifest = GraftStore.readManifest(spark, s"$root/v000002")
+      assert(manifest.nonEmpty && manifest.forall(_._1 == 1))
+      assert(srv.keys.count(_.endsWith(".parquet")) == objectsBefore)
+      // the live view dropped exactly the expired date
+      val live = GraftStore.readStore(spark, root)
+      assert(live.count() == total - expiredRows)
+      assert(live.select(min($"date".cast("string"))).head.getString(0) == dates(1))
+      // the pre-retention snapshot is COMPLETE and time-travelable — the
+      // isolation the in-place mode cannot give
+      assert(GraftStore.readVersion(spark, root, 1).count() == total)
+      // the snapshot diff audits the drop: removed = the expired partition's
+      // files, row delta = exactly the expired rows
+      val d = GraftStore.diffVersions(spark, root, 1, 2)
+      assert(d.rowDelta == -expiredRows, s"unexpected delta: $d")
+      assert(d.removed.filter(_.endsWith(".parquet"))
+        .forall(_.contains(s"date=${dates.head}")))
+      // vacuum keeps v1 while the live manifest references it... it does:
+      // survivors still live there physically
+      assert(GraftStore.vacuum(spark, root) == Seq.empty)
+    } finally srv.stop()
+  }
+
+  test("snapshot-isolated retention on a symlink store: survivors hard-link, v1 intact") {
+    val root = Files.createTempDirectory("graft-snapret").resolve("store").toString
+    val df = fixture().limit(2000)
+    LogIngest.writeHive(df, root, partitionCols = parts)
+    val dates = df.select($"date").distinct().as[String].collect().sorted
+    val total = spark.read.parquet(root).count()
+    val expiredRows = df.filter($"date" === dates.head).count()
+    val v1Dir = VersionedStore.versionName(root, 1)
+    val survivorFile = filesUnder(v1Dir).find(!_.getPath.contains(s"date=${dates.head}")).get
+
+    val deleted = Retention.enforceHiveSnapshot(spark, root, dates(1))
+
+    assert(deleted.size == 1 && deleted.head.contains(s"date=${dates.head}"))
+    assert(VersionedStore.currentVersion(root) == 2)
+    assert(spark.read.parquet(root).count() == total - expiredRows)
+    // survivors carried by hard link: same inode in v2
+    val v2Twin = VersionedStore.versionName(root, 2) +
+      survivorFile.getPath.stripPrefix(v1Dir)
+    assert(inode(v2Twin) == inode(survivorFile.getPath))
+    // pre-retention snapshot intact (time travel), reclaimed only by vacuum
+    assert(GraftStore.readVersion(spark, root, 1).count() == total)
+    assert(GraftStore.vacuum(spark, root) == Seq(1))
+    assert(spark.read.parquet(root).count() == total - expiredRows)
+  }
+
   test("a fully clean store is a no-op: no new version, no data movement") {
     val root = Files.createTempDirectory("graft-noop").resolve("store").toString
     val df = fixture().limit(1000)
