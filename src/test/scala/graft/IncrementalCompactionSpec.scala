@@ -344,6 +344,37 @@ class IncrementalCompactionSpec extends SparkSpec {
     assert(spark.read.parquet(root).count() == total - expiredRows)
   }
 
+  test("composite (manifest) reads keep partition pruning in every leg") {
+    val root = Files.createTempDirectory("graft-prune").resolve("store").toString
+    val df = fixture().limit(2000)
+    // force the pointer tier on a local path by initializing it explicitly:
+    // pruning must hold for the manifest union, the tier where it matters
+    GraftStore.init(spark, root)
+    df.repartition(parts.map(col): _*).write.partitionBy(parts: _*)
+      .mode("append").parquet(GraftStore.resolve(spark, root))
+    val dates = df.select($"date").distinct().as[String].collect().sorted
+    df.filter($"date" === dates.last).repartition(4)
+      .write.partitionBy(parts: _*).option("maxRecordsPerFile", 10)
+      .mode("append").parquet(GraftStore.resolve(spark, root))
+    Compaction.compactHive(spark, root, partitionCols = parts)
+    assert(GraftStore.readManifest(spark, GraftStore.resolve(spark, root)).nonEmpty)
+    // a date filter over the composite store must prune at the partition
+    // level in BOTH union legs: the scans read only the matching directory
+    val q = GraftStore.readStore(spark, root)
+      .filter($"date".cast("string") === dates(1))
+    assert(q.count() == df.filter($"date" === dates(1)).count())
+    val scans = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      val pruned = s.relation.location.listFiles(s.partitionFilters, s.dataFilters)
+      val read = pruned.flatMap(_.files).map(_.getPath.toString)
+      assert(read.forall(_.contains(s"date=${dates(1)}")) ,
+        s"scan read non-matching partitions: ${read.filterNot(_.contains(s"date=${dates(1)}")).take(3)}")
+    }
+  }
+
   test("a fully clean store is a no-op: no new version, no data movement") {
     val root = Files.createTempDirectory("graft-noop").resolve("store").toString
     val df = fixture().limit(1000)
