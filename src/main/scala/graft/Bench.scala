@@ -116,7 +116,9 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         val sSec = (System.nanoTime() - s0) / 1e9
         println(s"""{"metric":"v4_split","queries":{"v4_build":$bSec,"v4_search":$sSec},"unit":"sec","sf":"$sfDir"}""")
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
+        // fatal errors (OOM) must kill the bench — timing a corrupted JVM
+        // would emit misleading artifacts
         System.err.println(s"[bench] v4 split failed: ${e.getMessage}")
       }
     }

@@ -125,6 +125,7 @@ object SparkEntry {
     "z7_curriculum_sample" -> (ExtensionQueries.curriculumSample(_, _)),
     "d9_cross_source_dups" -> (ExtensionQueries.crossSourceDupMatrix(_, _)),
     "x10_funnel" -> (ExtensionQueries.funnelConversion(_, _)),
+    "x11_snapshot_cdc" -> (StoreCdcQuery.run(_, _)),
     "v6_random_projection" -> (ExtensionQueries.randomProjectionGates(_, _)),
     "t11_bpe_vocab" -> (ExtensionQueries.bpeVocabGates(_, _)),
     "v7_quantize_int8" -> (ExtensionQueries.quantizationGates(_, _)),
@@ -930,6 +931,20 @@ object SparkEntry {
         |  AND p_us >= first_click_us AND p_us <= first_click_us + 3600000000
         |GROUP BY fc.user_id, fc.first_click_us
         |ORDER BY fc.user_id""".stripMargin,
+    // x11: the engine drives ingest → compaction (v2) → snapshot retention
+    // (v3) on a real versioned store, then row-level-diffs the snapshots
+    // (GraftStore.rowDiff). DuckDB restates the ground truth from events:
+    // a content-preserving compaction diffs to ZERO rows, retention's diff
+    // is exactly the oldest calendar date (all `removed`, none `added`),
+    // and the multiset identity against the retained v2 snapshot held.
+    "x11_snapshot_cdc" ->
+      """SELECT CAST(0 AS BIGINT) AS compact_changed_rows,
+        |  CAST(count(*) AS BIGINT) AS removed_rows,
+        |  CAST(0 AS BIGINT) AS added_rows,
+        |  TRUE AS cdc_matches_expired_ok
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') =
+        |  (SELECT min(strftime(ts, '%Y-%m-%d')) FROM events)""".stripMargin,
     // v6: sign-matrix JL projection 64→32 — the oracle states the pair count
     // of the probe set and that the measured cosine distortion stayed inside
     // the gate bounds (max 0.6, mean 0.2; measured ~0.3/~0.1)

@@ -88,12 +88,24 @@ object Multimodal {
   object WavCodec {
     def decode(r: MediaRecord): Option[MediaMeta] =
       try {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(r.payload))
+        // javax.sound parses 8-bit PCM, mu-law/A-law and big-endian WAVs
+        // too — normalize to PCM16 little-endian BEFORE the sample loop so
+        // the RMS feature reads real samples, never reinterpreted bytes
+        val f = raw.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          f.getSampleRate, 16, f.getChannels,
+          f.getChannels * 2, f.getSampleRate, false)
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(target, raw)
         try {
-          val f = in.getFormat
-          val frames = in.getFrameLength
           val pcm = in.readAllBytes()
+          // frame length can be NOT_SPECIFIED (-1) on some streams; the
+          // decoded byte count is then the authoritative frame count
+          val frames =
+            if (in.getFrameLength >= 0) in.getFrameLength
+            else pcm.length.toLong / (f.getChannels * 2)
           // 8-window RMS over interleaved 16-bit little-endian samples,
           // normalized to [0,1] by the int16 range
           val nSamples = pcm.length / 2

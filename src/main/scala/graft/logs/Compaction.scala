@@ -41,6 +41,21 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   * [[MaintenanceLease]], so two compactors (or compaction racing retention
   * or vacuum) cannot interleave — the loser aborts before touching
   * anything.
+  *
+  * WRITERS are a separate discipline: appends land in the live version
+  * directory, so rows appended after this job's inventory but before its
+  * pointer/symlink flip could survive only in the grace snapshot, not the
+  * new live tree. Like Delta/Iceberg OPTIMIZE under optimistic concurrency,
+  * the commit DETECTS this instead of assuming it away: immediately before
+  * the marker/flip it re-inventories the partitions whose files the commit
+  * would replace (dirty partitions everywhere; every partition on the
+  * hardlink-carry tier, where the carry is physical; plus the partition-dir
+  * set on the pointer tier, where a brand-new partition would miss the
+  * carry manifest) and ABORTS cleanly on any change — staged data is
+  * removed, the live tree is untouched, and the writer's rows are safe.
+  * Appends to partitions carried BY REFERENCE on the pointer tier are no
+  * conflict at all: the new version lists the same physical directory, so
+  * the appended files stay visible.
   */
 object Compaction {
 
@@ -93,7 +108,20 @@ object Compaction {
       .parquet(dest)
   }
 
-  private[logs] def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+  private[logs] def visible(n: String) = GraftStore.visibleName(n)
+
+  /** Test seam: runs after staging is verified, immediately before the
+    * concurrent-writer re-inventory — the only way to deterministically
+    * exercise the conflict window in a spec.
+    */
+  private[graft] var onBeforeCommit: () => Unit = () => ()
+
+  /** Identity of a file set for conflict detection: path + length + mtime.
+    * An append, replace, or delete by a concurrent writer changes the set;
+    * source files this job never touches keep theirs.
+    */
+  private def fileIdentity(files: Seq[FileStatus]): Set[(String, Long, Long)] =
+    files.map(f => (f.getPath.toString, f.getLen, f.getModificationTime)).toSet
 
   private[logs] def dataFilesUnder(fs: FileSystem, dir: Path): Seq[FileStatus] = {
     if (!fs.exists(dir)) return Seq.empty
@@ -138,9 +166,7 @@ object Compaction {
     // there must be migrated, not silently swapped with a seconds-long
     // partition-missing window per leaf
     val scheme = Option(new Path(root).toUri.getScheme).getOrElse("file")
-    val objectStoreSchemes =
-      Set("s3", "s3a", "s3n", "s3l", "gs", "wasb", "wasbs", "abfs", "abfss", "oss")
-    require(!objectStoreSchemes.contains(scheme),
+    require(!GraftStore.objectStoreSchemes.contains(scheme),
       s"$root is a plain directory on an object store ($scheme), where rename " +
         "is non-atomic copy+delete. Create the store with LogIngest.writeHive " +
         "(pointer-versioned) or migrate it: copy the tree under <root>/v000001 " +
@@ -205,6 +231,24 @@ object Compaction {
       val stagedRows = spark.read.parquet(staging.toString).count()
       require(stagedRows == dirtyRows,
         s"compaction wrote $stagedRows rows, expected $dirtyRows; aborting with $live untouched")
+      // Optimistic concurrency: the swap replaces files captured at
+      // inventory time, so a writer landing after it would have its rows
+      // silently dropped (dirty leaves on both tiers; every leaf on the
+      // hardlink tier, whose carry is physical). Verify nothing moved and
+      // abort cleanly BEFORE the marker — staging without a marker is
+      // swept, the live tree is still complete, the writer's rows are safe.
+      def abortOnWriterChange(): Unit = {
+        onBeforeCommit()
+        val now = partitionLeaves(fs, live, partitionCols.length)
+        if (fileIdentity(now.flatMap(_._2)) != fileIdentity(leaves.flatMap(_._2))) {
+          fs.delete(staging, true)
+          throw new IllegalStateException(
+            s"concurrent writer detected on $root during compaction; " +
+              "staging removed, live tree untouched — re-run compaction " +
+              "after the writer finishes (maintenance requires the store " +
+              "quiescent or it aborts, never loses rows)")
+        }
+      }
       if (VersionedStore.isVersioned(root)) {
         // carry every untouched partition into the staged tree by hard link
         // (metadata-only, same inodes) so the promoted version dir stays
@@ -214,11 +258,13 @@ object Compaction {
         val totalStaged = spark.read.parquet(staging.toString).count()
         require(totalStaged == expectedRows,
           s"staging holds $totalStaged rows, expected $expectedRows; aborting with $live untouched")
+        abortOnWriterChange()
         writeMarker(fs, marker, expectedRows)
         commitVersioned(spark, root, staging, marker, fs, expectedRows, retainSnapshots)
       } else {
         // legacy tier: only the dirty leaves are staged, so only they swap;
         // untouched leaves are never renamed at all
+        abortOnWriterChange()
         writeMarker(fs, marker, expectedRows)
         applyStaging(spark, live, staging, marker, fs, expectedRows)
       }
@@ -341,6 +387,36 @@ object Compaction {
       require(stagedRows == expectedRows,
         s"staged snapshot holds $stagedRows rows, expected $expectedRows; " +
           s"aborting with $curDir live")
+      onBeforeCommit()
+      // Optimistic concurrency: the staged snapshot fixes (a) the dirty
+      // partitions' contents and (b) the carry manifest's partition-dir
+      // set, both as of inventory time. A writer can only land in the live
+      // prefix, so conflicts are: new files under a dirty partition, or a
+      // NEW own-partition dir (brand-new partition, or the first live-
+      // prefix files of a partition previously held only by reference) —
+      // either would vanish from the flipped snapshot. Appends to a
+      // partition dir the manifest carries are NOT conflicts: the new
+      // version lists that same physical dir, so the files stay visible.
+      // Abort BEFORE the marker — the staged prefix is markerless debris
+      // the next run sweeps; nothing live moved.
+      val ownNowByRel = partitionLeaves(fs, new Path(curDir), depth).toMap
+      val newOwnRels = ownNowByRel.keySet -- own.map(_._1).toSet
+      val dirtyChanged = dirtyRels.filter { rel =>
+        val before = fileIdentity(byRel(rel).flatMap(_._3))
+        val carriedNow = byRel(rel).collect { case (r, v, _) if v != cur =>
+          dataFilesUnder(fs, new Path(s"$root/${GraftStore.versionPrefix(v)}/$r"))
+        }.flatten
+        before != fileIdentity(ownNowByRel.getOrElse(rel, Seq.empty) ++ carriedNow)
+      }
+      if (newOwnRels.nonEmpty || dirtyChanged.nonEmpty) {
+        fs.delete(new Path(nextDir), true)
+        throw new IllegalStateException(
+          s"concurrent writer detected on $root during compaction " +
+            s"(new partitions: [${newOwnRels.mkString(",")}], changed: " +
+            s"[${dirtyChanged.mkString(",")}]); staged version removed, " +
+            "live store untouched — re-run compaction after the writer " +
+            "finishes (maintenance aborts on a racing writer, never loses rows)")
+      }
       writeMarker(fs, marker, expectedRows)
       GraftStore.writePointer(spark, root, next) // THE commit: one atomic PUT
       val liveRows = GraftStore.readStore(spark, root).count()

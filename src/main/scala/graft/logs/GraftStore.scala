@@ -91,13 +91,36 @@ object GraftStore {
     }
   }
 
+  /** Filesystem schemes where a single-object PUT publishes all-or-nothing
+    * but rename is non-atomic copy+delete — the commit-primitive choice
+    * flips between the two families.
+    */
+  private[logs] val objectStoreSchemes =
+    Set("s3", "s3a", "s3n", "s3l", "gs", "wasb", "wasbs", "abfs", "abfss", "oss")
+
+  /** Atomic manifest write. On object stores the single PUT (create) IS the
+    * atomic primitive; on filesystems `create(overwrite)` truncates first —
+    * a crash mid-write would leave a torn manifest whose missing carried
+    * entries make vacuum delete live data — so there the write goes through
+    * temp + rename like the compaction marker.
+    */
   def writeManifest(spark: SparkSession, versionDir: String,
       entries: Seq[(Int, String)]): Unit = {
     val p = new Path(versionDir, ManifestName)
-    val out = fsOf(spark, p).create(p, true)
-    try out.write(entries.map { case (v, rel) => s"${versionPrefix(v)}\t$rel" }
-      .mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    val fs = fsOf(spark, p)
+    val bytes = entries.map { case (v, rel) => s"${versionPrefix(v)}\t$rel" }
+      .mkString("\n").getBytes("UTF-8")
+    val scheme = Option(p.toUri.getScheme).getOrElse("file")
+    if (objectStoreSchemes.contains(scheme)) {
+      val out = fs.create(p, true)
+      try out.write(bytes) finally out.close()
+    } else {
+      val tmp = new Path(p.getParent, p.getName + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      require(fs.rename(tmp, p) || (fs.delete(p, false) && fs.rename(tmp, p)),
+        s"atomic rename $tmp -> $p failed")
+    }
   }
 
   /** Versions whose files snapshot `n` reads: itself plus every version its
@@ -142,45 +165,65 @@ object GraftStore {
       readVersion(spark, root, currentVersion(spark, root))
     else spark.read.parquet(root)
 
+  /** Hidden/metadata names (`_SUCCESS`, `_graft_manifest`, `.crc`, trash)
+    * are invisible to Spark's file listing and to store accounting.
+    */
+  private[logs] def visibleName(n: String): Boolean =
+    !n.startsWith("_") && !n.startsWith(".")
+
   private def hasDataFiles(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) return false
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
-      val name = it.next().getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) return true
+      if (visibleName(it.next().getPath.getName)) return true
     }
     false
   }
 
-  /** Physical files of snapshot `n` (own + carried), keyed by store-layout-
-    * relative path: a carried file keeps the SAME key across versions, so a
-    * snapshot diff shows it as unchanged — carried by reference, not
-    * rewritten — while rewritten files (fresh task UUID names) show as
-    * removed+added.
+  /** Physical DATA files of snapshot `n` (own + carried), keyed by
+    * store-layout-relative path: a carried file keeps the SAME key across
+    * versions, so a snapshot diff shows it as unchanged — carried by
+    * reference, not rewritten — while rewritten files (fresh task UUID
+    * names) show as removed+added. Metadata objects (`_SUCCESS`, the
+    * manifest itself) are excluded: the audit view and the rewritten-bytes
+    * accounting are about data.
     */
-  private def compositeFiles(spark: SparkSession, root: String, n: Int): Map[String, Long] = {
+  private def compositeFiles(spark: SparkSession, root: String, n: Int): Map[String, Long] =
+    compositeEntries(spark, root, n).map(e => (e.key, e.len)).toMap
+
+  /** One physical data file of a snapshot: its store-layout-relative key,
+    * the leg base dir partition columns derive from (`basePath` for reads),
+    * its full physical path, and its length.
+    */
+  private[logs] final case class FileEntry(key: String, legBase: String,
+      physical: String, len: Long)
+
+  private[logs] def compositeEntries(spark: SparkSession, root: String,
+      n: Int): Seq[FileEntry] = {
     val (_, _, dirOf) = tierOf(spark, root)
-    def list(dir: String, keyPrefix: String): Seq[(String, Long)] = {
+    def list(dir: String, keyPrefix: String, legBase: String): Seq[FileEntry] = {
       val p = new Path(dir)
       val fs = fsOf(spark, p)
       if (!fs.exists(p)) return Seq.empty
       val base = p.toUri.getPath
       val it = fs.listFiles(p, true)
-      val out = Seq.newBuilder[(String, Long)]
+      val out = Seq.newBuilder[FileEntry]
       while (it.hasNext) {
         val f = it.next()
-        out += ((keyPrefix + f.getPath.toUri.getPath.stripPrefix(base), f.getLen))
+        if (visibleName(f.getPath.getName))
+          out += FileEntry(keyPrefix + f.getPath.toUri.getPath.stripPrefix(base),
+            legBase, f.getPath.toString, f.getLen)
       }
       out.result()
     }
     val dir = resolveVersion(spark, root, n)
-    val own = list(dir, "")
+    val own = list(dir, "", dir)
     val carried = readManifest(spark, dir).flatMap { case (v, rel) =>
-      list(s"${dirOf(v)}/$rel", s"/$rel")
+      list(s"${dirOf(v)}/$rel", s"/$rel", dirOf(v))
     }
-    (own ++ carried).toMap
+    own ++ carried
   }
 
   /** One row per retained version, with the live one flagged. */
@@ -220,6 +263,54 @@ object GraftStore {
       bytesAdded = added.map(b).sum, bytesRemoved = removed.map(a).sum,
       rowDelta = readVersion(spark, root, to).count() -
         readVersion(spark, root, from).count())
+  }
+
+  /** Row-level CDC between two retained snapshots: every row added or
+    * removed from `from` to `to`, tagged `_change` = `added` | `removed`,
+    * with multiset semantics (a row present twice and then once is one
+    * `removed`).
+    *
+    * Scale shape: the file-level diff prunes first — only files whose
+    * store-layout key changed between the snapshots are read at all, so a
+    * one-partition retention or compaction on a 10⁴-partition store scans
+    * one partition's worth of data, not the store. Rewritten-in-place
+    * partitions (compaction) read on both sides but cancel in the
+    * `exceptAll` (one hash shuffle over the changed rows only): a clean
+    * compaction yields an EMPTY frame, which is the audit invariant —
+    * `diffVersions.rowDelta == 0` proves counts, `rowDiff.isEmpty` proves
+    * contents.
+    */
+  def rowDiff(spark: SparkSession, root: String, from: Int, to: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val a = compositeEntries(spark, root, from).map(e => (e.key, e)).toMap
+    val b = compositeEntries(spark, root, to).map(e => (e.key, e)).toMap
+    // same store-layout key + same length = same immutable file: every
+    // write uses fresh task-UUID names, and a carry (manifest reference or
+    // hard link) moves the physical location WITHOUT changing the file —
+    // comparing physical paths would un-prune every hardlink-carried
+    // partition. A same-key length change (an overwrite the engine never
+    // performs) still counts as changed on both sides.
+    val touched = (a.keySet ++ b.keySet).filter { k =>
+      (a.get(k), b.get(k)) match {
+        case (Some(x), Some(y)) => x.len != y.len
+        case _ => true
+      }
+    }
+    def readSide(m: Map[String, FileEntry]): Option[DataFrame] =
+      touched.intersect(m.keySet).groupBy(k => m(k).legBase).map {
+        case (base, ks) => spark.read.option("basePath", base)
+          .parquet(ks.map(m(_).physical).toSeq.sorted: _*)
+      }.reduceOption(_.unionByName(_))
+    val tagged = (readSide(a), readSide(b)) match {
+      case (Some(f), Some(t)) =>
+        t.exceptAll(f).withColumn("_change", lit("added"))
+          .unionByName(f.exceptAll(t).withColumn("_change", lit("removed")))
+      case (Some(f), None) => f.withColumn("_change", lit("removed"))
+      case (None, Some(t)) => t.withColumn("_change", lit("added"))
+      case (None, None) =>
+        readVersion(spark, root, to).limit(0).withColumn("_change", lit(""))
+    }
+    tagged
   }
 
   /** Reclaim grace snapshots NOW instead of at the next commit: drops

@@ -29,6 +29,12 @@ object Retention {
     // retention must not interleave with a compaction staging the same root
     // (it could delete partitions out of the tree being staged)
     MaintenanceLease.withLease(spark, rawRoot, "retention") {
+      // and must not run over a crashed compaction either: its recovery
+      // re-applies the verified pre-retention staging tree, which would
+      // resurrect the partitions dropped here
+      require(!fs.exists(new Path(rawRoot, "_compact-inflight")) &&
+          !fs.exists(new Path(rawRoot + ".compact-inflight")),
+        s"$rawRoot has an in-flight compaction marker — run compaction (recovery) first")
       enforceHeld(spark, rawRoot, cutoffDate, convertStreamingStore, fs)
     }
   }
@@ -53,30 +59,36 @@ object Retention {
       fs.delete(sinkLog, true)
     }
     // layout: root/cluster=c/namespace=n/date=d/...
-    val deleted = Seq.newBuilder[String]
-    for {
+    val dateParts = for {
       cluster <- fs.listStatus(new Path(root)).toSeq if cluster.isDirectory
       ns <- fs.listStatus(cluster.getPath).toSeq if ns.isDirectory
       datePart <- fs.listStatus(ns.getPath).toSeq
-      name = datePart.getPath.getName
-      if name.startsWith("date=") && name.stripPrefix("date=") < cutoffDate
-    } {
-      // only count partitions the filesystem actually removed
-      if (fs.delete(datePart.getPath, true))
-        deleted += datePart.getPath.toString
-    }
+      if datePart.getPath.getName.startsWith("date=")
+    } yield datePart.getPath
+    val (expiredParts, survivingParts) =
+      dateParts.partition(p => p.getName.stripPrefix("date=") < cutoffDate)
+    val manifest =
+      if (GraftStore.isPointerStore(spark, rawRoot)) GraftStore.readManifest(spark, root)
+      else Seq.empty
+    val (manifestDrop, manifestKeep) =
+      manifest.partition(e => relExpired(e._2, cutoffDate))
+    // expiring EVERY partition would leave a dataless store whose reads all
+    // fail (no schema to infer) — that is a store drop, not retention
+    require(expiredParts.isEmpty && manifestDrop.isEmpty ||
+        survivingParts.nonEmpty || manifestKeep.nonEmpty,
+      s"retention cutoff $cutoffDate expires every partition of $rawRoot — " +
+        "refusing to empty the store; drop the store explicitly instead")
+    val deleted = Seq.newBuilder[String]
+    // only count partitions the filesystem actually removed
+    expiredParts.foreach { p => if (fs.delete(p, true)) deleted += p.toString }
     // partitions carried by manifest (incremental compaction) live in OLDER
     // version prefixes: dropping the manifest entry removes them from the
     // live view at metadata cost; the physical files belong to retained
     // snapshots and are reclaimed when their version is
-    if (GraftStore.isPointerStore(spark, rawRoot)) {
-      val manifest = GraftStore.readManifest(spark, root)
-      val (drop, keep) = manifest.partition(e => relExpired(e._2, cutoffDate))
-      if (drop.nonEmpty) {
-        GraftStore.writeManifest(spark, root, keep)
-        drop.foreach { case (v, rel) =>
-          deleted += s"$rawRoot/${GraftStore.versionPrefix(v)}/$rel"
-        }
+    if (manifestDrop.nonEmpty) {
+      GraftStore.writeManifest(spark, root, manifestKeep)
+      manifestDrop.foreach { case (v, rel) =>
+        deleted += s"$rawRoot/${GraftStore.versionPrefix(v)}/$rel"
       }
     }
     deleted.result()
@@ -100,10 +112,26 @@ object Retention {
     * locations). Refuses plain unversioned roots — use [[enforceHive]].
     */
   def enforceHiveSnapshot(spark: SparkSession, rawRoot: String,
-      cutoffDate: String): Seq[String] = {
+      cutoffDate: String, convertStreamingStore: Boolean = false): Seq[String] = {
     val fs = new Path(rawRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(rawRoot))) return Seq.empty
     MaintenanceLease.withLease(spark, rawRoot, "retention") {
+      // a compaction marker certifies a staged tree pending recovery; a
+      // retention commit over it would be silently REVERTED by that recovery
+      // (which re-promotes the pre-retention tree), resurrecting expired data
+      require(!fs.exists(new Path(rawRoot, "_compact-inflight")) &&
+          !fs.exists(new Path(rawRoot + ".compact-inflight")),
+        s"$rawRoot has an in-flight compaction marker — run compaction (recovery) first")
+      // mirror enforceHive's streaming-sink guard: the new version carries
+      // only partition data, so a live streaming writer's commit log would
+      // be silently orphaned without this explicit opt-in
+      val sinkLog = new Path(GraftStore.resolve(spark, rawRoot), "_spark_metadata")
+      if (fs.exists(sinkLog)) {
+        require(convertStreamingStore,
+          s"$rawRoot was written by the streaming sink (_spark_metadata present); " +
+            "stop the streaming query and pass convertStreamingStore=true — the " +
+            "snapshot commit converts the store to listing-based")
+      }
       if (GraftStore.isPointerStore(spark, rawRoot))
         snapshotPointer(spark, rawRoot, cutoffDate, fs)
       else {
@@ -123,10 +151,6 @@ object Retention {
 
   private def snapshotPointer(spark: SparkSession, root: String,
       cutoffDate: String, fs: org.apache.hadoop.fs.FileSystem): Seq[String] = {
-    // a compaction marker certifies a staged-ahead version pending recovery;
-    // committing a retention version over it would orphan that recovery
-    require(!fs.exists(new Path(root, "_compact-inflight")),
-      s"$root has an in-flight compaction marker — run compaction (recovery) first")
     val cur = GraftStore.currentVersion(spark, root)
     // markerless version prefixes ahead of the pointer are debris from a
     // crashed stage; sweep them so the manifest-only commit below can't
@@ -141,21 +165,22 @@ object Retention {
     val carried = GraftStore.readManifest(spark, curDir)
     val (expired, survivors) = (own ++ carried).partition(e => relExpired(e._2, cutoffDate))
     if (expired.isEmpty) return Seq.empty
-    val expectedRows =
-      if (survivors.isEmpty) 0L
-      else GraftStore.readVersion(spark, root, cur).count() -
-        expiredRowCount(spark, root, expired)
+    // a dataless live version would fail every subsequent read (no schema
+    // to infer) — expiring EVERYTHING is a store drop, not retention
+    require(survivors.nonEmpty,
+      s"retention cutoff $cutoffDate expires every partition of $root — " +
+        "refusing to commit an empty store; drop the store explicitly instead")
+    val expectedRows = GraftStore.readVersion(spark, root, cur).count() -
+      expiredRowCount(spark, root, expired)
     val next = cur + 1
     val nextDir = s"$root/${GraftStore.versionPrefix(next)}"
     // the new version holds exactly ONE object — its manifest; every
     // surviving partition is a reference, every expired one is absent
     GraftStore.writeManifest(spark, nextDir, survivors.sortBy(e => (e._2, e._1)))
-    if (survivors.nonEmpty) {
-      val staged = GraftStore.readVersion(spark, root, next).count()
-      require(staged == expectedRows,
-        s"snapshot retention staged $staged rows, expected $expectedRows; " +
-          s"aborting with $curDir live")
-    }
+    val staged = GraftStore.readVersion(spark, root, next).count()
+    require(staged == expectedRows,
+      s"snapshot retention staged $staged rows, expected $expectedRows; " +
+        s"aborting with $curDir live")
     GraftStore.writePointer(spark, root, next) // one atomic PUT
     // grace contract: keep the replaced snapshot + manifest closure
     val keep = (Set(cur, next)).flatMap(n => GraftStore.referencedVersions(spark, root, n))
@@ -178,6 +203,9 @@ object Retention {
     val leaves = ownDateLeaves(fs, curDir)
     val (expired, survivors) = leaves.partition(l => relExpired(l._1, cutoffDate))
     if (expired.isEmpty) return Seq.empty
+    require(survivors.nonEmpty,
+      s"retention cutoff $cutoffDate expires every partition of $root — " +
+        "refusing to commit an empty store; drop the store explicitly instead")
     val next = VersionedStore.listVersions(root).max + 1
     val staging = new Path(root + ".retention-staging")
     if (fs.exists(staging)) fs.delete(staging, true)

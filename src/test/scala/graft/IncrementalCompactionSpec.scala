@@ -375,6 +375,159 @@ class IncrementalCompactionSpec extends SparkSpec {
     }
   }
 
+  test("retention refuses hazardous states: pending recovery, all-expired, streaming log") {
+    val root = Files.createTempDirectory("graft-retguard").resolve("store").toString
+    val df = fixture().limit(500)
+    LogIngest.writeHive(df, root, partitionCols = parts)
+    val total = spark.read.parquet(root).count()
+    // a crashed compaction's marker means recovery will re-promote the
+    // PRE-retention tree — running retention now would be silently reverted
+    Files.writeString(Paths.get(root + ".compact-inflight"), total.toString)
+    val e1 = intercept[IllegalArgumentException](
+      Retention.enforceHiveSnapshot(spark, root, "2099-01-01"))
+    assert(e1.getMessage.contains("in-flight compaction"))
+    val e2 = intercept[IllegalArgumentException](
+      Retention.enforceHive(spark, root, "2099-01-01"))
+    assert(e2.getMessage.contains("in-flight compaction"))
+    Files.delete(Paths.get(root + ".compact-inflight"))
+    // expiring EVERY partition would commit a dataless store whose reads
+    // all fail — refuse loudly, store untouched
+    val e3 = intercept[IllegalArgumentException](
+      Retention.enforceHiveSnapshot(spark, root, "2099-01-01"))
+    assert(e3.getMessage.contains("every partition"))
+    // the in-place path refuses the same hazard (found by a CLI drive:
+    // it used to empty the store, leaving every read failing on schema)
+    val e3b = intercept[IllegalArgumentException](
+      Retention.enforceHive(spark, root, "2099-01-01"))
+    assert(e3b.getMessage.contains("every partition"))
+    assert(VersionedStore.currentVersion(root) == 1)
+    assert(spark.read.parquet(root).count() == total)
+    // a streaming-sink commit log needs the explicit conversion opt-in in
+    // snapshot mode too (the new version would silently orphan the log)
+    val dates = df.select($"date").distinct().as[String].collect().sorted
+    Files.createDirectories(Paths.get(root, "_spark_metadata"))
+    val e4 = intercept[IllegalArgumentException](
+      Retention.enforceHiveSnapshot(spark, root, dates(1)))
+    assert(e4.getMessage.contains("_spark_metadata"))
+    val dropped = Retention.enforceHiveSnapshot(spark, root, dates(1),
+      convertStreamingStore = true)
+    assert(dropped.nonEmpty)
+    assert(spark.read.parquet(root).count() < total)
+  }
+
+  test("symlink tier: a writer landing mid-commit aborts the compaction, loses nothing") {
+    val root = Files.createTempDirectory("graft-race").resolve("store").toString
+    val df = fixture().limit(1000)
+    LogIngest.writeHive(df, root, partitionCols = parts)
+    val dates = df.select($"date").distinct().as[String].collect().sorted
+    val dirtyDate = dates.head
+    df.filter($"date" === dirtyDate).repartition(4)
+      .write.partitionBy(parts: _*).option("maxRecordsPerFile", 10)
+      .mode("append").parquet(root)
+    val before = spark.read.parquet(root).count()
+    val dirtyDir = Paths.get(VersionedStore.versionName(root, 1),
+      s"cluster=dev/namespace=ns0/date=$dirtyDate")
+    // the racing writer: duplicate one data file of the dirty partition
+    // into the live tree after staging is verified, before the swap
+    var appended = 0L
+    Compaction.onBeforeCommit = () => {
+      val src = Files.list(dirtyDir).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      appended = spark.read.parquet(src.toString).count()
+      Files.copy(src, dirtyDir.resolve("part-racer.parquet"))
+    }
+    try {
+      val e = intercept[IllegalStateException](
+        Compaction.compactHive(spark, root, partitionCols = parts))
+      assert(e.getMessage.contains("concurrent writer"))
+      // nothing moved: v1 still live, the writer's rows are all visible,
+      // and the aborted staging tree is gone
+      assert(VersionedStore.currentVersion(root) == 1)
+      assert(spark.read.parquet(root).count() == before + appended)
+      assert(!Files.exists(Paths.get(root + ".compact-staging")))
+      assert(!Files.exists(Paths.get(root + ".compact-inflight")))
+    } finally Compaction.onBeforeCommit = () => ()
+    // with the writer quiescent the same compaction commits cleanly
+    Compaction.compactHive(spark, root, partitionCols = parts)
+    assert(VersionedStore.currentVersion(root) == 2)
+    assert(spark.read.parquet(root).count() == before + appended)
+  }
+
+  test("pointer tier: a NEW partition landing mid-commit aborts the flip, loses nothing") {
+    val srv = new graft.sources.S3StubServer()
+    try {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3l.impl", classOf[graft.sources.S3LiteFileSystem].getName)
+      hc.set("fs.s3l.endpoint", srv.endpoint)
+      hc.set("fs.s3l.impl.disable.cache", "true")
+      val root = "s3l://graft-store/race-lake"
+      val df = fixture().limit(1000).cache()
+      LogIngest.writeHive(df, root, partitionCols = parts)
+      val dates = df.select($"date").distinct().as[String].collect().sorted
+      df.filter($"date" === dates.head).repartition(4)
+        .write.partitionBy(parts: _*).option("maxRecordsPerFile", 10)
+        .mode("append").parquet(GraftStore.resolve(spark, root))
+      val before = GraftStore.readStore(spark, root).count()
+      // the racing writer appends a partition the carry manifest cannot
+      // know about — the staged snapshot would silently drop it
+      val racer = df.limit(50).withColumn("date", lit("2099-12-31"))
+      Compaction.onBeforeCommit = () => racer
+        .write.partitionBy(parts: _*).mode("append")
+        .parquet(GraftStore.resolve(spark, root))
+      try {
+        val e = intercept[IllegalStateException](
+          Compaction.compactHive(spark, root, partitionCols = parts))
+        assert(e.getMessage.contains("new partitions"))
+        // v1 stayed live, the staged v2 was removed, every row is visible
+        assert(GraftStore.currentVersion(spark, root) == 1)
+        assert(GraftStore.listVersions(spark, root) == Seq(1))
+        assert(GraftStore.readStore(spark, root).count() == before + 50)
+      } finally Compaction.onBeforeCommit = () => ()
+      // quiescent re-run carries the writer's new partition into v2
+      Compaction.compactHive(spark, root, partitionCols = parts)
+      assert(GraftStore.currentVersion(spark, root) == 2)
+      assert(GraftStore.readStore(spark, root).count() == before + 50)
+      assert(GraftStore.readStore(spark, root)
+        .filter($"date".cast("string") === "2099-12-31").count() == 50)
+    } finally srv.stop()
+  }
+
+  test("row-level CDC: compaction diffs to zero rows, retention to exactly the expired rows") {
+    val root = Files.createTempDirectory("graft-cdc").resolve("store").toString
+    val df = fixture().limit(1500)
+    LogIngest.writeHive(df, root, partitionCols = parts)
+    val dates = df.select($"date").distinct().as[String].collect().sorted
+    df.filter($"date" === dates.last).repartition(4)
+      .write.partitionBy(parts: _*).option("maxRecordsPerFile", 10)
+      .mode("append").parquet(root)
+    Compaction.compactHive(spark, root, partitionCols = parts)
+    // bytes moved (the dirty partition rewrote) but no row changed
+    assert(GraftStore.diffVersions(spark, root, 1, 2).added.nonEmpty)
+    assert(GraftStore.rowDiff(spark, root, 1, 2).isEmpty)
+    val expected = GraftStore.readVersion(spark, root, 2)
+      .filter($"date".cast("string") === dates.head)
+      .select($"time_ns", $"message")
+    Retention.enforceHiveSnapshot(spark, root, dates(1))
+    // pruning shape first (cache substitution would hide the file scan):
+    // the CDC scan reads only the files the commit touched — every input
+    // file of the diff belongs to the expired partition
+    val scanned = GraftStore.rowDiff(spark, root, 2, 3).inputFiles.toSeq
+    assert(scanned.nonEmpty &&
+      scanned.forall(_.contains(s"date=${dates.head}")), scanned.mkString("\n"))
+    val cdc = GraftStore.rowDiff(spark, root, 2, 3).cache()
+    assert(cdc.filter($"_change" === "added").count() == 0)
+    val removed = cdc.filter($"_change" === "removed").select($"time_ns", $"message")
+    assert(removed.count() == expected.count() && expected.count() > 0)
+    assert(removed.exceptAll(expected).isEmpty && expected.exceptAll(removed).isEmpty)
+    cdc.unpersist()
+    // the x11 gate wires this into the oracle artifact
+    val gate = graft.queries.StoreCdcQuery.run(spark, sf).collect().head
+    assert(gate.getAs[Long]("compact_changed_rows") == 0L)
+    assert(gate.getAs[Long]("added_rows") == 0L)
+    assert(gate.getAs[Boolean]("cdc_matches_expired_ok"))
+    assert(gate.getAs[Long]("removed_rows") > 0L)
+  }
+
   test("a fully clean store is a no-op: no new version, no data movement") {
     val root = Files.createTempDirectory("graft-noop").resolve("store").toString
     val df = fixture().limit(1000)

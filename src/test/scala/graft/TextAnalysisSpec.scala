@@ -143,4 +143,26 @@ class TextAnalysisSpec extends SparkSpec {
       .select("kind").as[String].take(3)
     assert(kinds.toSeq == Seq("image", "audio", "video"))
   }
+
+  test("WavCodec normalizes non-PCM16 audio before feature extraction") {
+    import javax.sound.sampled._
+    // an 8-bit unsigned PCM WAV: javax.sound parses it fine, so the codec
+    // must CONVERT to PCM16 rather than reinterpret the raw bytes as
+    // 16-bit pairs (which would halve the frame count and garble the RMS)
+    val n = 400
+    val pcm8 = Array.tabulate[Byte](n)(i => ((math.sin(i / 8.0) * 100) + 128).toByte)
+    val fmt8 = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm8), fmt8, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val meta = Multimodal.WavCodec.decode(
+      Multimodal.MediaRecord(1L, "audio", bos.toByteArray))
+    assert(meta.isDefined)
+    val m = meta.get
+    assert(m.width == 8000 && m.height == 1, s"format wrong: $m")
+    assert(m.n_frames == n, s"frame count wrong: ${m.n_frames} != $n")
+    // a real sine has nonzero RMS in every window, bounded by full scale
+    assert(m.feature.forall(v => v > 0f && v <= 1f), m.feature.mkString(","))
+  }
 }
