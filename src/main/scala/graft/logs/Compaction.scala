@@ -104,6 +104,9 @@ object Compaction {
       .write
       .partitionBy(partitionCols: _*)
       .option("maxRecordsPerFile", maxRecordsPerFile)
+      // rewrites preserve the write path's physical contracts: selector-
+      // column bloom filters survive compaction like the time_ns sort does
+      .options(LogSchema.parquetBloomOptions)
       .mode("overwrite")
       .parquet(dest)
   }

@@ -103,6 +103,54 @@ object Introspect {
     rows.toSeq.toDF("file", "row_group", "num_rows", "min", "max")
   }
 
+  /** Per-row-group bloom-filter evidence for one column: whether the
+    * filter was written, and — when `probe` values are given — whether the
+    * filter can actually discriminate (a present value must hit; an absent
+    * one should miss in most row groups). This is the physical proof
+    * behind [[LogSchema.parquetBloomOptions]]: selector-equality queries
+    * on hash-like columns (pod) prune row groups only if this filter
+    * exists and answers.
+    */
+  def parquetBloomProbe(spark: SparkSession, pathGlob: String, column: String,
+      probe: Seq[String] = Seq.empty): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(pathGlob)
+    val fs = p.getFileSystem(conf)
+    val files = Option(fs.globStatus(p)).getOrElse(Array.empty)
+      .flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+        else Array(st)
+      }
+      .map(_.getPath)
+    val rows = files.flatMap { file =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        reader.getFooter.getBlocks.toArray.zipWithIndex.flatMap {
+          case (b: org.apache.parquet.hadoop.metadata.BlockMetaData, rg) =>
+            b.getColumns.toArray.collect {
+              case c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData
+                if c.getPath.toDotString == column =>
+                val bloom = Option(reader.getBloomFilterDataReader(b))
+                  .flatMap(r => Option(r.readBloomFilter(c)))
+                val hits = bloom.map { bf =>
+                  probe.map { v =>
+                    val bin = org.apache.parquet.io.api.Binary.fromString(v)
+                    (v, bf.findHash(bf.hash(bin)))
+                  }
+                }.getOrElse(probe.map(v => (v, true))) // no filter: can't exclude
+                (file.getName, rg, bloom.isDefined, c.getBloomFilterOffset,
+                  hits.collect { case (v, true) => v },
+                  hits.collect { case (v, false) => v })
+            }
+        }
+      } finally reader.close()
+    }
+    rows.toSeq.toDF("file", "row_group", "has_bloom", "bloom_offset",
+      "maybe_present", "excluded")
+  }
+
   /** M1 as data: a DataFrame's schema rendered `name: TYPE` (y-logcli:267-273
     * prints the same header before table output).
     */

@@ -100,6 +100,7 @@ object LogIngest {
       .write
       .partitionBy(partitionCols: _*)
       .option("maxRecordsPerFile", maxRecordsPerFile)
+      .options(LogSchema.parquetBloomOptions)
       .mode("append")
       .parquet(GraftStore.resolve(spark, root))
   }

@@ -50,4 +50,27 @@ object LogSchema {
   )
 
   val selectorKeys: Set[String] = Set("cluster", "namespace", "node", "pod", "container")
+
+  /** Parquet bloom filters for the hive layout's in-file selector columns.
+    *
+    * `{pod="x"}` / `{container="y"}` equality (the selector shapes after
+    * namespace, y-logcli:83-102) can't be pruned by row-group min/max —
+    * pod names are hash-like and uncorrelated with write order, so every
+    * row group's [min,max] straddles every probe — and dictionary-page
+    * pruning dies exactly when it matters, at high cardinality. A bloom
+    * filter keeps O(1)-per-row-group exclusion at any cardinality: at
+    * 100 TB a `{pod=...}` query touches ~1/10⁴ of row groups instead of
+    * reading all of them. The ndv hints bound filter size (a 10⁶-default
+    * bloom is ~1 MB per row group; pods-per-node ~10², containers ~10¹,
+    * nodes-per-store ~10³ — sized with headroom). Spark's parquet reader
+    * consults blooms through parquet-mr's row-group filter whenever the
+    * predicate is pushed (PushedFilters shows the Eq).
+    */
+  val parquetBloomOptions: Map[String, String] = Map(
+    "parquet.bloom.filter.enabled#pod" -> "true",
+    "parquet.bloom.filter.expected.ndv#pod" -> "16384",
+    "parquet.bloom.filter.enabled#container" -> "true",
+    "parquet.bloom.filter.expected.ndv#container" -> "1024",
+    "parquet.bloom.filter.enabled#node" -> "true",
+    "parquet.bloom.filter.expected.ndv#node" -> "4096")
 }
