@@ -98,6 +98,7 @@ object SparkEntry {
     "v2_knn_lsh" -> (ExtensionQueries.knnLsh(_, _)),
     "v3_knn_ivf" -> (ExtensionQueries.knnIvf(_, _)),
     "v4_knn_ivf_index" -> (ExtensionQueries.knnIvfIndex(_, _)),
+    "v8_knn_pq" -> (ExtensionQueries.knnPq(_, _)),
     "m1_multimodal_decode" -> (ExtensionQueries.multimodalDecode(_, _)),
     "m2_multimodal_frames" -> (ExtensionQueries.multimodalFrames(_, _)),
     "a4_approx_distinct" -> (ExtensionQueries.approxDistinctUsers(_, _)),
@@ -872,6 +873,13 @@ object SparkEntry {
         |  TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     "v4_knn_ivf_index" ->
+      """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_neighbors,
+        |  TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    // v8: product-quantized ANN — 8-byte codes (32× compression at dim 64),
+    // ADC shortlist + exact rerank; recall@10 ≥ 0.7 per query restated as
+    // the same constant-gate shape as the other ANN rows
+    "v8_knn_pq" ->
       """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_neighbors,
         |  TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,

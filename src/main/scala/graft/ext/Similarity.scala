@@ -49,7 +49,7 @@ object Similarity {
     * non-integral id column would cast to null and die deep inside the
     * encoder — fail fast with an actionable message instead.
     */
-  private def requireIntegralId(df: DataFrame, idCol: String, role: String): Unit = {
+  private[ext] def requireIntegralId(df: DataFrame, idCol: String, role: String): Unit = {
     import org.apache.spark.sql.types._
     val dt = df.schema(idCol).dataType
     require(dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType,
@@ -60,7 +60,7 @@ object Similarity {
   /** Shared final stage: per-query bounded top-k over (qid, cid, cosine)
     * candidates via [[TopKByCosine]], exploded back to ranked rows.
     */
-  private def boundedTopK(cand: DataFrame, k: Int, queryId: String): DataFrame = {
+  private[ext] def boundedTopK(cand: DataFrame, k: Int, queryId: String): DataFrame = {
     val topk = udaf(new TopKByCosine(k))
     cand
       .groupBy(col("qid"))

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Bpe, Clustering, Dedup, MisraGries, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Bpe, Clustering, Dedup, MisraGries, Multimodal, Pq, RangeJoin, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -294,6 +294,21 @@ object ExtensionQueries {
   def knnIvfIndex(spark: SparkSession, dir: String): DataFrame = {
     val path = ivfIndexBuild(spark, dir)
     recallGate(ivfIndexSearch(spark, dir, path),
+      exactTop10(spark, dir), minHits = 7)
+  }
+
+  /** v8: product-quantized ANN ([[Pq]]) — the corpus scored as m=8 one-byte
+    * codes per vector (32× compression at dim 64), ADC shortlist, exact
+    * rerank of |queries|·100 rows. Oracle-gated on per-query recall@10 ≥
+    * 0.7 vs the exact baseline, like the other sublinear paths; the
+    * compression factor and code width are spec-asserted (SimilaritySpec).
+    */
+  def knnPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val model = Pq.train(emb, "embedding", m = 8, ks = 32)
+    recallGate(Pq.pqTopK(queries, emb, k = 10, model, rerank = 100),
       exactTop10(spark, dir), minHits = 7)
   }
 

@@ -115,6 +115,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall@10 = $recall")
   }
 
+  test("PQ ANN: 8-byte codes, ADC shortlist + exact rerank recovers recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val model = graft.ext.Pq.train(emb, "embedding", m = 8, ks = 32)
+    // compression fact: dim-64 float32 (256 B) → m=8 code bytes (32×)
+    assert(model.subDim == 8 && model.ks == 32)
+    val codes = graft.ext.Pq.encode(emb, model)
+    assert(codes.select(length($"pq_code")).distinct().as[Int].collect().toSeq == Seq(8))
+    val bf = Similarity.bruteForceTopK(queries, emb, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = graft.ext.Pq.pqTopK(queries, emb, k = 10, model, rerank = 100)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = pq.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.7, s"PQ recall@10 = $recall")
+    // rank-1 sanity: the reranked scores are exact, so the top hit of each
+    // query matches brute force exactly
+    val bfTop1 = Similarity.bruteForceTopK(queries, emb, k = 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val pqTop1 = graft.ext.Pq.pqTopK(queries, emb, k = 1, model, rerank = 100)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(bfTop1.intersect(pqTop1).size >= 4,
+      s"PQ rank-1 disagrees: $pqTop1 vs $bfTop1")
+  }
+
   test("ANN plans use the bounded aggregate, not a per-query window") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" < 3)
