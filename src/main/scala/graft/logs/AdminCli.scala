@@ -38,9 +38,11 @@ object AdminCli {
   private val usage =
     """usage: AdminCli <compact|retention|finalize|watch> --key=value...
       |  compact   --root=DIR [--max-records=N] [--convert-streaming=true]
-      |            [--full=true] [--retain=N]   (incremental by default:
-      |            only dirty partitions rewrite; --retain keeps N grace
-      |            snapshots, default 1)
+      |            [--full=true] [--retain=N] [--cluster-by=col,..]
+      |            [--zorder=true]   (incremental by default: only dirty
+      |            partitions rewrite; --retain keeps N grace snapshots,
+      |            default 1; --cluster-by overrides the time_ns sort,
+      |            --zorder interleaves the cluster-by columns)
       |  retention --root=DIR --cutoff-date=YYYY-MM-DD [--convert-streaming=true]
       |            [--snapshot=true]   (commit the drop as a new version;
       |            pre-retention snapshot stays time-travelable)
@@ -53,7 +55,8 @@ object AdminCli {
 
   // per-command (required, optional) option keys — anything else is a typo
   private val commands: Map[String, (Set[String], Set[String])] = Map(
-    "compact" -> (Set("root"), Set("max-records", "convert-streaming", "full", "retain")),
+    "compact" -> (Set("root"),
+      Set("max-records", "convert-streaming", "full", "retain", "cluster-by", "zorder")),
     "retention" -> (Set("root", "cutoff-date"), Set("convert-streaming", "snapshot")),
     "finalize" -> (Set("root", "close-events"), Set("max-records")),
     "watch" -> (Set("root", "close-events", "checkpoint"), Set("interval")),
@@ -96,7 +99,15 @@ object AdminCli {
           maxRecordsPerFile = maxRecords,
           convertStreamingStore = boolOpt("convert-streaming"),
           full = boolOpt("full"),
-          retainSnapshots = opts.get("retain").map(_.toInt).getOrElse(1))
+          retainSnapshots = opts.get("retain").map(_.toInt).getOrElse(1),
+          cluster = opts.get("cluster-by").map(_.split(',').toSeq.map(_.trim)) match {
+            case None =>
+              require(!boolOpt("zorder"), s"--zorder needs --cluster-by\n$usage")
+              ClusterSpec.TimeMajor
+            case Some(cols) =>
+              if (boolOpt("zorder")) ClusterSpec.ZOrder(cols)
+              else ClusterSpec.Lexicographic(cols)
+          })
         println(s"[admin] compacted ${opts("root")}")
       case "retention" =>
         val dropped =
@@ -118,7 +129,9 @@ object AdminCli {
       case "snapshots" =>
         GraftStore.snapshots(spark, opts("root")).foreach { s =>
           val flag = if (s.current) "*" else " "
-          println(f"[admin] ${GraftStore.versionPrefix(s.version)} $flag files=${s.files}%d bytes=${s.bytes}%d")
+          val ts = java.time.Instant.ofEpochMilli(
+            GraftStore.commitTimeOf(spark, opts("root"), s.version))
+          println(f"[admin] ${GraftStore.versionPrefix(s.version)} $flag files=${s.files}%d bytes=${s.bytes}%d committed=$ts")
         }
       case "vacuum" =>
         val dropped = GraftStore.vacuum(spark, opts("root"),

@@ -57,6 +57,24 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   * conflict at all: the new version lists the same physical directory, so
   * the appended files stay visible.
   */
+/** How a compaction rewrite orders rows inside each rewritten partition. */
+sealed trait ClusterSpec
+object ClusterSpec {
+  /** `time_ns` ascending (default): near-disjoint row-group time ranges,
+    * best for the dominant `--since` range probe.
+    */
+  case object TimeMajor extends ClusterSpec
+  /** Lexicographic by the given columns (e.g. `pod, time_ns`): the leading
+    * column gets the narrowest per-row-group ranges; later columns stay
+    * ordered within it.
+    */
+  final case class Lexicographic(cols: Seq[String]) extends ClusterSpec
+  /** Morton-interleaved over the given columns: balanced stat narrowing
+    * across all of them when no single probe dominates.
+    */
+  final case class ZOrder(cols: Seq[String]) extends ClusterSpec
+}
+
 object Compaction {
 
   def compactHive(spark: SparkSession, root: String,
@@ -66,16 +84,17 @@ object Compaction {
       dirtyMaxFiles: Int = 4,
       dirtyMinAvgBytes: Long = 32L << 20,
       full: Boolean = false,
-      retainSnapshots: Int = 1): Unit =
+      retainSnapshots: Int = 1,
+      cluster: ClusterSpec = ClusterSpec.TimeMajor): Unit =
     MaintenanceLease.withLease(spark, root, "compact") {
       if (GraftStore.isPointerStore(spark, root))
         compactPointerStore(spark, root, maxRecordsPerFile, partitionCols,
           convertStreamingStore, dirtyMaxFiles, dirtyMinAvgBytes, full,
-          retainSnapshots)
+          retainSnapshots, cluster)
       else
         compactRenameTiers(spark, root, maxRecordsPerFile, partitionCols,
           convertStreamingStore, dirtyMaxFiles, dirtyMinAvgBytes, full,
-          retainSnapshots)
+          retainSnapshots, cluster)
     }
 
   /** A partition needs rewrite when its file count exceeds `dirtyMaxFiles`,
@@ -90,22 +109,58 @@ object Compaction {
 
   /** The one data-moving step: shuffle the dirty rows onto their partition
     * keys (one task per output partition; AQE coalesces small ones) and
-    * sort within tasks by the partition prefix + `time_ns`, so every
-    * rewritten file has near-disjoint row-group time ranges — the explicit
-    * sort also satisfies the dynamic-partition writer's required ordering,
-    * so Spark adds no second sort of its own.
+    * sort within tasks by the partition prefix + the clustering key, so
+    * every rewritten file has narrow row-group stats on the clustered
+    * columns — the explicit sort also satisfies the dynamic-partition
+    * writer's required ordering, so Spark adds no second sort of its own.
+    *
+    * The clustering key is a maintenance knob ([[ClusterSpec]]):
+    * time-major by default (near-disjoint `time_ns` row groups — `--since`
+    * pruning), selector-major lexicographic (e.g. `pod, time_ns`: pod
+    * equality prunes via narrow per-row-group pod ranges AND each pod's
+    * rows stay time-ordered), or z-order interleaved (balanced pruning on
+    * several dimensions at once when no single probe dominates).
     */
   private def rewrite(input: DataFrame, partitionCols: Seq[String],
-      maxRecordsPerFile: Long, dest: String): Unit = {
-    val sortCols = partitionCols ++ Seq("time_ns").filter(input.columns.contains)
+      maxRecordsPerFile: Long, dest: String,
+      cluster: ClusterSpec = ClusterSpec.TimeMajor): Unit = {
+    val sortKey: Seq[org.apache.spark.sql.Column] = cluster match {
+      case ClusterSpec.TimeMajor =>
+        Seq("time_ns").filter(input.columns.contains).map(col)
+      case ClusterSpec.Lexicographic(cols) =>
+        cols.map(col)
+      case ClusterSpec.ZOrder(cols) =>
+        // bounds for integral dims come from one bounded agg over the data
+        // being rewritten — the same measure-then-encode shape Delta uses
+        val schema = input.schema
+        val dims = cols.map(c => (col(c), schema(c).dataType))
+        val numeric = cols.filter(c =>
+          schema(c).dataType != org.apache.spark.sql.types.StringType)
+        val stats: Map[String, (Long, Long)] =
+          if (numeric.isEmpty) Map.empty
+          else {
+            val row = input.agg(
+              numeric.flatMap(c => Seq(min(col(c)).cast("long"),
+                max(col(c)).cast("long"))).head,
+              numeric.flatMap(c => Seq(min(col(c)).cast("long"),
+                max(col(c)).cast("long"))).tail: _*).head()
+            numeric.zipWithIndex.map { case (c, i) =>
+              val mn = if (row.isNullAt(2 * i)) 0L else row.getLong(2 * i)
+              val mx = if (row.isNullAt(2 * i + 1)) 0L else row.getLong(2 * i + 1)
+              (c, (mn, mx))
+            }.toMap
+          }
+        val bounds = cols.map(c => stats.getOrElse(c, (0L, 0L)))
+        Seq(graft.expr.ZOrderFunctions.zorder64(dims, bounds))
+    }
     input
       .repartition(partitionCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
+      .sortWithinPartitions((partitionCols.map(col) ++ sortKey): _*)
       .write
       .partitionBy(partitionCols: _*)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       // rewrites preserve the write path's physical contracts: selector-
-      // column bloom filters survive compaction like the time_ns sort does
+      // column bloom filters survive compaction like the clustering sort
       .options(LogSchema.parquetBloomOptions)
       .mode("overwrite")
       .parquet(dest)
@@ -163,7 +218,8 @@ object Compaction {
   private def compactRenameTiers(spark: SparkSession, root: String,
       maxRecordsPerFile: Long, partitionCols: Seq[String],
       convertStreamingStore: Boolean, dirtyMaxFiles: Int,
-      dirtyMinAvgBytes: Long, full: Boolean, retainSnapshots: Int): Unit = {
+      dirtyMinAvgBytes: Long, full: Boolean, retainSnapshots: Int,
+      cluster: ClusterSpec): Unit = {
     // the rename-based tiers below require an atomic rename primitive;
     // object-store "rename" is copy+delete, so a plain (pre-pointer) store
     // there must be migrated, not silently swapped with a seconds-long
@@ -228,7 +284,7 @@ object Compaction {
       val input = spark.read.option("basePath", root)
         .parquet(dirty.map(d => s"$root/${d._1}"): _*)
       val dirtyRows = input.count()
-      rewrite(input, partitionCols, maxRecordsPerFile, staging.toString)
+      rewrite(input, partitionCols, maxRecordsPerFile, staging.toString, cluster)
       // verify the rewrite BEFORE touching the live tree — a short row count
       // means lost data and must abort while the original is still in place
       val stagedRows = spark.read.parquet(staging.toString).count()
@@ -314,7 +370,8 @@ object Compaction {
   private def compactPointerStore(spark: SparkSession, root: String,
       maxRecordsPerFile: Long, partitionCols: Seq[String],
       convertStreamingStore: Boolean, dirtyMaxFiles: Int,
-      dirtyMinAvgBytes: Long, full: Boolean, retainSnapshots: Int): Unit = {
+      dirtyMinAvgBytes: Long, full: Boolean, retainSnapshots: Int,
+      cluster: ClusterSpec): Unit = {
     val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val prevInfer = spark.conf.get(inferKey, "true")
     spark.conf.set(inferKey, "false")
@@ -378,7 +435,7 @@ object Compaction {
             .parquet(legs.map(l => s"$vdir/${l._1}"): _*)
         }
         .reduce(_.unionByName(_))
-      rewrite(input, partitionCols, maxRecordsPerFile, nextDir)
+      rewrite(input, partitionCols, maxRecordsPerFile, nextDir, cluster)
       // carry every untouched partition by reference, chained to the prefix
       // that physically holds its files — zero data movement
       val carryEntries = byRel.filter(e => !dirtyRels(e._1)).values.flatten.toSeq

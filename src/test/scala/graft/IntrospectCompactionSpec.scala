@@ -263,6 +263,9 @@ class IntrospectCompactionSpec extends SparkSpec {
     val root = Files.createTempDirectory("graft-ret2").resolve("store")
     Files.createDirectories(root.resolve("_spark_metadata"))
     Files.createDirectories(root.resolve("cluster=dev/namespace=ns/date=2020-01-01"))
+    // a partition that SURVIVES the cutoff — an all-expired cutoff now trips
+    // the empty-store refusal before the streaming-log guard under test
+    Files.createDirectories(root.resolve("cluster=dev/namespace=ns/date=2099-01-01"))
     intercept[IllegalArgumentException](
       graft.logs.Retention.enforceHive(spark, root.toString, "2024-01-01"))
     val deleted = graft.logs.Retention.enforceHive(spark, root.toString,
