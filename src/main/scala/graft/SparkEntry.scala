@@ -99,6 +99,7 @@ object SparkEntry {
     "v3_knn_ivf" -> (ExtensionQueries.knnIvf(_, _)),
     "v4_knn_ivf_index" -> (ExtensionQueries.knnIvfIndex(_, _)),
     "v8_knn_pq" -> (ExtensionQueries.knnPq(_, _)),
+    "v9_knn_ivfpq" -> (ExtensionQueries.knnIvfPq(_, _)),
     "m1_multimodal_decode" -> (ExtensionQueries.multimodalDecode(_, _)),
     "m2_multimodal_frames" -> (ExtensionQueries.multimodalFrames(_, _)),
     "a4_approx_distinct" -> (ExtensionQueries.approxDistinctUsers(_, _)),
@@ -880,6 +881,12 @@ object SparkEntry {
     // ADC shortlist + exact rerank; recall@10 ≥ 0.7 per query restated as
     // the same constant-gate shape as the other ANN rows
     "v8_knn_pq" ->
+      """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_neighbors,
+        |  TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    // v9: persisted IVF-PQ — cell partition pruning + 32×-compressed ADC
+    // scan (the raw float column never enters it) + exact rerank
+    "v9_knn_ivfpq" ->
       """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_neighbors,
         |  TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,

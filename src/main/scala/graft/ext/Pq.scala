@@ -151,6 +151,21 @@ object Pq {
         model.ks, model.subDim).as("pq_code"))
   }
 
+  /** Persist a [[Model]] beside an index (one tiny parquet). */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, path: String,
+      model: Model): Unit = {
+    import spark.implicits._
+    Seq((model.m, model.ks, model.subDim, model.codebook))
+      .toDF("m", "ks", "sub_dim", "codebook")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val r = spark.read.parquet(path).head()
+    Model(r.getAs[Int]("m"), r.getAs[Int]("ks"), r.getAs[Int]("sub_dim"),
+      r.getAs[Seq[Float]]("codebook").toIndexedSeq)
+  }
+
   /** Two-stage PQ ANN: ADC shortlist of `rerank` candidates per query over
     * the coded corpus, exact-cosine rerank to top-`k`. Output matches the
     * other ANN paths: (query_id, neighbor_id, rank, cosine).

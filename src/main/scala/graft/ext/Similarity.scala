@@ -162,6 +162,86 @@ object Similarity {
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/cells")
   }
 
+  /** IVF-PQ persisted index — the full FAISS shape, Spark-first: the
+    * corpus partitioned by coarse cell (I/O pruning) AND carried as PQ
+    * codes beside the raw vectors (compressed scoring). A search:
+    *
+    *  1. probes `nProbe` cells per query — `cell IN (...)` partition
+    *     pruning lists only those directories;
+    *  2. ADC-scores the probed rows reading ONLY `(cid, pq_code)` — column
+    *     pruning keeps the D-float `cv` array out of the scan entirely, so
+    *     the scoring pass reads m bytes per row instead of 4·D;
+    *  3. reranks the |queries|·`rerank` shortlist with exact cosine,
+    *     reading raw vectors for just those ids (same pruned cells, semi-
+    *     joined on the broadcast shortlist).
+    *
+    * At 100 TB: step 2's scan is nProbe/nLists of the corpus at 1/32 the
+    * bytes — ~0.1% of the raw data for the defaults — and step 3 touches
+    * thousands of rows, not billions.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, path: String,
+      nLists: Int = 16, kmeansIters: Int = 5, sampleSize: Int = 2048,
+      m: Int = 8, ks: Int = 32,
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): Unit = {
+    requireIntegralId(corpus, corpusId, "corpus")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = trainCoarseQuantizer(corpus, corpusVec, nLists, kmeansIters, sampleSize)
+    val model = Pq.train(corpus, corpusVec, m = m, ks = ks, sampleSize = sampleSize)
+    centroids.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Pq.saveModel(spark, s"$path/pqmodel", model)
+    corpus.select(col(corpusId).as("cid"), col(corpusVec).as("cv"),
+        element_at(SketchFunctions.nearestCentroids(col(corpusVec), centroids, 1), 1)
+          .as("cell"))
+      .join(Pq.encode(corpus, model, corpusId, corpusVec)
+        .select(col(corpusId).as("cid"), col("pq_code")), Seq("cid"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/cells")
+  }
+
+  /** Search a [[buildIvfPqIndex]] store; see there for the three stages.
+    * `adcScan` returns the coded scan stage for plan assertions.
+    */
+  def searchIvfPqIndex(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nProbe: Int = 4, rerank: Int = 50,
+      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val model = Pq.loadModel(spark, s"$path/pqmodel")
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Float](1).toArray)
+    val probes = queries.select(col(queryId).as("qid"), col(queryVec).as("qv"),
+      explode(SketchFunctions.nearestCentroids(col(queryVec), centroids, nProbe)).as("cell"))
+    val probedCells = probes.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val prunedCells = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
+    // normalized query vectors for ADC (inner product ≈ cosine)
+    val nrm = sqrt(graft.expr.VecFunctions.dotProduct(col("qv"), col("qv")))
+    val nq = probes.withColumn("nqv",
+      when(nrm > 0.0, transform(col("qv"), x => x / nrm)).otherwise(col("qv"))
+        .cast("array<float>"))
+      .select(col("qid"), col("cell"), col("nqv"))
+    // stage 2: the coded scan — (cell, cid, pq_code) only, cv never read
+    val cand = prunedCells.select(col("cell"), col("cid"), col("pq_code"))
+      .join(broadcast(nq), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine", graft.expr.PqFunctions.pqAdcScore(col("nqv"),
+        col("pq_code"), model.codebook, model.m, model.ks, model.subDim))
+    val shortlist = boundedTopK(cand.select(col("qid"), col("cid"), col("cosine")),
+      rerank, "query_id").select(col("query_id"), col("neighbor_id"))
+    // stage 3: exact rerank — raw vectors for shortlist ids only, read
+    // from the same pruned cells
+    val exact = prunedCells.select(col("cid").as("neighbor_id"), col("cv"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("qv2"))), Seq("query_id"))
+      .withColumn("cosine", graft.expr.VecFunctions.cosineSim(col("qv2"), col("cv")))
+    boundedTopK(exact.select(col("query_id").as("qid"),
+      col("neighbor_id").as("cid"), col("cosine")), k, queryId)
+  }
+
   /** Incremental append to a [[buildIvfIndex]] store: assign the NEW vectors
     * with the EXISTING centroids (read from the index, held fixed) and
     * append them into their `cell=` partition directories — pre-existing

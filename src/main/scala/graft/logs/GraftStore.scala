@@ -61,6 +61,44 @@ object GraftStore {
     dirOf(n)
   }
 
+  /** Commit timestamp of a retained version (epoch millis): the newest
+    * mtime among the version's OWN objects — data files or the manifest —
+    * i.e. when its staging completed. The pointer/symlink flip follows
+    * within the same maintenance call, so this approximates the commit
+    * instant to within the (short) verify-and-flip window; good enough for
+    * operator-facing "as of" reads, which is what it serves.
+    */
+  def commitTimeOf(spark: SparkSession, root: String, n: Int): Long = {
+    val p = new Path(resolveVersion(spark, root, n))
+    val fs = fsOf(spark, p)
+    var maxT = fs.getFileStatus(p).getModificationTime
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) maxT = math.max(maxT, it.next().getModificationTime)
+    maxT
+  }
+
+  /** Time travel by TIMESTAMP: the newest retained version committed at or
+    * before `tsMillis` (Delta's `versionAsOf`/`timestampAsOf` pair). Fails
+    * fast when every retained version is newer — the snapshot that covered
+    * that instant has been vacuumed.
+    */
+  def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Int = {
+    val (versions, _, _) = tierOf(spark, root)
+    val eligible = versions.map(n => (n, commitTimeOf(spark, root, n)))
+      .filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no retained version of $root is as old as $tsMillis " +
+        s"(oldest retained: ${versions.headOption.map(n =>
+          s"v$n @ ${commitTimeOf(spark, root, n)}").getOrElse("none")})")
+    eligible.maxBy(e => (e._2, e._1))._1 // same-millis commits: higher version wins
+  }
+
+  /** Snapshot read at a timestamp: composite (manifest-aware) like
+    * [[readVersion]].
+    */
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
+    readVersion(spark, root, versionAsOf(spark, root, tsMillis))
+
   // ---- carried-partition manifest (incremental-commit support) ----------
 
   /** Carried-partition manifest of a version directory: `(version, relPath)`

@@ -335,6 +335,22 @@ object ExtensionQueries {
     Similarity.searchIvfIndex(spark, path, queries, k = 10, nProbe = 10)
   }
 
+  /** v9: persisted IVF-PQ index ([[Similarity.buildIvfPqIndex]]) — cell
+    * partition pruning for I/O, PQ codes for 32×-compressed scoring (the
+    * float column never enters the ADC scan), exact rerank. Oracle-gated
+    * on per-query recall@10 ≥ 0.7 like the other sublinear paths.
+    */
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-ivfpqidx-${math.abs(dir.hashCode)}").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    Similarity.buildIvfPqIndex(Tables.embeddings(spark, dir), path, nLists = 16)
+    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    recallGate(Similarity.searchIvfPqIndex(spark, path, queries, k = 10,
+      nProbe = 10, rerank = 100), exactTop10(spark, dir), minHits = 7)
+  }
+
   /** Multimodal frame sampling (video fan-out; rows-only + spec). */
   def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.mediaFromDocuments(spark, Tables.documents(spark, dir))

@@ -528,6 +528,37 @@ class IncrementalCompactionSpec extends SparkSpec {
     assert(gate.getAs[Long]("removed_rows") > 0L)
   }
 
+  test("time travel by timestamp: versionAsOf resolves each commit window") {
+    val root = Files.createTempDirectory("graft-asof").resolve("store").toString
+    val df = fixture().limit(800)
+    LogIngest.writeHive(df, root, partitionCols = parts)
+    val dates = df.select($"date").distinct().as[String].collect().sorted
+    Thread.sleep(50) // separate the commits' mtime windows
+    df.filter($"date" === dates.last).repartition(4)
+      .write.partitionBy(parts: _*).option("maxRecordsPerFile", 10)
+      .mode("append").parquet(root)
+    Compaction.compactHive(spark, root, partitionCols = parts)
+    val t1 = GraftStore.commitTimeOf(spark, root, 1) // before retention vacuums v1
+    Thread.sleep(50)
+    Retention.enforceHiveSnapshot(spark, root, dates(1))
+    val t2 = GraftStore.commitTimeOf(spark, root, 2)
+    val t3 = GraftStore.commitTimeOf(spark, root, 3)
+    assert(t1 < t2 && t2 < t3, s"commit times not ordered: $t1 $t2 $t3")
+    assert(GraftStore.versionAsOf(spark, root, t2) == 2)
+    assert(GraftStore.versionAsOf(spark, root, (t2 + t3) / 2) == 2)
+    assert(GraftStore.versionAsOf(spark, root, t3 + 1000) == 3)
+    // the pre-retention read still serves the dropped date; the as-of-now
+    // read does not
+    assert(GraftStore.readAsOf(spark, root, t2)
+      .filter($"date".cast("string") === dates.head).count() > 0)
+    assert(GraftStore.readAsOf(spark, root, t3 + 1000)
+      .filter($"date".cast("string") === dates.head).count() == 0)
+    // before the store existed: clear refusal
+    val e = intercept[IllegalArgumentException](
+      GraftStore.versionAsOf(spark, root, t1 - 60000))
+    assert(e.getMessage.contains("as old"))
+  }
+
   test("a fully clean store is a no-op: no new version, no data movement") {
     val root = Files.createTempDirectory("graft-noop").resolve("store").toString
     val df = fixture().limit(1000)

@@ -211,6 +211,30 @@ class SimilaritySpec extends SparkSpec {
     assert(cellDirs == 8)
   }
 
+  test("IVF-PQ index: pruned cells, code-only ADC scan, rerank recovers recall") {
+    val work = java.nio.file.Files.createTempDirectory("graft-ivfpq").resolve("idx").toString
+    val emb = Tables.embeddings(spark, sf)
+    Similarity.buildIvfPqIndex(emb, work, nLists = 8)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val res = Similarity.searchIvfPqIndex(spark, work, queries, k = 10,
+      nProbe = 6, rerank = 100)
+    val bf = Similarity.bruteForceTopK(queries, emb, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val got = res.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF-PQ recall@10 = $recall")
+    val plan = res.queryExecution.executedPlan.toString()
+    // storage-layer pruning on the cell partitions
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell#"),
+      s"no partition pruning in:\n${plan.take(2000)}")
+    // the ADC scan reads codes, never the float vectors: one scan's
+    // ReadSchema carries pq_code WITHOUT cv (column pruning did its job)
+    val scans = plan.split("FileScan").toSeq.filter(_.contains("ReadSchema"))
+    assert(scans.exists(s => s.contains("pq_code") && !s.contains("cv:")),
+      s"no code-only scan in:\n${plan.take(3000)}")
+  }
+
   test("IVF index append: new vectors join their cells, old files untouched, recall holds") {
     val work = java.nio.file.Files.createTempDirectory("graft-ivfapp").resolve("idx").toString
     val emb = Tables.embeddings(spark, sf)
