@@ -116,10 +116,20 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         val sSec = (System.nanoTime() - s0) / 1e9
         println(s"""{"metric":"v4_split","queries":{"v4_build":$bSec,"v4_search":$sSec},"unit":"sec","sf":"$sfDir"}""")
+        // v9 likewise: the IVF-PQ build trains two quantizers and writes
+        // coded cells (batch); the search is a pruned code-only scan
+        val pb0 = System.nanoTime()
+        val pqIdx = graft.queries.ExtensionQueries.ivfPqIndexBuild(spark, sfDir)
+        val pbSec = (System.nanoTime() - pb0) / 1e9
+        val ps0 = System.nanoTime()
+        graft.queries.ExtensionQueries.ivfPqIndexSearch(spark, sfDir, pqIdx)
+          .write.format("noop").mode("overwrite").save()
+        val psSec = (System.nanoTime() - ps0) / 1e9
+        println(s"""{"metric":"v9_split","queries":{"v9_build":$pbSec,"v9_search":$psSec},"unit":"sec","sf":"$sfDir"}""")
       } catch { case scala.util.control.NonFatal(e) =>
         // fatal errors (OOM) must kill the bench — timing a corrupted JVM
         // would emit misleading artifacts
-        System.err.println(s"[bench] v4 split failed: ${e.getMessage}")
+        System.err.println(s"[bench] v4/v9 split failed: ${e.getMessage}")
       }
     }
     if (finished) (2 to repeat).foreach { r =>

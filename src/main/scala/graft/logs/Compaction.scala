@@ -292,14 +292,19 @@ object Compaction {
         s"compaction wrote $stagedRows rows, expected $dirtyRows; aborting with $live untouched")
       // Optimistic concurrency: the swap replaces files captured at
       // inventory time, so a writer landing after it would have its rows
-      // silently dropped (dirty leaves on both tiers; every leaf on the
-      // hardlink tier, whose carry is physical). Verify nothing moved and
+      // silently dropped — for EXACTLY the leaves the commit replaces:
+      // every leaf on the hardlink tier (the carry is physical), only the
+      // dirty leaves on the legacy tier (untouched leaves are never
+      // renamed there, so appends to them are harmless and must not abort
+      // an otherwise-finished rewrite). Verify nothing in scope moved and
       // abort cleanly BEFORE the marker — staging without a marker is
       // swept, the live tree is still complete, the writer's rows are safe.
-      def abortOnWriterChange(): Unit = {
+      def abortOnWriterChange(scope: Set[String]): Unit = {
         onBeforeCommit()
         val now = partitionLeaves(fs, live, partitionCols.length)
-        if (fileIdentity(now.flatMap(_._2)) != fileIdentity(leaves.flatMap(_._2))) {
+          .filter(l => scope(l._1))
+        val before = leaves.filter(l => scope(l._1))
+        if (fileIdentity(now.flatMap(_._2)) != fileIdentity(before.flatMap(_._2))) {
           fs.delete(staging, true)
           throw new IllegalStateException(
             s"concurrent writer detected on $root during compaction; " +
@@ -317,13 +322,13 @@ object Compaction {
         val totalStaged = spark.read.parquet(staging.toString).count()
         require(totalStaged == expectedRows,
           s"staging holds $totalStaged rows, expected $expectedRows; aborting with $live untouched")
-        abortOnWriterChange()
+        abortOnWriterChange(leaves.map(_._1).toSet)
         writeMarker(fs, marker, expectedRows)
         commitVersioned(spark, root, staging, marker, fs, expectedRows, retainSnapshots)
       } else {
         // legacy tier: only the dirty leaves are staged, so only they swap;
         // untouched leaves are never renamed at all
-        abortOnWriterChange()
+        abortOnWriterChange(dirty.map(_._1).toSet)
         writeMarker(fs, marker, expectedRows)
         applyStaging(spark, live, staging, marker, fs, expectedRows)
       }
@@ -587,8 +592,13 @@ object Compaction {
       require(fs.rename(stagedLeaf, liveLeaf), s"rename $stagedLeaf -> $liveLeaf failed")
     }
     val liveRows = spark.read.parquet(live.toString).count()
-    require(liveRows == expectedRows,
-      s"post-swap count $liveRows != expected $expectedRows — inspect $live against $staging")
+    // ≥, not ==: on this tier untouched leaves are never swapped, so a
+    // concurrent append to one (legal — the conflict check deliberately
+    // scopes to the dirty leaves) GROWS the store mid-commit. Loss still
+    // trips the wire; benign growth must not wedge an otherwise-complete
+    // swap (or its crash recovery) behind a spurious mismatch.
+    require(liveRows >= expectedRows,
+      s"post-swap count $liveRows < expected $expectedRows — inspect $live against $staging")
     // marker FIRST: leftover staging without a marker is just re-staged on
     // the next run, but a leftover marker without staging reads as an
     // unrecoverable crash and blocks compaction on a healthy store

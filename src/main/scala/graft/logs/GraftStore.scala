@@ -61,35 +61,60 @@ object GraftStore {
     dirOf(n)
   }
 
-  /** Commit timestamp of a retained version (epoch millis): the newest
-    * mtime among the version's OWN objects — data files or the manifest —
-    * i.e. when its staging completed. The pointer/symlink flip follows
-    * within the same maintenance call, so this approximates the commit
-    * instant to within the (short) verify-and-flip window; good enough for
-    * operator-facing "as of" reads, which is what it serves.
+  /** Commit timestamp of a retained version (epoch millis).
+    *
+    * For the LIVE version it is the instant the pointer/symlink named it —
+    * the `_current` object's mtime on the pointer tier, the symlink's own
+    * (NOFOLLOW) mtime on the symlink tier. Appends land in the live
+    * version dir, so its file mtimes drift forward without bound; reading
+    * the flip artifact instead keeps the commit instant fixed — otherwise
+    * an as-of read BETWEEN a retention commit and a later append would
+    * resolve to the PRE-retention snapshot and resurface expired rows.
+    *
+    * For superseded versions the newest OWN-object mtime serves: those
+    * trees stopped changing at the flip that replaced them, so the value
+    * is frozen, and it is ≤ the successor's flip time — preserving the
+    * ordering `versionAsOf` needs.
     */
   def commitTimeOf(spark: SparkSession, root: String, n: Int): Long = {
-    val p = new Path(resolveVersion(spark, root, n))
-    val fs = fsOf(spark, p)
-    var maxT = fs.getFileStatus(p).getModificationTime
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) maxT = math.max(maxT, it.next().getModificationTime)
-    maxT
+    val (_, cur, _) = tierOf(spark, root)
+    if (n == cur) {
+      if (isPointerStore(spark, root)) {
+        val p = new Path(root, PointerName)
+        fsOf(spark, p).getFileStatus(p).getModificationTime
+      } else
+        // symlink tier is local-FS by contract; NOFOLLOW reads the link's
+        // own mtime (retarget time), not the target dir's
+        java.nio.file.Files
+          .getLastModifiedTime(java.nio.file.Paths.get(new Path(root).toUri.getPath),
+            java.nio.file.LinkOption.NOFOLLOW_LINKS)
+          .toMillis
+    } else {
+      val p = new Path(resolveVersion(spark, root, n))
+      val fs = fsOf(spark, p)
+      var maxT = fs.getFileStatus(p).getModificationTime
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) maxT = math.max(maxT, it.next().getModificationTime)
+      maxT
+    }
   }
 
   /** Time travel by TIMESTAMP: the newest retained version committed at or
-    * before `tsMillis` (Delta's `versionAsOf`/`timestampAsOf` pair). Fails
-    * fast when every retained version is newer — the snapshot that covered
-    * that instant has been vacuumed.
+    * before `tsMillis` (Delta's `versionAsOf`/`timestampAsOf` pair).
+    * Considers only versions up to the LIVE one — a staged-ahead prefix an
+    * in-flight or crashed commit is writing is not a snapshot and must
+    * never serve a read. Fails fast when every retained version is newer —
+    * the snapshot that covered that instant has been vacuumed.
     */
   def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Int = {
-    val (versions, _, _) = tierOf(spark, root)
-    val eligible = versions.map(n => (n, commitTimeOf(spark, root, n)))
-      .filter(_._2 <= tsMillis)
+    val (versions, cur, _) = tierOf(spark, root)
+    val committed = versions.filter(_ <= cur)
+      .map(n => (n, commitTimeOf(spark, root, n)))
+    val eligible = committed.filter(_._2 <= tsMillis)
     require(eligible.nonEmpty,
       s"no retained version of $root is as old as $tsMillis " +
-        s"(oldest retained: ${versions.headOption.map(n =>
-          s"v$n @ ${commitTimeOf(spark, root, n)}").getOrElse("none")})")
+        s"(oldest retained: ${committed.headOption.map(e =>
+          s"v${e._1} @ ${e._2}").getOrElse("none")})")
     eligible.maxBy(e => (e._2, e._1))._1 // same-millis commits: higher version wins
   }
 
@@ -156,8 +181,22 @@ object GraftStore {
       val tmp = new Path(p.getParent, p.getName + ".tmp")
       val out = fs.create(tmp, true)
       try out.write(bytes) finally out.close()
-      require(fs.rename(tmp, p) || (fs.delete(p, false) && fs.rename(tmp, p)),
-        s"atomic rename $tmp -> $p failed")
+      // overwrite-rename through FileContext: atomic replace on HDFS too,
+      // where plain FileSystem.rename returns false on an existing
+      // destination — a delete-then-rename fallback there would open a
+      // crash window with NO live manifest (reads silently drop carried
+      // partitions; vacuum loses the references protecting their versions)
+      try {
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          // no AbstractFileSystem binding (exotic scheme): POSIX-style
+          // FileSystems overwrite atomically on plain rename
+          require(fs.rename(tmp, p),
+            s"atomic rename $tmp -> $p failed and $p has no FileContext binding")
+      }
     }
   }
 

@@ -54,6 +54,10 @@ object LogStreamIngest {
       .option("path", outputRoot)
       .option("checkpointLocation", checkpoint)
       .option("maxRecordsPerFile", maxRecordsPerFile)
+      // same physical contract as the batch writer and the compaction
+      // rewrite: selector columns are prunable (dictionary or bloom) from
+      // the first streamed file, not only after a maintenance rewrite
+      .options(LogSchema.parquetBloomOptions)
       .trigger(Trigger.ProcessingTime(triggerInterval))
       .start()
   }

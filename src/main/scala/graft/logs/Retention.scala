@@ -50,13 +50,14 @@ object Retention {
     // log that lists every data file; deleting partitions under it would make
     // readers (which trust the log, not the listing) fail on missing files.
     // Opt-in conversion drops the log so the store becomes listing-based —
-    // only safe while no streaming query is writing.
+    // only safe while no streaming query is writing. The DELETE happens
+    // below, after the all-expired guard: a refused run must not have
+    // half-converted the store on its way to refusing.
     val sinkLog = new Path(root, "_spark_metadata")
     if (fs.exists(sinkLog)) {
       require(convertStreamingStore,
         s"$root was written by the streaming sink (_spark_metadata present); " +
           "pass convertStreamingStore=true to drop the commit log and enforce retention")
-      fs.delete(sinkLog, true)
     }
     // layout: root/cluster=c/namespace=n/date=d/...
     val dateParts = for {
@@ -78,6 +79,8 @@ object Retention {
         survivingParts.nonEmpty || manifestKeep.nonEmpty,
       s"retention cutoff $cutoffDate expires every partition of $rawRoot — " +
         "refusing to empty the store; drop the store explicitly instead")
+    // every guard passed: the conversion (and the drops) may now commit
+    if (fs.exists(sinkLog)) fs.delete(sinkLog, true)
     val deleted = Seq.newBuilder[String]
     // only count partitions the filesystem actually removed
     expiredParts.foreach { p => if (fs.delete(p, true)) deleted += p.toString }

@@ -275,6 +275,35 @@ class IncrementalCompactionSpec extends SparkSpec {
     assert(filesUnder(root).count(_.getPath.contains(s"date=$dirtyDate")) <= 2)
   }
 
+  test("legacy tier: an append to a CLEAN leaf mid-commit does NOT abort the compaction") {
+    val root = Files.createTempDirectory("graft-legacyrace").resolve("store").toString
+    val df = fixture().limit(1000)
+    df.repartition(parts.map(col): _*).write.partitionBy(parts: _*)
+      .mode("overwrite").parquet(root)
+    val dates = df.select($"date").distinct().as[String].collect().sorted
+    df.filter($"date" === dates.head).repartition(4)
+      .write.partitionBy(parts: _*).option("maxRecordsPerFile", 10)
+      .mode("append").parquet(root)
+    val before = spark.read.parquet(root).count()
+    // clean leaves are never renamed on this tier, so a writer landing in
+    // one is harmless — the conflict check must not livelock maintenance
+    // behind steady append traffic to partitions it never touches
+    val cleanDir = java.nio.file.Paths.get(root,
+      s"cluster=dev/namespace=ns0/date=${dates.last}")
+    var appended = 0L
+    Compaction.onBeforeCommit = () => {
+      val src = Files.list(cleanDir).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      appended = spark.read.parquet(src.toString).count()
+      Files.copy(src, cleanDir.resolve("part-racer.parquet"))
+    }
+    try Compaction.compactHive(spark, root, partitionCols = parts)
+    finally Compaction.onBeforeCommit = () => ()
+    // committed despite the append; every row visible
+    assert(spark.read.parquet(root).count() == before + appended)
+    assert(filesUnder(root).count(_.getPath.contains(s"date=${dates.head}")) <= 2)
+  }
+
   test("snapshot-isolated retention: the drop is a versioned commit, zero bytes move") {
     val srv = new graft.sources.S3StubServer()
     try {
@@ -375,6 +404,29 @@ class IncrementalCompactionSpec extends SparkSpec {
     }
   }
 
+  test("pointer tier: commit instant is the pointer flip, immune to live appends") {
+    val root = Files.createTempDirectory("graft-asofptr").resolve("store").toString
+    GraftStore.init(spark, root)
+    val df = fixture().limit(800)
+    df.repartition(parts.map(col): _*).write.partitionBy(parts: _*)
+      .mode("append").parquet(GraftStore.resolve(spark, root))
+    val dates = df.select($"date").distinct().as[String].collect().sorted
+    Thread.sleep(50)
+    Retention.enforceHiveSnapshot(spark, root, dates(1)) // v2 drops the oldest
+    val t2 = GraftStore.commitTimeOf(spark, root, 2)
+    Thread.sleep(50)
+    // a post-commit append lands in the live version dir; the commit
+    // instant must not drift with it, or an as-of read between commit and
+    // append would resolve to the PRE-retention snapshot
+    df.filter($"date" === dates.last).limit(20)
+      .write.partitionBy(parts: _*).mode("append")
+      .parquet(GraftStore.resolve(spark, root))
+    assert(GraftStore.commitTimeOf(spark, root, 2) == t2)
+    assert(GraftStore.versionAsOf(spark, root, t2 + 10) == 2)
+    assert(GraftStore.readAsOf(spark, root, t2 + 10)
+      .filter($"date".cast("string") === dates.head).count() == 0)
+  }
+
   test("retention refuses hazardous states: pending recovery, all-expired, streaming log") {
     val root = Files.createTempDirectory("graft-retguard").resolve("store").toString
     val df = fixture().limit(500)
@@ -409,6 +461,14 @@ class IncrementalCompactionSpec extends SparkSpec {
     val e4 = intercept[IllegalArgumentException](
       Retention.enforceHiveSnapshot(spark, root, dates(1)))
     assert(e4.getMessage.contains("_spark_metadata"))
+    // a REFUSED run must not half-convert: with conversion granted but the
+    // cutoff expiring everything, the refusal fires and the commit log is
+    // still there afterwards
+    val e5 = intercept[IllegalArgumentException](
+      Retention.enforceHive(spark, root, "2099-01-01", convertStreamingStore = true))
+    assert(e5.getMessage.contains("every partition"))
+    assert(Files.exists(Paths.get(root, "_spark_metadata")),
+      "refused retention deleted the streaming commit log anyway")
     val dropped = Retention.enforceHiveSnapshot(spark, root, dates(1),
       convertStreamingStore = true)
     assert(dropped.nonEmpty)
@@ -557,6 +617,22 @@ class IncrementalCompactionSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       GraftStore.versionAsOf(spark, root, t1 - 60000))
     assert(e.getMessage.contains("as old"))
+    // a LATER append to the live version must not move v3's commit instant:
+    // the flip artifact (symlink/pointer mtime) is the commit time, so an
+    // as-of read between the retention commit and the append still resolves
+    // to v3 — not the pre-retention snapshot with expired rows resurfaced
+    Thread.sleep(50)
+    df.filter($"date" === dates.last).limit(20)
+      .write.partitionBy(parts: _*).mode("append")
+      .parquet(GraftStore.resolve(spark, root))
+    assert(GraftStore.versionAsOf(spark, root, t3 + 10) == 3)
+    // markerless staged-ahead debris (a crashed or in-flight commit) is not
+    // a snapshot: even with the newest mtimes it must never serve a read
+    val debris = java.nio.file.Paths.get(VersionedStore.versionName(root, 9))
+    Files.createDirectories(debris)
+    Files.writeString(debris.resolve("junk.parquet"), "not-a-snapshot")
+    assert(VersionedStore.listVersions(root).contains(9))
+    assert(GraftStore.versionAsOf(spark, root, System.currentTimeMillis() + 1000) == 3)
   }
 
   test("a fully clean store is a no-op: no new version, no data movement") {
