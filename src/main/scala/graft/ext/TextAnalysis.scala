@@ -101,4 +101,39 @@ object TextAnalysis {
       .withColumn("quality", qualityScore(t))
       .withColumn("fingerprint", fingerprint(t))
   }
+
+  /** Per-document TF-IDF relevance score — the classic lexical filter a
+    * training-data pipeline runs before (or instead of) model-based quality
+    * scoring: documents of corpus-ubiquitous boilerplate score low,
+    * documents of distinctive content score high.
+    *
+    * `score(d) = Σ_terms tf(t,d) · (ln((N+1)/(df(t)+1)) + 1) / |d|`
+    * (smoothed idf, length-normalized). Exact double math — the DuckDB
+    * oracle restates the same formula term for term.
+    *
+    * Scale shape: one (doc, token) shuffle for tf, one token shuffle for
+    * df; df is vocabulary-sized and BROADCAST back (same pattern as the
+    * t7/t9 vocab joins), so the scoring join adds no shuffle; the final
+    * per-doc aggregate is one keyed shuffle. Nothing is corpus-quadratic.
+    */
+  def tfidf(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, countDistinct, log, sum}
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("token"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val n = tok.select(countDistinct(col(idCol))).head().getLong(0)
+    val docLen = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n_tok"))
+    tf.join(broadcast(dfreq), "token")
+      // ln((N+1)/(df+1)) computed EXACTLY as the oracle writes it — the
+      // algebraically equal ln(N+1)−ln(df+1) rounds differently in doubles
+      .withColumn("w",
+        col("tf") * (log(lit(n + 1.0) / (col("df") + 1.0)) + 1.0))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("w")).as("wsum"))
+      .join(docLen, idCol)
+      .select(col(idCol), col("n_terms"),
+        (col("wsum") / col("n_tok")).as("tfidf"))
+  }
 }

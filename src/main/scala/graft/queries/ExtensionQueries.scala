@@ -186,6 +186,13 @@ object ExtensionQueries {
       .orderBy(col("n").desc, col("token"))
       .limit(30)
 
+  /** t13: TF-IDF document relevance ([[TextAnalysis.tfidf]]) — smoothed,
+    * length-normalized; DuckDB restates the identical formula.
+    */
+  def tfidfScores(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidf(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
+
   /** Rolling-hash fingerprints (custom codegen expression; rows-only gate —
     * the hash has no SQL equivalent, ScalaTest pins exact vectors).
     */
