@@ -57,10 +57,17 @@ object GraftExtensions {
       RandomProjection(args.head, intArg(args(1), "outDim"), longArg(args(2), "seed")) }
   )
 
-  /** Install on an existing session (temp-function registry). */
-  def register(spark: SparkSession): Unit =
+  /** Install on an existing session (temp-function registry). Idempotent:
+    * already-registered names are left alone — re-registering on every
+    * `configure` call emitted one "replaced a previously registered
+    * function" WARN per function per call, flooding bounded log captures
+    * (the round-6 bench artifact lost its sequential map to exactly this).
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
     functions.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "built-in")
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
+  }
 }

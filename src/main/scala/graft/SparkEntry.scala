@@ -114,6 +114,7 @@ object SparkEntry {
     "d8_dedup_keep_canonical" -> (ExtensionQueries.dedupKeepCanonical(_, _)),
     "t8_pii_redaction" -> (ExtensionQueries.piiRedaction(_, _)),
     "t9_token_rarity" -> (ExtensionQueries.tokenRarity(_, _)),
+    "t13_tfidf" -> (ExtensionQueries.tfidfScores(_, _)),
     // oracle projection: ppl is spec-gated (transcendental), Catalyst prunes it
     "t10_lm_bigram" -> ((s, dir) => ExtensionQueries.lmBigramScore(s, dir)
       .select("doc_id", "n_bigrams", "sum_bigram_freq", "sum_ctx_freq", "typicality")
@@ -765,6 +766,21 @@ object SparkEntry {
         |    '\d{1,3}(\.\d{1,3}){3}', '<IP>', 'g'),
         |    '\+\d[\d-]{6,}\d', '<PHONE>', 'g') AS redacted
         |FROM a ORDER BY doc_id""".stripMargin,
+    "t13_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM t),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM t GROUP BY 1),
+        |w AS (SELECT tf.doc_id, tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0) AS w
+        |      FROM tf JOIN dfq USING (tok) CROSS JOIN n),
+        |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, sum(w) AS wsum
+        |      FROM w GROUP BY 1)
+        |SELECT a.doc_id, a.n_terms, a.wsum / dl.n_tok AS tfidf
+        |FROM a JOIN dl USING (doc_id) ORDER BY a.doc_id""".stripMargin,
     "t9_token_rarity" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -112,7 +112,8 @@ object AdminCli {
       case "retention" =>
         val dropped =
           if (boolOpt("snapshot"))
-            Retention.enforceHiveSnapshot(spark, opts("root"), opts("cutoff-date"))
+            Retention.enforceHiveSnapshot(spark, opts("root"), opts("cutoff-date"),
+              convertStreamingStore = boolOpt("convert-streaming"))
           else Retention.enforceHive(spark, opts("root"), opts("cutoff-date"),
             convertStreamingStore = boolOpt("convert-streaming"))
         println(s"[admin] dropped ${dropped.size} partitions: ${dropped.mkString(", ")}")

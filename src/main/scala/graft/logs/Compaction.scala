@@ -299,16 +299,27 @@ object Compaction {
       // an otherwise-finished rewrite). Verify nothing in scope moved and
       // abort cleanly BEFORE the marker — staging without a marker is
       // swept, the live tree is still complete, the writer's rows are safe.
-      def abortOnWriterChange(scope: Set[String]): Unit = {
+      def abortOnWriterChange(scope: Set[String], detectNewPartitions: Boolean): Unit = {
         onBeforeCommit()
-        val now = partitionLeaves(fs, live, partitionCols.length)
-          .filter(l => scope(l._1))
+        val nowAll = partitionLeaves(fs, live, partitionCols.length)
+        // On the versioned tier the staged tree REPLACES the whole root, so
+        // a partition dir born after inventory (not in any scope) would be
+        // silently absent from the promoted version — the same row-loss the
+        // pointer tier's newOwnRels check defends. The legacy tier never
+        // swaps untouched leaves, so new partitions are harmless there.
+        val newRels =
+          if (detectNewPartitions) nowAll.map(_._1).toSet -- leaves.map(_._1).toSet
+          else Set.empty[String]
+        val now = nowAll.filter(l => scope(l._1))
         val before = leaves.filter(l => scope(l._1))
-        if (fileIdentity(now.flatMap(_._2)) != fileIdentity(before.flatMap(_._2))) {
+        if (newRels.nonEmpty ||
+            fileIdentity(now.flatMap(_._2)) != fileIdentity(before.flatMap(_._2))) {
           fs.delete(staging, true)
           throw new IllegalStateException(
-            s"concurrent writer detected on $root during compaction; " +
-              "staging removed, live tree untouched — re-run compaction " +
+            s"concurrent writer detected on $root during compaction" +
+              (if (newRels.nonEmpty) s" (new partitions: [${newRels.mkString(",")}])"
+               else "") +
+              "; staging removed, live tree untouched — re-run compaction " +
               "after the writer finishes (maintenance requires the store " +
               "quiescent or it aborts, never loses rows)")
         }
@@ -318,17 +329,17 @@ object Compaction {
         // (metadata-only, same inodes) so the promoted version dir stays
         // self-contained and plain reads through the symlink keep working
         val dirtyRels = dirty.map(_._1).toSet
-        hardLinkCarry(leaves.filterNot(l => dirtyRels(l._1)), staging)
+        hardLinkCarry(leaves.filterNot(l => dirtyRels(l._1)), staging, live)
         val totalStaged = spark.read.parquet(staging.toString).count()
         require(totalStaged == expectedRows,
           s"staging holds $totalStaged rows, expected $expectedRows; aborting with $live untouched")
-        abortOnWriterChange(leaves.map(_._1).toSet)
+        abortOnWriterChange(leaves.map(_._1).toSet, detectNewPartitions = true)
         writeMarker(fs, marker, expectedRows)
         commitVersioned(spark, root, staging, marker, fs, expectedRows, retainSnapshots)
       } else {
         // legacy tier: only the dirty leaves are staged, so only they swap;
         // untouched leaves are never renamed at all
-        abortOnWriterChange(dirty.map(_._1).toSet)
+        abortOnWriterChange(dirty.map(_._1).toSet, detectNewPartitions = false)
         writeMarker(fs, marker, expectedRows)
         applyStaging(spark, live, staging, marker, fs, expectedRows)
       }
@@ -343,15 +354,21 @@ object Compaction {
     * safety net, not a path).
     */
   private[logs] def hardLinkCarry(leaves: Seq[(String, Seq[FileStatus])],
-      staging: Path): Unit = {
+      staging: Path, liveRoot: Path): Unit = {
     import java.nio.file.{Files, Paths}
-    leaves.foreach { case (rel, files) =>
+    // preserve the full physical layout below the carry root, including
+    // levels deeper than the rewrite key (e.g. hour= under date=), by
+    // RELATIVIZING against the root the leaves were listed from — a
+    // substring search for "/<rel>/" would mis-root the carried file when
+    // the store's own path happens to contain a partition-shaped dir name
+    // (e.g. a root named ".../date=2024-01-01/store")
+    val base = Paths.get(liveRoot.toUri.getPath).toAbsolutePath.normalize()
+    leaves.foreach { case (_, files) =>
       files.foreach { f =>
         val src = Paths.get(f.getPath.toUri.getPath)
-        // preserve the full physical layout below the carry root, including
-        // levels deeper than the rewrite key (e.g. hour= under date=)
-        val srcUri = f.getPath.toUri.getPath
-        val relFile = srcUri.substring(srcUri.lastIndexOf(s"/$rel/") + 1)
+        val relFile = base.relativize(src.toAbsolutePath.normalize()).toString
+        require(!relFile.startsWith(".."),
+          s"carried file $src is outside the live root $base")
         val dst = Paths.get(staging.toUri.getPath, relFile)
         Files.createDirectories(dst.getParent)
         try Files.createLink(dst, src)
@@ -503,7 +520,7 @@ object Compaction {
     val live = GraftStore.currentVersion(spark, root)
     val versions = GraftStore.listVersions(spark, root)
     val seed = versions.filter(_ < live).takeRight(retainSnapshots).toSet + live
-    val keep = seed.flatMap(n => GraftStore.referencedVersions(spark, root, n))
+    val keep = GraftStore.closureOf(spark, root, seed)
     GraftStore.dropVersionsExcept(spark, root, keep)
   }
 

@@ -211,6 +211,23 @@ object GraftStore {
     else readManifest(spark, dirOf(n)).map(_._1).toSet + n
   }
 
+  /** TRANSITIVE closure of manifest references from `seed`. One level is not
+    * enough for reclaim keep-sets: a version kept only because a retained
+    * snapshot carries partitions from it may ITSELF carry partitions from a
+    * still-older version — dropping that one would leave the middle version
+    * listed (and time-travelable) but unreadable, and make `snapshots()` /
+    * `rowDiff` silently undercount it.
+    */
+  def closureOf(spark: SparkSession, root: String, seed: Set[Int]): Set[Int] = {
+    var keep = Set.empty[Int]
+    var frontier = seed
+    while (frontier.nonEmpty) {
+      keep ++= frontier
+      frontier = frontier.flatMap(n => referencedVersions(spark, root, n)) -- keep
+    }
+    keep
+  }
+
   /** Composite snapshot read: the version's own files plus every carried
     * partition, each leg anchored with `basePath` at its version prefix so
     * hive partition columns resolve identically, then unioned. Partition
@@ -405,7 +422,7 @@ object GraftStore {
       val (versions, cur, _) = tierOf(spark, root)
       val seed = versions.filter(_ >= cur).toSet ++
         versions.filter(_ < cur).sorted.takeRight(retain)
-      val keep = seed.flatMap(n => referencedVersions(spark, root, n))
+      val keep = closureOf(spark, root, seed)
       if (isPointerStore(spark, root)) dropVersionsExcept(spark, root, keep)
       else VersionedStore.dropVersionsExcept(root, keep)
       versions.filterNot(keep)

@@ -27,6 +27,17 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * names the holder and acquire time, and the operator breaks it explicitly
   * (`AdminCli break-lease`) after confirming the job is dead. Auto-expiry
   * would trade a visible stall for a silent double-commit.
+  *
+  * OBJECT-STORE CAVEAT: on non-`file:` schemes, Hadoop's
+  * `create(p, overwrite=false)` is check-then-put, not a conditional PUT —
+  * two maintainers racing within the HEAD/PUT window can BOTH acquire. The
+  * lease there is best-effort contention avoidance, not the safety
+  * mechanism: correctness still rests on the marker + single-PUT pointer
+  * flip protocol (a double commit serializes on the flip; the loser's
+  * staged prefix becomes markerless debris, never a torn store). On stores
+  * with conditional writes (S3 `If-None-Match`, GCS preconditions) a
+  * vendor `FileSystem` whose `create(overwrite=false)` maps to them makes
+  * the lease exact with no code change here.
   */
 object MaintenanceLease {
 

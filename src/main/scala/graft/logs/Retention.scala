@@ -185,8 +185,8 @@ object Retention {
       s"snapshot retention staged $staged rows, expected $expectedRows; " +
         s"aborting with $curDir live")
     GraftStore.writePointer(spark, root, next) // one atomic PUT
-    // grace contract: keep the replaced snapshot + manifest closure
-    val keep = (Set(cur, next)).flatMap(n => GraftStore.referencedVersions(spark, root, n))
+    // grace contract: keep the replaced snapshot + transitive manifest closure
+    val keep = GraftStore.closureOf(spark, root, Set(cur, next))
     GraftStore.dropVersionsExcept(spark, root, keep)
     expired.map { case (v, rel) => s"$root/${GraftStore.versionPrefix(v)}/$rel" }
   }
@@ -213,7 +213,7 @@ object Retention {
     val staging = new Path(root + ".retention-staging")
     if (fs.exists(staging)) fs.delete(staging, true)
     fs.mkdirs(staging)
-    Compaction.hardLinkCarry(survivors, staging) // metadata-only carry
+    Compaction.hardLinkCarry(survivors, staging, new Path(curDir)) // metadata-only carry
     val versionDir = new Path(VersionedStore.versionName(root, next))
     require(fs.rename(staging, versionDir), s"rename $staging -> $versionDir failed")
     VersionedStore.retarget(root, next)

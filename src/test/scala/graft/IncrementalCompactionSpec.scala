@@ -635,6 +635,122 @@ class IncrementalCompactionSpec extends SparkSpec {
     assert(GraftStore.versionAsOf(spark, root, System.currentTimeMillis() + 1000) == 3)
   }
 
+  test("symlink tier: a NEW partition landing mid-commit aborts the swap, loses nothing") {
+    val root = Files.createTempDirectory("graft-newpart").resolve("store").toString
+    val df = fixture().limit(1000)
+    LogIngest.writeHive(df, root, partitionCols = parts)
+    val dates = df.select($"date").distinct().as[String].collect().sorted
+    val dirtyDate = dates.head
+    df.filter($"date" === dirtyDate).repartition(4)
+      .write.partitionBy(parts: _*).option("maxRecordsPerFile", 10)
+      .mode("append").parquet(root)
+    val before = spark.read.parquet(root).count()
+    // the racing writer creates a BRAND-NEW partition dir — not in the
+    // inventory, so a scope-filtered re-check would miss it and the
+    // whole-tree swap would publish a version without it (silent row loss
+    // once grace snapshots are reclaimed)
+    var appended = 0L
+    val newDir = Paths.get(VersionedStore.versionName(root, 1),
+      "cluster=dev/namespace=ns0/date=2099-12-31")
+    Compaction.onBeforeCommit = () => {
+      val src = Files.list(Paths.get(VersionedStore.versionName(root, 1),
+          s"cluster=dev/namespace=ns0/date=$dirtyDate"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      appended = spark.read.parquet(src.toString).count()
+      Files.createDirectories(newDir)
+      Files.copy(src, newDir.resolve("part-racer.parquet"))
+    }
+    try {
+      val e = intercept[IllegalStateException](
+        Compaction.compactHive(spark, root, partitionCols = parts))
+      assert(e.getMessage.contains("new partitions"))
+      assert(VersionedStore.currentVersion(root) == 1)
+      assert(spark.read.parquet(root).count() == before + appended)
+      assert(!Files.exists(Paths.get(root + ".compact-staging")))
+      assert(!Files.exists(Paths.get(root + ".compact-inflight")))
+    } finally Compaction.onBeforeCommit = () => ()
+    // quiescent re-run commits and carries the writer's new partition
+    Compaction.compactHive(spark, root, partitionCols = parts)
+    assert(VersionedStore.currentVersion(root) == 2)
+    assert(spark.read.parquet(root).count() == before + appended)
+    assert(spark.read.parquet(root)
+      .filter($"date".cast("string") === "2099-12-31").count() == appended)
+  }
+
+  test("store root nested under a partition-shaped path: carry still lands correctly") {
+    // the root's OWN path contains the exact partition string of a carried
+    // leaf — a substring-search relativization would mis-root the carry;
+    // path relativization against the version root must not care
+    val base = Files.createTempDirectory("graft-collide")
+    val df = fixture().limit(1000)
+    val dates = df.select($"date").distinct().as[String].collect().sorted
+    val rootParent = base.resolve(s"cluster=dev/namespace=ns0/date=${dates.head}")
+    Files.createDirectories(rootParent)
+    val root = rootParent.resolve("store").toString
+    LogIngest.writeHive(df, root, partitionCols = parts)
+    df.filter($"date" === dates.last).repartition(4)
+      .write.partitionBy(parts: _*).option("maxRecordsPerFile", 10)
+      .mode("append").parquet(root)
+    val total = spark.read.parquet(root).count()
+    Compaction.compactHive(spark, root, partitionCols = parts)
+    assert(VersionedStore.currentVersion(root) == 2)
+    assert(spark.read.parquet(root).count() == total)
+    // the colliding-name partition was carried into v2 at the SAME relative
+    // path with the SAME inode (hard link, correctly rooted)
+    val v1Dir = VersionedStore.versionName(root, 1)
+    val v2Dir = VersionedStore.versionName(root, 2)
+    val rel = s"/cluster=dev/namespace=ns0/date=${dates.head}"
+    // match on the path BELOW the version dir — the root's own (colliding)
+    // path segments must not leak into the partition match
+    val carried = filesUnder(v1Dir).filter(_.getPath.stripPrefix(v1Dir).startsWith(rel))
+    assert(carried.nonEmpty)
+    carried.foreach { f =>
+      val twin = v2Dir + f.getPath.stripPrefix(v1Dir)
+      assert(Files.exists(Paths.get(twin)), s"carry mis-rooted: $twin missing")
+      assert(inode(twin) == inode(f.getPath))
+    }
+  }
+
+  test("vacuum keeps the TRANSITIVE manifest closure: a holder's own refs survive") {
+    val srv = new graft.sources.S3StubServer()
+    try {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3l.impl", classOf[graft.sources.S3LiteFileSystem].getName)
+      hc.set("fs.s3l.endpoint", srv.endpoint)
+      hc.set("fs.s3l.impl.disable.cache", "true")
+      val root = "s3l://graft-store/closure-lake"
+      val df = fixture().limit(2000).cache()
+      LogIngest.writeHive(df, root, partitionCols = parts)
+      val dates = df.select($"date").distinct().as[String].collect().sorted
+      // dirty the NEWEST date → v2 holds it physically, carries the rest
+      // from v1 by reference
+      df.filter($"date" === dates.last).repartition(4)
+        .write.partitionBy(parts: _*).option("maxRecordsPerFile", 10)
+        .mode("append").parquet(GraftStore.resolve(spark, root))
+      val totalPreRetention = GraftStore.readStore(spark, root).count()
+      val lastDateRows = GraftStore.readStore(spark, root)
+        .filter($"date".cast("string") === dates.last).count()
+      Compaction.compactHive(spark, root, partitionCols = parts)
+      assert(GraftStore.currentVersion(spark, root) == 2)
+      // retention expires every v1-carried date → v3's manifest references
+      // ONLY v2 (the physical holder of the surviving date); v2's own
+      // manifest still references v1 — the two-level chain
+      Retention.enforceHiveSnapshot(spark, root, dates.last)
+      assert(GraftStore.currentVersion(spark, root) == 3)
+      assert(GraftStore.readManifest(spark, s"$root/v000003").forall(_._1 == 2))
+      assert(GraftStore.readManifest(spark, s"$root/v000002").exists(_._1 == 1))
+      // vacuum(retain=0) seeds from the live version only: a ONE-level
+      // closure would reclaim v1 and leave retained v2 listed but
+      // unreadable; the transitive closure keeps the chain
+      assert(GraftStore.vacuum(spark, root) == Seq.empty)
+      assert(GraftStore.listVersions(spark, root) == Seq(1, 2, 3))
+      // v2 is still a COMPLETE readable snapshot (the ADVICE failure mode:
+      // readVersion on a closure-kept version crashing on a missing path)
+      assert(GraftStore.readVersion(spark, root, 2).count() == totalPreRetention)
+      assert(GraftStore.readStore(spark, root).count() == lastDateRows)
+    } finally srv.stop()
+  }
+
   test("a fully clean store is a no-op: no new version, no data movement") {
     val root = Files.createTempDirectory("graft-noop").resolve("store").toString
     val df = fixture().limit(1000)
