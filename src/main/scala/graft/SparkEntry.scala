@@ -129,6 +129,7 @@ object SparkEntry {
     "d9_cross_source_dups" -> (ExtensionQueries.crossSourceDupMatrix(_, _)),
     "x10_funnel" -> (ExtensionQueries.funnelConversion(_, _)),
     "x11_snapshot_cdc" -> (StoreCdcQuery.run(_, _)),
+    "x12_schema_evolution" -> (StoreEvolutionQuery.run(_, _)),
     "v6_random_projection" -> (ExtensionQueries.randomProjectionGates(_, _)),
     "t11_bpe_vocab" -> (ExtensionQueries.bpeVocabGates(_, _)),
     "v7_quantize_int8" -> (ExtensionQueries.quantizationGates(_, _)),
@@ -968,6 +969,21 @@ object SparkEntry {
     // a content-preserving compaction diffs to ZERO rows, retention's diff
     // is exactly the oldest calendar date (all `removed`, none `added`),
     // and the multiset identity against the retained v2 snapshot held.
+    // x12: the engine's answer comes from an actually-evolved store (old
+    // files lack `quality`, new files carry it); DuckDB restates the same
+    // numbers from `events` with the identical median-date split
+    "x12_schema_evolution" ->
+      """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS d, props FROM events),
+        |dd AS (SELECT DISTINCT d FROM e),
+        |cut AS (SELECT d FROM dd
+        |        QUALIFY row_number() OVER (ORDER BY d) =
+        |          (SELECT count(*) // 2 + 1 FROM dd))
+        |SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN e.d < cut.d THEN 1 ELSE 0 END) AS BIGINT) AS n_backfilled,
+        |  CAST(sum(CASE WHEN e.d >= cut.d THEN 1 ELSE 0 END) AS BIGINT) AS n_annotated,
+        |  CAST(sum(CASE WHEN e.d >= cut.d THEN length(props) ELSE 0 END) AS DOUBLE) AS sum_quality,
+        |  TRUE AS zero_move_ok
+        |FROM e, cut""".stripMargin,
     "x11_snapshot_cdc" ->
       """SELECT CAST(0 AS BIGINT) AS compact_changed_rows,
         |  CAST(count(*) AS BIGINT) AS removed_rows,

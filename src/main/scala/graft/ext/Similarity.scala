@@ -265,6 +265,35 @@ object Similarity {
       .write.partitionBy("cell").mode("append").parquet(s"$path/cells")
   }
 
+  /** Incremental append to a [[buildIvfPqIndex]] store — the growing-corpus
+    * path for the index you'd actually run at 100 TB: new vectors are
+    * assigned with the EXISTING coarse centroids and encoded with the
+    * EXISTING PQ codebooks (both read from the index, both held fixed),
+    * then appended into their `cell=` partition directories. Pre-existing
+    * cell files, the centroids table, and the PQ model are never touched,
+    * so concurrent searches keep pruning and ADC-scoring exactly as before
+    * and the append cost is O(new vectors), not O(corpus). Re-training
+    * either quantizer is a separate, explicit rebuild — needed only when
+    * the data DISTRIBUTION drifts, not with volume (same contract as
+    * [[appendIvfIndex]]).
+    */
+  def appendIvfPqIndex(spark: SparkSession, path: String, newVectors: DataFrame,
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): Unit = {
+    requireIntegralId(newVectors, corpusId, "corpus")
+    val model = Pq.loadModel(spark, s"$path/pqmodel")
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(centroids.nonEmpty, s"$path/centroids is empty — build the index first")
+    newVectors.select(col(corpusId).as("cid"), col(corpusVec).as("cv"),
+        element_at(SketchFunctions.nearestCentroids(col(corpusVec), centroids, 1), 1)
+          .as("cell"))
+      .join(Pq.encode(newVectors, model, corpusId, corpusVec)
+        .select(col(corpusId).as("cid"), col("pq_code")), Seq("cid"))
+      .repartition(col("cell")) // one writer task per touched cell dir
+      .write.partitionBy("cell").mode("append").parquet(s"$path/cells")
+  }
+
   /** Search a [[buildIvfIndex]] store: each query's nProbe cells become a
     * pushed-down partition filter, so only those directories are read.
     */

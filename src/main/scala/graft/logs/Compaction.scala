@@ -281,10 +281,18 @@ object Compaction {
         full || isDirty(l._2, dirtyMaxFiles, dirtyMinAvgBytes))
       if (dirty.isEmpty) return // every partition already compact: no commit
       val expectedRows = spark.read.parquet(root).count() // footer metadata only
-      val input = spark.read.option("basePath", root)
-        .parquet(dirty.map(d => s"$root/${d._1}"): _*)
+      // overlay via the symlink (legacy plain roots never have one)
+      val overlay = GraftStore.readSchemaOverlay(spark, root)
+      val input = {
+        val r = spark.read.option("basePath", root)
+        val r2 = if (overlay.nonEmpty) r.option("mergeSchema", "true") else r
+        GraftStore.applyOverlay(
+          r2.parquet(dirty.map(d => s"$root/${d._1}"): _*), overlay)
+      }
       val dirtyRows = input.count()
       rewrite(input, partitionCols, maxRecordsPerFile, staging.toString, cluster)
+      if (VersionedStore.isVersioned(root))
+        GraftStore.carrySchemaOverlay(spark, root, staging.toString)
       // verify the rewrite BEFORE touching the live tree — a short row count
       // means lost data and must abort while the original is still in place
       val stagedRows = spark.read.parquet(staging.toString).count()
@@ -433,11 +441,11 @@ object Compaction {
       // everything its manifest carries; a partition can span both (appends
       // after a carry), in which case its file set is the union
       val depth = partitionCols.length
+      val curPrefix = GraftStore.versionPrefix(cur)
       val own = partitionLeaves(fs, new Path(curDir), depth)
-        .map { case (rel, fls) => (rel, cur, fls) }
-      val carried = GraftStore.readManifest(spark, curDir).map { case (v, rel) =>
-        (rel, v, dataFilesUnder(fs,
-          new Path(s"$root/${GraftStore.versionPrefix(v)}/$rel")))
+        .map { case (rel, fls) => (rel, curPrefix, fls) }
+      val carried = GraftStore.readManifest(spark, curDir).map { case (h, rel) =>
+        (rel, h, dataFilesUnder(fs, new Path(s"$root/$h/$rel")))
       }
       val byRel = (own ++ carried).groupBy(_._1)
       val dirtyRels = byRel.collect { case (rel, legs)
@@ -449,19 +457,27 @@ object Compaction {
       val nextDir = s"$root/${GraftStore.versionPrefix(next)}"
       // read ONLY the dirty partitions, one leg per version prefix that
       // physically holds some of them
+      // overlay-aware legs: pre-evolution files null-backfill the evolved
+      // columns, so the rewrite MATERIALIZES them — the overlay shrinks to
+      // irrelevance as maintenance touches partitions
+      val overlay = GraftStore.readSchemaOverlay(spark, curDir)
       val input = byRel.filter(e => dirtyRels(e._1)).values.flatten.toSeq
         .groupBy(_._2).toSeq.sortBy(_._1)
-        .map { case (v, legs) =>
-          val vdir = s"$root/${GraftStore.versionPrefix(v)}"
-          spark.read.option("basePath", vdir)
-            .parquet(legs.map(l => s"$vdir/${l._1}"): _*)
+        .map { case (h, legs) =>
+          val vdir = s"$root/$h"
+          val r = spark.read.option("basePath", vdir)
+          val r2 = if (overlay.nonEmpty) r.option("mergeSchema", "true") else r
+          GraftStore.applyOverlay(
+            r2.parquet(legs.map(l => s"$vdir/${l._1}"): _*), overlay)
         }
         .reduce(_.unionByName(_))
       rewrite(input, partitionCols, maxRecordsPerFile, nextDir, cluster)
-      // carry every untouched partition by reference, chained to the prefix
-      // that physically holds its files — zero data movement
+      GraftStore.carrySchemaOverlay(spark, curDir, nextDir)
+      // carry every untouched partition by reference, chained to the holder
+      // (version prefix or staged-append dir) that physically holds its
+      // files — zero data movement
       val carryEntries = byRel.filter(e => !dirtyRels(e._1)).values.flatten.toSeq
-        .collect { case (rel, v, fls) if fls.nonEmpty => (v, rel) }
+        .collect { case (rel, h, fls) if fls.nonEmpty => (h, rel) }
         .sortBy(e => (e._2, e._1))
       if (carryEntries.nonEmpty)
         GraftStore.writeManifest(spark, nextDir, carryEntries)
@@ -485,8 +501,8 @@ object Compaction {
       val newOwnRels = ownNowByRel.keySet -- own.map(_._1).toSet
       val dirtyChanged = dirtyRels.filter { rel =>
         val before = fileIdentity(byRel(rel).flatMap(_._3))
-        val carriedNow = byRel(rel).collect { case (r, v, _) if v != cur =>
-          dataFilesUnder(fs, new Path(s"$root/${GraftStore.versionPrefix(v)}/$r"))
+        val carriedNow = byRel(rel).collect { case (r, h, _) if h != curPrefix =>
+          dataFilesUnder(fs, new Path(s"$root/$h/$r"))
         }.flatten
         before != fileIdentity(ownNowByRel.getOrElse(rel, Seq.empty) ++ carriedNow)
       }
@@ -498,6 +514,17 @@ object Compaction {
             s"[${dirtyChanged.mkString(",")}]); staged version removed, " +
             "live store untouched — re-run compaction after the writer " +
             "finishes (maintenance aborts on a racing writer, never loses rows)")
+      }
+      GraftStore.writeCommitInfo(spark, nextDir, GraftStore.CommitInfo(
+        "compact", java.util.UUID.randomUUID().toString, System.currentTimeMillis()))
+      // the lease fails open on object stores (HEAD-then-PUT): verify no
+      // racing commit (e.g. an atomic append publish) flipped the pointer
+      // since inventory — its flip would also have swept this staged prefix
+      if (GraftStore.currentVersion(spark, root) != cur) {
+        fs.delete(new Path(nextDir), true)
+        throw new IllegalStateException(
+          s"concurrent commit detected on $root during compaction publish " +
+            s"(expected v$cur live); staged version removed — re-run compaction")
       }
       writeMarker(fs, marker, expectedRows)
       GraftStore.writePointer(spark, root, next) // THE commit: one atomic PUT
@@ -522,6 +549,10 @@ object Compaction {
     val seed = versions.filter(_ < live).takeRight(retainSnapshots).toSet + live
     val keep = GraftStore.closureOf(spark, root, seed)
     GraftStore.dropVersionsExcept(spark, root, keep)
+    // compaction absorbs append-dir files into version prefixes; once no
+    // retained snapshot references a staged dir it is reclaimable (the 24 h
+    // age guard protects writers staging concurrently with this commit)
+    GraftStore.sweepOrphanAppendDirs(spark, root, keep, 24L * 3600 * 1000)
   }
 
   /** Versioned-store commit: promote the verified staging tree to the next
@@ -536,6 +567,8 @@ object Compaction {
     val prev = VersionedStore.currentVersion(root)
     val next = VersionedStore.listVersions(root).max + 1
     val versionDir = new Path(VersionedStore.versionName(root, next))
+    GraftStore.writeCommitInfo(spark, staging.toString, GraftStore.CommitInfo(
+      "compact", java.util.UUID.randomUUID().toString, System.currentTimeMillis()))
     require(fs.rename(staging, versionDir), s"rename $staging -> $versionDir failed")
     VersionedStore.retarget(root, next)
     val liveRows = spark.read.parquet(root).count()

@@ -29,6 +29,18 @@ object GraftStore {
 
   val PointerName = "_current"
   val ManifestName = "_graft_manifest"
+  val CommitInfoName = "_commit-info"
+
+  /** Staged-append directory prefix: a writer stages its part-files under
+    * `<root>/_append-<id>` — the `_` prefix keeps the whole subtree
+    * invisible to Spark listings AND to `listVersions`, so an in-flight or
+    * crashed append is unreadable until (unless) a manifest references it.
+    */
+  val AppendPrefix = "_append-"
+
+  /** Some(version) when `holder` is a version prefix, None for append dirs. */
+  def holderVersion(holder: String): Option[Int] =
+    if (holder.matches("v\\d{6}")) Some(holder.stripPrefix("v").toInt) else None
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -77,7 +89,11 @@ object GraftStore {
     * ordering `versionAsOf` needs.
     */
   def commitTimeOf(spark: SparkSession, root: String, n: Int): Long = {
-    val (_, cur, _) = tierOf(spark, root)
+    val (_, cur, dirOf) = tierOf(spark, root)
+    // exact path first: a commit record written at publish time inside the
+    // version dir (atomic-with-flip, mtime-independent); mtime heuristics
+    // below serve only legacy stores written before the record existed
+    readCommitInfo(spark, dirOf(n)).foreach { ci => return ci.millis }
     if (n == cur) {
       if (isPointerStore(spark, root)) {
         val p = new Path(root, PointerName)
@@ -126,19 +142,18 @@ object GraftStore {
 
   // ---- carried-partition manifest (incremental-commit support) ----------
 
-  /** Carried-partition manifest of a version directory: `(version, relPath)`
+  /** Carried-partition manifest of a version directory: `(holder, relPath)`
     * lines meaning "this snapshot ALSO includes the files under
-    * `<root>/<version>/<relPath>`". Written by incremental compaction so a
-    * maintenance commit only REWRITES dirty partitions and carries untouched
-    * ones into the next version by reference — commit cost proportional to
-    * dirty data, not store size (the same economics as Delta/Iceberg
-    * OPTIMIZE). The manifest lives INSIDE the version dir it describes, so
-    * the one-PUT pointer flip publishes data and manifest atomically; its
-    * `_`-prefix keeps it out of Spark's file listing. Absent manifest =
-    * self-contained version (plain read) — the pre-incremental layout reads
-    * unchanged.
+    * `<root>/<holder>/<relPath>`". A holder is a version prefix (`v000007`,
+    * written by incremental compaction / snapshot retention) or a staged
+    * append directory (`_append-<id>`, written by the atomic writer commit)
+    * — either way the snapshot INCLUDES those files without moving a byte.
+    * The manifest lives INSIDE the version dir it describes, so the one-PUT
+    * pointer flip publishes data and manifest atomically; its `_`-prefix
+    * keeps it out of Spark's file listing. Absent manifest = self-contained
+    * version (plain read) — the pre-incremental layout reads unchanged.
     */
-  def readManifest(spark: SparkSession, versionDir: String): Seq[(Int, String)] = {
+  def readManifest(spark: SparkSession, versionDir: String): Seq[(String, String)] = {
     val p = new Path(versionDir, ManifestName)
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) return Seq.empty
@@ -148,9 +163,11 @@ object GraftStore {
     text.split('\n').toSeq.filter(_.nonEmpty).map { line =>
       val i = line.indexOf('\t')
       require(i > 0, s"corrupt manifest line in $p: '$line'")
-      val v = line.substring(0, i)
-      require(v.matches("v\\d{6}"), s"corrupt manifest version in $p: '$line'")
-      (v.stripPrefix("v").toInt, line.substring(i + 1))
+      val h = line.substring(0, i)
+      require(h.matches("v\\d{6}") ||
+        (h.startsWith(AppendPrefix) && h.matches("_append-[A-Za-z0-9._-]+")),
+        s"corrupt manifest holder in $p: '$line'")
+      (h, line.substring(i + 1))
     }
   }
 
@@ -168,10 +185,13 @@ object GraftStore {
     * temp + rename like the compaction marker.
     */
   def writeManifest(spark: SparkSession, versionDir: String,
-      entries: Seq[(Int, String)]): Unit = {
+      entries: Seq[(String, String)]): Unit = {
     val p = new Path(versionDir, ManifestName)
     val fs = fsOf(spark, p)
-    val bytes = entries.map { case (v, rel) => s"${versionPrefix(v)}\t$rel" }
+    entries.foreach { case (h, _) =>
+      require(h.matches("v\\d{6}") || h.matches("_append-[A-Za-z0-9._-]+"),
+        s"invalid manifest holder '$h'") }
+    val bytes = entries.map { case (h, rel) => s"$h\t$rel" }
       .mkString("\n").getBytes("UTF-8")
     val scheme = Option(p.toUri.getScheme).getOrElse("file")
     if (objectStoreSchemes.contains(scheme)) {
@@ -200,6 +220,100 @@ object GraftStore {
     }
   }
 
+  /** Schema-overlay sidecar (add-column-without-rewrite, round 7): one
+    * `name\ttypeDDL` line per column added AFTER data was written. Files
+    * that physically lack an overlay column read it as NULL (the
+    * Iceberg/Delta add-column contract — null backfill, no rewrite); files
+    * written after the evolution carry the column physically and read it
+    * as-is. Carried forward by every commit so evolved columns survive
+    * appends and maintenance; no-op when the source version has no overlay.
+    */
+  val SchemaOverlayName = "_graft_schema"
+
+  def carrySchemaOverlay(spark: SparkSession, fromDir: String, toDir: String): Unit = {
+    val src = new Path(fromDir, SchemaOverlayName)
+    val fs = fsOf(spark, src)
+    if (!fs.exists(src)) return
+    val in = fs.open(src)
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    val out = fs.create(new Path(toDir, SchemaOverlayName), true)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** `(column, typeDDL)` overlay entries of a version dir, in add order. */
+  def readSchemaOverlay(spark: SparkSession, versionDir: String): Seq[(String, String)] = {
+    val p = new Path(versionDir, SchemaOverlayName)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return Seq.empty
+    val in = fs.open(p)
+    val text = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+    text.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('\t')
+      require(i > 0, s"corrupt schema overlay line in $p: '$line'")
+      (line.substring(0, i), line.substring(i + 1))
+    }
+  }
+
+  def writeSchemaOverlay(spark: SparkSession, versionDir: String,
+      cols: Seq[(String, String)]): Unit = {
+    cols.foreach { case (n, t) =>
+      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid overlay column name '$n'")
+      org.apache.spark.sql.types.DataType.fromDDL(t) // fail fast on bad DDL
+    }
+    val p = new Path(versionDir, SchemaOverlayName)
+    val out = fsOf(spark, p).create(p, true)
+    try out.write(cols.map { case (n, t) => s"$n\t$t" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Null-backfill overlay columns a frame's files do not carry physically.
+    * Applied PER LEG before the composite union, so pre-evolution legs align
+    * with post-evolution ones without `allowMissingColumns` (which would
+    * silently null genuine schema mismatches too).
+    */
+  private[logs] def applyOverlay(df: DataFrame,
+      overlay: Seq[(String, String)]): DataFrame =
+    overlay.foldLeft(df) { case (d, (n, t)) =>
+      if (d.columns.contains(n)) d
+      else d.withColumn(n,
+        org.apache.spark.sql.functions.lit(null).cast(
+          org.apache.spark.sql.types.DataType.fromDDL(t)))
+    }
+
+  /** One commit's metadata: the operation that produced the version, the
+    * caller-supplied commit id (streaming sinks use `q<queryId>-b<batchId>`
+    * for exactly-once replay detection), and the publish wall-clock.
+    */
+  final case class CommitInfo(op: String, id: String, millis: Long)
+
+  /** Write the commit record INSIDE a staged version dir, before the flip
+    * that publishes it — so the record becomes visible atomically with the
+    * version itself and [[commitTimeOf]] does not depend on filesystem
+    * mtimes (which coarse-mtime filesystems, copies, and backup restores
+    * all scramble).
+    */
+  def writeCommitInfo(spark: SparkSession, versionDir: String, info: CommitInfo): Unit = {
+    val p = new Path(versionDir, CommitInfoName)
+    val out = fsOf(spark, p).create(p, true)
+    try out.write(s"${info.op}\t${info.id}\t${info.millis}".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def readCommitInfo(spark: SparkSession, versionDir: String): Option[CommitInfo] = {
+    val p = new Path(versionDir, CommitInfoName)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+    text.trim.split('\t') match {
+      case Array(op, id, millis) => Some(CommitInfo(op, id, millis.toLong))
+      case _ => None // torn/foreign file: fall back to mtimes
+    }
+  }
+
   /** Versions whose files snapshot `n` reads: itself plus every version its
     * manifest carries partitions from. Reclaim (vacuum / post-commit
     * cleanup) must keep the CLOSURE of what it retains — dropping a version
@@ -208,7 +322,18 @@ object GraftStore {
   def referencedVersions(spark: SparkSession, root: String, n: Int): Set[Int] = {
     val (versions, _, dirOf) = tierOf(spark, root)
     if (!versions.contains(n)) Set(n)
-    else readManifest(spark, dirOf(n)).map(_._1).toSet + n
+    else readManifest(spark, dirOf(n)).flatMap(e => holderVersion(e._1)).toSet + n
+  }
+
+  /** Append directories (staged-writer holders) snapshot `n` reads from.
+    * Reclaim must keep these as long as any retained snapshot references
+    * them; unreferenced ones are crashed-writer debris swept by [[vacuum]].
+    */
+  def referencedAppendDirs(spark: SparkSession, root: String, n: Int): Set[String] = {
+    val (versions, _, dirOf) = tierOf(spark, root)
+    if (!versions.contains(n)) Set.empty
+    else readManifest(spark, dirOf(n)).map(_._1)
+      .filter(_.startsWith(AppendPrefix)).toSet
   }
 
   /** TRANSITIVE closure of manifest references from `seed`. One level is not
@@ -235,29 +360,54 @@ object GraftStore {
     * referenced leaf dirs). No-manifest versions take the plain one-dir
     * read.
     */
+  /** Physical directory of a manifest holder: the version prefix dir for
+    * `vNNNNNN` holders, `<root>/<holder>` for staged append dirs.
+    */
+  private def holderDir(root: String, holder: String, dirOf: Int => String): String =
+    holderVersion(holder).map(dirOf).getOrElse(s"$root/$holder")
+
   def readVersion(spark: SparkSession, root: String, n: Int): DataFrame = {
     val (_, _, dirOf) = tierOf(spark, root)
     val dir = resolveVersion(spark, root, n)
     val entries = readManifest(spark, dir)
-    if (entries.isEmpty) return spark.read.parquet(dir)
+    val overlay = readSchemaOverlay(spark, dir)
+    // mergeSchema when evolved: one holder dir can mix pre- and
+    // post-evolution files, and the sampled-footer schema would otherwise
+    // hide the physical column from half the rows
+    def rd(base: String, paths: Seq[String]): DataFrame = {
+      val r = spark.read.option("basePath", base)
+      val r2 = if (overlay.nonEmpty) r.option("mergeSchema", "true") else r
+      applyOverlay(r2.parquet(paths: _*), overlay)
+    }
+    if (entries.isEmpty) {
+      val r = if (overlay.nonEmpty) spark.read.option("mergeSchema", "true")
+      else spark.read
+      return applyOverlay(r.parquet(dir), overlay)
+    }
     val own =
-      if (hasDataFiles(spark, dir)) Seq(spark.read.option("basePath", dir).parquet(dir))
+      if (hasDataFiles(spark, dir)) Seq(rd(dir, Seq(dir)))
       else Seq.empty // retention can empty a version that still carries refs
-    val carried = entries.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, es) =>
-      val vdir = dirOf(v)
-      spark.read.option("basePath", vdir).parquet(es.map(e => s"$vdir/${e._2}"): _*)
+    val carried = entries.groupBy(_._1).toSeq.sortBy(_._1).map { case (h, es) =>
+      val vdir = holderDir(root, h, dirOf)
+      rd(vdir, es.map(e => s"$vdir/${e._2}"))
     }
     (own ++ carried).reduce(_.unionByName(_))
   }
 
   /** The read-side entry point every engine query path uses: composite read
     * of the live snapshot for pointer stores, plain read otherwise (symlink
-    * roots resolve in the filesystem and are always self-contained).
+    * roots resolve in the filesystem and are always self-contained modulo
+    * the schema overlay, applied here on both tiers).
     */
   def readStore(spark: SparkSession, root: String): DataFrame =
     if (isPointerStore(spark, root))
       readVersion(spark, root, currentVersion(spark, root))
-    else spark.read.parquet(root)
+    else {
+      val overlay = readSchemaOverlay(spark, root) // root resolves via symlink
+      val r = if (overlay.nonEmpty) spark.read.option("mergeSchema", "true")
+      else spark.read
+      applyOverlay(r.parquet(root), overlay)
+    }
 
   /** Hidden/metadata names (`_SUCCESS`, `_graft_manifest`, `.crc`, trash)
     * are invisible to Spark's file listing and to store accounting.
@@ -314,8 +464,9 @@ object GraftStore {
     }
     val dir = resolveVersion(spark, root, n)
     val own = list(dir, "", dir)
-    val carried = readManifest(spark, dir).flatMap { case (v, rel) =>
-      list(s"${dirOf(v)}/$rel", s"/$rel", dirOf(v))
+    val carried = readManifest(spark, dir).flatMap { case (h, rel) =>
+      val hd = holderDir(root, h, dirOf)
+      list(s"$hd/$rel", s"/$rel", hd)
     }
     own ++ carried
   }
@@ -390,10 +541,20 @@ object GraftStore {
         case _ => true
       }
     }
+    // schema alignment across an evolution commit: back-fill BOTH sides
+    // with the union of the two snapshots' overlays, so pre-evolution rows
+    // compare (col = null) against post-evolution rows instead of failing
+    // the union — an add-column commit then diffs to ZERO rows, which is
+    // the correct CDC statement for a metadata-only change
+    val overlays =
+      (readSchemaOverlay(spark, resolveVersion(spark, root, from)) ++
+        readSchemaOverlay(spark, resolveVersion(spark, root, to))).distinct
     def readSide(m: Map[String, FileEntry]): Option[DataFrame] =
       touched.intersect(m.keySet).groupBy(k => m(k).legBase).map {
-        case (base, ks) => spark.read.option("basePath", base)
-          .parquet(ks.map(m(_).physical).toSeq.sorted: _*)
+        case (base, ks) =>
+          val r = spark.read.option("basePath", base)
+          val r2 = if (overlays.nonEmpty) r.option("mergeSchema", "true") else r
+          applyOverlay(r2.parquet(ks.map(m(_).physical).toSeq.sorted: _*), overlays)
       }.reduceOption(_.unionByName(_))
     val tagged = (readSide(a), readSide(b)) match {
       case (Some(f), Some(t)) =>
@@ -417,7 +578,8 @@ object GraftStore {
     * contract as Delta/Iceberg VACUUM; the default (retain 0, do nothing)
     * already reclaims at the next commit.
     */
-  def vacuum(spark: SparkSession, root: String, retain: Int = 0): Seq[Int] =
+  def vacuum(spark: SparkSession, root: String, retain: Int = 0,
+      orphanAppendAgeMillis: Long = 24L * 3600 * 1000): Seq[Int] =
     MaintenanceLease.withLease(spark, root, "vacuum") {
       val (versions, cur, _) = tierOf(spark, root)
       val seed = versions.filter(_ >= cur).toSet ++
@@ -425,8 +587,58 @@ object GraftStore {
       val keep = closureOf(spark, root, seed)
       if (isPointerStore(spark, root)) dropVersionsExcept(spark, root, keep)
       else VersionedStore.dropVersionsExcept(root, keep)
+      sweepOrphanAppendDirs(spark, root, keep, orphanAppendAgeMillis)
       versions.filterNot(keep)
     }
+
+  /** Reclaim staged-append directories no RETAINED version references —
+    * crashed or abandoned writers. The age guard is the Delta-VACUUM
+    * contract: a LIVE writer's staging is also unreferenced until its
+    * publish, so only dirs whose newest file is older than
+    * `minAgeMillis` are swept (default 24 h; tests pass 0 with writers
+    * quiescent). Covers both tiers: `<root>/_append-*` prefixes on pointer
+    * stores, `<root>.append-*` siblings on symlink roots.
+    */
+  private[logs] def sweepOrphanAppendDirs(spark: SparkSession, root: String,
+      keepVersions: Set[Int], minAgeMillis: Long): Seq[String] = {
+    val cutoff = System.currentTimeMillis() - minAgeMillis
+    def newestMtime(fs: FileSystem, dir: Path): Long = {
+      var t = fs.getFileStatus(dir).getModificationTime
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) t = math.max(t, it.next().getModificationTime)
+      t
+    }
+    if (isPointerStore(spark, root)) {
+      val rootPath = new Path(root)
+      val fs = fsOf(spark, rootPath)
+      val referenced = keepVersions
+        .filter(listVersions(spark, root).contains)
+        .flatMap(n => referencedAppendDirs(spark, root, n))
+      fs.listStatus(rootPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(AppendPrefix))
+        .filterNot(s => referenced(s.getPath.getName))
+        .filter(s => newestMtime(fs, s.getPath) < cutoff)
+        .map { s => fs.delete(s.getPath, true); s.getPath.toString }
+    } else if (VersionedStore.isVersioned(root)) {
+      // symlink tier: staging siblings are consumed (hard-linked + deleted)
+      // at publish, so ANY surviving sibling is debris once old enough
+      import java.nio.file.{Files => NF, Paths => NP}
+      import scala.jdk.CollectionConverters._
+      val rootPath = NP.get(root).toAbsolutePath
+      val prefix = rootPath.getFileName.toString + ".append-"
+      val s = NF.list(rootPath.getParent)
+      val candidates = try s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(prefix)).toList
+      finally s.close()
+      candidates.filter { p =>
+        val fs = new Path(p.toString).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        newestMtime(fs, new Path(p.toString)) < cutoff
+      }.map { p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(p.toFile); p.toString
+      }
+    } else Seq.empty
+  }
 
   /** (retained versions, live version, version → data dir) for whichever
     * versioned tier `root` is; refuses plain unversioned directories.

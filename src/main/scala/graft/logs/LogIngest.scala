@@ -65,7 +65,8 @@ object LogIngest {
     */
   def writeHive(df: DataFrame, root: String,
       maxRecordsPerFile: Long = 1000000L,
-      partitionCols: Seq[String] = LogSchema.hivePartitionColumns): Unit = {
+      partitionCols: Seq[String] = LogSchema.hivePartitionColumns,
+      atomic: Boolean = true): Unit = {
     // Fresh stores are created versioned so maintenance rewrites can swap
     // the whole tree atomically under readers: symlink-rooted when the path
     // RESOLVES to the local filesystem (VersionedStore — symlinks are a
@@ -77,7 +78,49 @@ object LogIngest {
     // symlink. Existing plain roots are appended to as-is. A concurrent
     // first writer can lose the init race — benign, the store the winner
     // created is exactly the one the loser wanted.
+    //
+    // APPENDS to an existing versioned store commit atomically through
+    // [[AppendCommit]] (stage invisibly, publish by manifest-add/pointer
+    // flip or hardlink/retarget): readers polling mid-append see none or
+    // all of the batch, a crashed writer leaves zero visible rows, and the
+    // commit bumps the version (grace snapshot + time travel apply). The
+    // FIRST write of a fresh store still lands directly in v1: no reader
+    // can hold a reference to a store that does not exist yet, so there is
+    // no torn-read window to defend. `atomic=false` forces the legacy
+    // in-place append (torn-visible; compaction's conflict detection is the
+    // only guard) — for layouts the commit protocol cannot stage, e.g.
+    // appends deeper than the store's partition column depth.
     val spark = df.sparkSession
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    val existingVersioned =
+      GraftStore.isPointerStore(spark, root) ||
+        (isLocal && VersionedStore.isVersioned(rootPath.toUri.getPath))
+    if (existingVersioned && atomic) {
+      AppendCommit.commit(df, root, partitionCols, maxRecordsPerFile)
+      return
+    }
+    ensureStore(spark, root)
+    df.repartition(partitionCols.map(col): _*)
+      .write
+      .partitionBy(partitionCols: _*)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .options(LogSchema.parquetBloomOptions)
+      .mode("append")
+      .parquet(GraftStore.resolve(spark, root))
+  }
+
+  /** Create the versioned store for `root` if nothing exists there yet —
+    * symlink tier on the local filesystem, pointer tier everywhere else
+    * (tier decision from the resolved Hadoop FileSystem, not the URI
+    * scheme). Idempotent; losing a concurrent-creation race is benign.
+    * A fresh store is EMPTY (v1 holds no data): the streaming sink relies
+    * on this so its first micro-batch goes through the same atomic
+    * [[AppendCommit]] as every later one — replayable by commit id.
+    */
+  def ensureStore(spark: SparkSession, root: String): Unit = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
@@ -96,13 +139,6 @@ object LogIngest {
         case e: IllegalArgumentException if e.getMessage.contains("already") => ()
       }
     }
-    df.repartition(partitionCols.map(col): _*)
-      .write
-      .partitionBy(partitionCols: _*)
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .options(LogSchema.parquetBloomOptions)
-      .mode("append")
-      .parquet(GraftStore.resolve(spark, root))
   }
 
   /** Reference-compatible positional-layout writer (SURVEY §1.3; layout

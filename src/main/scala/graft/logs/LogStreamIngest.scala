@@ -62,6 +62,54 @@ object LogStreamIngest {
       .start()
   }
 
+  /** FIRST-CLASS streaming store (round 7): every micro-batch commits
+    * through the store protocol ([[AppendCommit]] — stage invisibly,
+    * publish by manifest-add + pointer flip / hardlink + retarget) instead
+    * of the parquet sink's `_spark_metadata` commit log. The resulting
+    * store is an ordinary versioned store from the first batch, so
+    * compaction / retention / vacuum / time travel run against the LIVE
+    * ingest — no stop-the-stream `convertStreamingStore` step, matching the
+    * reference's lake, which is queried while the DaemonSet keeps writing
+    * (test.sh:207-330). Maintenance and the sink serialize on the store
+    * lease; the sink's publish retries behind a running compaction.
+    *
+    * Exactly-once: the commit id is `s<sinkId>-b<batchId>`, with `sinkId`
+    * derived from the CHECKPOINT path — stable across restarts, so a
+    * micro-batch replayed after a crash short-circuits on the recorded id
+    * instead of committing twice. (The parquet sink gets the same guarantee
+    * from `_spark_metadata`; this moves it into the store's own commit
+    * records.) Batches yielding zero rows publish nothing.
+    */
+  def startStoreSink(spark: SparkSession, inputGlob: String, storeRoot: String,
+      checkpoint: String, clusterName: String,
+      nodeName: String = "local-node",
+      triggerInterval: String = "60 seconds",
+      maxFilesPerTrigger: Int = 1000,
+      maxRecordsPerFile: Long = 1000000L,
+      retainSnapshots: Int = 1): StreamingQuery = {
+    val parsed = parsedStream(spark, inputGlob, clusterName, nodeName, maxFilesPerTrigger)
+      .withColumn("date", date_format(col("time"), "yyyy-MM-dd"))
+      .withColumn("hour", date_format(col("time"), "HH"))
+    // content-independent and restart-stable: replay detection must key on
+    // the same id before and after a crash, and two sinks with different
+    // checkpoints must never collide
+    val sinkId = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(checkpoint))
+    LogIngest.ensureStore(spark, storeRoot)
+    parsed.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        AppendCommit.commit(batch.toDF(), storeRoot,
+          partitionCols = LogSchema.hivePartitionColumns,
+          maxRecordsPerFile = maxRecordsPerFile,
+          commitId = Some(s"s$sinkId-b$batchId"),
+          retainSnapshots = retainSnapshots)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .start()
+  }
+
   /** K5 wired live: the main partitioned sink PLUS a close-write side channel
     * — the engine analogue of the reference's `_flb_close_write` sentinel +
     * per-tag force flush (close-write-flush.patch:20-156). A second streaming

@@ -52,6 +52,28 @@ object MaintenanceLease {
     try f finally release(spark, p)
   }
 
+  /** Lease acquisition with bounded linear-backoff retry — for WRITER
+    * publishes, which are short metadata-only critical sections expected to
+    * queue behind maintenance and each other rather than fail fast (a
+    * compaction holding the root for minutes should stall appends, not kill
+    * them). Maintenance itself keeps the fail-fast `withLease`: two
+    * long-running maintainers queuing silently is an operational smell.
+    */
+  def withLeaseRetry[T](spark: SparkSession, root: String, op: String,
+      attempts: Int = 10, backoffMs: Long = 200)(f: => T): T = {
+    var i = 0
+    while (true) {
+      try return withLease(spark, root, op)(f)
+      catch {
+        case e: LeaseHeldException =>
+          i += 1
+          if (i >= attempts) throw e
+          Thread.sleep(backoffMs * i)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def acquire(spark: SparkSession, root: String, op: String): Path = {
     val p = leasePath(spark, root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -90,8 +90,8 @@ object Retention {
     // snapshots and are reclaimed when their version is
     if (manifestDrop.nonEmpty) {
       GraftStore.writeManifest(spark, root, manifestKeep)
-      manifestDrop.foreach { case (v, rel) =>
-        deleted += s"$rawRoot/${GraftStore.versionPrefix(v)}/$rel"
+      manifestDrop.foreach { case (h, rel) =>
+        deleted += s"$rawRoot/$h/$rel"
       }
     }
     deleted.result()
@@ -164,7 +164,8 @@ object Retention {
     val curDir = s"$root/${GraftStore.versionPrefix(cur)}"
     // composite inventory: own date dirs chain as (cur, rel); carried ones
     // keep pointing at the version that physically holds them
-    val own = ownDateLeaves(fs, curDir).map { case (rel, _) => (cur, rel) }
+    val own = ownDateLeaves(fs, curDir)
+      .map { case (rel, _) => (GraftStore.versionPrefix(cur), rel) }
     val carried = GraftStore.readManifest(spark, curDir)
     val (expired, survivors) = (own ++ carried).partition(e => relExpired(e._2, cutoffDate))
     if (expired.isEmpty) return Seq.empty
@@ -180,21 +181,24 @@ object Retention {
     // the new version holds exactly ONE object — its manifest; every
     // surviving partition is a reference, every expired one is absent
     GraftStore.writeManifest(spark, nextDir, survivors.sortBy(e => (e._2, e._1)))
+    GraftStore.carrySchemaOverlay(spark, curDir, nextDir)
     val staged = GraftStore.readVersion(spark, root, next).count()
     require(staged == expectedRows,
       s"snapshot retention staged $staged rows, expected $expectedRows; " +
         s"aborting with $curDir live")
+    GraftStore.writeCommitInfo(spark, nextDir, GraftStore.CommitInfo(
+      "retention", java.util.UUID.randomUUID().toString, System.currentTimeMillis()))
     GraftStore.writePointer(spark, root, next) // one atomic PUT
     // grace contract: keep the replaced snapshot + transitive manifest closure
     val keep = GraftStore.closureOf(spark, root, Set(cur, next))
     GraftStore.dropVersionsExcept(spark, root, keep)
-    expired.map { case (v, rel) => s"$root/${GraftStore.versionPrefix(v)}/$rel" }
+    expired.map { case (h, rel) => s"$root/$h/$rel" }
   }
 
   private def expiredRowCount(spark: SparkSession, root: String,
-      expired: Seq[(Int, String)]): Long =
-    expired.groupBy(_._1).map { case (v, es) =>
-      val vdir = s"$root/${GraftStore.versionPrefix(v)}"
+      expired: Seq[(String, String)]): Long =
+    expired.groupBy(_._1).map { case (h, es) =>
+      val vdir = s"$root/$h"
       spark.read.option("basePath", vdir)
         .parquet(es.map(e => s"$vdir/${e._2}"): _*).count() // footer-only
     }.sum
@@ -214,6 +218,9 @@ object Retention {
     if (fs.exists(staging)) fs.delete(staging, true)
     fs.mkdirs(staging)
     Compaction.hardLinkCarry(survivors, staging, new Path(curDir)) // metadata-only carry
+    GraftStore.carrySchemaOverlay(spark, curDir, staging.toString)
+    GraftStore.writeCommitInfo(spark, staging.toString, GraftStore.CommitInfo(
+      "retention", java.util.UUID.randomUUID().toString, System.currentTimeMillis()))
     val versionDir = new Path(VersionedStore.versionName(root, next))
     require(fs.rename(staging, versionDir), s"rename $staging -> $versionDir failed")
     VersionedStore.retarget(root, next)

@@ -17,12 +17,15 @@ import java.nio.file.Files
   *
   * The gate drives the real machinery end-to-end on a store built from
   * `events`:
-  *   v1  ingest + a small-file mess appended to the NEWEST date partition
-  *   v2  incremental compaction — rowDiff(v1,v2) must be EMPTY (the commit
+  *   v1  ingest
+  *   v2  ATOMIC append commit ([[AppendCommit]], round 7) of a small-file
+  *       mess into the NEWEST date partition — manifest-add + pointer bump,
+  *       so the oracle gate exercises the writer commit protocol too
+  *   v3  incremental compaction — rowDiff(v2,v3) must be EMPTY (the commit
   *       moved bytes but changed no rows; `compact_changed_rows` restates 0)
-  *   v3  snapshot retention dropping the OLDEST date — rowDiff(v2,v3) must
+  *   v4  snapshot retention dropping the OLDEST date — rowDiff(v3,v4) must
   *       be exactly that date's rows, all tagged `removed`, none `added`,
-  *       verified as a multiset against the retained v2 snapshot
+  *       verified as a multiset against the retained v3 snapshot
   *       (`cdc_matches_expired_ok`)
   * DuckDB restates `removed_rows` straight from `events` (count of the
   * oldest calendar date), so a CDC regression flips a hashed cell red.
@@ -62,27 +65,30 @@ object StoreCdcQuery {
     LogIngest.writeHive(df, root, partitionCols = parts)
     val dates = df.select($"date").distinct().as[String].collect().sorted
     require(dates.length > 2, s"fixture too small: ${dates.length} dates")
-    // the v1 state includes a small-file mess in the newest date, so the
-    // compaction below has real dirty work to commit
-    df.filter($"date" === dates.last).repartition(4)
-      .write.partitionBy(parts: _*).option("maxRecordsPerFile", 10)
-      .mode("append").parquet(GraftStore.resolve(spark, root))
+    // v2: a small-file mess atomically appended into the newest date — the
+    // writer commit protocol (stage under _append-<id>, publish by
+    // manifest-add + one pointer PUT) runs inside the oracle gate
+    val mess = AppendCommit.commit(
+      df.filter($"date" === dates.last).repartition(4), root, parts,
+      maxRecordsPerFile = 10, commitId = Some("cdc-mess"))
+    require(mess.version == 2 && !mess.replayed,
+      s"append commit published v${mess.version} (replayed=${mess.replayed})")
 
     Compaction.compactHive(spark, root, partitionCols = parts)
     // contents-preserving commit: the row-level diff must cancel exactly
-    val compactChanged = GraftStore.rowDiff(spark, root, 1, 2).count()
+    val compactChanged = GraftStore.rowDiff(spark, root, 2, 3).count()
 
     // multiset identity key (time_ns, message): types are stable across
     // the partition-inference boundary, and the fixture has no duplicate
     // (ts, props) pairs — plus retention's own row-count verification
     // already pins the cardinality
-    val expected = GraftStore.readVersion(spark, root, 2)
+    val expected = GraftStore.readVersion(spark, root, 3)
       .filter($"date".cast("string") === dates.head)
       .select($"time_ns", $"message")
     val expectedCnt = expected.count()
 
     Retention.enforceHiveSnapshot(spark, root, dates(1))
-    val cdc = GraftStore.rowDiff(spark, root, 2, 3).cache()
+    val cdc = GraftStore.rowDiff(spark, root, 3, 4).cache()
     val removed = cdc.filter($"_change" === "removed")
       .select($"time_ns", $"message")
     val removedCnt = removed.count()

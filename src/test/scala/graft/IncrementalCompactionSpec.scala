@@ -140,7 +140,7 @@ class IncrementalCompactionSpec extends SparkSpec {
         s"clean partitions were rewritten: $v2Parquet")
       // the clean partitions are carried by reference to v1
       val manifest = GraftStore.readManifest(spark, s"$root/v000002")
-      assert(manifest.nonEmpty && manifest.forall(_._1 == 1))
+      assert(manifest.nonEmpty && manifest.forall(_._1 == "v000001"))
       assert(manifest.map(_._2).forall(!_.contains(s"date=$dirtyDate")))
       // composite read sees everything; so does the snapshot diff
       assert(GraftStore.readStore(spark, root).count() == total)
@@ -327,7 +327,7 @@ class IncrementalCompactionSpec extends SparkSpec {
       // manifest; every survivor is a reference into v1
       assert(!srv.keys.exists(k => k.contains("/v000002/") && k.endsWith(".parquet")))
       val manifest = GraftStore.readManifest(spark, s"$root/v000002")
-      assert(manifest.nonEmpty && manifest.forall(_._1 == 1))
+      assert(manifest.nonEmpty && manifest.forall(_._1 == "v000001"))
       assert(srv.keys.count(_.endsWith(".parquet")) == objectsBefore)
       // the live view dropped exactly the expired date
       val live = GraftStore.readStore(spark, root)
@@ -737,8 +737,8 @@ class IncrementalCompactionSpec extends SparkSpec {
       // manifest still references v1 — the two-level chain
       Retention.enforceHiveSnapshot(spark, root, dates.last)
       assert(GraftStore.currentVersion(spark, root) == 3)
-      assert(GraftStore.readManifest(spark, s"$root/v000003").forall(_._1 == 2))
-      assert(GraftStore.readManifest(spark, s"$root/v000002").exists(_._1 == 1))
+      assert(GraftStore.readManifest(spark, s"$root/v000003").forall(_._1 == "v000002"))
+      assert(GraftStore.readManifest(spark, s"$root/v000002").exists(_._1 == "v000001"))
       // vacuum(retain=0) seeds from the live version only: a ONE-level
       // closure would reclaim v1 and leave retained v2 listed but
       // unreadable; the transitive closure keeps the chain

@@ -269,6 +269,51 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"post-append recall@10 = $recall")
   }
 
+  test("IVF-PQ index append: existing codebooks+centroids reused, old files " +
+      "untouched, recall holds") {
+    val work = java.nio.file.Files.createTempDirectory("graft-ivfpqapp").resolve("idx").toString
+    val emb = Tables.embeddings(spark, sf)
+    // build on HALF the corpus, then append the other half — both quantizers
+    // (coarse centroids AND PQ codebooks) held fixed: no retrain, no rewrite
+    Similarity.buildIvfPqIndex(emb.filter($"vec_id" % 2 === 0), work, nLists = 8)
+    def filesUnder(sub: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$work/$sub")).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val cellsBefore = filesUnder("cells")
+    val modelBefore = filesUnder("pqmodel") ++ filesUnder("centroids")
+    Similarity.appendIvfPqIndex(spark, work, emb.filter($"vec_id" % 2 === 1))
+    val cellsAfter = filesUnder("cells")
+    // every pre-existing cell file AND the whole quantizer state survived
+    // byte-identical (same path, same mtime): appends are additive
+    cellsBefore.foreach { case (p, m) =>
+      assert(cellsAfter.get(p).contains(m), s"pre-existing index file rewritten: $p")
+    }
+    (filesUnder("pqmodel") ++ filesUnder("centroids")).foreach { case (p, m) =>
+      assert(modelBefore.get(p).contains(m), s"quantizer state rewritten: $p")
+    }
+    assert(cellsAfter.size > cellsBefore.size, "append added no files")
+    assert(spark.read.parquet(s"$work/cells").count() == emb.count())
+    // appended rows carry real PQ codes: the ADC scan scores them the same
+    // as built rows, and the search keeps the v9 recall contract
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val res = Similarity.searchIvfPqIndex(spark, work, queries, k = 10,
+      nProbe = 8, rerank = 100)
+    val bf = Similarity.bruteForceTopK(queries, emb, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val got = res.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.7, s"post-append IVF-PQ recall@10 = $recall")
+    // the code-only ADC scan property survives the append
+    val plan = res.queryExecution.executedPlan.toString()
+    val scans = plan.split("FileScan").toSeq.filter(_.contains("ReadSchema"))
+    assert(scans.exists(s => s.contains("pq_code") && !s.contains("cv:")),
+      s"no code-only scan in:\n${plan.take(3000)}")
+  }
+
   test("multimodal frame sampling: 4 frames per video, 1 otherwise") {
     val media = graft.ext.Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sf))
     val frames = graft.ext.Multimodal.sampleFrames(media, 4).toDF()

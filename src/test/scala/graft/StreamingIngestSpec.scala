@@ -43,6 +43,53 @@ class StreamingIngestSpec extends SparkSpec {
     assert(out.toFile.listFiles().exists(_.getName.startsWith("cluster=dev")))
   }
 
+  test("store sink: batches commit through the store protocol; maintenance runs LIVE") {
+    val work = Files.createTempDirectory("graft-streamstore")
+    val in = work.resolve("varlog")
+    val root = work.resolve("lake").toString
+    val ckpt = work.resolve("ckpt")
+    def put(pod: String, lines: String*): Unit = {
+      val p = in.resolve(s"pods/default_${pod}_u/app/0.log")
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, lines.mkString("", "\n", "\n"))
+    }
+    put("pod-a", "2024-01-15T10:00:00.000000001Z stdout F one",
+      "2024-01-15T10:00:00.000000002Z stdout F two")
+    val q = LogStreamIngest.startStoreSink(spark, in.toString + "/pods/*/*/*.log",
+      root, ckpt.toString, clusterName = "dev", triggerInterval = "1 seconds")
+    try {
+      q.processAllAvailable()
+      // the sink produced an ORDINARY versioned store: no _spark_metadata
+      // commit log anywhere, version bumped by the batch commit
+      assert(VersionedStore.isVersioned(root))
+      assert(!Files.exists(java.nio.file.Paths.get(root, "_spark_metadata")))
+      assert(spark.read.parquet(root).count() == 2)
+      val vAfterB0 = VersionedStore.currentVersion(root)
+      assert(vAfterB0 >= 2, "first batch must commit a version, not write v1 in place")
+      // second batch appends atomically on top
+      put("pod-b", "2024-01-15T10:00:01.000000003Z stderr F three")
+      q.processAllAvailable()
+      assert(spark.read.parquet(root).count() == 3)
+      assert(VersionedStore.currentVersion(root) > vAfterB0)
+      // LIVE maintenance: compaction commits against the running ingest with
+      // NO convertStreamingStore step — the round-6 refusal is gone because
+      // there is no sink commit log to orphan; the store lease serializes
+      // this commit with the sink's publishes
+      Compaction.compactHive(spark, root)
+      assert(spark.read.parquet(root).count() == 3)
+      // and the stream keeps committing after the maintenance commit
+      put("pod-c", "2024-01-15T10:00:02.000000004Z stdout F four")
+      q.processAllAvailable()
+      assert(spark.read.parquet(root).count() == 4)
+      assert(spark.read.parquet(root).select("pod").distinct().count() == 3)
+    } finally q.stop()
+    // time travel across micro-batch commits: every retained version opens
+    val vs = VersionedStore.listVersions(root)
+    vs.filter(_ >= 2).foreach { v =>
+      assert(GraftStore.readVersion(spark, root, v).count() > 0)
+    }
+  }
+
   test("close-write side channel emits PodClosed after idle timeout (K5 wired)") {
     val work = Files.createTempDirectory("graft-stream3")
     val in = work.resolve("varlog")
