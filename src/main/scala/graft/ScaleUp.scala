@@ -61,9 +61,14 @@ object ScaleUp {
       Map("l_orderkey" -> ordSpan, "l_partkey" -> partSpan, "l_suppkey" -> suppSpan)),
       "lineitem")
 
-    val evSpan = keySpan(t("events"), "event_id")
-    val userSpan = keySpan(t("events"), "user_id")
-    write(replicate(t("events"), reps,
+    // events goes through Tables.events, not the raw table loader: ts must be
+    // epoch-nano Long for the +replica shift, whatever the source's physical
+    // type, and the scaled copy is then written in the engine's canonical
+    // int64-nanos form.
+    def ev = Tables.events(spark, src)
+    val evSpan = keySpan(ev, "event_id")
+    val userSpan = keySpan(ev, "user_id")
+    write(replicate(ev, reps,
       Map("event_id" -> evSpan, "user_id" -> userSpan))
       .withColumn("ts", col("ts") + col("__rep").cast("long")), "events")
 

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided testdata tables (TESTDATA.md).
   *
@@ -53,8 +55,34 @@ object Tables {
   /** `events(event_id, ts: Long epoch-nanos, user_id, event_type, value, props)` —
     * the log-like stream table; `ts` is a Long because parquet TIMESTAMP(NANOS)
     * has no lossless TimestampType representation (SURVEY §7.4).
+    *
+    * The physical `ts` type is whatever the generator wrote — TIMESTAMP(NANOS)
+    * (read as Long under `nanosAsLong`), or µs-precision TIMESTAMP /
+    * TIMESTAMP_NTZ (the 2026-08 testdata regeneration). [[normalizeTs]] makes
+    * all of them arrive as the same epoch-nano Long, so every downstream
+    * `ts`-arithmetic expression sees one type regardless of writer. NTZ values
+    * are interpreted as UTC wall-clock (the engine pins the session zone to
+    * UTC, so the cast is the identity on the underlying micros).
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTs(table(spark, sfDir, "events"))
+
+  /** Project a `ts` column of any supported physical type to epoch-nano Long.
+    * LongType passes through untouched (true-ns files under `nanosAsLong`,
+    * and engine-written stores which are int64 already).
+    */
+  private[graft] def normalizeTs(df: DataFrame, column: String = "ts"): DataFrame =
+    df.schema(column).dataType match {
+      case LongType => df
+      case TimestampType =>
+        df.withColumn(column, unix_micros(col(column)) * lit(1000L))
+      case TimestampNTZType =>
+        df.withColumn(column,
+          unix_micros(col(column).cast(TimestampType)) * lit(1000L))
+      case other => throw new IllegalStateException(
+        s"unsupported physical type for '$column': $other " +
+          "(expected int64 nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 }
