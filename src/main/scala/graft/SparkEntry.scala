@@ -130,6 +130,8 @@ object SparkEntry {
     "x10_funnel" -> (ExtensionQueries.funnelConversion(_, _)),
     "x11_snapshot_cdc" -> (StoreCdcQuery.run(_, _)),
     "x12_schema_evolution" -> (StoreEvolutionQuery.run(_, _)),
+    "x13_stream_store" -> (StoreStreamQuery.run(_, _)),
+    "x14_since_pruned" -> (StorePrunedQuery.run(_, _)),
     "v6_random_projection" -> (ExtensionQueries.randomProjectionGates(_, _)),
     "t11_bpe_vocab" -> (ExtensionQueries.bpeVocabGates(_, _)),
     "v7_quantize_int8" -> (ExtensionQueries.quantizationGates(_, _)),
@@ -241,6 +243,27 @@ object SparkEntry {
         |  'F' AS logtag, props AS message
         |FROM events WHERE user_id % 3 = 0 ORDER BY time_us, message""".stripMargin,
     "e2e_log_pipeline_hive" ->
+      """SELECT epoch_us(ts) AS time_us,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.' ||
+        |    lpad(CAST(epoch_us(ts) % 1000000 AS VARCHAR), 6, '0') || 'Z' AS time_iso,
+        |  'dev' AS cluster, 'ns0' AS namespace, 'node-a' AS node,
+        |  'pod-' || CAST(user_id % 5 AS VARCHAR) AS pod, 'app' AS container,
+        |  CASE WHEN event_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS stream,
+        |  'F' AS logtag, props AS message
+        |FROM events WHERE user_id % 3 = 0 ORDER BY time_us, message""".stripMargin,
+    // x14: the `--since` cutoff is pinned at the newest event; DuckDB
+    // restates the surviving window straight from events — over- or
+    // under-pruning by the FileStats sidecar flips the hash
+    "x14_since_pruned" ->
+      """SELECT epoch_us(ts) AS time_us, props AS message
+        |FROM events
+        |WHERE epoch_ns(ts) >= (SELECT max(epoch_ns(ts)) FROM events)
+        |  - 604800000000000
+        |ORDER BY time_us, message""".stripMargin,
+    // x13: the streaming store sink ingests the SAME fixture through
+    // per-micro-batch atomic commits, then the store is compacted LIVE —
+    // the expected rows are identical to the batch hive pipeline's
+    "x13_stream_store" ->
       """SELECT epoch_us(ts) AS time_us,
         |  strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.' ||
         |    lpad(CAST(epoch_us(ts) % 1000000 AS VARCHAR), 6, '0') || 'Z' AS time_iso,

@@ -177,6 +177,13 @@ object AppendCommit {
       GraftStore.writeCommitInfo(spark, nextDir, GraftStore.CommitInfo("append",
         commitId.getOrElse(java.util.UUID.randomUUID().toString),
         System.currentTimeMillis()))
+      // per-file pruning stats, O(delta): carried files reuse the
+      // predecessor's lines by (key, len); only the staged files are
+      // footer-read. Written pre-flip so stats publish atomically with the
+      // snapshot.
+      FileStats.refreshInto(spark, nextDir,
+        GraftStore.compositeEntries(spark, root, next),
+        FileStats.read(spark, curDir))
       if (verifyCounts) {
         // footer-metadata counts; O(files of the snapshot) listing — the
         // knob exists for stores where even that is too much per batch.
@@ -259,6 +266,11 @@ object AppendCommit {
       GraftStore.writeCommitInfo(spark, nextDir, GraftStore.CommitInfo("append",
         commitId.getOrElse(java.util.UUID.randomUUID().toString),
         System.currentTimeMillis()))
+      // O(delta) stats: hard-linked files keep their rel key+len and reuse
+      // the predecessor's lines; only the staged files are footer-read
+      FileStats.refreshInto(spark, nextDir,
+        GraftStore.compositeEntries(spark, local, next),
+        FileStats.read(spark, prevDir))
       if (verifyCounts) {
         val prevRows = // empty fresh store: count by listing, no schema to read
           if (Compaction.dataFilesUnder(fs, new Path(prevDir)).isEmpty) 0L

@@ -517,6 +517,12 @@ object Compaction {
       }
       GraftStore.writeCommitInfo(spark, nextDir, GraftStore.CommitInfo(
         "compact", java.util.UUID.randomUUID().toString, System.currentTimeMillis()))
+      // per-file pruning stats ([[FileStats]]), O(delta): carried partitions
+      // reuse the predecessor's lines by (key, len); only the rewritten
+      // files are footer-read. Pre-flip, so stats publish with the snapshot.
+      FileStats.refreshInto(spark, nextDir,
+        GraftStore.compositeEntries(spark, root, next),
+        FileStats.read(spark, curDir))
       // the lease fails open on object stores (HEAD-then-PUT): verify no
       // racing commit (e.g. an atomic append publish) flipped the pointer
       // since inventory — its flip would also have swept this staged prefix
@@ -569,6 +575,11 @@ object Compaction {
     val versionDir = new Path(VersionedStore.versionName(root, next))
     GraftStore.writeCommitInfo(spark, staging.toString, GraftStore.CommitInfo(
       "compact", java.util.UUID.randomUUID().toString, System.currentTimeMillis()))
+    // pruning stats for the promoted tree: hard-link-carried files keep
+    // their rel key+len and reuse the replaced version's lines; only the
+    // rewritten files are footer-read
+    FileStats.refreshDir(spark, staging.toString,
+      FileStats.read(spark, VersionedStore.versionName(root, prev)))
     require(fs.rename(staging, versionDir), s"rename $staging -> $versionDir failed")
     VersionedStore.retarget(root, next)
     val liveRows = spark.read.parquet(root).count()
@@ -649,6 +660,11 @@ object Compaction {
     // swap (or its crash recovery) behind a spurious mismatch.
     require(liveRows >= expectedRows,
       s"post-swap count $liveRows < expected $expectedRows — inspect $live against $staging")
+    // refresh the pruning sidecar on stores that carry one (untouched files
+    // reuse their lines; swapped leaves are footer-read). Stat-less plain
+    // stores stay stat-less — backfill is FileStats.refresh, not compaction.
+    val priorStats = FileStats.read(spark, live.toString)
+    if (priorStats.nonEmpty) FileStats.refreshDir(spark, live.toString, priorStats)
     // marker FIRST: leftover staging without a marker is just re-staged on
     // the next run, but a leftover marker without staging reads as an
     // unrecoverable crash and blocks compaction on a healthy store

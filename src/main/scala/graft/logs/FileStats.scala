@@ -1,0 +1,234 @@
+package graft.logs
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.SerializableWritable
+import org.apache.spark.sql.SparkSession
+
+/** Manifest-level per-file statistics — the listing-scale pruning tier.
+  *
+  * Parquet row-group stats prune ROW GROUPS, but only after the reader has
+  * listed the store and opened every file's footer. At the reference's ~1 MB
+  * object size (reference k3d-example/fluentbit/fluent-bit.conf:42,59) a
+  * 100 TB store is ~10⁸ objects: the footer-open round-trips, not the data
+  * bytes, dominate a `--since 15m` query that ultimately reads a handful of
+  * files. This sidecar lifts each file's pruning stats INTO the commit
+  * metadata — the Iceberg manifest-stats play — so the planner drops
+  * non-overlapping files from the scan list before any footer (or, on object
+  * stores, any GET) is issued.
+  *
+  * One `_graft_filestats` object per version dir (or plain store root), one
+  * TSV line per data file keyed by the store-layout-relative path that
+  * [[GraftStore.compositeEntries]] uses: `key  len  rows  minNs  maxNs
+  * minPod  maxPod`. `len` doubles as an identity check — a same-key length
+  * mismatch means the stats are stale for that file and it is kept
+  * (conservative). Absent sidecar or absent line = file is kept: pruning is
+  * an optimization, never a correctness gate.
+  *
+  * Commit integration: maintenance and append commits call [[refreshInto]]
+  * with the PREDECESSOR version's stats — carried files (same key+len) reuse
+  * their lines with zero I/O, so an append commit footer-reads only the
+  * files it staged, and stats stay O(delta) per commit like the commits
+  * themselves.
+  */
+object FileStats {
+
+  val StatsName = "_graft_filestats"
+
+  /** Absent optional = the file carries no usable stats for that column
+    * (pre-stats file, missing column, or corrupt footer line) — always
+    * read such a file.
+    */
+  final case class FileStat(key: String, len: Long, rows: Long,
+      minNs: Option[Long], maxNs: Option[Long],
+      minPod: Option[String], maxPod: Option[String]) {
+
+    /** Can this file contain a row with `time_ns >= cutoffNs`? */
+    def mayOverlapSince(cutoffNs: Long): Boolean =
+      maxNs.forall(_ >= cutoffNs)
+
+    /** Can this file contain a row with `pod = v`? (Only meaningful for
+      * layouts where `pod` is an in-file column.)
+      */
+    def mayContainPod(v: String): Boolean =
+      (minPod, maxPod) match {
+        case (Some(lo), Some(hi)) => lo <= v && v <= hi
+        case _ => true
+      }
+  }
+
+  private val NullMark = "-"
+
+  private def esc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def unesc(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  def read(spark: SparkSession, dir: String): Map[String, FileStat] = {
+    val p = new Path(dir, StatsName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val text = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+    text.split('\n').iterator.filter(_.nonEmpty).flatMap { line =>
+      line.split('\t') match {
+        case Array(k, len, rows, mn, mx, pmn, pmx) =>
+          def optL(s: String) = if (s == NullMark) None else Some(s.toLong)
+          def optS(s: String) = if (s == NullMark) None else Some(unesc(s))
+          Some(FileStat(unesc(k), len.toLong, rows.toLong,
+            optL(mn), optL(mx), optS(pmn), optS(pmx)))
+        case _ => None // torn/foreign line: that file just won't prune
+      }
+    }.map(s => (s.key, s)).toMap
+  }
+
+  def write(spark: SparkSession, dir: String, stats: Seq[FileStat]): Unit = {
+    val lines = stats.sortBy(_.key).map { s =>
+      def l(o: Option[Long]) = o.map(_.toString).getOrElse(NullMark)
+      def t(o: Option[String]) = o.map(esc).getOrElse(NullMark)
+      s"${esc(s.key)}\t${s.len}\t${s.rows}\t${l(s.minNs)}\t${l(s.maxNs)}\t${t(s.minPod)}\t${t(s.maxPod)}"
+    }
+    GraftStore.atomicWriteBytes(spark, new Path(dir, StatsName),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  /** Footer-read stats for `files` (key, physicalPath, len) — a distributed
+    * job over the file list, not a driver loop: a full-store refresh at 10⁸
+    * objects is a 10⁸-task-row Spark job (the same shape Iceberg uses to
+    * rewrite manifests), while per-commit incremental calls hand in only the
+    * delta. Footer-only I/O; no data pages are read.
+    */
+  def collect(spark: SparkSession, files: Seq[(String, String, Long)],
+      timeColumn: String = "time_ns", podColumn: String = "pod"): Seq[FileStat] = {
+    if (files.isEmpty) return Seq.empty
+    val confB = spark.sparkContext.broadcast(
+      new SerializableWritable(spark.sparkContext.hadoopConfiguration))
+    val slices = math.min(files.length,
+      math.max(1, spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(files, slices).mapPartitions { it =>
+      val conf = confB.value.value
+      it.map { case (key, physical, len) =>
+        try {
+          val reader = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new Path(physical), conf))
+          try {
+            val blocks = reader.getFooter.getBlocks
+            var rows = 0L
+            var mn, mx = Option.empty[Long]
+            var pmn, pmx = Option.empty[String]
+            var statsOk = true
+            var podOk = true
+            val bit = blocks.iterator()
+            while (bit.hasNext) {
+              val b = bit.next()
+              rows += b.getRowCount
+              val cols = b.getColumns
+              var foundT = false
+              var foundP = false
+              val cit = cols.iterator()
+              while (cit.hasNext) {
+                val c = cit.next()
+                val name = c.getPath.toDotString
+                if (name == timeColumn) {
+                  foundT = true
+                  val st = c.getStatistics
+                  if (st == null || st.isEmpty || st.getNumNulls == b.getRowCount)
+                    statsOk = false
+                  else {
+                    val lo = st.genericGetMin.asInstanceOf[Number].longValue()
+                    val hi = st.genericGetMax.asInstanceOf[Number].longValue()
+                    mn = Some(mn.fold(lo)(math.min(_, lo)))
+                    mx = Some(mx.fold(hi)(math.max(_, hi)))
+                  }
+                } else if (name == podColumn) {
+                  foundP = true
+                  val st = c.getStatistics
+                  if (st == null || st.isEmpty) podOk = false
+                  else {
+                    val lo = st.minAsString; val hi = st.maxAsString
+                    if (lo == null || hi == null) podOk = false
+                    else {
+                      pmn = Some(pmn.fold(lo)(Ordering[String].min(_, lo)))
+                      pmx = Some(pmx.fold(hi)(Ordering[String].max(_, hi)))
+                    }
+                  }
+                }
+              }
+              if (!foundT) statsOk = false
+              if (!foundP) podOk = false
+            }
+            FileStat(key, len, rows,
+              if (statsOk) mn else None, if (statsOk) mx else None,
+              if (podOk) pmn else None, if (podOk) pmx else None)
+          } finally reader.close()
+        } catch {
+          // unreadable footer: record the file with no stats — it will
+          // always be scanned, and the scan itself will surface the error
+          case _: Throwable => FileStat(key, len, 0L, None, None, None, None)
+        }
+      }
+    }.collect().toSeq
+  }
+
+  /** Write `dir`'s stats sidecar for the given composite file set, reusing
+    * `prior` lines whose (key, len) still match — the per-commit O(delta)
+    * path. Returns the written stats.
+    */
+  def refreshInto(spark: SparkSession, dir: String,
+      files: Seq[GraftStore.FileEntry],
+      prior: Map[String, FileStat]): Seq[FileStat] = {
+    val (kept, fresh) = files.partition(f =>
+      prior.get(f.key).exists(_.len == f.len))
+    val computed = collect(spark, fresh.map(f => (f.key, f.physical, f.len)))
+    val all = kept.map(f => prior(f.key)) ++ computed
+    write(spark, dir, all)
+    all
+  }
+
+  /** Visible data files directly under `dir` (recursive), keyed by
+    * dir-relative path — the self-contained-directory analogue of
+    * [[GraftStore.compositeEntries]]. Every path segment must be visible:
+    * a dir may hold metadata/staging subtrees whose FILES have plain names.
+    */
+  def listDirEntries(spark: SparkSession, dir: String): Seq[GraftStore.FileEntry] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    val base = p.toUri.getPath
+    val out = Seq.newBuilder[GraftStore.FileEntry]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = f.getPath.toUri.getPath.stripPrefix(base)
+      if (rel.split('/').filter(_.nonEmpty).forall(GraftStore.visibleName))
+        out += GraftStore.FileEntry(rel, dir, f.getPath.toString, f.getLen)
+    }
+    out.result()
+  }
+
+  /** Stamp a self-contained directory (staged version tree, plain store
+    * root) with its sidecar, reusing `prior` lines by (key, len).
+    */
+  def refreshDir(spark: SparkSession, dir: String,
+      prior: Map[String, FileStat] = Map.empty): Seq[FileStat] =
+    refreshInto(spark, dir, listDirEntries(spark, dir), prior)
+
+  /** Recompute the live snapshot's sidecar from scratch-or-prior — the
+    * backfill/repair entry point (pre-stats stores, foreign writers).
+    * Pointer/symlink stores stamp the LIVE version dir; plain directories
+    * stamp the root itself.
+    */
+  def refresh(spark: SparkSession, root: String): Seq[FileStat] = {
+    if (GraftStore.isPointerStore(spark, root)) {
+      val cur = GraftStore.currentVersion(spark, root)
+      val dir = GraftStore.resolve(spark, root)
+      refreshInto(spark, dir, GraftStore.compositeEntries(spark, root, cur),
+        read(spark, dir))
+    } else {
+      val dir = GraftStore.resolve(spark, root)
+      refreshDir(spark, dir, read(spark, dir))
+    }
+  }
+}

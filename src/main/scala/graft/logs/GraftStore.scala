@@ -186,13 +186,21 @@ object GraftStore {
     */
   def writeManifest(spark: SparkSession, versionDir: String,
       entries: Seq[(String, String)]): Unit = {
-    val p = new Path(versionDir, ManifestName)
-    val fs = fsOf(spark, p)
     entries.foreach { case (h, _) =>
       require(h.matches("v\\d{6}") || h.matches("_append-[A-Za-z0-9._-]+"),
         s"invalid manifest holder '$h'") }
-    val bytes = entries.map { case (h, rel) => s"$h\t$rel" }
-      .mkString("\n").getBytes("UTF-8")
+    atomicWriteBytes(spark, new Path(versionDir, ManifestName),
+      entries.map { case (h, rel) => s"$h\t$rel" }
+        .mkString("\n").getBytes("UTF-8"))
+  }
+
+  /** Atomic metadata-object write — single PUT on object stores, temp+rename
+    * elsewhere (see [[writeManifest]]'s rationale). Shared by the manifest
+    * and the per-file statistics sidecar ([[FileStats]]).
+    */
+  private[logs] def atomicWriteBytes(spark: SparkSession, p: Path,
+      bytes: Array[Byte]): Unit = {
+    val fs = fsOf(spark, p)
     val scheme = Option(p.toUri.getScheme).getOrElse("file")
     if (objectStoreSchemes.contains(scheme)) {
       val out = fs.create(p, true)
@@ -408,6 +416,58 @@ object GraftStore {
       else spark.read
       applyOverlay(r.parquet(root), overlay)
     }
+
+  /** Stats-pruned composite read ([[FileStats]]): drop files whose
+    * commit-time `time_ns` max is below the `--since` cutoff (or whose `pod`
+    * min/max range excludes the probed pod) from the scan list BEFORE Spark
+    * opens any footer. At the reference's ~1 MB object size a 100 TB store
+    * is ~10⁸ objects; a 15-minute query reads a handful of them, and without
+    * this tier the footer opens — not the data — are the query. Absent or
+    * stale sidecar lines fail open to the plain [[readStore]] path: pruning
+    * is an optimization, never a correctness gate (row-level predicates are
+    * always re-applied by the caller).
+    */
+  def readStorePruned(spark: SparkSession, root: String,
+      sinceNs: Option[Long], podEq: Option[String] = None): DataFrame = {
+    if (sinceNs.isEmpty && podEq.isEmpty) return readStore(spark, root)
+    val dir = resolve(spark, root)
+    val stats = FileStats.read(spark, dir)
+    if (stats.isEmpty) return readStore(spark, root)
+    val entries: Seq[FileEntry] =
+      if (isPointerStore(spark, root))
+        compositeEntries(spark, root, currentVersion(spark, root))
+      else {
+        val p = new Path(dir)
+        val fs = fsOf(spark, p)
+        if (!fs.exists(p)) return readStore(spark, root)
+        val base = p.toUri.getPath
+        val out = Seq.newBuilder[FileEntry]
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val f = it.next()
+          val rel = f.getPath.toUri.getPath.stripPrefix(base)
+          if (rel.split('/').filter(_.nonEmpty).forall(visibleName))
+            out += FileEntry(rel, dir, f.getPath.toString, f.getLen)
+        }
+        out.result()
+      }
+    val kept = entries.filter { e =>
+      stats.get(e.key) match {
+        case Some(s) if s.len == e.len =>
+          sinceNs.forall(s.mayOverlapSince) && podEq.forall(s.mayContainPod)
+        case _ => true // no/stale stats line: always scan
+      }
+    }
+    if (kept.size == entries.size) return readStore(spark, root)
+    if (kept.isEmpty)
+      return readStore(spark, root).filter(org.apache.spark.sql.functions.lit(false))
+    val overlay = readSchemaOverlay(spark, dir)
+    kept.groupBy(_.legBase).toSeq.sortBy(_._1).map { case (base, es) =>
+      val r = spark.read.option("basePath", base)
+      val r2 = if (overlay.nonEmpty) r.option("mergeSchema", "true") else r
+      applyOverlay(r2.parquet(es.map(_.physical).sorted: _*), overlay)
+    }.reduce(_.unionByName(_))
+  }
 
   /** Hidden/metadata names (`_SUCCESS`, `_graft_manifest`, `.crc`, trash)
     * are invisible to Spark's file listing and to store accounting.

@@ -103,13 +103,18 @@ object LogIngest {
       return
     }
     ensureStore(spark, root)
+    val dataDir = GraftStore.resolve(spark, root)
     df.repartition(partitionCols.map(col): _*)
       .write
       .partitionBy(partitionCols: _*)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .options(LogSchema.parquetBloomOptions)
       .mode("append")
-      .parquet(GraftStore.resolve(spark, root))
+      .parquet(dataDir)
+    // stamp the pruning sidecar ([[FileStats]]): pre-existing files reuse
+    // their lines by (key, len), so repeated appends footer-read only the
+    // files this write added
+    FileStats.refreshDir(spark, dataDir, FileStats.read(spark, dataDir))
   }
 
   /** Create the versioned store for `root` if nothing exists there yet —

@@ -116,8 +116,19 @@ final case class LogQuery(
       case LogLayout.Hive =>
         // pointer stores (object-store tier) indirect through _current and
         // may carry partitions from older version prefixes by manifest
-        // (incremental compaction); plain/symlink roots are a plain read
-        GraftStore.readStore(spark, root)
+        // (incremental compaction); plain/symlink roots are a plain read.
+        // Stats-pruned when a `--since` cutoff or pod probe is present: the
+        // commit-time sidecar drops non-overlapping files from the scan
+        // list before any footer is opened ([[FileStats]]). The plan-time
+        // cutoff for an un-pinned `--since` uses driver now(), which is ≤
+        // the row filter's execution-time now() — pruning keeps a strict
+        // superset of what the exact row-level predicate below retains.
+        val pruneCutoffNs = sinceSeconds.map { s =>
+          asOfNanos.getOrElse(System.currentTimeMillis() * 1000000L) -
+            s * 1000000000L
+        }
+        GraftStore.readStorePruned(spark, root, pruneCutoffNs,
+          selector.labels.get("pod"))
     }
 
     val selected = selector.labels.foldLeft(base) {

@@ -188,6 +188,11 @@ object Retention {
         s"aborting with $curDir live")
     GraftStore.writeCommitInfo(spark, nextDir, GraftStore.CommitInfo(
       "retention", java.util.UUID.randomUUID().toString, System.currentTimeMillis()))
+    // survivors are carried by reference: stats are pure line-reuse, zero
+    // footer I/O — a retention commit's stats cost is O(metadata)
+    FileStats.refreshInto(spark, nextDir,
+      GraftStore.compositeEntries(spark, root, next),
+      FileStats.read(spark, curDir))
     GraftStore.writePointer(spark, root, next) // one atomic PUT
     // grace contract: keep the replaced snapshot + transitive manifest closure
     val keep = GraftStore.closureOf(spark, root, Set(cur, next))
@@ -221,6 +226,8 @@ object Retention {
     GraftStore.carrySchemaOverlay(spark, curDir, staging.toString)
     GraftStore.writeCommitInfo(spark, staging.toString, GraftStore.CommitInfo(
       "retention", java.util.UUID.randomUUID().toString, System.currentTimeMillis()))
+    // hard-linked survivors keep key+len: stats are pure line-reuse
+    FileStats.refreshDir(spark, staging.toString, FileStats.read(spark, curDir))
     val versionDir = new Path(VersionedStore.versionName(root, next))
     require(fs.rename(staging, versionDir), s"rename $staging -> $versionDir failed")
     VersionedStore.retarget(root, next)

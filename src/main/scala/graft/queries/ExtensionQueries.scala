@@ -204,14 +204,24 @@ object ExtensionQueries {
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val fp = docs.select(col("doc_id"), col("text"),
-      TextAnalysis.fingerprint(col("text")).as("fp"))
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      xxhash64(col("text")).as("th"))
+    // join key is the 8-byte text hash, NOT the raw text: full document
+    // bodies must never ride the shuffle as a key (Dedup's scale rule).
+    // Text equality is re-verified AFTER the join — inside the aggregate, not
+    // as a filter, because Catalyst would push a post-join `a.text === b.text`
+    // filter back into the join condition and re-extract raw text as an
+    // equi-join key. A hash collision can only add a candidate pair that the
+    // `same` check then excludes, never a wrong result.
     val dupPairs = fp.as("a")
       .join(fp.as("b"),
-        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
-      .select((col("a.fp") === col("b.fp")).as("agree"))
+        col("a.th") === col("b.th") && col("a.doc_id") < col("b.doc_id"))
+      .select((col("a.text") === col("b.text")).as("same"),
+        (col("a.fp") === col("b.fp")).as("agree"))
     dupPairs
-      .agg(count(lit(1)).as("n_dup_text_pairs"),
-        min(when(col("agree"), 1).otherwise(0)).as("min_agree"))
+      .agg(coalesce(sum(when(col("same"), 1L).otherwise(0L)), lit(0L))
+          .as("n_dup_text_pairs"),
+        min(when(col("same"), when(col("agree"), 1).otherwise(0))).as("min_agree"))
       .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
       .select(col("n_docs"), col("n_dup_text_pairs"),
         (coalesce(col("min_agree"), lit(1)) === 1).as("fp_agree_ok"))

@@ -80,7 +80,7 @@ object PipelineE2E {
     * queries concurrently.
     */
   private val fixtureCache = scala.collection.mutable.Map[String, Path]()
-  private def criFixture(spark: SparkSession, dir: String): Path = synchronized {
+  private[queries] def criFixture(spark: SparkSession, dir: String): Path = synchronized {
     fixtureCache.getOrElseUpdate(dir, {
       val work = Files.createTempDirectory("graft-e2e-fixture")
       cleanupAtExit(work)

@@ -49,4 +49,17 @@ class PlanAssertSpec extends SparkSpec {
     assert(s6.contains("PushedFilters: [") && s6.contains("EqualTo(event_type,error)"),
       "s6 selector predicate not pushed")
   }
+
+  test("t4 fingerprint dup-gate joins on the text hash, not the raw text") {
+    // raw `text` as an equi-join key would move full document bodies through
+    // hash partitioning and key comparison — the key must be xxhash64(text)
+    val t4 = SparkEntry.queries("t4_text_fingerprint")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    val joinKeyLines = t4.linesIterator
+      .filter(l => l.contains("HashJoin") || l.contains("SortMergeJoin")).toSeq
+    assert(joinKeyLines.nonEmpty, s"t4 lost its equi-join:\n$t4")
+    assert(joinKeyLines.forall(l => !l.contains("[text")
+        && !l.contains(" text#") && !l.contains("(text#")),
+      s"t4 joins on raw text:\n${joinKeyLines.mkString("\n")}")
+  }
 }
