@@ -86,7 +86,14 @@ object LogStreamIngest {
       triggerInterval: String = "60 seconds",
       maxFilesPerTrigger: Int = 1000,
       maxRecordsPerFile: Long = 1000000L,
-      retainSnapshots: Int = 1): StreamingQuery = {
+      retainSnapshots: Int = 1,
+      /** Partition granularity knob (same contract as [[LogIngest
+        * .writeHive]]): hour-level dirs suit file-sized hours (the 100 TB
+        * case); lower-volume stores coarsen to date so each micro-batch
+        * commit stages file-sized partitions instead of a dir-per-hour
+        * dust storm — `date`/`hour` stay as data COLUMNS either way.
+        */
+      partitionCols: Seq[String] = LogSchema.hivePartitionColumns): StreamingQuery = {
     val parsed = parsedStream(spark, inputGlob, clusterName, nodeName, maxFilesPerTrigger)
       .withColumn("date", date_format(col("time"), "yyyy-MM-dd"))
       .withColumn("hour", date_format(col("time"), "HH"))
@@ -99,7 +106,7 @@ object LogStreamIngest {
     parsed.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         AppendCommit.commit(batch.toDF(), storeRoot,
-          partitionCols = LogSchema.hivePartitionColumns,
+          partitionCols = partitionCols,
           maxRecordsPerFile = maxRecordsPerFile,
           commitId = Some(s"s$sinkId-b$batchId"),
           retainSnapshots = retainSnapshots)

@@ -409,10 +409,11 @@ object ExtensionQueries {
   /** Multimodal decode, oracle-gated per kind: image rows must decode (via
     * real ImageIO) to the fixture's independently-computed PNG dimensions,
     * audio rows (via real javax.sound WAV parsing) to the fixture's
-    * independently-computed sample rate / channel count / frame count — both
-    * encode→decode roundtrips, not restatements of the codec — and video
-    * payloads must be the raw text bytes (the one documented stub). Per-kind
-    * counts come from doc_id % 3, which DuckDB restates.
+    * independently-computed sample rate / channel count / frame count, and
+    * video rows (via the real AVI/RIFF container parse, r8) to the
+    * fixture's independently-computed pixel dimensions and frame count —
+    * all three are encode→decode roundtrips, not restatements of the codec.
+    * Per-kind counts come from doc_id % 3, which DuckDB restates.
     */
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -424,15 +425,20 @@ object ExtensionQueries {
       (pmod(floor(col("media_id") / 3), lit(3)) + 1).cast("int"))
     val expCh = (lit(1) + pmod(floor(col("media_id") / 5), lit(2))).cast("int")
     val expFrames = (lit(200) + pmod(col("media_id"), lit(100))).cast("int")
-    dec.join(docs.select(col("doc_id").as("media_id"),
-        length(col("text")).cast("long").as("text_len")), "media_id")
+    // video expectations mirror Multimodal.AviFixture's id arithmetic
+    val expVW = (lit(16) + pmod(col("media_id"), lit(4)) * 8).cast("int")
+    val expVH = (lit(16) + pmod(floor(col("media_id") / 4), lit(4)) * 8).cast("int")
+    val expVF = (lit(4) + pmod(col("media_id"), lit(5))).cast("int")
+    dec
       .withColumn("ok",
         when(col("kind") === "image",
           col("width") === expW && col("height") === expH && col("byte_len") > 0L)
           .when(col("kind") === "audio",
             col("width") === expRate && col("height") === expCh &&
               col("n_frames") === expFrames && col("byte_len") > 0L)
-          .otherwise(col("byte_len") === col("text_len")))
+          .otherwise(
+            col("width") === expVW && col("height") === expVH &&
+              col("n_frames") === expVF && col("byte_len") > 0L))
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"),
         min(when(col("ok"), 1).otherwise(0)).as("min_ok"))

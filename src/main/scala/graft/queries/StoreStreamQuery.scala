@@ -45,19 +45,24 @@ object StoreStreamQuery {
     // small maxFilesPerTrigger forces MULTIPLE micro-batches, so the store
     // accumulates several atomic commits (one version per non-empty batch),
     // not one
+    // date granularity, like the batch e2e: the fixture's rows-per-day are
+    // file-sized; hour-level dirs would turn every micro-batch commit into
+    // a thousand-leaf-dir stage+verify walk (the r8 bench measured exactly
+    // that: 462 s at sf0.1, vs seconds at date level)
+    val parts = Seq("cluster", "namespace", "date")
     val q = LogStreamIngest.startStoreSink(spark,
       criRoot.toString + "/pods/*/*/*.log", root,
       checkpoint = work.resolve("ckpt").toString,
       clusterName = "dev", nodeName = "node-a",
-      triggerInterval = "1 seconds", maxFilesPerTrigger = 4)
+      triggerInterval = "1 seconds", maxFilesPerTrigger = 4,
+      partitionCols = parts)
     try q.processAllAvailable() finally q.stop()
 
     val streamed = GraftStore.readStore(spark, root).count()
     require(streamed > 0, "streaming store sink committed no rows")
     // LIVE maintenance — the store was never stopped/converted; compaction
     // serializes with (absent) writers on the lease and must preserve rows
-    Compaction.compactHive(spark, root,
-      partitionCols = LogSchema.hivePartitionColumns)
+    Compaction.compactHive(spark, root, partitionCols = parts)
     val compacted = GraftStore.readStore(spark, root).count()
     require(compacted == streamed,
       s"live compaction changed row count: $streamed -> $compacted")

@@ -107,11 +107,21 @@ class TextAnalysisSpec extends SparkSpec {
     val a = Multimodal.decodedTable(spark, docs).orderBy("media_id").collect()
     val b = Multimodal.decodedTable(spark, docs).orderBy("media_id").collect()
     assert(a.toSeq == b.toSeq) // decode is pure
-    // video payloads are the raw text bytes (ascii fixture: bytes == chars)
-    val lens = Multimodal.decodedTable(spark, docs)
-      .join(docs, $"media_id" === $"doc_id")
-      .filter($"kind" === "video").filter($"byte_len" =!= length($"text"))
-    assert(lens.count() == 0)
+    // video rows: the AVI/RIFF container parse is REAL — decoded dimensions
+    // and frame count must equal the fixture's independently computed
+    // values, and the first-frame luminance feature comes from actually
+    // JPEG-decoded pixels (a probability vector, not the byte-stub's)
+    val videos = Multimodal.decodedTable(spark, docs).filter($"kind" === "video")
+      .select($"media_id", $"width", $"height", $"n_frames", $"feature")
+      .as[(Long, Int, Int, Int, Array[Float])].collect()
+    assert(videos.nonEmpty)
+    videos.foreach { case (id, w, h, nf, feat) =>
+      assert(w == Multimodal.AviFixture.width(id), s"media $id width $w")
+      assert(h == Multimodal.AviFixture.height(id), s"media $id height $h")
+      assert(nf == Multimodal.AviFixture.frames(id), s"media $id frames $nf")
+      assert(math.abs(feat.sum - 1.0f) < 1e-3,
+        s"media $id frame feature not a pixel histogram: ${feat.mkString(",")}")
+    }
     // audio rows: javax.sound really parsed the WAV — decoded sample rate /
     // channels / frames must equal the fixture's independently computed
     // values, and the RMS envelope is a nonzero [0,1] vector
@@ -142,6 +152,27 @@ class TextAnalysisSpec extends SparkSpec {
     val kinds = Multimodal.decodedTable(spark, docs).orderBy("media_id")
       .select("kind").as[String].take(3)
     assert(kinds.toSeq == Seq("image", "audio", "video"))
+  }
+
+  test("AviCodec: container round-trip, frame extraction, corrupt fallback") {
+    val avi = Multimodal.AviFixture.avi(7L)
+    val parsed = Multimodal.AviCodec.parse(avi)
+    assert(parsed.nonEmpty, "fixture AVI must parse")
+    val p = parsed.get
+    assert(p.width == Multimodal.AviFixture.width(7L))
+    assert(p.height == Multimodal.AviFixture.height(7L))
+    assert(p.totalFrames == Multimodal.AviFixture.frames(7L))
+    assert(p.frames.length == p.totalFrames, "every 00dc chunk extracted")
+    // frames are REAL JPEGs with distinct content per index
+    val imgs = p.frames.map(Multimodal.AviCodec.decodeFrame)
+    assert(imgs.forall(_.nonEmpty), "every frame JPEG-decodes")
+    assert(p.frames.map(_.toSeq).distinct.length == p.frames.length,
+      "per-frame payloads must differ")
+    // non-AVI and truncated payloads degrade to None, never throw
+    assert(Multimodal.AviCodec.parse("not a container".getBytes).isEmpty)
+    assert(Multimodal.AviCodec.parse(avi.take(40)).isEmpty)
+    val corrupt = avi.clone(); corrupt(20) = 0x7f.toByte
+    Multimodal.AviCodec.parse(corrupt) // must not throw
   }
 
   test("WavCodec normalizes non-PCM16 audio before feature extraction") {
