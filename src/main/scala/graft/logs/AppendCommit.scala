@@ -180,19 +180,25 @@ object AppendCommit {
       // per-file pruning stats, O(delta): carried files reuse the
       // predecessor's lines by (key, len); only the staged files are
       // footer-read. Written pre-flip so stats publish atomically with the
-      // snapshot.
+      // snapshot — and BEFORE the verify below, which they accelerate.
       FileStats.refreshInto(spark, nextDir,
         GraftStore.compositeEntries(spark, root, next),
         FileStats.read(spark, curDir))
       if (verifyCounts) {
-        // footer-metadata counts; O(files of the snapshot) listing — the
-        // knob exists for stores where even that is too much per batch.
-        // A fresh (streaming-created) store's v1 is EMPTY: no schema to
-        // infer, so its count is zero by listing, not by read.
+        // counts from the stats sidecar when it fully covers the snapshot
+        // (metadata-object reads), falling back to footer counting — the
+        // knob exists for stores where even the listing is too much per
+        // batch. The check keeps its power: file inventory comes from the
+        // manifest+listing, counts from footers-at-stat-time — a manifest
+        // entry lost or doubled still flips the sum. A fresh (streaming-
+        // created) store's v1 is EMPTY: no schema to infer, so its count
+        // is zero by listing, not by read.
         val prevRows =
           if (GraftStore.compositeEntries(spark, root, cur).isEmpty) 0L
-          else GraftStore.readVersion(spark, root, cur).count()
-        val stagedTotal = GraftStore.readVersion(spark, root, next).count()
+          else FileStats.rowCountFromStats(spark, root, cur)
+            .getOrElse(GraftStore.readVersion(spark, root, cur).count())
+        val stagedTotal = FileStats.rowCountFromStats(spark, root, next)
+          .getOrElse(GraftStore.readVersion(spark, root, next).count())
         if (stagedTotal != prevRows + stagedRows)
           abort(s"staged snapshot holds $stagedTotal rows, expected " +
             s"$prevRows + $stagedRows; aborting with $curDir live")
@@ -267,15 +273,18 @@ object AppendCommit {
         commitId.getOrElse(java.util.UUID.randomUUID().toString),
         System.currentTimeMillis()))
       // O(delta) stats: hard-linked files keep their rel key+len and reuse
-      // the predecessor's lines; only the staged files are footer-read
+      // the predecessor's lines; only the staged files are footer-read.
+      // Written BEFORE the verify below, which they accelerate.
       FileStats.refreshInto(spark, nextDir,
         GraftStore.compositeEntries(spark, local, next),
         FileStats.read(spark, prevDir))
       if (verifyCounts) {
         val prevRows = // empty fresh store: count by listing, no schema to read
           if (Compaction.dataFilesUnder(fs, new Path(prevDir)).isEmpty) 0L
-          else spark.read.parquet(prevDir).count()
-        val stagedTotal = spark.read.parquet(nextDir).count()
+          else FileStats.rowCountFromStats(spark, local, prev)
+            .getOrElse(spark.read.parquet(prevDir).count())
+        val stagedTotal = FileStats.rowCountFromStats(spark, local, next)
+          .getOrElse(spark.read.parquet(nextDir).count())
         if (stagedTotal != prevRows + stagedRows)
           abort(s"staged version holds $stagedTotal rows, expected " +
             s"$prevRows + $stagedRows; aborting with $prevDir live")

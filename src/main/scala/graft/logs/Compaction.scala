@@ -452,7 +452,10 @@ object Compaction {
         if full || isDirty(legs.flatMap(_._3), dirtyMaxFiles, dirtyMinAvgBytes) => rel
       }.toSet
       if (dirtyRels.isEmpty) return // every partition already compact
-      val expectedRows = GraftStore.readVersion(spark, root, cur).count()
+      // stats-backed when the sidecar fully covers the snapshot (metadata
+      // reads, not 10⁸ footer opens); footer-count fallback otherwise
+      val expectedRows = FileStats.rowCountFromStats(spark, root, cur)
+        .getOrElse(GraftStore.readVersion(spark, root, cur).count())
       val next = cur + 1
       val nextDir = s"$root/${GraftStore.versionPrefix(next)}"
       // read ONLY the dirty partitions, one leg per version prefix that
@@ -481,7 +484,15 @@ object Compaction {
         .sortBy(e => (e._2, e._1))
       if (carryEntries.nonEmpty)
         GraftStore.writeManifest(spark, nextDir, carryEntries)
-      val stagedRows = GraftStore.readVersion(spark, root, next).count()
+      // per-file pruning stats ([[FileStats]]), O(delta): carried partitions
+      // reuse the predecessor's lines by (key, len); only the rewritten
+      // files are footer-read. Written before the staged verify (which they
+      // accelerate) and pre-flip, so stats publish with the snapshot.
+      FileStats.refreshInto(spark, nextDir,
+        GraftStore.compositeEntries(spark, root, next),
+        FileStats.read(spark, curDir))
+      val stagedRows = FileStats.rowCountFromStats(spark, root, next)
+        .getOrElse(GraftStore.readVersion(spark, root, next).count())
       require(stagedRows == expectedRows,
         s"staged snapshot holds $stagedRows rows, expected $expectedRows; " +
           s"aborting with $curDir live")
@@ -517,12 +528,6 @@ object Compaction {
       }
       GraftStore.writeCommitInfo(spark, nextDir, GraftStore.CommitInfo(
         "compact", java.util.UUID.randomUUID().toString, System.currentTimeMillis()))
-      // per-file pruning stats ([[FileStats]]), O(delta): carried partitions
-      // reuse the predecessor's lines by (key, len); only the rewritten
-      // files are footer-read. Pre-flip, so stats publish with the snapshot.
-      FileStats.refreshInto(spark, nextDir,
-        GraftStore.compositeEntries(spark, root, next),
-        FileStats.read(spark, curDir))
       // the lease fails open on object stores (HEAD-then-PUT): verify no
       // racing commit (e.g. an atomic append publish) flipped the pointer
       // since inventory — its flip would also have swept this staged prefix

@@ -215,6 +215,24 @@ object FileStats {
       prior: Map[String, FileStat] = Map.empty): Seq[FileStat] =
     refreshInto(spark, dir, listDirEntries(spark, dir), prior)
 
+  /** Exact row count of snapshot `n` from the stats sidecar alone — `Some`
+    * only when EVERY composite data file has a fresh line (key AND length
+    * match), in which case the sum of footer-derived per-file counts equals
+    * what a full `count()` would return. `None` → the caller falls back to
+    * counting. This is what makes commit-time count verification O(metadata
+    * objects) instead of O(file footers) — the difference between a listing
+    * and 10⁸ footer opens on a 100 TB store.
+    */
+  def rowCountFromStats(spark: SparkSession, root: String, n: Int): Option[Long] = {
+    val dir = GraftStore.resolveVersion(spark, root, n)
+    val stats = read(spark, dir)
+    if (stats.isEmpty) return None
+    val entries = GraftStore.compositeEntries(spark, root, n)
+    if (entries.forall(e => stats.get(e.key).exists(_.len == e.len)))
+      Some(entries.iterator.map(e => stats(e.key).rows).sum)
+    else None
+  }
+
   /** Recompute the live snapshot's sidecar from scratch-or-prior — the
     * backfill/repair entry point (pre-stats stores, foreign writers).
     * Pointer/symlink stores stamp the LIVE version dir; plain directories

@@ -174,7 +174,10 @@ object Retention {
     require(survivors.nonEmpty,
       s"retention cutoff $cutoffDate expires every partition of $root — " +
         "refusing to commit an empty store; drop the store explicitly instead")
-    val expectedRows = GraftStore.readVersion(spark, root, cur).count() -
+    // stats-backed counts when the sidecar fully covers the snapshots
+    // (metadata reads); footer-count fallback otherwise
+    val expectedRows = FileStats.rowCountFromStats(spark, root, cur)
+      .getOrElse(GraftStore.readVersion(spark, root, cur).count()) -
       expiredRowCount(spark, root, expired)
     val next = cur + 1
     val nextDir = s"$root/${GraftStore.versionPrefix(next)}"
@@ -182,17 +185,19 @@ object Retention {
     // surviving partition is a reference, every expired one is absent
     GraftStore.writeManifest(spark, nextDir, survivors.sortBy(e => (e._2, e._1)))
     GraftStore.carrySchemaOverlay(spark, curDir, nextDir)
-    val staged = GraftStore.readVersion(spark, root, next).count()
+    // survivors are carried by reference: stats are pure line-reuse, zero
+    // footer I/O — a retention commit's stats cost is O(metadata). Written
+    // before the staged verify, which they accelerate.
+    FileStats.refreshInto(spark, nextDir,
+      GraftStore.compositeEntries(spark, root, next),
+      FileStats.read(spark, curDir))
+    val staged = FileStats.rowCountFromStats(spark, root, next)
+      .getOrElse(GraftStore.readVersion(spark, root, next).count())
     require(staged == expectedRows,
       s"snapshot retention staged $staged rows, expected $expectedRows; " +
         s"aborting with $curDir live")
     GraftStore.writeCommitInfo(spark, nextDir, GraftStore.CommitInfo(
       "retention", java.util.UUID.randomUUID().toString, System.currentTimeMillis()))
-    // survivors are carried by reference: stats are pure line-reuse, zero
-    // footer I/O — a retention commit's stats cost is O(metadata)
-    FileStats.refreshInto(spark, nextDir,
-      GraftStore.compositeEntries(spark, root, next),
-      FileStats.read(spark, curDir))
     GraftStore.writePointer(spark, root, next) // one atomic PUT
     // grace contract: keep the replaced snapshot + transitive manifest closure
     val keep = GraftStore.closureOf(spark, root, Set(cur, next))

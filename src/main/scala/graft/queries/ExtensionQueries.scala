@@ -383,9 +383,25 @@ object ExtensionQueries {
       nProbe = 10, rerank = 100)
   }
 
+  private val mediaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The media fixture, encoded ONCE per (JVM, dir) and held in the columnar
+    * cache: m1/m2/m3 all consume the identical record set, and the encode
+    * side (a PNG + WAV + multi-frame AVI per document) costs far more than
+    * the bytes it yields — without this memo the bench pays it three times.
+    */
+  private def mediaTable(spark: SparkSession,
+      dir: String): org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    Tables.memo(mediaCache, dir, spark)(
+      Multimodal.mediaFromDocuments(spark, Tables.documents(spark, dir))
+        .toDF().persist()).as[Multimodal.MediaRecord]
+  }
+
   /** Multimodal frame sampling (video fan-out; rows-only + spec). */
   def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.mediaFromDocuments(spark, Tables.documents(spark, dir))
+    val media = mediaTable(spark, dir)
     val frames = Multimodal.sampleFrames(media, n = 4).toDF()
     // oracle gate: exactly 4 distinct frames per video, 1 per image/audio —
     // per-kind media counts DuckDB recomputes from doc_id % 3
@@ -416,8 +432,7 @@ object ExtensionQueries {
     * Per-kind counts come from doc_id % 3, which DuckDB restates.
     */
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val dec = Multimodal.decodedTable(spark, docs)
+    val dec = Multimodal.decodeAll(mediaTable(spark, dir)).toDF()
     val expW = (lit(8) + pmod(col("media_id"), lit(25))).cast("int")
     val expH = (lit(8) + pmod(floor(col("media_id") / 25), lit(25))).cast("int")
     // audio expectations mirror Multimodal.WavFixture's id arithmetic
@@ -455,7 +470,7 @@ object ExtensionQueries {
     */
   def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = Multimodal.mediaFromDocuments(spark, Tables.documents(spark, dir))
+    val media = mediaTable(spark, dir)
     Multimodal.resizeAll(media, 24, 16).map { r =>
       val ok =
         if (r.kind == "image")

@@ -42,9 +42,10 @@ object StoreStreamQuery {
     val root = work.resolve("lake").toString
     val criRoot = PipelineE2E.criFixture(spark, dir)
 
-    // small maxFilesPerTrigger forces MULTIPLE micro-batches, so the store
-    // accumulates several atomic commits (one version per non-empty batch),
-    // not one
+    // maxFilesPerTrigger under the fixture's 15 files forces MULTIPLE
+    // micro-batches — enough commits to prove the multi-commit protocol
+    // (exactly-once replay itself is pinned by AppendCommitSpec) without
+    // paying the per-commit composite verify many times over.
     // date granularity, like the batch e2e: the fixture's rows-per-day are
     // file-sized; hour-level dirs would turn every micro-batch commit into
     // a thousand-leaf-dir stage+verify walk (the r8 bench measured exactly
@@ -54,7 +55,7 @@ object StoreStreamQuery {
       criRoot.toString + "/pods/*/*/*.log", root,
       checkpoint = work.resolve("ckpt").toString,
       clusterName = "dev", nodeName = "node-a",
-      triggerInterval = "1 seconds", maxFilesPerTrigger = 4,
+      triggerInterval = "1 seconds", maxFilesPerTrigger = 8,
       partitionCols = parts)
     try q.processAllAvailable() finally q.stop()
 

@@ -118,6 +118,24 @@ class FileStatsSpec extends SparkSpec {
       GraftStore.readStore(spark, root).filter($"pod" === "pod-0").count())
   }
 
+  test("rowCountFromStats: exact under full coverage, None when stale") {
+    val root = Files.createTempDirectory("graft-fstats6").resolve("store").toString
+    val parts = Seq("cluster", "namespace", "date")
+    val df = fixture()
+    LogIngest.writeHive(df, root, partitionCols = parts)
+    val cur = VersionedStore.currentVersion(
+      new org.apache.hadoop.fs.Path(root).toUri.getPath)
+    assert(FileStats.rowCountFromStats(spark, root, cur).contains(df.count()),
+      "fully covered sidecar must yield the exact count")
+    // tamper one line's length: coverage breaks, the shortcut must refuse
+    val dir = GraftStore.resolve(spark, root)
+    val stats = FileStats.read(spark, dir).values.toSeq
+    FileStats.write(spark, dir,
+      stats.head.copy(len = stats.head.len + 1) +: stats.tail)
+    assert(FileStats.rowCountFromStats(spark, root, cur).isEmpty,
+      "stale line must disable the metadata count, not corrupt it")
+  }
+
   test("stale/absent stats fail open: file without a line is always scanned") {
     val root = Files.createTempDirectory("graft-fstats5").resolve("store").toString
     val parts = Seq("cluster", "namespace", "date")
