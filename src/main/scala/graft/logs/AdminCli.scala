@@ -50,6 +50,8 @@ object AdminCli {
       |  watch     --root=DIR --close-events=DIR --checkpoint=DIR [--interval=DUR]
       |  snapshots --root=DIR
       |  vacuum    --root=DIR [--retain=N]   (keep N snapshots below live, default 0)
+      |  stats     --root=DIR [--refresh=true]   (pruning-sidecar coverage;
+      |            --refresh backfills/repairs it for pre-stats stores)
       |  diff      --root=DIR [--from=N] [--to=N]   (defaults: previous -> live)
       |  break-lease --root=DIR   (remove a lease left by a crashed maintainer)""".stripMargin
 
@@ -62,6 +64,7 @@ object AdminCli {
     "watch" -> (Set("root", "close-events", "checkpoint"), Set("interval")),
     "snapshots" -> (Set("root"), Set.empty[String]),
     "vacuum" -> (Set("root"), Set("retain")),
+    "stats" -> (Set("root"), Set("refresh")),
     "diff" -> (Set("root"), Set("from", "to")),
     "break-lease" -> (Set("root"), Set.empty[String]))
 
@@ -164,6 +167,28 @@ object AdminCli {
           s"row delta ${d.rowDelta}")
         d.added.foreach(f => println(s"[admin]   + $f"))
         d.removed.foreach(f => println(s"[admin]   - $f"))
+      case "stats" =>
+        // operability surface for the pruning sidecar: coverage report of
+        // the LIVE snapshot, `--refresh=true` to backfill/repair it
+        // (pre-stats stores, foreign writers)
+        if (boolOpt("refresh")) {
+          val written = FileStats.refresh(spark, opts("root"))
+          println(s"[admin] refreshed ${written.size} stats line(s)")
+        }
+        val dir = GraftStore.resolve(spark, opts("root"))
+        val stats = FileStats.read(spark, dir)
+        // composite inventory on the pointer tier: carried files live in
+        // other holders and a live-dir listing would miss them
+        val entries =
+          if (GraftStore.isPointerStore(spark, opts("root")))
+            GraftStore.compositeEntries(spark, opts("root"),
+              GraftStore.currentVersion(spark, opts("root")))
+          else FileStats.listDirEntries(spark, dir)
+        val covered = entries.count(e => stats.get(e.key).exists(_.len == e.len))
+        val rows = stats.values.map(_.rows).sum
+        val withNs = stats.values.count(_.minNs.nonEmpty)
+        println(s"[admin] stats: ${stats.size} line(s), $covered/${entries.size} " +
+          s"live files covered, $rows rows, $withNs with time_ns min/max")
       case "break-lease" =>
         val existed = MaintenanceLease.breakLease(spark, opts("root"))
         println(if (existed) s"[admin] lease on ${opts("root")} broken"
