@@ -118,6 +118,22 @@ class FileStatsSpec extends SparkSpec {
       GraftStore.readStore(spark, root).filter($"pod" === "pod-0").count())
   }
 
+  test("sidecar TSV round-trips hostile keys and pod names") {
+    val dir = Files.createTempDirectory("graft-fstats-rt").toString
+    val hostile = Seq(
+      FileStats.FileStat("/date=2024-01-01/part a\tb.parquet", 10L, 5L,
+        Some(-1L), Some(Long.MaxValue), Some("pod\twith\ttabs"), Some("pod\nnl")),
+      FileStats.FileStat("/k=v/ünïcödé.parquet", 1L, 0L, None, None, None, None),
+      FileStats.FileStat("plain.parquet", 2L, 7L, Some(0L), Some(0L),
+        Some(""), Some("z" * 300)))
+    FileStats.write(spark, dir, hostile)
+    val back = FileStats.read(spark, dir)
+    assert(back.size == hostile.size)
+    hostile.foreach { s =>
+      assert(back(s.key) == s, s"round-trip mangled ${s.key}: ${back.get(s.key)}")
+    }
+  }
+
   test("rowCountFromStats: exact under full coverage, None when stale") {
     val root = Files.createTempDirectory("graft-fstats6").resolve("store").toString
     val parts = Seq("cluster", "namespace", "date")
