@@ -132,6 +132,8 @@ object SparkEntry {
     "x12_schema_evolution" -> (StoreEvolutionQuery.run(_, _)),
     "x13_stream_store" -> (StoreStreamQuery.run(_, _)),
     "x14_since_pruned" -> (StorePrunedQuery.run(_, _)),
+    "x15_row_delete" -> (StoreDeleteQuery.run(_, _)),
+    "x16_merge_upsert" -> (StoreMergeQuery.run(_, _)),
     "v6_random_projection" -> (ExtensionQueries.randomProjectionGates(_, _)),
     "t11_bpe_vocab" -> (ExtensionQueries.bpeVocabGates(_, _)),
     "v7_quantize_int8" -> (ExtensionQueries.quantizationGates(_, _)),
@@ -1007,6 +1009,62 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN e.d >= cut.d THEN length(props) ELSE 0 END) AS DOUBLE) AS sum_quality,
         |  TRUE AS zero_move_ok
         |FROM e, cut""".stripMargin,
+    // x15: the engine commits two MERGE-ON-READ deletes (deletion vectors;
+    // zero data movement — v2: a content predicate, v3: an overlapping time
+    // predicate that exercises vector merging) on a versioned store built
+    // from events, then reads the live view back. DuckDB restates every
+    // count and the surviving content checksum straight from events; the
+    // boolean gates (no deleted row survives, pre-commit snapshot reads
+    // complete) are verified engine-side.
+    "x15_row_delete" ->
+      """WITH m AS (SELECT props,
+        |    (length(props) % 7 = 0) AS d1,
+        |    ((((epoch_us(ts) * 1000) // 1000) % 97) < 13) AS d2
+        |  FROM events)
+        |SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN d1 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted_content,
+        |  CAST(sum(CASE WHEN d2 AND NOT d1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_deleted_time_new,
+        |  CAST(sum(CASE WHEN NOT d1 AND NOT d2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_live,
+        |  CAST(sum(CASE WHEN NOT d1 AND NOT d2 THEN length(props) ELSE 0 END)
+        |    AS BIGINT) AS live_msg_chars,
+        |  TRUE AS live_match_zero,
+        |  TRUE AS time_travel_ok
+        |FROM m""".stripMargin,
+    // x16: one atomic MERGE commit (delete-by-vector for matched keys +
+    // append of the update batch). The batch is SQL-derivable from events,
+    // so DuckDB rebuilds the post-merge table as (events ∖ matched) ∪
+    // updates and restates counts + content checksum; the exact multiset
+    // identity and time travel are engine-verified booleans.
+    "x16_merge_upsert" ->
+      """WITH upd AS (
+        |  SELECT event_id, ts, user_id, event_type, value, 'UPD' AS props
+        |  FROM events WHERE event_id % 11 = 0),
+        |neu AS (
+        |  SELECT event_id + 10000000000 AS event_id, ts, user_id, event_type,
+        |    value, 'NEW' AS props
+        |  FROM events WHERE event_id % 101 = 0),
+        |updates AS (SELECT * FROM upd UNION ALL SELECT * FROM neu),
+        |final AS (
+        |  SELECT event_id, ts, user_id, event_type, value, props FROM events
+        |  WHERE event_id NOT IN (SELECT event_id FROM updates)
+        |  UNION ALL SELECT * FROM updates)
+        |SELECT
+        |  CAST((SELECT count(*) FROM events) AS BIGINT) AS n_total,
+        |  CAST((SELECT count(*) FROM events
+        |        WHERE event_id IN (SELECT event_id FROM updates)) AS BIGINT)
+        |    AS n_matched,
+        |  CAST((SELECT count(*) FROM updates) AS BIGINT) AS n_inserted,
+        |  CAST(count(*) AS BIGINT) AS n_live,
+        |  CAST(sum(CASE WHEN props = 'UPD' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_upd_rows,
+        |  CAST(sum(CASE WHEN props = 'NEW' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new_rows,
+        |  CAST(sum(length(props)) AS BIGINT) AS live_props_chars,
+        |  TRUE AS upsert_exact_ok,
+        |  TRUE AS time_travel_ok
+        |FROM final""".stripMargin,
     "x11_snapshot_cdc" ->
       """SELECT CAST(0 AS BIGINT) AS compact_changed_rows,
         |  CAST(count(*) AS BIGINT) AS removed_rows,

@@ -53,6 +53,10 @@ object AdminCli {
       |  stats     --root=DIR [--refresh=true]   (pruning-sidecar coverage;
       |            --refresh backfills/repairs it for pre-stats stores)
       |  diff      --root=DIR [--from=N] [--to=N]   (defaults: previous -> live)
+      |  delete    --root=DIR --where=SQL_EXPR [--commit-id=ID] [--retain=N]
+      |            [--max-ranges=N]   (row-level merge-on-read delete: commits
+      |            a deletion vector, moves zero data bytes; compaction
+      |            materializes it later)
       |  break-lease --root=DIR   (remove a lease left by a crashed maintainer)""".stripMargin
 
   // per-command (required, optional) option keys — anything else is a typo
@@ -66,6 +70,7 @@ object AdminCli {
     "vacuum" -> (Set("root"), Set("retain")),
     "stats" -> (Set("root"), Set("refresh")),
     "diff" -> (Set("root"), Set("from", "to")),
+    "delete" -> (Set("root", "where"), Set("commit-id", "retain", "max-ranges")),
     "break-lease" -> (Set("root"), Set.empty[String]))
 
   def main(args: Array[String]): Unit = {
@@ -189,6 +194,23 @@ object AdminCli {
         val withNs = stats.values.count(_.minNs.nonEmpty)
         println(s"[admin] stats: ${stats.size} line(s), $covered/${entries.size} " +
           s"live files covered, $rows rows, $withNs with time_ns min/max")
+        val dv = DeleteVectors.read(spark, dir)
+        if (dv.nonEmpty)
+          println(s"[admin] deletion vectors: ${dv.size} file(s), " +
+            s"${DeleteVectors.totalPositions(dv)} deleted row(s) pending " +
+            "materialization (compact rewrites them out)")
+      case "delete" =>
+        val c = DeleteVectors.deleteWhere(spark, opts("root"),
+          org.apache.spark.sql.functions.expr(opts("where")),
+          commitId = opts.get("commit-id"),
+          retainSnapshots = opts.get("retain").map(_.toInt).getOrElse(1),
+          maxRanges = opts.get("max-ranges").map(_.toInt)
+            .getOrElse(DeleteVectors.MaxRangesDefault))
+        println(
+          if (c.replayed)
+            s"[admin] delete replayed: already committed as ${GraftStore.versionPrefix(c.version)}"
+          else s"[admin] deleted ${c.deletedRows} row(s) as " +
+            s"${GraftStore.versionPrefix(c.version)} (merge-on-read; zero data moved)")
       case "break-lease" =>
         val existed = MaintenanceLease.breakLease(spark, opts("root"))
         println(if (existed) s"[admin] lease on ${opts("root")} broken"

@@ -181,8 +181,12 @@ object AppendCommit {
       // predecessor's lines by (key, len); only the staged files are
       // footer-read. Written pre-flip so stats publish atomically with the
       // snapshot — and BEFORE the verify below, which they accelerate.
-      FileStats.refreshInto(spark, nextDir,
-        GraftStore.compositeEntries(spark, root, next),
+      val nextEntries = GraftStore.compositeEntries(spark, root, next)
+      // deletion vectors ride the carry: every predecessor file is still in
+      // the snapshot, so the sidecar carries whole (staged files are new and
+      // vector-free by construction)
+      DeleteVectors.carryInto(spark, curDir, nextDir, nextEntries.map(_.key).toSet)
+      FileStats.refreshInto(spark, nextDir, nextEntries,
         FileStats.read(spark, curDir))
       if (verifyCounts) {
         // counts from the stats sidecar when it fully covers the snapshot
@@ -193,12 +197,15 @@ object AppendCommit {
         // entry lost or doubled still flips the sum. A fresh (streaming-
         // created) store's v1 is EMPTY: no schema to infer, so its count
         // is zero by listing, not by read.
+        // PHYSICAL counts on both sides: the stats sidecar counts stored
+        // rows, and deletion vectors (carried unchanged) cancel out of the
+        // prev-vs-staged comparison
         val prevRows =
           if (GraftStore.compositeEntries(spark, root, cur).isEmpty) 0L
           else FileStats.rowCountFromStats(spark, root, cur)
-            .getOrElse(GraftStore.readVersion(spark, root, cur).count())
+            .getOrElse(GraftStore.readVersionPhysical(spark, root, cur).count())
         val stagedTotal = FileStats.rowCountFromStats(spark, root, next)
-          .getOrElse(GraftStore.readVersion(spark, root, next).count())
+          .getOrElse(GraftStore.readVersionPhysical(spark, root, next).count())
         if (stagedTotal != prevRows + stagedRows)
           abort(s"staged snapshot holds $stagedTotal rows, expected " +
             s"$prevRows + $stagedRows; aborting with $curDir live")
@@ -275,8 +282,9 @@ object AppendCommit {
       // O(delta) stats: hard-linked files keep their rel key+len and reuse
       // the predecessor's lines; only the staged files are footer-read.
       // Written BEFORE the verify below, which they accelerate.
-      FileStats.refreshInto(spark, nextDir,
-        GraftStore.compositeEntries(spark, local, next),
+      val nextEntries = GraftStore.compositeEntries(spark, local, next)
+      DeleteVectors.carryInto(spark, prevDir, nextDir, nextEntries.map(_.key).toSet)
+      FileStats.refreshInto(spark, nextDir, nextEntries,
         FileStats.read(spark, prevDir))
       if (verifyCounts) {
         val prevRows = // empty fresh store: count by listing, no schema to read

@@ -277,17 +277,35 @@ object Compaction {
         fs.delete(sinkLog, true)
       }
       val leaves = partitionLeaves(fs, live, partitionCols.length)
+      // deletion vectors: vector-holding partitions are dirty by definition
+      // (the rewrite materializes their deletes); plain legacy roots cannot
+      // acquire vectors (deleteWhere refuses them) and stay vector-free
+      val dvCur = DeleteVectors.read(spark, root)
+      require(dvCur.isEmpty || VersionedStore.isVersioned(root),
+        s"$root is a plain directory carrying a deletion-vector sidecar — " +
+          "unsupported; vectors commit only on versioned stores")
+      val dvRels = dvCur.keySet.map { k =>
+        k.split('/').filter(_.nonEmpty).take(partitionCols.length).mkString("/")
+      }
       val dirty = leaves.filter(l =>
-        full || isDirty(l._2, dirtyMaxFiles, dirtyMinAvgBytes))
+        full || dvRels(l._1) || isDirty(l._2, dirtyMaxFiles, dirtyMinAvgBytes))
       if (dirty.isEmpty) return // every partition already compact: no commit
-      val expectedRows = spark.read.parquet(root).count() // footer metadata only
+      // vector-applied expected count: the invariant below is "live ROWS
+      // unchanged", and with vectors the live rows are the applied view
+      val expectedRows =
+        if (dvCur.isEmpty) spark.read.parquet(root).count() // footer metadata only
+        else GraftStore.readStore(spark, root).count()
       // overlay via the symlink (legacy plain roots never have one)
       val overlay = GraftStore.readSchemaOverlay(spark, root)
       val input = {
         val r = spark.read.option("basePath", root)
         val r2 = if (overlay.nonEmpty) r.option("mergeSchema", "true") else r
-        GraftStore.applyOverlay(
-          r2.parquet(dirty.map(d => s"$root/${d._1}"): _*), overlay)
+        val df0 = r2.parquet(dirty.map(d => s"$root/${d._1}"): _*)
+        val df = GraftStore.applyOverlay(
+          if (dvCur.nonEmpty) DeleteVectors.tagMeta(df0) else df0, overlay)
+        if (dvCur.nonEmpty)
+          DeleteVectors.applyTo(spark, df, dvCur, FileStats.listDirEntries(spark, root))
+        else df
       }
       val dirtyRows = input.count()
       rewrite(input, partitionCols, maxRecordsPerFile, staging.toString, cluster)
@@ -338,7 +356,15 @@ object Compaction {
         // self-contained and plain reads through the symlink keep working
         val dirtyRels = dirty.map(_._1).toSet
         hardLinkCarry(leaves.filterNot(l => dirtyRels(l._1)), staging, live)
-        val totalStaged = spark.read.parquet(staging.toString).count()
+        // carried files keep their vectors; rewritten files shed them
+        // (materialized by the vector-applied input above)
+        val stagedDv = DeleteVectors.carryInto(spark, root, staging.toString,
+          FileStats.listDirEntries(spark, staging.toString).map(_.key).toSet)
+        val totalStaged =
+          if (stagedDv.isEmpty) spark.read.parquet(staging.toString).count()
+          else DeleteVectors.applyTo(spark,
+            DeleteVectors.tagMeta(spark.read.parquet(staging.toString)),
+            stagedDv, FileStats.listDirEntries(spark, staging.toString)).count()
         require(totalStaged == expectedRows,
           s"staging holds $totalStaged rows, expected $expectedRows; aborting with $live untouched")
         abortOnWriterChange(leaves.map(_._1).toSet, detectNewPartitions = true)
@@ -448,13 +474,30 @@ object Compaction {
         (rel, h, dataFilesUnder(fs, new Path(s"$root/$h/$rel")))
       }
       val byRel = (own ++ carried).groupBy(_._1)
+      // deletion vectors ([[DeleteVectors]]): rewritten partitions read
+      // vector-APPLIED and come out clean (materialization); carried files
+      // keep their vectors. All counts below are in vector-applied terms so
+      // the marker/recovery invariant stays "the live row count is
+      // unchanged" whether or not vectors exist.
+      val curEntries = GraftStore.compositeEntries(spark, root, cur)
+      val curKeys = curEntries.map(_.key).toSet
+      val dvCur = DeleteVectors.read(spark, curDir).filter { case (k, _) => curKeys(k) }
+      // a partition holding vectored files is worth rewriting even when its
+      // file count looks healthy: materialization retires the read-side
+      // anti-join debt (Delta's OPTIMIZE-applies-DVs contract)
+      val dvRels = dvCur.keySet.map { k =>
+        val segs = k.split('/').filter(_.nonEmpty)
+        segs.take(depth).mkString("/")
+      }
       val dirtyRels = byRel.collect { case (rel, legs)
-        if full || isDirty(legs.flatMap(_._3), dirtyMaxFiles, dirtyMinAvgBytes) => rel
+        if full || dvRels(rel) ||
+          isDirty(legs.flatMap(_._3), dirtyMaxFiles, dirtyMinAvgBytes) => rel
       }.toSet
       if (dirtyRels.isEmpty) return // every partition already compact
       // stats-backed when the sidecar fully covers the snapshot (metadata
       // reads, not 10⁸ footer opens); footer-count fallback otherwise
       val expectedRows = FileStats.rowCountFromStats(spark, root, cur)
+        .map(_ - DeleteVectors.totalPositions(dvCur))
         .getOrElse(GraftStore.readVersion(spark, root, cur).count())
       val next = cur + 1
       val nextDir = s"$root/${GraftStore.versionPrefix(next)}"
@@ -464,16 +507,22 @@ object Compaction {
       // columns, so the rewrite MATERIALIZES them — the overlay shrinks to
       // irrelevance as maintenance touches partitions
       val overlay = GraftStore.readSchemaOverlay(spark, curDir)
-      val input = byRel.filter(e => dirtyRels(e._1)).values.flatten.toSeq
+      val inputRaw = byRel.filter(e => dirtyRels(e._1)).values.flatten.toSeq
         .groupBy(_._2).toSeq.sortBy(_._1)
         .map { case (h, legs) =>
           val vdir = s"$root/$h"
           val r = spark.read.option("basePath", vdir)
           val r2 = if (overlay.nonEmpty) r.option("mergeSchema", "true") else r
+          val df0 = r2.parquet(legs.map(l => s"$vdir/${l._1}"): _*)
           GraftStore.applyOverlay(
-            r2.parquet(legs.map(l => s"$vdir/${l._1}"): _*), overlay)
+            if (dvCur.nonEmpty) DeleteVectors.tagMeta(df0) else df0, overlay)
         }
         .reduce(_.unionByName(_))
+      // vector-applied input: the rewrite writes the dirty partitions CLEAN
+      // (vectors for files outside the dirty set are inert — no row matches)
+      val input =
+        if (dvCur.nonEmpty) DeleteVectors.applyTo(spark, inputRaw, dvCur, curEntries)
+        else inputRaw
       rewrite(input, partitionCols, maxRecordsPerFile, nextDir, cluster)
       GraftStore.carrySchemaOverlay(spark, curDir, nextDir)
       // carry every untouched partition by reference, chained to the holder
@@ -488,10 +537,15 @@ object Compaction {
       // reuse the predecessor's lines by (key, len); only the rewritten
       // files are footer-read. Written before the staged verify (which they
       // accelerate) and pre-flip, so stats publish with the snapshot.
-      FileStats.refreshInto(spark, nextDir,
-        GraftStore.compositeEntries(spark, root, next),
+      val nextEntries = GraftStore.compositeEntries(spark, root, next)
+      // rewritten files shed their vectors (materialized above); carried
+      // files keep theirs — filter the sidecar to keys still in the snapshot
+      val dvNext = DeleteVectors.carryInto(spark, curDir, nextDir,
+        nextEntries.map(_.key).toSet)
+      FileStats.refreshInto(spark, nextDir, nextEntries,
         FileStats.read(spark, curDir))
       val stagedRows = FileStats.rowCountFromStats(spark, root, next)
+        .map(_ - DeleteVectors.totalPositions(dvNext))
         .getOrElse(GraftStore.readVersion(spark, root, next).count())
       require(stagedRows == expectedRows,
         s"staged snapshot holds $stagedRows rows, expected $expectedRows; " +
@@ -587,7 +641,7 @@ object Compaction {
       FileStats.read(spark, VersionedStore.versionName(root, prev)))
     require(fs.rename(staging, versionDir), s"rename $staging -> $versionDir failed")
     VersionedStore.retarget(root, next)
-    val liveRows = spark.read.parquet(root).count()
+    val liveRows = GraftStore.readStore(spark, root).count() // vector-applied
     require(liveRows == expectedRows,
       s"post-swap count $liveRows != expected $expectedRows — inspect $root")
     fs.delete(marker, false)
@@ -614,7 +668,7 @@ object Compaction {
       val prev = VersionedStore.currentVersion(root)
       val newest = VersionedStore.listVersions(root).max
       if (newest > prev) VersionedStore.retarget(root, newest)
-      val liveRows = spark.read.parquet(root).count()
+      val liveRows = GraftStore.readStore(spark, root).count() // vector-applied
       require(liveRows == expectedRows,
         s"recovered count $liveRows != expected $expectedRows — inspect $root")
       fs.delete(marker, false)

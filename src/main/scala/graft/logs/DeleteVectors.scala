@@ -1,0 +1,579 @@
+package graft.logs
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+
+/** Row-level deletes for versioned stores: merge-on-read DELETION VECTORS,
+  * plus the MERGE/upsert built on them.
+  *
+  * The reference treats every object as immutable and expires data only at
+  * partition granularity (`retention` dropping whole date dirs); a
+  * training-data store additionally needs ROW-level removal — GDPR/right-to-
+  * be-forgotten point deletes, decontamination strikes, upserting corrected
+  * documents — where rewriting the files holding a handful of rows out of
+  * 10⁸ objects is not an option. The Delta/Iceberg answer is merge-on-read
+  * deletion vectors, and this is that shape on [[GraftStore]]'s commit
+  * primitives:
+  *
+  *  - a `_graft_deletes` sidecar in the version dir maps each data file
+  *    (by its store-layout key, the same identity [[FileStats]] uses) to the
+  *    row POSITIONS deleted from it, run-length compressed;
+  *  - [[deleteWhere]] commits a new version that carries every data file
+  *    untouched (manifest reference / hard link — zero data bytes move) and
+  *    adds the matched rows' positions to the sidecar: an O(metadata +
+  *    matched-rows) commit regardless of store size;
+  *  - every read ([[GraftStore.readVersion]] and friends) anti-joins the
+  *    file's rows against its vector on (`_metadata.file_path`,
+  *    `_metadata.row_index`) — a pure equi join Spark broadcasts while
+  *    vectors are small and shuffles when they are not;
+  *  - maintenance MATERIALIZES: compaction reads dirty partitions with
+  *    vectors applied and rewrites them clean, dropping their sidecar
+  *    entries, so the merge-on-read debt amortizes to zero as partitions
+  *    are touched — exactly Delta's `OPTIMIZE` contract.
+  *
+  * Data files are immutable (every write uses fresh task-UUID names), so a
+  * position vector stays valid for the file's lifetime; the sidecar records
+  * each file's length as an identity check and a mismatch FAILS the read —
+  * unlike [[FileStats]] (an optimization that fails open), deletes are
+  * correctness and must never be silently skipped.
+  *
+  * Scale bound: vectors ride the commit as compressed ranges; a delete
+  * whose vector would exceed [[MaxRangesDefault]] ranges is refused with
+  * advice to rewrite instead — same division of labor as Delta, where DVs
+  * serve point deletes and large deletes go through rewrite. (Reference
+  * anchor for the store layout under this: compact_columns.c's immutable
+  * one-PUT objects, fluent-bit.conf:42.)
+  */
+object DeleteVectors {
+
+  val DeletesName = "_graft_deletes"
+
+  /** Refuse deletes whose merged vector exceeds this many ranges: at that
+    * size the store is better served by a rewrite than by every future read
+    * dragging the vector through its anti-join.
+    */
+  val MaxRangesDefault: Int = 5000000
+
+  /** One file's deletion vector: the file's length at delete time (identity
+    * check — see class doc) and the deleted row positions as inclusive
+    * `[start, end]` ranges, sorted, non-overlapping, non-adjacent.
+    */
+  final case class Dv(len: Long, ranges: Seq[(Long, Long)]) {
+    def positions: Long = ranges.iterator.map(r => r._2 - r._1 + 1).sum
+  }
+
+  def totalPositions(dv: Map[String, Dv]): Long = dv.valuesIterator.map(_.positions).sum
+  def totalRanges(dv: Map[String, Dv]): Long = dv.valuesIterator.map(_.ranges.size.toLong).sum
+
+  /** Sorted distinct positions → minimal inclusive ranges. */
+  private[graft] def compress(sorted: Seq[Long]): Seq[(Long, Long)] = {
+    if (sorted.isEmpty) return Seq.empty
+    val out = Seq.newBuilder[(Long, Long)]
+    var start = sorted.head
+    var prev = sorted.head
+    sorted.tail.foreach { p =>
+      require(p > prev, s"positions must be strictly increasing, saw $prev then $p")
+      if (p == prev + 1) prev = p
+      else { out += ((start, prev)); start = p; prev = p }
+    }
+    out += ((start, prev))
+    out.result()
+  }
+
+  /** Union of two range sets (merging overlaps/adjacency). */
+  private[graft] def mergeRanges(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val all = (a ++ b).sortBy(_._1)
+    if (all.isEmpty) return Seq.empty
+    val out = Seq.newBuilder[(Long, Long)]
+    var (cs, ce) = all.head
+    all.tail.foreach { case (s, e) =>
+      if (s <= ce + 1) ce = math.max(ce, e)
+      else { out += ((cs, ce)); cs = s; ce = e }
+    }
+    out += ((cs, ce))
+    out.result()
+  }
+
+  private def esc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+  private def unesc(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Sidecar format: one line per file, `key \t len \t s-e,s-e,...`
+    * (key URL-escaped like [[FileStats]]; single positions render `p-p`).
+    * Unlike the stats sidecar a TORN line here is a correctness hazard, so
+    * parsing is strict — corrupt lines throw instead of degrading.
+    */
+  def read(spark: SparkSession, dir: String): Map[String, Dv] = {
+    val p = new Path(dir, DeletesName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val text = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+    text.split('\n').iterator.filter(_.nonEmpty).map { line =>
+      line.split('\t') match {
+        case Array(k, len, rs) =>
+          val ranges = rs.split(',').toSeq.filter(_.nonEmpty).map { r =>
+            val i = r.indexOf('-', 1) // position 0 is never '-' (positions >= 0)
+            require(i > 0, s"corrupt delete range '$r' in $p")
+            val s = r.substring(0, i).toLong
+            val e = r.substring(i + 1).toLong
+            require(s >= 0 && e >= s, s"corrupt delete range '$r' in $p")
+            (s, e)
+          }
+          require(ranges.nonEmpty, s"corrupt delete line (no ranges) in $p: '$line'")
+          (unesc(k), Dv(len.toLong, ranges))
+        case _ => throw new IllegalStateException(
+          s"corrupt deletion-vector line in $p: '$line'")
+      }
+    }.toMap
+  }
+
+  /** Atomic sidecar write (single PUT / temp+rename via
+    * [[GraftStore.atomicWriteBytes]]); an empty map removes the sidecar.
+    */
+  def write(spark: SparkSession, dir: String, dv: Map[String, Dv]): Unit = {
+    val p = new Path(dir, DeletesName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (dv.isEmpty) { fs.delete(p, false); return }
+    val lines = dv.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${esc(k)}\t${v.len}\t${v.ranges.map(r => s"${r._1}-${r._2}").mkString(",")}"
+    }
+    GraftStore.atomicWriteBytes(spark, p, lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  /** Carry the predecessor's sidecar into a staged version dir, keeping only
+    * vectors whose file is still part of the new snapshot (`keepKeys`) —
+    * rewritten/dropped files shed their vectors. Returns what was written.
+    */
+  def carryInto(spark: SparkSession, fromDir: String, toDir: String,
+      keepKeys: Set[String]): Map[String, Dv] = {
+    val kept = read(spark, fromDir).filter { case (k, _) => keepKeys(k) }
+    write(spark, toDir, kept)
+    kept
+  }
+
+  // ---- read-side application --------------------------------------------
+
+  private[graft] val PathCol = "__graft_dv_path"
+  private[graft] val PosCol = "__graft_dv_pos"
+
+  /** Scheme-and-authority-normalized form of a physical path, matching
+    * [[normalizeSql]]: `file:/tmp/x`, `file:///tmp/x` → `/tmp/x`;
+    * `s3l://bucket/k` → `/bucket/k`.
+    */
+  private[logs] def normalizePath(physical: String): String = {
+    val u = new Path(physical).toUri
+    Option(u.getAuthority).filter(_.nonEmpty).map("/" + _).getOrElse("") + u.getPath
+  }
+
+  private[logs] def normalizeSql(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+
+  /** Project the hidden file metadata needed by the anti-join. Must run
+    * per-leg, BEFORE any union — `_metadata` resolves against a single file
+    * source relation.
+    */
+  private[logs] def tagMeta(df: DataFrame): DataFrame =
+    df.withColumn(PathCol, normalizeSql(col("_metadata.file_path")))
+      .withColumn(PosCol, col("_metadata.row_index"))
+
+  /** Drop rows whose (file, position) is deleted, then drop the metadata
+    * columns. `entries` is the snapshot's physical file inventory (the same
+    * listing the read plans from); a vector keyed to a file absent from it
+    * is inert (the file was dropped by retention while its vector rode a
+    * carry), but a PRESENT key whose length changed means the vector no
+    * longer describes the file — that read must fail, not resurrect or
+    * mis-delete rows.
+    */
+  private[logs] def applyTo(spark: SparkSession, tagged: DataFrame,
+      dv: Map[String, Dv], entries: Seq[GraftStore.FileEntry]): DataFrame =
+    applyKeep(spark, tagged, dv, entries).drop(PathCol, PosCol)
+
+  // ---- delete commit ----------------------------------------------------
+
+  final case class DeleteCommitted(version: Int, deletedRows: Long, replayed: Boolean)
+  final case class MergeCommitted(version: Int, matchedDeleted: Long,
+      inserted: Long, replayed: Boolean)
+
+  /** Commit a row-level delete as a new version: every data file is carried
+    * untouched (manifest reference on the pointer tier, hard link on the
+    * symlink tier) and the matched rows' positions join the deletion-vector
+    * sidecar. Zero data bytes move; the pre-delete snapshot stays
+    * time-travelable until vacuumed. Exactly-once replay by `commitId`
+    * (same contract as [[AppendCommit]]).
+    */
+  def deleteWhere(spark: SparkSession, root: String, condition: Column,
+      commitId: Option[String] = None,
+      retainSnapshots: Int = 1,
+      maxRanges: Int = MaxRangesDefault,
+      leaseAttempts: Int = 10): DeleteCommitted = {
+    commitId.foreach { id =>
+      require(id.matches("[A-Za-z0-9._-]+"), s"commit id '$id' must be [A-Za-z0-9._-]+")
+    }
+    val pointer = GraftStore.isPointerStore(spark, root)
+    if (!pointer) {
+      val local = new Path(root).toUri.getPath
+      require(VersionedStore.isVersioned(local),
+        s"$root is not a versioned store — row-level deletes commit as a new " +
+          "version and need a commit primitive (pointer or symlink tier)")
+    }
+    MaintenanceLease.withLeaseRetry(spark, root, "delete", leaseAttempts) {
+      replayedVersion(spark, root, commitId).foreach { v =>
+        return DeleteCommitted(v, 0L, replayed = true)
+      }
+      requireNoCompactMarker(spark, root)
+      val (cur, curDir, dirOf) = liveVersion(spark, root)
+      val entries = GraftStore.compositeEntries(spark, root, cur)
+      val prior = read(spark, curDir)
+      // matched rows: the live view (existing vectors applied — a re-delete
+      // of already-deleted rows is a no-op) filtered by the predicate,
+      // reduced to (file, position)
+      val matched = taggedLiveRead(spark, root, cur, prior, entries)
+        .filter(condition)
+        .groupBy(col(PathCol)).agg(sort_array(collect_list(col(PosCol))).as("ps"))
+        .collect()
+      val keyOfNorm = entries.map(e => (normalizePath(e.physical), e)).toMap
+      var newPositions = 0L
+      val additions: Map[String, Dv] = matched.map { r =>
+        val e = keyOfNorm.getOrElse(r.getString(0), throw new IllegalStateException(
+          s"matched file ${r.getString(0)} is not in the snapshot inventory"))
+        val ps = r.getSeq[Long](1)
+        newPositions += ps.length
+        (e.key, Dv(e.len, compress(ps)))
+      }.toMap
+      if (additions.isEmpty)
+        return DeleteCommitted(cur, 0L, replayed = false)
+      val merged = (prior.keySet ++ additions.keySet).iterator.map { k =>
+        (prior.get(k), additions.get(k)) match {
+          case (Some(a), Some(b)) =>
+            require(a.len == b.len, s"vector length mismatch for '$k'")
+            (k, Dv(a.len, mergeRanges(a.ranges, b.ranges)))
+          case (Some(a), None) => (k, a)
+          case (None, Some(b)) => (k, b)
+          case _ => throw new IllegalStateException("unreachable")
+        }
+      }.toMap
+      require(totalRanges(merged) <= maxRanges,
+        s"merged deletion vectors hold ${totalRanges(merged)} ranges " +
+          s"(> $maxRanges): this delete is too large for merge-on-read — " +
+          "rewrite instead (Compaction.compactHive(full=true) materializes " +
+          "vectors, or filter-and-rewrite the store)")
+      val next = cur + 1
+      val nextDir = dirOf(next)
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def abort(msg: String): Nothing = {
+        fs.delete(new Path(nextDir), true)
+        throw new IllegalStateException(msg)
+      }
+      stageCarryAll(spark, root, cur, next, pointer)
+      write(spark, nextDir, merged)
+      GraftStore.writeCommitInfo(spark, nextDir, GraftStore.CommitInfo("delete",
+        commitId.getOrElse(java.util.UUID.randomUUID().toString),
+        System.currentTimeMillis()))
+      FileStats.refreshInto(spark, nextDir,
+        GraftStore.compositeEntries(spark, root, next),
+        FileStats.read(spark, curDir))
+      // metadata-only verification: the commit moves no data, so the staged
+      // snapshot must hold exactly the predecessor's physical rows, and its
+      // vector total must have grown by exactly the matched count
+      val prevPhys = physicalCount(spark, root, cur)
+      val stagedPhys = physicalCount(spark, root, next)
+      if (stagedPhys != prevPhys)
+        abort(s"delete commit staged $stagedPhys physical rows, expected " +
+          s"$prevPhys; aborting with $curDir live")
+      if (totalPositions(merged) != totalPositions(prior) + newPositions)
+        abort("deletion-vector bookkeeping mismatch; aborting")
+      flip(spark, root, cur, next, retainSnapshots, abort)
+      DeleteCommitted(next, newPositions, replayed = false)
+    }
+  }
+
+  /** MERGE/upsert keyed on `keyCols`: in ONE commit, rows of the live
+    * snapshot whose key appears in `updates` are deleted (by vector) and
+    * every `updates` row is appended — the merge-on-read upsert. Callers
+    * supply `updates` unique per key (duplicates insert duplicates, the
+    * plain UNION semantics). `updates` must carry the store's partition
+    * columns.
+    */
+  def mergeByKey(spark: SparkSession, root: String, updates: DataFrame,
+      keyCols: Seq[String], partitionCols: Seq[String],
+      commitId: Option[String] = None,
+      retainSnapshots: Int = 1,
+      maxRecordsPerFile: Long = 1000000L,
+      maxRanges: Int = MaxRangesDefault,
+      leaseAttempts: Int = 10): MergeCommitted = {
+    require(keyCols.nonEmpty, "mergeByKey needs at least one key column")
+    commitId.foreach { id =>
+      require(id.matches("[A-Za-z0-9._-]+"), s"commit id '$id' must be [A-Za-z0-9._-]+")
+    }
+    val pointer = GraftStore.isPointerStore(spark, root)
+    if (!pointer) {
+      val local = new Path(root).toUri.getPath
+      require(VersionedStore.isVersioned(local),
+        s"$root is not a versioned store — merge commits need a commit primitive")
+    }
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    MaintenanceLease.withLeaseRetry(spark, root, "merge", leaseAttempts) {
+      replayedVersion(spark, root, commitId).foreach { v =>
+        return MergeCommitted(v, 0L, 0L, replayed = true)
+      }
+      requireNoCompactMarker(spark, root)
+      val (cur, curDir, dirOf) = liveVersion(spark, root)
+      val entries = GraftStore.compositeEntries(spark, root, cur)
+      val prior = read(spark, curDir)
+      // 1. vector for matched keys: semi-join the live view against the
+      //    update keys (broadcast — update batches are small next to the
+      //    store) and collect (file, position)
+      val keys = updates.select(keyCols.map(col): _*).distinct()
+      val matched = taggedLiveRead(spark, root, cur, prior, entries)
+        .join(broadcast(keys), keyCols, "left_semi")
+        .groupBy(col(PathCol)).agg(sort_array(collect_list(col(PosCol))).as("ps"))
+        .collect()
+      val keyOfNorm = entries.map(e => (normalizePath(e.physical), e)).toMap
+      var matchedRows = 0L
+      val additions: Map[String, Dv] = matched.map { r =>
+        val e = keyOfNorm.getOrElse(r.getString(0), throw new IllegalStateException(
+          s"matched file ${r.getString(0)} is not in the snapshot inventory"))
+        val ps = r.getSeq[Long](1)
+        matchedRows += ps.length
+        (e.key, Dv(e.len, compress(ps)))
+      }.toMap
+      val merged = (prior.keySet ++ additions.keySet).iterator.map { k =>
+        (prior.get(k), additions.get(k)) match {
+          case (Some(a), Some(b)) => (k, Dv(a.len, mergeRanges(a.ranges, b.ranges)))
+          case (Some(a), None) => (k, a)
+          case (None, Some(b)) => (k, b)
+          case _ => throw new IllegalStateException("unreachable")
+        }
+      }.toMap
+      require(totalRanges(merged) <= maxRanges,
+        s"merged deletion vectors hold ${totalRanges(merged)} ranges " +
+          s"(> $maxRanges): this merge is too large for merge-on-read — " +
+          "rewrite the store instead")
+      // 2. stage the update rows like an atomic append
+      val stageName =
+        (if (pointer) GraftStore.AppendPrefix else ".append-") + "merge-" +
+          commitId.getOrElse(java.util.UUID.randomUUID().toString)
+      val stagingDir =
+        if (pointer) s"$root/$stageName"
+        else new Path(root).toUri.getPath + stageName
+      val stagingPath = new Path(stagingDir)
+      if (fs.exists(stagingPath)) fs.delete(stagingPath, true)
+      updates.repartition(partitionCols.map(col): _*)
+        .write.partitionBy(partitionCols: _*)
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .options(LogSchema.parquetBloomOptions)
+        .mode("overwrite").parquet(stagingDir)
+      val inserted = spark.read.parquet(stagingDir).count() // footer-only
+      if (inserted == 0L && additions.isEmpty) {
+        fs.delete(stagingPath, true)
+        return MergeCommitted(cur, 0L, 0L, replayed = false)
+      }
+      val next = cur + 1
+      val nextDir = dirOf(next)
+      def abort(msg: String): Nothing = {
+        fs.delete(new Path(nextDir), true)
+        throw new IllegalStateException(msg)
+      }
+      // 3. one commit: carry everything + reference/link the staged files +
+      //    the merged vector sidecar
+      stageCarryAll(spark, root, cur, next, pointer,
+        extraAppend = if (inserted > 0) Some((stageName, stagingPath)) else None)
+      write(spark, nextDir, merged)
+      GraftStore.writeCommitInfo(spark, nextDir, GraftStore.CommitInfo("merge",
+        commitId.getOrElse(java.util.UUID.randomUUID().toString),
+        System.currentTimeMillis()))
+      FileStats.refreshInto(spark, nextDir,
+        GraftStore.compositeEntries(spark, root, next),
+        FileStats.read(spark, curDir))
+      val prevPhys = physicalCount(spark, root, cur)
+      val stagedPhys = physicalCount(spark, root, next)
+      if (stagedPhys != prevPhys + inserted)
+        abort(s"merge staged $stagedPhys physical rows, expected " +
+          s"$prevPhys + $inserted; aborting with $curDir live")
+      flip(spark, root, cur, next, retainSnapshots, abort)
+      if (!pointer) fs.delete(stagingPath, true) // files live on as links
+      MergeCommitted(next, matchedRows, inserted, replayed = false)
+    }
+  }
+
+  // ---- shared commit plumbing -------------------------------------------
+
+  private def replayedVersion(spark: SparkSession, root: String,
+      commitId: Option[String]): Option[Int] =
+    commitId.flatMap { id =>
+      val (versions, dirOf): (Seq[Int], Int => String) =
+        if (GraftStore.isPointerStore(spark, root))
+          (GraftStore.listVersions(spark, root),
+            n => s"$root/${GraftStore.versionPrefix(n)}")
+        else {
+          val local = new Path(root).toUri.getPath
+          (VersionedStore.listVersions(local),
+            n => VersionedStore.versionName(local, n))
+        }
+      versions.filter(n => GraftStore.readCommitInfo(spark, dirOf(n)).exists(_.id == id))
+        .maxOption
+    }
+
+  private def requireNoCompactMarker(spark: SparkSession, root: String): Unit = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(root, "_compact-inflight")) &&
+        !fs.exists(new Path(new Path(root).toUri.getPath + ".compact-inflight")),
+      s"$root has an in-flight compaction marker — run compaction (recovery) first")
+  }
+
+  private def liveVersion(spark: SparkSession,
+      root: String): (Int, String, Int => String) =
+    if (GraftStore.isPointerStore(spark, root)) {
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cur = GraftStore.currentVersion(spark, root)
+      // markerless staged-ahead prefixes are debris (we hold the lease)
+      GraftStore.listVersions(spark, root).filter(_ > cur).foreach { n =>
+        fs.delete(new Path(root, GraftStore.versionPrefix(n)), true)
+      }
+      (cur, s"$root/${GraftStore.versionPrefix(cur)}",
+        n => s"$root/${GraftStore.versionPrefix(n)}")
+    } else {
+      val local = new Path(root).toUri.getPath
+      val cur = VersionedStore.currentVersion(local)
+      (cur, VersionedStore.versionName(local, cur),
+        n => VersionedStore.versionName(local, n))
+    }
+
+  /** The live snapshot with metadata columns retained and EXISTING vectors
+    * applied — the frame delete/merge matching runs over.
+    */
+  private def taggedLiveRead(spark: SparkSession, root: String, cur: Int,
+      prior: Map[String, Dv], entries: Seq[GraftStore.FileEntry]): DataFrame = {
+    val tagged = GraftStore.readVersionTagged(spark, root, cur)
+    if (prior.isEmpty) tagged else applyKeep(spark, tagged, prior, entries)
+  }
+
+  /** Like [[applyTo]] but KEEPS the metadata columns for downstream use. */
+  private[logs] def applyKeep(spark: SparkSession, tagged: DataFrame,
+      dv: Map[String, Dv], entries: Seq[GraftStore.FileEntry]): DataFrame = {
+    import spark.implicits._
+    val byKey = entries.map(e => (e.key, e)).toMap
+    val live = dv.flatMap { case (k, v) =>
+      byKey.get(k).map { e =>
+        require(e.len == v.len,
+          s"deletion vector for '$k' was built against length ${v.len} but the " +
+            s"file is now ${e.len} bytes — the store was modified outside the " +
+            "commit protocol; refusing to apply a stale vector")
+        (normalizePath(e.physical), v)
+      }
+    }
+    if (live.isEmpty) return tagged
+    // expand ranges to explicit positions IN SPARK (chunked so no sequence()
+    // array exceeds 64k elements), giving a pure equi anti-join the planner
+    // can broadcast while vectors are small — O(1) per probed row, vs
+    // O(ranges) for a range-condition join
+    val chunk = 65536L
+    val rangeRows = live.toSeq.flatMap { case (path, v) =>
+      v.ranges.flatMap { case (s, e) =>
+        (s to e by chunk).map(cs => (path, cs, math.min(cs + chunk - 1, e)))
+      }
+    }
+    val deletes = rangeRows.toDF("__del_path", "__del_start", "__del_end")
+      .select(col("__del_path"),
+        explode(sequence(col("__del_start"), col("__del_end"))).as("__del_pos"))
+    tagged.join(deletes,
+      tagged(PathCol) === deletes("__del_path") &&
+        tagged(PosCol) === deletes("__del_pos"),
+      "left_anti")
+  }
+
+  /** Stage version `next` as a pure carry of version `cur` — manifest
+    * references on the pointer tier, hard links on the symlink tier — plus
+    * optionally one staged-append holder (the merge's inserted files).
+    */
+  private def stageCarryAll(spark: SparkSession, root: String, cur: Int,
+      next: Int, pointer: Boolean,
+      extraAppend: Option[(String, Path)] = None): Unit = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (pointer) {
+      val curPrefix = GraftStore.versionPrefix(cur)
+      val curDir = s"$root/$curPrefix"
+      val nextDir = s"$root/${GraftStore.versionPrefix(next)}"
+      val depth = partitionDepthOf(fs, curDir,
+        GraftStore.readManifest(spark, curDir), root)
+      val own = Compaction.partitionLeaves(fs, new Path(curDir), depth)
+        .map { case (rel, _) => (curPrefix, rel) }
+      val carried = GraftStore.readManifest(spark, curDir)
+      val added = extraAppend.toSeq.flatMap { case (name, p) =>
+        Compaction.partitionLeaves(fs, p, depth).map { case (rel, _) => (name, rel) }
+      }
+      require(extraAppend.isEmpty || added.nonEmpty,
+        "staged merge rows landed in no partition dirs — partitionCols " +
+          "mismatch with the store layout?")
+      GraftStore.writeManifest(spark, nextDir,
+        (own ++ carried ++ added).sortBy(e => (e._2, e._1)))
+      GraftStore.carrySchemaOverlay(spark, curDir, nextDir)
+    } else {
+      val local = new Path(root).toUri.getPath
+      val prevDir = VersionedStore.versionName(local, cur)
+      val nextDir = VersionedStore.versionName(local, next)
+      if (fs.exists(new Path(nextDir))) fs.delete(new Path(nextDir), true)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(nextDir))
+      val depth = partitionDepthOf(fs, prevDir, Seq.empty, root)
+      Compaction.hardLinkCarry(
+        Compaction.partitionLeaves(fs, new Path(prevDir), depth),
+        new Path(nextDir), new Path(prevDir))
+      extraAppend.foreach { case (_, p) =>
+        Compaction.hardLinkCarry(
+          Compaction.partitionLeaves(fs, p, depth), new Path(nextDir), p)
+      }
+      GraftStore.carrySchemaOverlay(spark, prevDir, nextDir)
+    }
+  }
+
+  /** Partition depth of the store layout, measured from the live tree (the
+    * deepest all-`col=` chain above the data files). Delete/merge commits
+    * carry at this granularity; a flat (unpartitioned) store carries depth 0.
+    */
+  private def partitionDepthOf(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, manifest: Seq[(String, String)], root: String): Int = {
+    def depthUnder(p: Path, d: Int): Int = {
+      if (!fs.exists(p)) return -1
+      val subs = fs.listStatus(p).toSeq.filter(s => s.isDirectory &&
+        s.getPath.getName.contains("=") && Compaction.visible(s.getPath.getName))
+      if (subs.isEmpty) d else depthUnder(subs.head.getPath, d + 1)
+    }
+    val own = depthUnder(new Path(dir), 0)
+    if (own >= 0 && own > 0) return own
+    // own dir may be empty/manifest-only: measure a carried holder instead
+    manifest.headOption.map { case (h, rel) =>
+      rel.count(_ == '/') + 1 // rel is the partition path at carry granularity
+    }.getOrElse(math.max(own, 0))
+  }
+
+  private def physicalCount(spark: SparkSession, root: String, n: Int): Long = {
+    val entries = GraftStore.compositeEntries(spark, root, n)
+    if (entries.isEmpty) 0L
+    else FileStats.rowCountFromStats(spark, root, n)
+      .getOrElse(GraftStore.readVersionPhysical(spark, root, n).count())
+  }
+
+  private def flip(spark: SparkSession, root: String, cur: Int, next: Int,
+      retainSnapshots: Int, abort: String => Nothing): Unit =
+    if (GraftStore.isPointerStore(spark, root)) {
+      if (GraftStore.currentVersion(spark, root) != cur)
+        abort(s"concurrent commit detected on $root during publish " +
+          s"(expected v$cur live) — staged version removed, retry")
+      GraftStore.writePointer(spark, root, next)
+      val keep = GraftStore.closureOf(spark, root,
+        GraftStore.listVersions(spark, root)
+          .filter(_ < next).takeRight(retainSnapshots).toSet + next)
+      GraftStore.dropVersionsExcept(spark, root, keep)
+    } else {
+      val local = new Path(root).toUri.getPath
+      if (VersionedStore.currentVersion(local) != cur)
+        abort(s"concurrent commit detected on $root during publish " +
+          s"(expected v$cur live) — staged version removed, retry")
+      VersionedStore.retarget(local, next)
+      val keep = VersionedStore.listVersions(local)
+        .filter(_ <= cur).takeRight(retainSnapshots).toSet + next
+      VersionedStore.dropVersionsExcept(local, keep)
+    }
+}

@@ -374,32 +374,66 @@ object GraftStore {
   private def holderDir(root: String, holder: String, dirOf: Int => String): String =
     holderVersion(holder).map(dirOf).getOrElse(s"$root/$holder")
 
-  def readVersion(spark: SparkSession, root: String, n: Int): DataFrame = {
+  def readVersion(spark: SparkSession, root: String, n: Int): DataFrame =
+    readVersionInternal(spark, root, n, applyDv = true, keepMeta = false)
+
+  /** Physical read: the snapshot's rows as stored, WITHOUT deletion vectors
+    * applied ([[DeleteVectors]]) — the frame commit verification counts
+    * against the stats sidecar (which is also physical). Query paths use
+    * [[readVersion]].
+    */
+  def readVersionPhysical(spark: SparkSession, root: String, n: Int): DataFrame =
+    readVersionInternal(spark, root, n, applyDv = false, keepMeta = false)
+
+  /** Physical read with the file/position metadata columns
+    * ([[DeleteVectors.PathCol]]/[[DeleteVectors.PosCol]]) retained —
+    * delete/merge commits match rows through this and build vectors from
+    * the retained positions.
+    */
+  private[logs] def readVersionTagged(spark: SparkSession, root: String,
+      n: Int): DataFrame =
+    readVersionInternal(spark, root, n, applyDv = false, keepMeta = true)
+
+  private def readVersionInternal(spark: SparkSession, root: String, n: Int,
+      applyDv: Boolean, keepMeta: Boolean): DataFrame = {
     val (_, _, dirOf) = tierOf(spark, root)
     val dir = resolveVersion(spark, root, n)
     val entries = readManifest(spark, dir)
     val overlay = readSchemaOverlay(spark, dir)
+    val dv = if (applyDv) DeleteVectors.read(spark, dir)
+    else Map.empty[String, DeleteVectors.Dv]
+    // tag per LEG, before any union: _metadata resolves against a single
+    // file-source relation. Zero overhead when no vectors exist and no
+    // caller wants positions.
+    val needMeta = keepMeta || dv.nonEmpty
     // mergeSchema when evolved: one holder dir can mix pre- and
     // post-evolution files, and the sampled-footer schema would otherwise
     // hide the physical column from half the rows
     def rd(base: String, paths: Seq[String]): DataFrame = {
       val r = spark.read.option("basePath", base)
       val r2 = if (overlay.nonEmpty) r.option("mergeSchema", "true") else r
-      applyOverlay(r2.parquet(paths: _*), overlay)
+      val df0 = r2.parquet(paths: _*)
+      applyOverlay(if (needMeta) DeleteVectors.tagMeta(df0) else df0, overlay)
     }
-    if (entries.isEmpty) {
-      val r = if (overlay.nonEmpty) spark.read.option("mergeSchema", "true")
-      else spark.read
-      return applyOverlay(r.parquet(dir), overlay)
-    }
-    val own =
-      if (hasDataFiles(spark, dir)) Seq(rd(dir, Seq(dir)))
-      else Seq.empty // retention can empty a version that still carries refs
-    val carried = entries.groupBy(_._1).toSeq.sortBy(_._1).map { case (h, es) =>
-      val vdir = holderDir(root, h, dirOf)
-      rd(vdir, es.map(e => s"$vdir/${e._2}"))
-    }
-    (own ++ carried).reduce(_.unionByName(_))
+    val unioned =
+      if (entries.isEmpty) {
+        val r = if (overlay.nonEmpty) spark.read.option("mergeSchema", "true")
+        else spark.read
+        val df0 = r.parquet(dir)
+        applyOverlay(if (needMeta) DeleteVectors.tagMeta(df0) else df0, overlay)
+      } else {
+        val own =
+          if (hasDataFiles(spark, dir)) Seq(rd(dir, Seq(dir)))
+          else Seq.empty // retention can empty a version that still carries refs
+        val carried = entries.groupBy(_._1).toSeq.sortBy(_._1).map { case (h, es) =>
+          val vdir = holderDir(root, h, dirOf)
+          rd(vdir, es.map(e => s"$vdir/${e._2}"))
+        }
+        (own ++ carried).reduce(_.unionByName(_))
+      }
+    if (dv.nonEmpty)
+      DeleteVectors.applyTo(spark, unioned, dv, compositeEntries(spark, root, n))
+    else unioned
   }
 
   /** The read-side entry point every engine query path uses: composite read
@@ -412,9 +446,17 @@ object GraftStore {
       readVersion(spark, root, currentVersion(spark, root))
     else {
       val overlay = readSchemaOverlay(spark, root) // root resolves via symlink
+      val dv = DeleteVectors.read(spark, root)
       val r = if (overlay.nonEmpty) spark.read.option("mergeSchema", "true")
       else spark.read
-      applyOverlay(r.parquet(root), overlay)
+      val df0 = r.parquet(root)
+      val df = applyOverlay(
+        if (dv.nonEmpty) DeleteVectors.tagMeta(df0) else df0, overlay)
+      if (dv.nonEmpty)
+        // list through the same root the read plans from, so physical paths
+        // line up with _metadata.file_path on symlink tiers too
+        DeleteVectors.applyTo(spark, df, dv, FileStats.listDirEntries(spark, root))
+      else df
     }
 
   /** Stats-pruned composite read ([[FileStats]]): drop files whose
@@ -462,11 +504,17 @@ object GraftStore {
     if (kept.isEmpty)
       return readStore(spark, root).filter(org.apache.spark.sql.functions.lit(false))
     val overlay = readSchemaOverlay(spark, dir)
-    kept.groupBy(_.legBase).toSeq.sortBy(_._1).map { case (base, es) =>
+    val dv = DeleteVectors.read(spark, dir)
+    val unioned = kept.groupBy(_.legBase).toSeq.sortBy(_._1).map { case (base, es) =>
       val r = spark.read.option("basePath", base)
       val r2 = if (overlay.nonEmpty) r.option("mergeSchema", "true") else r
-      applyOverlay(r2.parquet(es.map(_.physical).sorted: _*), overlay)
+      val df0 = r2.parquet(es.map(_.physical).sorted: _*)
+      applyOverlay(if (dv.nonEmpty) DeleteVectors.tagMeta(df0) else df0, overlay)
     }.reduce(_.unionByName(_))
+    // vectors for pruned-out files are inert (no row matches their path);
+    // kept files get theirs applied like any other read
+    if (dv.nonEmpty) DeleteVectors.applyTo(spark, unioned, dv, kept)
+    else unioned
   }
 
   /** Hidden/metadata names (`_SUCCESS`, `_graft_manifest`, `.crc`, trash)
@@ -589,6 +637,12 @@ object GraftStore {
     import org.apache.spark.sql.functions.lit
     val a = compositeEntries(spark, root, from).map(e => (e.key, e)).toMap
     val b = compositeEntries(spark, root, to).map(e => (e.key, e)).toMap
+    // deletion vectors are part of a snapshot's row content: a delete commit
+    // changes no files, but a file whose vector differs between the
+    // snapshots must be read (vector-applied) on both sides so the CDC
+    // shows exactly the deleted rows as `removed`
+    val dvA = DeleteVectors.read(spark, resolveVersion(spark, root, from))
+    val dvB = DeleteVectors.read(spark, resolveVersion(spark, root, to))
     // same store-layout key + same length = same immutable file: every
     // write uses fresh task-UUID names, and a carry (manifest reference or
     // hard link) moves the physical location WITHOUT changing the file —
@@ -597,7 +651,7 @@ object GraftStore {
     // performs) still counts as changed on both sides.
     val touched = (a.keySet ++ b.keySet).filter { k =>
       (a.get(k), b.get(k)) match {
-        case (Some(x), Some(y)) => x.len != y.len
+        case (Some(x), Some(y)) => x.len != y.len || dvA.get(k) != dvB.get(k)
         case _ => true
       }
     }
@@ -609,14 +663,24 @@ object GraftStore {
     val overlays =
       (readSchemaOverlay(spark, resolveVersion(spark, root, from)) ++
         readSchemaOverlay(spark, resolveVersion(spark, root, to))).distinct
-    def readSide(m: Map[String, FileEntry]): Option[DataFrame] =
-      touched.intersect(m.keySet).groupBy(k => m(k).legBase).map {
+    def readSide(m: Map[String, FileEntry], dv: Map[String, DeleteVectors.Dv])
+        : Option[DataFrame] = {
+      val keys = touched.intersect(m.keySet)
+      val sideDv = dv.filter { case (k, _) => keys(k) }
+      keys.groupBy(k => m(k).legBase).map {
         case (base, ks) =>
           val r = spark.read.option("basePath", base)
           val r2 = if (overlays.nonEmpty) r.option("mergeSchema", "true") else r
-          applyOverlay(r2.parquet(ks.map(m(_).physical).toSeq.sorted: _*), overlays)
-      }.reduceOption(_.unionByName(_))
-    val tagged = (readSide(a), readSide(b)) match {
+          val df0 = r2.parquet(ks.map(m(_).physical).toSeq.sorted: _*)
+          applyOverlay(
+            if (sideDv.nonEmpty) DeleteVectors.tagMeta(df0) else df0, overlays)
+      }.reduceOption(_.unionByName(_)).map { df =>
+        if (sideDv.nonEmpty)
+          DeleteVectors.applyTo(spark, df, sideDv, keys.toSeq.map(m))
+        else df
+      }
+    }
+    val tagged = (readSide(a, dvA), readSide(b, dvB)) match {
       case (Some(f), Some(t)) =>
         t.exceptAll(f).withColumn("_change", lit("added"))
           .unionByName(f.exceptAll(t).withColumn("_change", lit("removed")))

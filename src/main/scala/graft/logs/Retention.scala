@@ -94,6 +94,17 @@ object Retention {
         deleted += s"$rawRoot/$h/$rel"
       }
     }
+    // tidy the deletion-vector sidecar: vectors for dropped files are inert
+    // on read, but pruning them keeps metadata-only accounting exact
+    val dv = DeleteVectors.read(spark, root)
+    if (dv.nonEmpty) {
+      val liveKeys: Set[String] =
+        if (GraftStore.isPointerStore(spark, rawRoot))
+          GraftStore.compositeEntries(spark, rawRoot,
+            GraftStore.currentVersion(spark, rawRoot)).map(_.key).toSet
+        else FileStats.listDirEntries(spark, root).map(_.key).toSet
+      DeleteVectors.write(spark, root, dv.filter { case (k, _) => liveKeys(k) })
+    }
     deleted.result()
   }
 
@@ -175,9 +186,11 @@ object Retention {
       s"retention cutoff $cutoffDate expires every partition of $root — " +
         "refusing to commit an empty store; drop the store explicitly instead")
     // stats-backed counts when the sidecar fully covers the snapshots
-    // (metadata reads); footer-count fallback otherwise
+    // (metadata reads); footer-count fallback otherwise. PHYSICAL on both
+    // sides: expiredRowCount is a footer count, and survivor deletion
+    // vectors carry unchanged so they cancel out of the comparison.
     val expectedRows = FileStats.rowCountFromStats(spark, root, cur)
-      .getOrElse(GraftStore.readVersion(spark, root, cur).count()) -
+      .getOrElse(GraftStore.readVersionPhysical(spark, root, cur).count()) -
       expiredRowCount(spark, root, expired)
     val next = cur + 1
     val nextDir = s"$root/${GraftStore.versionPrefix(next)}"
@@ -187,12 +200,14 @@ object Retention {
     GraftStore.carrySchemaOverlay(spark, curDir, nextDir)
     // survivors are carried by reference: stats are pure line-reuse, zero
     // footer I/O — a retention commit's stats cost is O(metadata). Written
-    // before the staged verify, which they accelerate.
-    FileStats.refreshInto(spark, nextDir,
-      GraftStore.compositeEntries(spark, root, next),
+    // before the staged verify, which they accelerate. Deletion vectors of
+    // surviving files carry too; vectors of expired files drop with them.
+    val nextEntries = GraftStore.compositeEntries(spark, root, next)
+    DeleteVectors.carryInto(spark, curDir, nextDir, nextEntries.map(_.key).toSet)
+    FileStats.refreshInto(spark, nextDir, nextEntries,
       FileStats.read(spark, curDir))
     val staged = FileStats.rowCountFromStats(spark, root, next)
-      .getOrElse(GraftStore.readVersion(spark, root, next).count())
+      .getOrElse(GraftStore.readVersionPhysical(spark, root, next).count())
     require(staged == expectedRows,
       s"snapshot retention staged $staged rows, expected $expectedRows; " +
         s"aborting with $curDir live")
@@ -231,6 +246,10 @@ object Retention {
     GraftStore.carrySchemaOverlay(spark, curDir, staging.toString)
     GraftStore.writeCommitInfo(spark, staging.toString, GraftStore.CommitInfo(
       "retention", java.util.UUID.randomUUID().toString, System.currentTimeMillis()))
+    // survivor deletion vectors carry (same rel keys under the hard links);
+    // expired files' vectors drop with the files
+    DeleteVectors.carryInto(spark, curDir, staging.toString,
+      FileStats.listDirEntries(spark, staging.toString).map(_.key).toSet)
     // hard-linked survivors keep key+len: stats are pure line-reuse
     FileStats.refreshDir(spark, staging.toString, FileStats.read(spark, curDir))
     val versionDir = new Path(VersionedStore.versionName(root, next))

@@ -1,0 +1,245 @@
+package graft
+
+import graft.logs._
+import org.apache.spark.sql.functions._
+
+/** Row-level deletes ([[DeleteVectors]]): merge-on-read deletion vectors and
+  * the MERGE/upsert built on them. Asserts the Delta/Iceberg contract on
+  * both versioned tiers: a delete commit moves zero data bytes, every read
+  * path applies vectors, the pre-delete snapshot stays time-travelable,
+  * maintenance materializes and carries correctly, and a stale vector fails
+  * the read instead of corrupting it.
+  */
+class DeleteVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val parts = Seq("cluster", "namespace", "date")
+
+  private def fixture() = Tables.events(spark, sf)
+    .select(
+      CriFunctions.nanosToTimestamp($"ts").as("time"),
+      $"ts".as("time_ns"), lit("stdout").as("stream"), lit("F").as("logtag"),
+      $"props".as("message"), lit("dev").as("cluster"),
+      lit("ns0").as("namespace"), lit("n1").as("node"),
+      lit("p1").as("pod"), lit("app").as("container"))
+    .withColumn("date", date_format($"time", "yyyy-MM-dd"))
+
+  private def withS3(name: String)(f: String => Unit): Unit = {
+    val srv = new graft.sources.S3StubServer()
+    try {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3l.impl", classOf[graft.sources.S3LiteFileSystem].getName)
+      hc.set("fs.s3l.endpoint", srv.endpoint)
+      hc.set("fs.s3l.impl.disable.cache", "true")
+      f(s"s3l://graft-store/$name")
+    } finally srv.stop()
+  }
+
+  // deterministic point-delete predicate (~1/7 of rows)
+  private def delCond = xxhash64($"message") % 7 === 0
+
+  test("range compression and merge are exact") {
+    assert(DeleteVectors.compress(Seq(0L, 1L, 2L, 5L, 7L, 8L)) ==
+      Seq((0L, 2L), (5L, 5L), (7L, 8L)))
+    assert(DeleteVectors.compress(Seq.empty) == Seq.empty)
+    assert(DeleteVectors.mergeRanges(Seq((0L, 2L), (10L, 12L)), Seq((3L, 5L), (11L, 15L))) ==
+      Seq((0L, 5L), (10L, 15L)))
+    assert(DeleteVectors.Dv(1L, Seq((0L, 2L), (5L, 5L))).positions == 4L)
+  }
+
+  test("pointer tier: deleteWhere commits zero-data-movement, reads apply, time travel survives") {
+    withS3("dv-lake") { root =>
+      val df = fixture().limit(2000).cache()
+      LogIngest.writeHive(df, root, partitionCols = parts)
+      val total = df.count()
+      val expectDeleted = df.filter(delCond).count()
+      assert(expectDeleted > 0 && expectDeleted < total)
+
+      val filesBefore = GraftStore.snapshots(spark, root).find(_.current).get
+
+      val c = DeleteVectors.deleteWhere(spark, root, delCond, commitId = Some("dv-1"))
+      assert(!c.replayed && c.version == 2 && c.deletedRows == expectDeleted)
+
+      // live view: deleted rows gone, survivors exact (multiset)
+      val live = GraftStore.readStore(spark, root)
+      assert(live.count() == total - expectDeleted)
+      assert(live.filter(delCond).count() == 0)
+      val survivors = df.filter(!delCond)
+      assert(live.select(df.columns.map(col): _*).exceptAll(survivors).isEmpty &&
+        survivors.exceptAll(live.select(df.columns.map(col): _*)).isEmpty)
+
+      // zero data movement: same physical files, same total bytes
+      val filesAfter = GraftStore.snapshots(spark, root).find(_.current).get
+      assert(filesAfter.files == filesBefore.files &&
+        filesAfter.bytes == filesBefore.bytes)
+
+      // pre-delete snapshot is intact (time travel)
+      assert(GraftStore.readVersion(spark, root, 1).count() == total)
+
+      // CDC: the delete commit diffs to exactly the deleted rows, all removed
+      val diff = GraftStore.rowDiff(spark, root, 1, 2).cache()
+      assert(diff.filter($"_change" === "added").count() == 0)
+      assert(diff.filter($"_change" === "removed").count() == expectDeleted)
+      diff.unpersist()
+      assert(GraftStore.diffVersions(spark, root, 1, 2).rowDelta == -expectDeleted)
+
+      // re-delete of the same predicate is a no-op (no new version)
+      val c2 = DeleteVectors.deleteWhere(spark, root, delCond)
+      assert(c2.version == 2 && c2.deletedRows == 0)
+
+      // replay: same commit id short-circuits
+      val c3 = DeleteVectors.deleteWhere(spark, root, lit(true), commitId = Some("dv-1"))
+      assert(c3.replayed && c3.version == 2)
+
+      // pruned read path applies vectors too
+      val cutoff = df.agg(min($"time_ns")).as[Long].head()
+      val pruned = GraftStore.readStorePruned(spark, root, Some(cutoff))
+      assert(pruned.count() == total - expectDeleted)
+    }
+  }
+
+  test("pointer tier: compaction materializes vectors; append carries them") {
+    withS3("dv-mat") { root =>
+      val df = fixture().limit(2000).cache()
+      val dates = df.select($"date").distinct().as[String].collect().sorted
+      val (oldHalf, newHalf) =
+        (df.filter($"date" < dates(dates.length / 2)),
+          df.filter($"date" >= dates(dates.length / 2)))
+      LogIngest.writeHive(oldHalf, root, partitionCols = parts)
+      val c = DeleteVectors.deleteWhere(spark, root, delCond)
+      assert(c.deletedRows == oldHalf.filter(delCond).count() && c.deletedRows > 0)
+      val liveBefore = GraftStore.readStore(spark, root).count()
+
+      // an append after the delete carries the sidecar: deleted rows stay dead
+      val a = AppendCommit.commit(newHalf, root, parts)
+      assert(a.version == 3)
+      val afterAppend = GraftStore.readStore(spark, root)
+      assert(afterAppend.count() == liveBefore + newHalf.count())
+      assert(DeleteVectors.read(spark,
+        s"$root/${GraftStore.versionPrefix(3)}").nonEmpty)
+
+      // compaction reads vector-applied and rewrites clean: sidecar gone,
+      // live rows unchanged, CDC across the commit is empty
+      Compaction.compactHive(spark, root, partitionCols = parts, full = true)
+      val cur = GraftStore.currentVersion(spark, root)
+      assert(DeleteVectors.read(spark,
+        s"$root/${GraftStore.versionPrefix(cur)}").isEmpty)
+      val afterCompact = GraftStore.readStore(spark, root)
+      assert(afterCompact.count() == liveBefore + newHalf.count())
+      assert(afterCompact.filter($"date" < dates(dates.length / 2) && delCond).count() == 0)
+      assert(GraftStore.rowDiff(spark, root, cur - 1, cur).isEmpty)
+    }
+  }
+
+  test("symlink tier: deleteWhere + snapshot retention carry vectors") {
+    val work = java.nio.file.Files.createTempDirectory("graft-dv-sym")
+    val root = work.resolve("lake").toString
+    val df = fixture().limit(2000).cache()
+    val dates = df.select($"date").distinct().as[String].collect().sorted
+    LogIngest.writeHive(df, root, partitionCols = parts)
+    assert(VersionedStore.isVersioned(root))
+    val total = df.count()
+    val expectDeleted = df.filter(delCond).count()
+
+    val c = DeleteVectors.deleteWhere(spark, root, delCond)
+    assert(c.version == 2 && c.deletedRows == expectDeleted)
+    assert(GraftStore.readStore(spark, root).count() == total - expectDeleted)
+    // plain spark.read through the symlink shows the PHYSICAL rows (the
+    // sidecar is an engine-read contract); engine reads apply it
+    assert(spark.read.parquet(root).count() == total)
+
+    // snapshot retention drops the oldest date and carries survivor vectors
+    Retention.enforceHiveSnapshot(spark, root, dates(1))
+    val survivorsView = df.filter($"date" >= dates(1) && !delCond)
+    val live = GraftStore.readStore(spark, root)
+    assert(live.count() == survivorsView.count())
+    assert(live.filter(delCond).count() == 0)
+  }
+
+  test("pointer tier: mergeByKey upserts in one commit") {
+    withS3("dv-merge") { root =>
+      val df = fixture().limit(1500).cache()
+      LogIngest.writeHive(df, root, partitionCols = parts)
+      val total = df.count()
+
+      // updates: rewrite the message of ~1/9 of rows, plus brand-new rows
+      val updKeys = df.filter(xxhash64($"message") % 9 === 0)
+      val updated = updKeys.withColumn("message", concat(lit("UPD:"), $"message"))
+      val fresh = df.orderBy($"time_ns").limit(10)
+        .withColumn("time_ns", $"time_ns" + 1)
+        .withColumn("message", lit("FRESH"))
+      val updates = updated.unionByName(fresh)
+      val matchedExpected = df.join(
+        updates.select($"time_ns").distinct(), Seq("time_ns"), "left_semi").count()
+
+      val m = DeleteVectors.mergeByKey(spark, root, updates,
+        keyCols = Seq("time_ns"), partitionCols = parts, commitId = Some("m-1"))
+      assert(!m.replayed && m.version == 2)
+      assert(m.inserted == updates.count())
+      assert(m.matchedDeleted == matchedExpected)
+
+      val live = GraftStore.readStore(spark, root)
+      assert(live.count() == total - matchedExpected + updates.count())
+      // every matched key now carries ONLY its update row
+      assert(live.join(updates.select($"time_ns").distinct(), Seq("time_ns"), "left_semi")
+        .filter(!$"message".startsWith("UPD:") && $"message" =!= "FRESH").count() == 0)
+      // exact multiset: survivors + updates
+      val expected = df.join(updates.select($"time_ns").distinct(),
+        Seq("time_ns"), "left_anti").unionByName(updates)
+        .select(df.columns.map(col): _*)
+      val liveCols = live.select(df.columns.map(col): _*)
+      assert(liveCols.exceptAll(expected).isEmpty && expected.exceptAll(liveCols).isEmpty)
+
+      // replay
+      val m2 = DeleteVectors.mergeByKey(spark, root, updates,
+        keyCols = Seq("time_ns"), partitionCols = parts, commitId = Some("m-1"))
+      assert(m2.replayed && m2.version == 2)
+    }
+  }
+
+  test("vector application plans a broadcast anti-join; vector-free reads pay nothing") {
+    val work = java.nio.file.Files.createTempDirectory("graft-dv-plan")
+    val root = work.resolve("lake").toString
+    val df = fixture().limit(800).cache()
+    LogIngest.writeHive(df, root, partitionCols = parts)
+    // before any delete: the read plan carries no metadata columns, no join
+    val cleanPlan = GraftStore.readStore(spark, root)
+      .queryExecution.executedPlan.toString()
+    assert(!cleanPlan.contains(DeleteVectors.PosCol) && !cleanPlan.contains("LeftAnti"),
+      s"vector-free read pays vector overhead:\n$cleanPlan")
+    DeleteVectors.deleteWhere(spark, root, delCond)
+    val dvPlan = GraftStore.readStore(spark, root)
+      .queryExecution.executedPlan.toString()
+    // small vectors broadcast: a pure equi LeftAnti the planner hashes —
+    // O(1) per probed row, no shuffle of the data side
+    assert(dvPlan.contains("BroadcastHashJoin") && dvPlan.contains("LeftAnti"),
+      s"vector anti-join did not broadcast:\n$dvPlan")
+  }
+
+  test("a stale vector fails the read instead of resurrecting or mis-deleting rows") {
+    val work = java.nio.file.Files.createTempDirectory("graft-dv-stale")
+    val root = work.resolve("lake").toString
+    val df = fixture().limit(500).cache()
+    LogIngest.writeHive(df, root, partitionCols = parts)
+    DeleteVectors.deleteWhere(spark, root, delCond)
+    // corrupt: replace a vectored data file with different content/length,
+    // keeping its name (a write outside the commit protocol)
+    val cur = GraftStore.resolve(spark, root)
+    val dv = DeleteVectors.read(spark, cur)
+    assert(dv.nonEmpty)
+    val key = dv.keySet.head
+    val victim = java.nio.file.Paths.get(cur + key)
+    val clone = df.limit(3)
+    val tmpOut = work.resolve("tmp-replace").toString
+    clone.coalesce(1).write.mode("overwrite").parquet(tmpOut)
+    val replacement = java.nio.file.Files.list(java.nio.file.Paths.get(tmpOut))
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(replacement, victim,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val ex = intercept[Exception] {
+      GraftStore.readStore(spark, root).count()
+    }
+    assert(ex.getMessage.contains("stale") || ex.getMessage.contains("length"),
+      s"unexpected error: ${ex.getMessage}")
+  }
+}
