@@ -207,7 +207,34 @@ object DeleteVectors {
       commitId: Option[String] = None,
       retainSnapshots: Int = 1,
       maxRanges: Int = MaxRangesDefault,
+      leaseAttempts: Int = 10): DeleteCommitted =
+    deleteCommit(spark, root, _.filter(condition), commitId, retainSnapshots,
+      maxRanges, leaseAttempts)
+
+  /** Batch-keyed delete — the strike-list shape (GDPR erasure batches,
+    * decontamination hit lists): rows whose `keyCols` tuple appears in
+    * `keys` are deleted. Unlike [[deleteWhere]]'s predicate, the key set is
+    * a DataFrame, so a 10⁷-row strike list joins instead of riding the plan
+    * as literals; Spark broadcasts it while small and shuffles when not.
+    */
+  def deleteMatching(spark: SparkSession, root: String, keys: DataFrame,
+      keyCols: Seq[String],
+      commitId: Option[String] = None,
+      retainSnapshots: Int = 1,
+      maxRanges: Int = MaxRangesDefault,
       leaseAttempts: Int = 10): DeleteCommitted = {
+    require(keyCols.nonEmpty, "deleteMatching needs at least one key column")
+    val keySet = keys.select(keyCols.map(col): _*).distinct()
+    deleteCommit(spark, root, _.join(keySet, keyCols, "left_semi"),
+      commitId, retainSnapshots, maxRanges, leaseAttempts)
+  }
+
+  private def deleteCommit(spark: SparkSession, root: String,
+      matchRows: DataFrame => DataFrame,
+      commitId: Option[String],
+      retainSnapshots: Int,
+      maxRanges: Int,
+      leaseAttempts: Int): DeleteCommitted = {
     commitId.foreach { id =>
       require(id.matches("[A-Za-z0-9._-]+"), s"commit id '$id' must be [A-Za-z0-9._-]+")
     }
@@ -227,12 +254,14 @@ object DeleteVectors {
       val entries = GraftStore.compositeEntries(spark, root, cur)
       val prior = read(spark, curDir)
       // matched rows: the live view (existing vectors applied — a re-delete
-      // of already-deleted rows is a no-op) filtered by the predicate,
-      // reduced to (file, position)
-      val matched = taggedLiveRead(spark, root, cur, prior, entries)
-        .filter(condition)
-        .groupBy(col(PathCol)).agg(sort_array(collect_list(col(PosCol))).as("ps"))
-        .collect()
+      // of already-deleted rows is a no-op) through the caller's matcher,
+      // reduced to (file, position). A dataless store matches nothing (and
+      // has no schema to read).
+      val matched =
+        if (entries.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else matchRows(taggedLiveRead(spark, root, cur, prior, entries))
+          .groupBy(col(PathCol)).agg(sort_array(collect_list(col(PosCol))).as("ps"))
+          .collect()
       val keyOfNorm = entries.map(e => (normalizePath(e.physical), e)).toMap
       var newPositions = 0L
       val additions: Map[String, Dv] = matched.map { r =>
@@ -326,10 +355,13 @@ object DeleteVectors {
       //    update keys (broadcast — update batches are small next to the
       //    store) and collect (file, position)
       val keys = updates.select(keyCols.map(col): _*).distinct()
-      val matched = taggedLiveRead(spark, root, cur, prior, entries)
-        .join(broadcast(keys), keyCols, "left_semi")
-        .groupBy(col(PathCol)).agg(sort_array(collect_list(col(PosCol))).as("ps"))
-        .collect()
+      // a dataless store (fresh streaming sink, first batch) matches nothing
+      val matched =
+        if (entries.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else taggedLiveRead(spark, root, cur, prior, entries)
+          .join(broadcast(keys), keyCols, "left_semi")
+          .groupBy(col(PathCol)).agg(sort_array(collect_list(col(PosCol))).as("ps"))
+          .collect()
       val keyOfNorm = entries.map(e => (normalizePath(e.physical), e)).toMap
       var matchedRows = 0L
       val additions: Map[String, Dv] = matched.map { r =>

@@ -117,6 +117,42 @@ object LogStreamIngest {
       .start()
   }
 
+  /** Streaming CDC-apply: every micro-batch UPSERTS into a versioned store
+    * through [[DeleteVectors.mergeByKey]] — rows whose key already exists
+    * are superseded (deletion vector, zero rewrite) and the batch appends,
+    * all in ONE atomic commit per batch. This is the change-stream →
+    * serving-table shape (Kafka CDC apply, document re-crawls superseding
+    * stale copies) on the same exactly-once contract as [[startStoreSink]]:
+    * the commit id `u<sinkId>-b<batchId>` makes a replayed micro-batch
+    * commit once, and the sink id is derived from the checkpoint so two
+    * sinks never collide. `updates` is any streaming DataFrame carrying
+    * `keyCols` and `partitionCols`; within one batch, duplicate keys insert
+    * duplicates (pre-aggregate upstream if last-write-wins per batch is
+    * needed).
+    */
+  def startUpsertSink(updates: org.apache.spark.sql.DataFrame, storeRoot: String,
+      checkpoint: String, keyCols: Seq[String], partitionCols: Seq[String],
+      triggerInterval: String = "60 seconds",
+      maxRecordsPerFile: Long = 1000000L,
+      retainSnapshots: Int = 1): StreamingQuery = {
+    val spark = updates.sparkSession
+    val sinkId = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(checkpoint))
+    LogIngest.ensureStore(spark, storeRoot)
+    updates.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        DeleteVectors.mergeByKey(spark, storeRoot, batch.toDF(),
+          keyCols = keyCols, partitionCols = partitionCols,
+          commitId = Some(s"u$sinkId-b$batchId"),
+          retainSnapshots = retainSnapshots,
+          maxRecordsPerFile = maxRecordsPerFile)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .start()
+  }
+
   /** K5 wired live: the main partitioned sink PLUS a close-write side channel
     * — the engine analogue of the reference's `_flb_close_write` sentinel +
     * per-tag force flush (close-write-flush.patch:20-156). A second streaming

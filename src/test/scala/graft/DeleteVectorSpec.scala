@@ -197,6 +197,23 @@ class DeleteVectorSpec extends SparkSpec {
     }
   }
 
+  test("deleteMatching erases a strike list of keys") {
+    val work = java.nio.file.Files.createTempDirectory("graft-dv-strike")
+    val root = work.resolve("lake").toString
+    val df = fixture().limit(1200).cache()
+    LogIngest.writeHive(df, root, partitionCols = parts)
+    val strike = df.filter(xxhash64($"message") % 13 === 0)
+      .select($"time_ns", $"message")
+    val expect = df.join(strike, Seq("time_ns", "message"), "left_semi").count()
+    assert(expect > 0)
+    val c = DeleteVectors.deleteMatching(spark, root, strike,
+      keyCols = Seq("time_ns", "message"))
+    assert(c.deletedRows == expect)
+    val live = GraftStore.readStore(spark, root)
+    assert(live.count() == df.count() - expect)
+    assert(live.join(strike, Seq("time_ns", "message"), "left_semi").count() == 0)
+  }
+
   test("vector application plans a broadcast anti-join; vector-free reads pay nothing") {
     val work = java.nio.file.Files.createTempDirectory("graft-dv-plan")
     val root = work.resolve("lake").toString

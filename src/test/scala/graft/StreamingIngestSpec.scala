@@ -90,6 +90,46 @@ class StreamingIngestSpec extends SparkSpec {
     }
   }
 
+  test("upsert sink: each micro-batch merges atomically; later batches supersede keys") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-upsink")
+    val updDir = work.resolve("updates"); Files.createDirectories(updDir)
+    val root = work.resolve("store").toString
+    val ckpt = work.resolve("ckpt").toString
+    def putBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = work.resolve("tmp-" + name)
+      rows.toDF("k", "v")
+        .withColumn("date", org.apache.spark.sql.functions.lit("2024-01-15"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val src = {
+        val s = Files.list(tmp)
+        try s.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        finally s.close()
+      }
+      Files.move(src, updDir.resolve(name + ".parquet"))
+    }
+    putBatch("b0", Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    val updates = spark.readStream.schema("k LONG, v STRING, date STRING")
+      .parquet(updDir.toString)
+    val q = LogStreamIngest.startUpsertSink(updates, root, ckpt,
+      keyCols = Seq("k"), partitionCols = Seq("date"),
+      triggerInterval = "1 seconds")
+    try {
+      q.processAllAvailable()
+      assert(GraftStore.readStore(spark, root).count() == 4)
+      // batch 2 supersedes keys 2 and 3 (deletion vector, zero rewrite of
+      // batch 1's files) and inserts key 5 — one atomic commit
+      putBatch("b1", Seq((2L, "B2"), (3L, "C2"), (5L, "e")))
+      q.processAllAvailable()
+      val live = GraftStore.readStore(spark, root)
+      assert(live.count() == 5)
+      val byKey = live.select($"k", $"v").as[(Long, String)].collect().toMap
+      assert(byKey == Map(1L -> "a", 2L -> "B2", 3L -> "C2", 4L -> "d", 5L -> "e"))
+      // the supersede left a vector on batch 1's file, pending materialization
+      assert(DeleteVectors.read(spark, GraftStore.resolve(spark, root)).nonEmpty)
+    } finally q.stop()
+  }
+
   test("close-write side channel emits PodClosed after idle timeout (K5 wired)") {
     val work = Files.createTempDirectory("graft-stream3")
     val in = work.resolve("varlog")
