@@ -115,11 +115,13 @@ object SparkEntry {
     "t8_pii_redaction" -> (ExtensionQueries.piiRedaction(_, _)),
     "t9_token_rarity" -> (ExtensionQueries.tokenRarity(_, _)),
     "t13_tfidf" -> (ExtensionQueries.tfidfScores(_, _)),
+    "t14_quality_rules" -> (ExtensionQueries.qualityRules(_, _)),
     // oracle projection: ppl is spec-gated (transcendental), Catalyst prunes it
     "t10_lm_bigram" -> ((s, dir) => ExtensionQueries.lmBigramScore(s, dir)
       .select("doc_id", "n_bigrams", "sum_bigram_freq", "sum_ctx_freq", "typicality")
       .orderBy("doc_id")),
     "z5_chunk_documents" -> (ExtensionQueries.chunkDocuments(_, _)),
+    "z8_mixture_sample" -> (ExtensionQueries.mixtureSample(_, _)),
     "z6_export_shards" -> (ExtensionQueries.exportShardManifest(_, _)),
     "x8_range_join" -> (ExtensionQueries.rangeJoinRecent(_, _)),
     "v5_kmeans" -> (ExtensionQueries.kmeansClusterGates(_, _)),
@@ -134,6 +136,9 @@ object SparkEntry {
     "x14_since_pruned" -> (StorePrunedQuery.run(_, _)),
     "x15_row_delete" -> (StoreDeleteQuery.run(_, _)),
     "x16_merge_upsert" -> (StoreMergeQuery.run(_, _)),
+    "x17_incremental_matview" -> (StoreMatViewQuery.run(_, _)),
+    "d10_stream_dedup" -> (StreamDedupQuery.run(_, _)),
+    "x18_metadata_tables" -> (StoreMetaQuery.run(_, _)),
     "v6_random_projection" -> (ExtensionQueries.randomProjectionGates(_, _)),
     "t11_bpe_vocab" -> (ExtensionQueries.bpeVocabGates(_, _)),
     "v7_quantize_int8" -> (ExtensionQueries.quantizationGates(_, _)),
@@ -666,6 +671,23 @@ object SparkEntry {
         |SELECT source, cum_before // 2000 AS bin_id, count(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY 1, 2 ORDER BY source, bin_id""".stripMargin,
+    "z8_mixture_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tokens_total FROM t GROUP BY 1),
+        |f AS (
+        |  SELECT source, tokens_total,
+        |    CAST(floor(least(1.0,
+        |      (CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.2 ELSE 0.02 END * 8000.0)
+        |        / tokens_total) * 65536.0) AS BIGINT) AS mix_threshold
+        |  FROM s)
+        |SELECT t.source, f.mix_threshold, count(*) AS n_docs_kept,
+        |  CAST(SUM(t.n_tokens) AS BIGINT) AS tokens_kept, f.tokens_total
+        |FROM t JOIN f ON t.source = f.source
+        |WHERE ((abs(t.doc_id) % 65536) * 40503) % 65536 < f.mix_threshold
+        |GROUP BY 1, 2, 5 ORDER BY t.source""".stripMargin,
     "t6_repetition_filter" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
@@ -792,6 +814,30 @@ object SparkEntry {
         |    '\d{1,3}(\.\d{1,3}){3}', '<IP>', 'g'),
         |    '\+\d[\d-]{6,}\d', '<PHONE>', 'g') AS redacted
         |FROM a ORDER BY doc_id""".stripMargin,
+    "t14_quality_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS BIGINT) AS n_stop,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[#…]'))) AS BIGINT) AS n_sym
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  n_tokens BETWEEN 25 AND 100 AS r_len,
+        |  (sum_len >= 3 * n_tokens AND sum_len <= 10 * n_tokens) AS r_word_len,
+        |  n_alpha * 5 >= n_tokens * 4 AS r_alpha,
+        |  n_stop >= 2 AS r_stopwords,
+        |  n_sym * 10 <= n_tokens AS r_symbol,
+        |  (n_tokens BETWEEN 25 AND 100
+        |    AND sum_len >= 3 * n_tokens AND sum_len <= 10 * n_tokens
+        |    AND n_alpha * 5 >= n_tokens * 4
+        |    AND n_stop >= 2
+        |    AND n_sym * 10 <= n_tokens) AS keep_doc
+        |FROM m ORDER BY doc_id""".stripMargin,
     "t13_tfidf" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -1065,6 +1111,47 @@ object SparkEntry {
         |  TRUE AS upsert_exact_ok,
         |  TRUE AS time_travel_ok
         |FROM final""".stripMargin,
+    // x18: per-date row counts the ENGINE answers from its metadata tier
+    // alone (manifest + stats sidecar, zero data-file reads); DuckDB
+    // restates them by scanning events for real. Lifecycle booleans
+    // (delete debt visible, merge-on-read stats stable, compaction drains,
+    // history complete) are engine-verified.
+    "x18_metadata_tables" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS date,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  TRUE AS stats_cover_all, TRUE AS delete_debt_ok,
+        |  TRUE AS mor_stats_unchanged, TRUE AS debt_drained_ok,
+        |  TRUE AS history_ok
+        |FROM events GROUP BY 1 ORDER BY date""".stripMargin,
+    // d10: the survivor set of the 3-batch online-dedup stream is pure SQL
+    // over documents (first batch wins, then min doc_id); store uniqueness,
+    // the re-send no-op, and the batch-API cross-check are engine booleans
+    "d10_stream_dedup" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY text
+        |      ORDER BY (doc_id % 3), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, source,
+        |  TRUE AS unique_ok, TRUE AS resend_noop_ok,
+        |  TRUE AS store_matches_expected
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // x17: the final materialized view restated from events minus the
+    // delete predicate; the incremental-vs-full identity, per-commit delta
+    // counts, and no-op/re-base behaviors are engine-verified booleans
+    "x17_incremental_matview" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_milli,
+        |  TRUE AS append_delta_ok,
+        |  TRUE AS delete_delta_ok,
+        |  TRUE AS compact_delta_zero,
+        |  TRUE AS noop_ok,
+        |  TRUE AS incremental_matches_full
+        |FROM events
+        |WHERE NOT (length(props) % 2 = 0)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     "x11_snapshot_cdc" ->
       """SELECT CAST(0 AS BIGINT) AS compact_changed_rows,
         |  CAST(count(*) AS BIGINT) AS removed_rows,

@@ -54,6 +54,38 @@ object Sampling {
     df.filter(bucket(col(idCol)) < threshold)
   }
 
+  /** Budget-driven mixture sampling: given per-source target WEIGHTS and a
+    * total token BUDGET, derive each source's keep-fraction from its actual
+    * token mass and sample deterministically — the "data mixture" step of a
+    * training-data pipeline (e.g. 40% books, 20% code, the rest web), where
+    * the inputs' sizes are discovered, not configured.
+    *
+    * `f_s = min(1, weight_s · budget / tokens_s)`, applied as a hash-bucket
+    * threshold `floor(f_s · 65536)` (floor, not round — both engines floor
+    * identically, so the oracle restates the exact threshold). Sources whose
+    * target exceeds their actual mass keep everything (f=1) — upweighting
+    * beyond 1× (epoch repetition) is an export-time concern, not a filter.
+    *
+    * Scale shape: one tiny per-stratum aggregate (rows = #sources), BROADCAST
+    * back onto the corpus — no driver collect, no second corpus shuffle; the
+    * filter itself is map-side bucket arithmetic.
+    */
+  def tokenBudgetMixture(df: DataFrame, idCol: String, strataCol: String,
+      tokensCol: String, weights: Map[String, Double], defaultWeight: Double,
+      budgetTokens: Double): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens $budgetTokens must be positive")
+    val tot = df.groupBy(col(strataCol))
+      .agg(sum(col(tokensCol)).cast("long").as("stratum_tokens"))
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (s, wt)) => when(col(strataCol) === s, wt).otherwise(acc)
+    }
+    val thr = floor(least(lit(1.0),
+        (w * lit(budgetTokens)) / col("stratum_tokens")) * lit(65536.0)).cast("long")
+    df.join(broadcast(tot), strataCol)
+      .withColumn("mix_threshold", thr)
+      .filter(bucket(col(idCol)) < col("mix_threshold"))
+  }
+
   /** Stable shard assignment for training export: shard = hash-bucket mod
     * `nShards`. A row's shard never changes as the dataset grows (same
     * property as [[trainValSplit]]), so incremental exports append to the

@@ -80,6 +80,42 @@ object TextAnalysis {
     (lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3)
   }
 
+  /** Gopher-style quality-rule battery (Rae et al. 2021, §A1.1 of the
+    * public Gopher paper): document-level keep/drop heuristics a training
+    * corpus runs before any model-based filtering. Five rules, each a pure
+    * integer comparison (no doubles cross the engine/oracle boundary):
+    *
+    *  - `r_len`       token count in [minTokens, maxTokens]
+    *  - `r_word_len`  mean word length in [3, 10] chars (as `3·n ≤ Σlen ≤ 10·n`)
+    *  - `r_alpha`     ≥80% of words contain an alphabetic char (`5·hits ≥ 4·n`)
+    *  - `r_stopwords` ≥2 hits from the English stopword list
+    *  - `r_symbol`    symbol-soup words (`#`/`…`) ≤10% of tokens (`10·hits ≤ n`)
+    *
+    * Map-side only; the struct stays inside whole-stage codegen. `keep` is
+    * the conjunction — the actual filter a pipeline applies.
+    */
+  def gopherRules(text: Column, minTokens: Int = 25, maxTokens: Int = 100): Column = {
+    val ts = tokens(text)
+    val nTok = size(ts).cast("long")
+    val sumLen = aggregate(ts, lit(0L), (a, w) => a + length(w))
+    val nStop = size(filter(ts, t => t.isInCollection(stopwords("en")))).cast("long")
+    val nAlpha = size(filter(ts, t => t.rlike("[a-z]"))).cast("long")
+    val nSym = size(filter(ts, t => t.rlike("[#…]"))).cast("long")
+    val rLen = nTok >= minTokens && nTok <= maxTokens
+    val rWordLen = sumLen >= nTok * 3L && sumLen <= nTok * 10L
+    val rAlpha = nAlpha * 5L >= nTok * 4L
+    val rStop = nStop >= 2L
+    val rSym = nSym * 10L <= nTok
+    struct(
+      nTok.as("n_tokens"),
+      rLen.as("r_len"),
+      rWordLen.as("r_word_len"),
+      rAlpha.as("r_alpha"),
+      rStop.as("r_stopwords"),
+      rSym.as("r_symbol"),
+      (rLen && rWordLen && rAlpha && rStop && rSym).as("keep_doc"))
+  }
+
   /** Rolling-hash document fingerprint (custom codegen expression). */
   def fingerprint(text: Column): Column = HashFunctions.polyHash64(text)
 

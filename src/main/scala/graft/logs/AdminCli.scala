@@ -57,6 +57,8 @@ object AdminCli {
       |            [--max-ranges=N]   (row-level merge-on-read delete: commits
       |            a deletion vector, moves zero data bytes; compaction
       |            materializes it later)
+      |  files     --root=DIR [--version=N] [--limit=N]   (metadata table: one
+      |            line per data file with stats — zero data-file reads)
       |  break-lease --root=DIR   (remove a lease left by a crashed maintainer)""".stripMargin
 
   // per-command (required, optional) option keys — anything else is a typo
@@ -71,6 +73,7 @@ object AdminCli {
     "stats" -> (Set("root"), Set("refresh")),
     "diff" -> (Set("root"), Set("from", "to")),
     "delete" -> (Set("root", "where"), Set("commit-id", "retain", "max-ranges")),
+    "files" -> (Set("root"), Set("version", "limit")),
     "break-lease" -> (Set("root"), Set.empty[String]))
 
   def main(args: Array[String]): Unit = {
@@ -211,6 +214,24 @@ object AdminCli {
             s"[admin] delete replayed: already committed as ${GraftStore.versionPrefix(c.version)}"
           else s"[admin] deleted ${c.deletedRows} row(s) as " +
             s"${GraftStore.versionPrefix(c.version)} (merge-on-read; zero data moved)")
+      case "files" =>
+        // the `files` metadata table ([[MetaTables]]): listing + sidecar
+        // only, so this stays instant on stores of any data size
+        val rows = MetaTables.files(spark, opts("root"),
+            opts.get("version").map(_.toInt))
+          .orderBy(org.apache.spark.sql.functions.col("key")).collect()
+        val limit = opts.get("limit").map(_.toInt).getOrElse(50)
+        rows.take(limit).foreach { r =>
+          val stat = if (r.getBoolean(7))
+            s"rows=${r.getLong(2)} ns=[${if (r.isNullAt(3)) "-" else r.getLong(3)}," +
+              s"${if (r.isNullAt(4)) "-" else r.getLong(4)}]"
+          else "stats=STALE"
+          println(s"[admin] ${r.getString(0)} bytes=${r.getLong(1)} $stat")
+        }
+        if (rows.length > limit)
+          println(s"[admin] ... ${rows.length - limit} more (--limit to raise)")
+        println(s"[admin] ${rows.length} file(s), " +
+          s"${rows.count(_.getBoolean(7))} with fresh stats")
       case "break-lease" =>
         val existed = MaintenanceLease.breakLease(spark, opts("root"))
         println(if (existed) s"[admin] lease on ${opts("root")} broken"

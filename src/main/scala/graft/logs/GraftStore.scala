@@ -579,6 +579,21 @@ object GraftStore {
     own ++ carried
   }
 
+  /** Live version number on either versioned tier (pointer file or version
+    * symlink) — the tier-agnostic face of [[currentVersion]].
+    */
+  def liveVersionOf(spark: SparkSession, root: String): Int =
+    tierOf(spark, root)._2
+
+  /** True when the live snapshot references no data files at all — a fresh
+    * store before its first commit (streaming sinks create the store, then
+    * batches land). Listing-bounded on either tier, no data read.
+    */
+  def isDataless(spark: SparkSession, root: String): Boolean = {
+    val (_, cur, _) = tierOf(spark, root)
+    compositeEntries(spark, root, cur).isEmpty
+  }
+
   /** One row per retained version, with the live one flagged. */
   final case class SnapshotInfo(version: Int, current: Boolean, files: Long, bytes: Long)
 

@@ -164,6 +164,25 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t14 — Gopher-style quality-rule battery ([[TextAnalysis.gopherRules]]):
+    * per-document rule verdicts + the conjunction `keep_doc`. All comparisons
+    * are integer-exact, so every boolean hash-matches the oracle. Map-side
+    * only — at 100 TB this is a single narrow scan, no shuffle.
+    */
+  def qualityRules(spark: SparkSession, dir: String): DataFrame = {
+    val r = TextAnalysis.gopherRules(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        r.getField("n_tokens").as("n_tokens"),
+        r.getField("r_len").as("r_len"),
+        r.getField("r_word_len").as("r_word_len"),
+        r.getField("r_alpha").as("r_alpha"),
+        r.getField("r_stopwords").as("r_stopwords"),
+        r.getField("r_symbol").as("r_symbol"),
+        r.getField("keep_doc").as("keep_doc"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-ID heuristic: per-language stopword hits + argmax prediction. */
   def textLangId(spark: SparkSession, dir: String): DataFrame = {
     val ts = TextAnalysis.tokens(col("text"))
@@ -512,6 +531,25 @@ object ExtensionQueries {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("source"))
+
+  /** z8 — budget-driven mixture sampling ([[Sampling.tokenBudgetMixture]]):
+    * src0 targets 40% of an 8 000-token budget, src1 20%, every other source
+    * 2% — so the two named sources keep everything (their targets exceed
+    * their mass) while the long tail downsamples to ~13%, with thresholds
+    * derived from the corpus' ACTUAL token mass, not configured fractions.
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+    Sampling.tokenBudgetMixture(docs, "doc_id", "source", "n_tokens",
+        weights = Map("src0" -> 0.4, "src1" -> 0.2), defaultWeight = 0.02,
+        budgetTokens = 8000.0)
+      .groupBy(col("source"), col("mix_threshold"), col("stratum_tokens").as("tokens_total"))
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_tokens")).cast("long").as("tokens_kept"))
+      .select(col("source"), col("mix_threshold"), col("n_docs_kept"),
+        col("tokens_kept"), col("tokens_total"))
+      .orderBy(col("source"))
+  }
 
   /** PII scrubbing: regex redaction of emails, IPv4s, and phone numbers —
     * the pre-training privacy pass. The corpus text is augmented with

@@ -31,6 +31,39 @@ class SamplingRangeSpec extends SparkSpec {
     assert(sub == whole)
   }
 
+  test("token-budget mixture: thresholds derive from actual token mass") {
+    val withTok = docs.withColumn("n_tokens",
+      graft.ext.TextAnalysis.tokenCount($"text").cast("long"))
+    val kept = Sampling.tokenBudgetMixture(withTok, "doc_id", "source", "n_tokens",
+      weights = Map("src0" -> 0.4, "src1" -> 0.2), defaultWeight = 0.02,
+      budgetTokens = 8000.0)
+    // hand-recompute every threshold from the per-source totals
+    val totals = withTok.groupBy($"source").agg(sum($"n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val thrs = kept.select($"source", $"mix_threshold").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, thr) <- thrs) {
+      val w = src match { case "src0" => 0.4; case "src1" => 0.2; case _ => 0.02 }
+      val expect = math.floor(math.min(1.0, w * 8000.0 / totals(src)) * 65536.0).toLong
+      assert(thr == expect, s"$src threshold $thr vs $expect")
+    }
+    // over-budgeted sources keep every doc; the long tail genuinely shrinks
+    val keptBySource = kept.groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docsBySource = docs.groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptBySource("src0") == docsBySource("src0"))
+    assert(keptBySource("src1") == docsBySource("src1"))
+    val tail = docsBySource.keySet -- Set("src0", "src1")
+    assert(tail.map(s => keptBySource.getOrElse(s, 0L)).sum <
+      tail.map(docsBySource).sum / 2, "tail sources must downsample")
+    // determinism
+    val again = Sampling.tokenBudgetMixture(withTok, "doc_id", "source", "n_tokens",
+      Map("src0" -> 0.4, "src1" -> 0.2), 0.02, 8000.0)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == kept.select($"doc_id").as[Long].collect().toSet)
+  }
+
   test("stratified sample honors per-stratum fractions") {
     val sampled = Sampling.stratifiedSample(docs, "doc_id", "source",
       Map("src0" -> 0.0), default = 1.0)

@@ -1,0 +1,111 @@
+package graft
+
+import graft.ext.StreamingDedup
+import graft.logs.{GraftStore, LogIngest}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Online dedup ([[StreamingDedup]]): batch-primitive semantics (in-batch
+  * min-id winner, cross-batch anti-join, fully-duplicate no-op), exactly-once
+  * replay, the streaming sink end-to-end, and the single-column scan shape of
+  * the seen-fingerprint side.
+  */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String) = {
+    val d = Files.createTempDirectory(s"graft-sdedup-$name")
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private def docsDF(rows: (Long, String, String)*) =
+    rows.toSeq.toDF("doc_id", "text", "lang")
+
+  test("batch primitive: in-batch min-id wins, cross-batch drops, full-dup batch no-ops") {
+    val root = tmp("prim").resolve("corpus").toString
+    LogIngest.ensureStore(spark, root)
+
+    val b0 = docsDF((1L, "alpha", "en"), (2L, "beta", "en"), (5L, "alpha", "en"))
+    val r0 = StreamingDedup.dedupAppendBatch(spark, root, b0, "doc_id", "text",
+      Seq("lang"), commitId = Some("sd-b0"))
+    assert(r0.streamed == 3 && r0.admitted == 2 && r0.droppedInBatch == 1 &&
+      r0.droppedExisting == 0, s"r0=$r0")
+    // min-id winner for the in-batch dup
+    assert(GraftStore.readStore(spark, root).filter($"text" === "alpha")
+      .select($"doc_id").as[Long].collect().toSeq == Seq(1L))
+
+    val b1 = docsDF((3L, "beta", "en"), (4L, "gamma", "fr"))
+    val r1 = StreamingDedup.dedupAppendBatch(spark, root, b1, "doc_id", "text",
+      Seq("lang"), commitId = Some("sd-b1"))
+    assert(r1.admitted == 1 && r1.droppedExisting == 1, s"r1=$r1")
+
+    // fully-duplicate batch: zero admissions, zero version churn
+    val vBefore = GraftStore.liveVersionOf(spark, root)
+    val r2 = StreamingDedup.dedupAppendBatch(spark, root, b0, "doc_id", "text",
+      Seq("lang"), commitId = Some("sd-b2"))
+    assert(r2.admitted == 0 && r2.droppedExisting + r2.droppedInBatch == 3)
+    assert(GraftStore.liveVersionOf(spark, root) == vBefore)
+
+    val store = GraftStore.readStore(spark, root)
+    assert(store.count() == 3 &&
+      store.select($"fingerprint").distinct().count() == 3)
+  }
+
+  test("exactly-once: replaying a commit id leaves the store untouched") {
+    val root = tmp("replay").resolve("corpus").toString
+    LogIngest.ensureStore(spark, root)
+    StreamingDedup.dedupAppendBatch(spark, root, docsDF((1L, "a", "en")),
+      "doc_id", "text", Seq("lang"), commitId = Some("sd-r0"))
+    val r = StreamingDedup.dedupAppendBatch(spark, root,
+      docsDF((2L, "b", "en")), "doc_id", "text", Seq("lang"),
+      commitId = Some("sd-r1"))
+    assert(!r.replayed)
+    // the same batch replays (streaming restart): the re-run deduplicates
+    // to zero survivors BEFORE the commit layer, so the store is untouched
+    // — dedup-level idempotence; commit-id replay (AppendCommitSpec) is the
+    // second line of defense for the crash-between-dedup-and-commit window
+    val replay = StreamingDedup.dedupAppendBatch(spark, root,
+      docsDF((2L, "b", "en")), "doc_id", "text", Seq("lang"),
+      commitId = Some("sd-r1"))
+    assert(replay.admitted == 0 && replay.version == r.version)
+    assert(GraftStore.liveVersionOf(spark, root) == r.version)
+    assert(GraftStore.readStore(spark, root).count() == 2)
+  }
+
+  test("streaming sink: multi-batch stream admits exactly the distinct texts") {
+    val w = tmp("sink")
+    val root = w.resolve("corpus").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, String, String)]
+    val q = StreamingDedup.startDedupSink(
+      stream.toDF().toDF("doc_id", "text", "lang"), root,
+      checkpoint = w.resolve("ckpt").toString,
+      idCol = "doc_id", textCol = "text", partitionCols = Seq("lang"),
+      triggerInterval = "1 seconds")
+    try {
+      stream.addData(Seq((1L, "x", "en"), (2L, "y", "en")))
+      q.processAllAvailable()
+      stream.addData(Seq((3L, "x", "en"), (4L, "z", "fr"), (5L, "z", "fr")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = GraftStore.readStore(spark, root)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "x", 2L -> "y", 4L -> "z"), s"store=$got")
+  }
+
+  test("the seen side scans ONLY the fingerprint column") {
+    val root = tmp("prune").resolve("corpus").toString
+    LogIngest.ensureStore(spark, root)
+    StreamingDedup.dedupAppendBatch(spark, root,
+      docsDF((1L, "pruned-text-a", "en")), "doc_id", "text", Seq("lang"),
+      commitId = Some("sd-p0"))
+    val seen = GraftStore.readStore(spark, root)
+      .select($"fingerprint").distinct()
+    val plan = seen.queryExecution.executedPlan.toString()
+    assert(plan.contains("ReadSchema") &&
+      plan.contains("struct<fingerprint:bigint>"),
+      s"fingerprint scan must prune the text column:\n${plan.take(1500)}")
+  }
+}

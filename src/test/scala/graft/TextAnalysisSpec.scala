@@ -41,6 +41,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(checked > 0 && got.size == checked) // sub-2-token docs drop out on both sides
   }
 
+  test("gopher rules: each rule trips on its own pathology") {
+    val good = (("the cat is on the mat and it is happy today " * 3).trim) // 36 tokens, stopwords, alpha
+    val short = "the cat is here"                                  // fails r_len only
+    val noStop = ("lorem ipsum dolor sit amet " * 6).trim          // 30 tokens, no en stopwords
+    val symbols = (("# # # the cat is " * 6).trim)                 // 36 tokens, 18 symbol words > 10%
+    val longWords = (("the " + "supercalifragilistic " * 30).trim) // mean word len > 10
+    val rows = Seq(good, short, noStop, symbols, longWords).toDF("t")
+      .select(TextAnalysis.gopherRules($"t").as("r"))
+      .select("r.n_tokens", "r.r_len", "r.r_word_len", "r.r_alpha", "r.r_stopwords", "r.r_symbol", "r.keep_doc")
+      .collect()
+    def flags(i: Int) = (rows(i).getBoolean(1), rows(i).getBoolean(2), rows(i).getBoolean(3),
+      rows(i).getBoolean(4), rows(i).getBoolean(5), rows(i).getBoolean(6))
+    assert(flags(0) == ((true, true, true, true, true, true)), s"good doc: ${rows(0)}")
+    assert(!rows(1).getBoolean(1) && !rows(1).getBoolean(6))           // short: r_len fails
+    assert(rows(2).getBoolean(1) && !rows(2).getBoolean(4) && !rows(2).getBoolean(6)) // no stopwords
+    assert(!rows(3).getBoolean(5) && !rows(3).getBoolean(6), s"symbols: ${rows(3)}") // symbol soup
+    assert(!rows(4).getBoolean(2) && !rows(4).getBoolean(6))           // long words
+  }
+
+  test("gopher rules: fixture corpus splits and the oracle projection is non-degenerate") {
+    val df = graft.queries.ExtensionQueries.qualityRules(spark, sf)
+    val n = df.count()
+    val kept = df.filter(col("keep_doc")).count()
+    assert(n > 0 && kept > 0 && kept < n, s"kept $kept of $n — rules must discriminate")
+  }
+
   test("word n-grams: count and shape; shorter-than-n -> empty") {
     val got = Seq("a b c d", "a b").toDF("t")
       .select(TextAnalysis.wordNgrams($"t", 3)).as[Seq[String]].collect()
