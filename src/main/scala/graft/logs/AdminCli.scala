@@ -59,6 +59,11 @@ object AdminCli {
       |            materializes it later)
       |  files     --root=DIR [--version=N] [--limit=N]   (metadata table: one
       |            line per data file with stats — zero data-file reads)
+      |  matview-create  --root=DIR --view=DIR --keys=col,..
+      |            [--sums=name:expr,..]   (full compute of an incrementally-
+      |            maintained aggregate; sums must be LONG-typed expressions)
+      |  matview-refresh --root=DIR --view=DIR   (apply the store's CDC since
+      |            the view's base snapshot — O(changed files + view))
       |  break-lease --root=DIR   (remove a lease left by a crashed maintainer)""".stripMargin
 
   // per-command (required, optional) option keys — anything else is a typo
@@ -74,6 +79,8 @@ object AdminCli {
     "diff" -> (Set("root"), Set("from", "to")),
     "delete" -> (Set("root", "where"), Set("commit-id", "retain", "max-ranges")),
     "files" -> (Set("root"), Set("version", "limit")),
+    "matview-create" -> (Set("root", "view", "keys"), Set("sums")),
+    "matview-refresh" -> (Set("root", "view"), Set.empty[String]),
     "break-lease" -> (Set("root"), Set.empty[String]))
 
   def main(args: Array[String]): Unit = {
@@ -232,6 +239,25 @@ object AdminCli {
           println(s"[admin] ... ${rows.length - limit} more (--limit to raise)")
         println(s"[admin] ${rows.length} file(s), " +
           s"${rows.count(_.getBoolean(7))} with fresh stats")
+      case "matview-create" =>
+        val sums = opts.get("sums").toSeq.flatMap(_.split(',').toSeq).map { s =>
+          s.split(':') match {
+            case Array(n, e) => (n, e)
+            case _ => throw new IllegalArgumentException(
+              s"--sums entries are name:expr, got '$s'\n$usage")
+          }
+        }
+        MatView.create(spark, opts("root"), opts("view"),
+          keys = opts("keys").split(',').toSeq, sums = sums)
+        println(s"[admin] materialized view created at ${opts("view")} " +
+          s"(keys=${opts("keys")}, ${sums.size} sum(s))")
+      case "matview-refresh" =>
+        val r = MatView.refresh(spark, opts("root"), opts("view"))
+        println(
+          if (r.noop)
+            s"[admin] view already at store v${r.baseVersion} — no-op"
+          else s"[admin] view refreshed to v${r.viewVersion} " +
+            s"(store v${r.baseVersion}, ${r.deltaRows} delta row(s))")
       case "break-lease" =>
         val existed = MaintenanceLease.breakLease(spark, opts("root"))
         println(if (existed) s"[admin] lease on ${opts("root")} broken"

@@ -93,7 +93,16 @@ object LogStreamIngest {
         * commit stages file-sized partitions instead of a dir-per-hour
         * dust storm — `date`/`hour` stay as data COLUMNS either way.
         */
-      partitionCols: Seq[String] = LogSchema.hivePartitionColumns): StreamingQuery = {
+      partitionCols: Seq[String] = LogSchema.hivePartitionColumns,
+      /** Materialized views ([[MatView]] dirs over THIS store) to refresh
+        * after each micro-batch commit — the live-dashboard loop: stream →
+        * store commit → O(batch + view) incremental aggregate refresh,
+        * inside the same foreachBatch so a view is never more than one
+        * trigger behind. A crashed refresh is caught up by the next batch
+        * (or an out-of-band `AdminCli matview-refresh`): refresh diffs from
+        * the view's own recorded base, not from the batch.
+        */
+      refreshViews: Seq[String] = Seq.empty): StreamingQuery = {
     val parsed = parsedStream(spark, inputGlob, clusterName, nodeName, maxFilesPerTrigger)
       .withColumn("date", date_format(col("time"), "yyyy-MM-dd"))
       .withColumn("hour", date_format(col("time"), "HH"))
@@ -110,6 +119,7 @@ object LogStreamIngest {
           maxRecordsPerFile = maxRecordsPerFile,
           commitId = Some(s"s$sinkId-b$batchId"),
           retainSnapshots = retainSnapshots)
+        refreshViews.foreach(MatView.refresh(spark, storeRoot, _))
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -43,6 +43,44 @@ class StreamingIngestSpec extends SparkSpec {
     assert(out.toFile.listFiles().exists(_.getName.startsWith("cluster=dev")))
   }
 
+  test("store sink refreshes registered materialized views per micro-batch") {
+    val work = Files.createTempDirectory("graft-streammv")
+    val in = work.resolve("varlog")
+    val root = work.resolve("lake").toString
+    val viewDir = work.resolve("view").toString
+    def put(pod: String, lines: String*): Unit = {
+      val p = in.resolve(s"pods/default_${pod}_u/app/0.log")
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, lines.mkString("", "\n", "\n"))
+    }
+    put("pod-a", "2024-01-15T10:00:00.000000001Z stdout F one",
+      "2024-01-15T10:00:00.000000002Z stderr F two")
+    // bootstrap: first batch lands before the view exists (a view needs a
+    // schema-bearing store), then the sink RESTARTS with live refresh —
+    // the realistic create-dashboard-on-a-running-ingest sequence
+    val glob = in.toString + "/pods/*/*/*.log"
+    val ckpt = work.resolve("ckpt").toString
+    val q0 = LogStreamIngest.startStoreSink(spark, glob, root, ckpt,
+      clusterName = "dev", triggerInterval = "1 seconds")
+    try q0.processAllAvailable() finally q0.stop()
+    MatView.create(spark, root, viewDir, keys = Seq("stream"),
+      sums = Seq("sum_chars" -> "cast(length(message) as long)"))
+    val v1 = MatView.readView(spark, viewDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(v1 == Map("stdout" -> ((1L, 3L)), "stderr" -> ((1L, 3L))), s"view=$v1")
+
+    put("pod-b", "2024-01-15T10:00:01.000000003Z stdout F four!")
+    val q = LogStreamIngest.startStoreSink(spark, glob, root, ckpt,
+      clusterName = "dev", triggerInterval = "1 seconds",
+      refreshViews = Seq(viewDir))
+    try {
+      q.processAllAvailable()
+      val v2 = MatView.readView(spark, viewDir).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(v2 == Map("stdout" -> ((2L, 8L)), "stderr" -> ((1L, 3L))), s"view=$v2")
+    } finally q.stop()
+  }
+
   test("store sink: batches commit through the store protocol; maintenance runs LIVE") {
     val work = Files.createTempDirectory("graft-streamstore")
     val in = work.resolve("varlog")
