@@ -1150,7 +1150,8 @@ object SparkEntry {
         |  TRUE AS noop_ok,
         |  TRUE AS incremental_matches_full
         |FROM events
-        |WHERE NOT (length(props) % 2 = 0)
+        |WHERE NOT (length(props) = 9 AND strftime(ts, '%Y-%m-%d') =
+        |  (SELECT min(strftime(ts, '%Y-%m-%d')) FROM events))
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
     "x11_snapshot_cdc" ->
       """SELECT CAST(0 AS BIGINT) AS compact_changed_rows,

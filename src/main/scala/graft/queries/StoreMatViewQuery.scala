@@ -16,9 +16,9 @@ import java.nio.file.Files
   *       → `MatView.create` (full compute, view v1)
   *   v2  ATOMIC append of the held-out date ([[AppendCommit]])
   *       → refresh: delta = exactly the appended rows (`append_delta_ok`)
-  *   v3  row-level delete ([[DeleteVectors.deleteWhere]],
-  *       `length(message) % 5 = 0`) → refresh: the view DECREMENTS through
-  *       deletion-vector CDC
+  *   v3  row-level delete ([[DeleteVectors.deleteWhere]], scoped to the
+  *       oldest date partition) → refresh: the view DECREMENTS through
+  *       deletion-vector CDC, reading only that partition's files
   *   v4  incremental compaction → refresh: contents-preserving commit,
   *       delta is EMPTY, the view only re-bases (`compact_delta_zero`)
   *   —   head unchanged → refresh is a pointer-read no-op (`noop_ok`)
@@ -79,19 +79,26 @@ object StoreMatViewQuery {
     // the appended rows
     val held = df.filter($"date" === dates.last)
     val heldCount = held.count()
-    // small-file mess (like x11's): guarantees the later compaction finds
-    // dirty partitions and genuinely commits a rewrite to re-base over
-    AppendCommit.commit(held.repartition(4), root, parts,
-      maxRecordsPerFile = 10, commitId = Some("x17-append"))
+    // small-file mess: guarantees the later compaction finds a dirty
+    // partition and genuinely commits a rewrite to re-base over (6 small
+    // files is enough to trip the dirty heuristic; a deeper per-file storm
+    // is x11's job, not this gate's)
+    AppendCommit.commit(held.repartition(6), root, parts,
+      commitId = Some("x17-append"))
     val r1 = MatView.refresh(spark, root, viewDir)
     val appendDeltaOk = !r1.noop && r1.deltaRows == heldCount
 
     // v3: row-level delete (restatable predicate), refresh — the view
     // decrements through deletion-vector CDC
-    // ~10% selectivity on this corpus (props lengths are 8 or 9 — a modulus
-    // above 2 would match nothing and reduce the delete leg to a no-op)
+    // partition-scoped delete (oldest date, ~90% of its rows — props
+    // lengths are 8 or 9, so `=9` always matches): vectors land in ONE
+    // partition, so the vector-CDC refresh and the materializing compaction
+    // read one day's files, not the store — the shape this gate is supposed
+    // to prove at 100 TB (the first cut vectored EVERY partition and the
+    // bench measured a full-store rewrite + full-store diff: 60 s at sf0.1)
     val c3 = DeleteVectors.deleteWhere(spark, root,
-      length($"message") % 2 === 0, commitId = Some("x17-delete"))
+      length($"message") === 9 && $"date" === dates.head,
+      commitId = Some("x17-delete"))
     val r2 = MatView.refresh(spark, root, viewDir)
     val deleteDeltaOk = !r2.noop && r2.deltaRows == c3.deletedRows
 

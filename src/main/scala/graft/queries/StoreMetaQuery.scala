@@ -66,9 +66,13 @@ object StoreMetaQuery {
 
     // v2: merge-on-read delete — metadata shows the debt, physical stats
     // unchanged
-    // ~10% selectivity (props lengths are 8 or 9; see StoreMatViewQuery)
+    // partition-scoped delete (~90% of the oldest date's rows — props
+    // lengths are 8 or 9): the vector, the CDC, and the materializing
+    // compaction all touch ONE partition (see StoreMatViewQuery)
+    val oldest = perDate.keys.min
     val c = DeleteVectors.deleteWhere(spark, root,
-      length($"message") % 2 === 0, commitId = Some("x18-del"))
+      length($"message") === 9 && $"date" === oldest,
+      commitId = Some("x18-del"))
     val debt = MetaTables.deletes(spark, root)
       .agg(coalesce(sum($"deleted_positions"), lit(0L))).head().getLong(0)
     val debtOk = c.deletedRows > 0 && debt == c.deletedRows
