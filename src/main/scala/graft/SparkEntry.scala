@@ -136,6 +136,7 @@ object SparkEntry {
     "x14_since_pruned" -> (StorePrunedQuery.run(_, _)),
     "x15_row_delete" -> (StoreDeleteQuery.run(_, _)),
     "x16_merge_upsert" -> (StoreMergeQuery.run(_, _)),
+    "x19_graft_source" -> (StoreSourceQuery.run(_, _)),
     "x17_incremental_matview" -> (StoreMatViewQuery.run(_, _)),
     "d10_stream_dedup" -> (StreamDedupQuery.run(_, _)),
     "x18_metadata_tables" -> (StoreMetaQuery.run(_, _)),
@@ -267,6 +268,18 @@ object SparkEntry {
         |WHERE epoch_ns(ts) >= (SELECT max(epoch_ns(ts)) FROM events)
         |  - 604800000000000
         |ORDER BY time_us, message""".stripMargin,
+    // x19: the format("graft") connector gate — ingest + append + replay +
+    // time travel run engine-side (require()s); DuckDB restates the final
+    // --since 7d aggregate straight from events, so a file wrongly skipped
+    // by the connector's stats tier flips the hash
+    "x19_graft_source" ->
+      """SELECT 'pod-' || CAST(user_id % 4 AS VARCHAR) AS pod,
+        |  count(*) AS n,
+        |  CAST(SUM(length(props)) AS BIGINT) AS msg_chars
+        |FROM events
+        |WHERE epoch_ns(ts) >= (SELECT max(epoch_ns(ts)) FROM events)
+        |  - 604800000000000
+        |GROUP BY 1 ORDER BY pod""".stripMargin,
     // x13: the streaming store sink ingests the SAME fixture through
     // per-micro-batch atomic commits, then the store is compacted LIVE —
     // the expected rows are identical to the batch hive pipeline's

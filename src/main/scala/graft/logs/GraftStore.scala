@@ -549,10 +549,10 @@ object GraftStore {
     * the leg base dir partition columns derive from (`basePath` for reads),
     * its full physical path, and its length.
     */
-  private[logs] final case class FileEntry(key: String, legBase: String,
+  private[graft] final case class FileEntry(key: String, legBase: String,
       physical: String, len: Long)
 
-  private[logs] def compositeEntries(spark: SparkSession, root: String,
+  private[graft] def compositeEntries(spark: SparkSession, root: String,
       n: Int): Seq[FileEntry] = {
     val (_, _, dirOf) = tierOf(spark, root)
     def list(dir: String, keyPrefix: String, legBase: String): Seq[FileEntry] = {

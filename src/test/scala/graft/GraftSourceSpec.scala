@@ -1,0 +1,191 @@
+package graft
+
+import graft.logs._
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** `format("graft")` connector ([[graft.sources.GraftSourceProvider]]):
+  * snapshot reads as an ordinary data source — native parquet fast path
+  * with manifest-pinned file listing and stats skipping, wrapped fallback
+  * under deletion vectors, atomic append writes.
+  */
+class GraftSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val parts = Seq("cluster", "namespace", "date")
+
+  private def fixture() = Tables.events(spark, sf)
+    .select(
+      CriFunctions.nanosToTimestamp($"ts").as("time"),
+      $"ts".as("time_ns"), lit("stdout").as("stream"), lit("F").as("logtag"),
+      $"props".as("message"), lit("dev").as("cluster"),
+      lit("ns0").as("namespace"), lit("n1").as("node"),
+      concat(lit("pod-"), ($"user_id" % 4).cast("string")).as("pod"),
+      lit("app").as("container"))
+    .withColumn("date", date_format($"time", "yyyy-MM-dd"))
+
+  private def newRoot(tag: String): String =
+    Files.createTempDirectory(s"graft-src-$tag").resolve("store").toString
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.select($"time_ns", $"message", $"pod")
+      .collect().map(_.mkString("|")).sorted.toSeq
+
+  private def scanExec(df: DataFrame): FileSourceScanExec = {
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => scans(a.inputPlan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+      }
+    val ss = scans(df.queryExecution.executedPlan)
+    assert(ss.size == 1, s"expected one file scan, got ${ss.size}")
+    ss.head
+  }
+
+  test("fast path: native parquet scan, parity with readStore, composite append visible") {
+    val root = newRoot("rt")
+    val df = fixture()
+    val dates = df.select($"date").distinct().as[String].collect().sorted
+    LogIngest.writeHive(df.filter($"date" =!= dates.last), root, partitionCols = parts)
+    // second commit → manifest-carried composite snapshot
+    AppendCommit.commit(df.filter($"date" === dates.last), root, parts,
+      commitId = Some("src-a1"))
+    val got = spark.read.format("graft").load(root)
+    // the read plans a native file scan (vectorized parquet, not an RDD shim)
+    scanExec(got.filter($"time_ns" > 0L))
+    assert(sortedRows(got) == sortedRows(GraftStore.readStore(spark, root)))
+    // partition columns parse per leg like the engine's basePath reads
+    assert(got.schema.fieldNames.toSet.intersect(parts.toSet) == parts.toSet)
+  }
+
+  test("stats skipping: pushed time_ns filter drops files before any footer") {
+    val root = newRoot("skip")
+    val df = fixture()
+    LogIngest.writeHive(df, root, partitionCols = parts)
+    val total = GraftStore.readStore(spark, root).inputFiles.length
+    val cutoff = df.agg(max($"time_ns")).as[Long].head() - 7L * 86400 * 1000000000L
+    val q = spark.read.format("graft").load(root).filter($"time_ns" >= cutoff)
+    val expect = GraftStore.readStore(spark, root).filter($"time_ns" >= cutoff)
+    assert(sortedRows(q) == sortedRows(expect), "skipping must not change results")
+    q.collect()
+    val numFiles = scanExec(q).metrics("numFiles").value
+    assert(numFiles < total,
+      s"stats skipping should scan fewer than all $total files, scanned $numFiles")
+    // pod equality skips too (per-file pod min/max ranges)
+    val qp = spark.read.format("graft").load(root)
+      .filter($"pod" === "pod-0" && $"time_ns" >= cutoff)
+    qp.collect()
+    assert(scanExec(qp).metrics("numFiles").value <= numFiles)
+  }
+
+  test("time travel: versionAsOf and timestampAsOf match the store API") {
+    val root = newRoot("tt")
+    val df = fixture()
+    val dates = df.select($"date").distinct().as[String].collect().sorted
+    LogIngest.writeHive(df.filter($"date" =!= dates.last), root, partitionCols = parts)
+    val v1 = GraftStore.liveVersionOf(spark, root)
+    AppendCommit.commit(df.filter($"date" === dates.last), root, parts)
+    val v2 = GraftStore.liveVersionOf(spark, root)
+    assert(v2 > v1)
+    val old = spark.read.format("graft").option("versionAsOf", v1.toString).load(root)
+    assert(sortedRows(old) == sortedRows(GraftStore.readVersion(spark, root, v1)))
+    val t1 = GraftStore.commitTimeOf(spark, root, v1)
+    val asOf = spark.read.format("graft").option("timestampAsOf", t1.toString).load(root)
+    assert(asOf.count() == old.count())
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft")
+        .option("versionAsOf", "1").option("timestampAsOf", "0").load(root)
+    }
+  }
+
+  test("deletion vectors: wrapped tier applies the anti-join; compaction returns the fast tier") {
+    val root = newRoot("dv")
+    val df = fixture()
+    LogIngest.writeHive(df, root, partitionCols = parts)
+    val pred = (($"time_ns" / 1000).cast("long") % 97) < 13
+    val deleted = DeleteVectors.deleteWhere(spark, root, pred,
+      commitId = Some("src-d1")).deletedRows
+    assert(deleted > 0)
+    val got = spark.read.format("graft").load(root)
+    assert(got.filter(pred).count() == 0, "deleted rows must not surface")
+    assert(got.count() == df.count() - deleted)
+    // writer-side wrapped scan still prunes columns in the delegate
+    assert(got.select($"pod").distinct().count() == 4)
+  }
+
+  test("schema overlay: evolved column null-backfills on the native path") {
+    val root = newRoot("ev")
+    LogIngest.writeHive(fixture(), root, partitionCols = parts)
+    SchemaEvolution.addColumn(spark, root, "severity", "STRING", parts)
+    val got = spark.read.format("graft").load(root)
+    assert(got.schema.fieldNames.contains("severity"))
+    assert(got.filter($"severity".isNotNull).count() == 0)
+    // still a native file scan — the overlay rides the declared schema
+    scanExec(got.filter($"time_ns" > 0L))
+  }
+
+  test("write path: mode(append) commits atomically, replays exactly once") {
+    val root = newRoot("wr")
+    val df = fixture()
+    val dates = df.select($"date").distinct().as[String].collect().sorted
+    LogIngest.writeHive(df.filter($"date" =!= dates.last), root, partitionCols = parts)
+    val before = GraftStore.liveVersionOf(spark, root)
+    val batch = df.filter($"date" === dates.last)
+    batch.write.format("graft")
+      .option("partitionColumns", parts.mkString(","))
+      .option("commitId", "src-w1").mode(SaveMode.Append).save(root)
+    assert(GraftStore.liveVersionOf(spark, root) == before + 1)
+    assert(spark.read.format("graft").load(root).count() == df.count())
+    // same commitId again → replay detected, nothing doubles
+    batch.write.format("graft")
+      .option("partitionColumns", parts.mkString(","))
+      .option("commitId", "src-w1").mode(SaveMode.Append).save(root)
+    assert(spark.read.format("graft").load(root).count() == df.count())
+    intercept[IllegalArgumentException] {
+      batch.write.format("graft").mode(SaveMode.Overwrite).save(root)
+    }
+  }
+
+  test("SQL surface: USING graft works for plain spark.sql queries") {
+    val root = newRoot("sql")
+    LogIngest.writeHive(fixture(), root, partitionCols = parts)
+    spark.sql("DROP TABLE IF EXISTS graft_src_sql")
+    spark.sql(
+      s"CREATE TABLE graft_src_sql USING graft OPTIONS (path '$root')")
+    try {
+      val n = spark.sql(
+        "SELECT count(*) AS n FROM graft_src_sql WHERE pod = 'pod-1'")
+        .as[Long].head()
+      assert(n == fixture().filter($"pod" === "pod-1").count())
+    } finally spark.sql("DROP TABLE IF EXISTS graft_src_sql")
+  }
+
+  test("option validation: clear errors for bad option combinations") {
+    val root = newRoot("err")
+    LogIngest.writeHive(fixture(), root, partitionCols = parts)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", "1")
+        .option("sinceNs", "0").load(root)
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").load()
+    }
+  }
+
+  test("sinceNs/pod CLI options: pruned scan plus the row predicate") {
+    val root = newRoot("since")
+    val df = fixture()
+    LogIngest.writeHive(df, root, partitionCols = parts)
+    val cutoff = df.agg(max($"time_ns")).as[Long].head() - 7L * 86400 * 1000000000L
+    val got = spark.read.format("graft").option("sinceNs", cutoff.toString).load(root)
+    val expect = GraftStore.readStore(spark, root).filter($"time_ns" >= cutoff)
+    assert(got.count() == expect.count())
+    val gotPod = spark.read.format("graft")
+      .option("sinceNs", cutoff.toString).option("pod", "pod-2").load(root)
+    assert(gotPod.count() == expect.filter($"pod" === "pod-2").count())
+  }
+}
