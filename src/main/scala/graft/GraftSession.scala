@@ -28,6 +28,13 @@ object GraftSession {
     // boilerplate shingle) re-plan into split partitions at execution time
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     GraftExtensions.register(spark)
+    // metadata-only aggregates over format("graft") relations — runtime-
+    // injectable (experimental methods), so driver-owned sessions get the
+    // rule without builder-time extensions; idempotent across reconfigures
+    if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.GraftMetadataAggregate))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.GraftMetadataAggregate
     spark
   }
 

@@ -211,12 +211,24 @@ class GraftSourceProvider extends RelationProvider
   * mismatch) fail open: skipping is an optimization, never correctness —
   * Spark re-evaluates every pushed predicate on the rows that survive.
   */
-private[sources] class GraftFileIndex(
+private[graft] class GraftFileIndex(
     spark: SparkSession,
     legDirs: Seq[Path],
     allowed: Map[String, Long],
     stats: Map[String, FileStats.FileStat])
   extends InMemoryFileIndex(spark, legDirs, Map.empty[String, String], None) {
+
+  /** Commit-time stats for every snapshot file — `Some` only when EVERY
+    * file has a fresh sidecar line (key AND length match), so a consumer
+    * ([[GraftMetadataAggregate]]) can answer count/min/max with ZERO data
+    * I/O and zero staleness risk: a file written outside the commit
+    * protocol has no fresh line and disables the shortcut wholesale.
+    */
+  lazy val completeStats: Option[Seq[FileStats.FileStat]] = {
+    val lines = allowed.keys.toSeq.sorted.map(stats.get)
+    if (lines.forall(_.nonEmpty) && allowed.nonEmpty) Some(lines.map(_.get))
+    else None
+  }
 
   private def norm(p: Path): String = p.toUri.getPath
 
@@ -242,7 +254,7 @@ private[sources] class GraftFileIndex(
   }
 }
 
-private[sources] object GraftFileIndex {
+private[graft] object GraftFileIndex {
 
   /** Conservative (lowerNs, upperNs, podEq) extraction from pushed data
     * filters — only shapes the stats can refute; everything else is ignored

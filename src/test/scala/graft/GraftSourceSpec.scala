@@ -176,6 +176,45 @@ class GraftSourceSpec extends SparkSpec {
     }
   }
 
+  test("metadata-only aggregates: count/min/max answer from stats with zero file I/O") {
+    val root = newRoot("meta")
+    val df = fixture()
+    LogIngest.writeHive(df, root, partitionCols = parts)
+    def hasFileScan(d: DataFrame): Boolean = {
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+        p match {
+          case a: AdaptiveSparkPlanExec => scans(a.inputPlan)
+          case s: FileSourceScanExec => Seq(s)
+          case other => other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+        }
+      scans(d.queryExecution.executedPlan).nonEmpty
+    }
+    val t = spark.read.format("graft").load(root)
+    val cnt = t.groupBy().agg(count(lit(1)).as("n"),
+      min($"time_ns").as("lo"), max($"time_ns").as("hi"))
+    assert(!hasFileScan(cnt), "stats-answerable aggregate must not plan a file scan")
+    val Array(row) = cnt.collect()
+    val (en, elo, ehi) = df.agg(count(lit(1)), min($"time_ns"), max($"time_ns"))
+      .as[(Long, Long, Long)].head() match { case (a, b, c) => (a, b, c) }
+    assert(row.getLong(0) == en && row.getLong(1) == elo && row.getLong(2) == ehi)
+    // Dataset.count() takes the same shortcut
+    assert(t.count() == en)
+    // a filter breaks the match: real scan, same answer
+    val filtered = t.filter($"pod" === "pod-1").groupBy().count()
+    assert(hasFileScan(filtered))
+    // aggregates stats can't answer (min of a data column) scan files
+    assert(hasFileScan(t.groupBy().agg(min($"message"))))
+    // fail open: strip the sidecar — the SAME query plans a real scan
+    val dir = new org.apache.hadoop.fs.Path(GraftStore.resolve(spark, root))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecars = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName == FileStats.StatsName)
+    sidecars.foreach(p => fs.delete(p, false))
+    val bare = spark.read.format("graft").load(root).groupBy().count()
+    assert(hasFileScan(bare), "missing stats must fail open to a real scan")
+    assert(bare.as[Long].head() == en)
+  }
+
   test("sinceNs/pod CLI options: pruned scan plus the row predicate") {
     val root = newRoot("since")
     val df = fixture()
