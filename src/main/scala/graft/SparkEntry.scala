@@ -137,6 +137,7 @@ object SparkEntry {
     "x15_row_delete" -> (StoreDeleteQuery.run(_, _)),
     "x16_merge_upsert" -> (StoreMergeQuery.run(_, _)),
     "x19_graft_source" -> (StoreSourceQuery.run(_, _)),
+    "x20_stream_tail" -> (StoreTailQuery.run(_, _)),
     "x17_incremental_matview" -> (StoreMatViewQuery.run(_, _)),
     "d10_stream_dedup" -> (StreamDedupQuery.run(_, _)),
     "x18_metadata_tables" -> (StoreMetaQuery.run(_, _)),
@@ -279,6 +280,16 @@ object SparkEntry {
         |FROM events
         |WHERE epoch_ns(ts) >= (SELECT max(epoch_ns(ts)) FROM events)
         |  - 604800000000000
+        |GROUP BY 1 ORDER BY pod""".stripMargin,
+    // x20: the streaming graft SOURCE — bootstrap snapshot + a commit
+    // tailed mid-stream must land every event exactly once in the sink;
+    // DuckDB restates the per-pod totals from events (same aggregate shape
+    // as x19, but the rows travel through readStream micro-batches)
+    "x20_stream_tail" ->
+      """SELECT 'pod-' || CAST(user_id % 4 AS VARCHAR) AS pod,
+        |  count(*) AS n,
+        |  CAST(SUM(length(props)) AS BIGINT) AS msg_chars
+        |FROM events
         |GROUP BY 1 ORDER BY pod""".stripMargin,
     // x13: the streaming store sink ingests the SAME fixture through
     // per-micro-batch atomic commits, then the store is compacted LIVE —

@@ -59,9 +59,64 @@ import org.apache.spark.unsafe.types.UTF8String
   * retention), not a side effect of a write.
   */
 class GraftSourceProvider extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  // ---- streaming read: tail store commits ([[GraftStreamSource]]) --------
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    // this is the load()-time call: validate options HERE so a bad stream
+    // definition fails when written, not when the query starts
+    validateStreamOptions(sqlContext, parameters)
+    val data = schema.getOrElse(streamDataSchema(sqlContext, parameters))
+    val full =
+      if (isCdc(parameters))
+        StructType(data.fields :+ org.apache.spark.sql.types.StructField(
+          "_change", org.apache.spark.sql.types.StringType, nullable = false))
+      else data
+    (shortName(), full)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val spark = sqlContext.sparkSession
+    val root = validateStreamOptions(sqlContext, parameters)
+    new graft.streaming.GraftStreamSource(spark, root,
+      schema.getOrElse(streamDataSchema(sqlContext, parameters)),
+      parameters.getOrElse("startingVersion", "latest"), isCdc(parameters))
+  }
+
+  private def isCdc(parameters: Map[String, String]): Boolean =
+    parameters.get("cdc").exists(_.trim.equalsIgnoreCase("true"))
+
+  /** Check stream options and the store tier; returns the normalized root. */
+  private def validateStreamOptions(sqlContext: SQLContext,
+      parameters: Map[String, String]): String = {
+    val root = normRoot(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft stream needs a path: spark.readStream.format(\"graft\").load(<store root>)")))
+    require(isVersioned(sqlContext.sparkSession, root),
+      s"$root is not a versioned store — streaming tails the commit log, " +
+        "which only versioned tiers have")
+    val starting = parameters.getOrElse("startingVersion", "latest")
+    require(starting == "latest" || starting.trim.matches("\\d+"),
+      s"startingVersion must be 'latest' or a version number, got '$starting'")
+    root
+  }
+
+  /** Data schema for the stream: the live snapshot's batch-relation schema
+    * (overlays applied, partition columns included) — commits only append
+    * or overlay-add columns, so the live schema covers every retained
+    * version's rows.
+    */
+  private def streamDataSchema(sqlContext: SQLContext,
+      parameters: Map[String, String]): StructType =
+    createRelation(sqlContext,
+      parameters - "startingVersion" - "cdc").schema
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
