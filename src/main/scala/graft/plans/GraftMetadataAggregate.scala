@@ -10,12 +10,14 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 
 /** Metadata-only aggregates over `format("graft")` relations — the
   * optimizer-rule twin of the DSv2 `SupportsPushDownAggregates` contract
-  * (and of [[graft.logs.MetaTables]]' manual surface): a global
-  * `COUNT(*)` / `MIN(time_ns)` / `MAX(time_ns)` with no filter collapses to
-  * a [[LocalRelation]] computed from the commit-time `_graft_filestats`
-  * sidecar, so the query answers from manifest-tier metadata with ZERO data
-  * file I/O. At 100 TB that is the difference between an instant answer and
-  * a full-store scan — the Iceberg/Delta "stats-only query" play.
+  * (and of [[graft.logs.MetaTables]]' manual surface): `COUNT(*)` /
+  * `MIN(time_ns)` / `MAX(time_ns)`, globally or GROUPED BY partition
+  * columns, with no filter, collapse to a [[LocalRelation]] computed from
+  * the commit-time `_graft_filestats` sidecar — the query answers from
+  * manifest-tier metadata with ZERO data file I/O. At 100 TB that is the
+  * difference between an instant answer and a full-store scan ("rows per
+  * day, whole store" is the canonical ops query), the Iceberg/Delta
+  * "stats-only query" play.
   *
   * Safety gates, all conservative:
   *   - fires only on the graft connector's fast tier ([[GraftFileIndex]] —
@@ -24,39 +26,76 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *   - only when EVERY snapshot file has a fresh stats line
   *     ([[GraftFileIndex.completeStats]]); one out-of-protocol file
   *     disables the rewrite wholesale (fail open to the real scan);
-  *   - only global aggregates directly over the (possibly column-pruned)
-  *     relation — any Filter/GROUP BY/DISTINCT/agg-filter breaks the match
-  *     and the plan runs untouched;
-  *   - `MIN`/`MAX` only when every file carries the bound (an all-null
-  *     `time_ns` file has none, and parquet-style min/max ignore nulls
-  *     exactly like the aggregate does on non-empty data).
+  *   - grouping keys must be bare partition-column attributes (values come
+  *     from directory names, which every file in the dir shares); anything
+  *     else — a Filter, a data-column group, DISTINCT, an agg filter —
+  *     breaks the match and the plan runs untouched;
+  *   - `MIN`/`MAX` only when every file in the group carries the bound (an
+  *     all-null `time_ns` file has none, and parquet-style min/max ignore
+  *     nulls exactly like the aggregate does on non-empty data).
   */
 object GraftMetadataAggregate extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case agg @ Aggregate(Nil, aggExprs, child, _) =>
-      statsOf(child) match {
-        case Some(st) =>
-          val values = aggExprs.map(evalFromStats(_, st))
-          if (values.forall(_.isDefined))
-            LocalRelation(agg.output, Seq(InternalRow.fromSeq(values.map(_.get))))
-          else agg
+    case agg @ Aggregate(groupingExprs, aggExprs, child, _)
+        if groupingExprs.forall(_.isInstanceOf[AttributeReference]) =>
+      indexOf(child) match {
+        case Some(idx) =>
+          rewrite(agg, groupingExprs.map(_.asInstanceOf[AttributeReference]),
+            aggExprs, idx).getOrElse(agg)
         case None => agg
       }
   }
 
-  /** The complete per-file stats behind `child`, when `child` is exactly a
-    * graft fast-tier relation (modulo attribute-only column pruning).
+  private def rewrite(agg: Aggregate, grouping: Seq[AttributeReference],
+      aggExprs: Seq[NamedExpression], idx: GraftFileIndex): Option[LogicalPlan] = {
+    val partCols = idx.partitionSchema.fieldNames
+    if (!grouping.forall(g => partCols.contains(g.name))) return None
+    if (grouping.isEmpty) {
+      idx.completeStats.flatMap { st =>
+        val values = aggExprs.map(evalFromStats(_, st, Map.empty))
+        if (values.forall(_.isDefined))
+          Some(LocalRelation(agg.output, Seq(InternalRow.fromSeq(values.map(_.get)))))
+        else None
+      }
+    } else {
+      idx.statsByPartitionValues.flatMap { perDir =>
+        // project each partition dir's values onto the grouping columns,
+        // then merge dirs that agree on them (grouping by a PREFIX of the
+        // partitioning, e.g. by date over a date/hour layout)
+        val gIdx = grouping.map(g => partCols.indexOf(g.name))
+        val merged = perDir
+          .groupBy { case (vals, _) => gIdx.map(vals(_)) }
+          .toSeq.map { case (key, dirs) => (key, dirs.flatMap(_._2)) }
+        val groupValues = grouping.zipWithIndex.map { case (g, i) =>
+          g.name -> i
+        }.toMap
+        val rows = merged.map { case (key, st) =>
+          val byName = groupValues.map { case (n, i) => n -> key(i) }
+          val values = aggExprs.map(evalFromStats(_, st, byName))
+          if (values.forall(_.isDefined))
+            Some(InternalRow.fromSeq(values.map(_.get)))
+          else None
+        }
+        if (rows.forall(_.isDefined))
+          Some(LocalRelation(agg.output, rows.map(_.get)))
+        else None
+      }
+    }
+  }
+
+  /** The graft fast-tier index behind `child`, when `child` is exactly the
+    * relation (modulo attribute-only column pruning).
     */
-  private def statsOf(child: LogicalPlan): Option[Seq[graft.logs.FileStats.FileStat]] =
+  private def indexOf(child: LogicalPlan): Option[GraftFileIndex] =
     child match {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         fs.location match {
-          case idx: GraftFileIndex => idx.completeStats
+          case idx: GraftFileIndex => Some(idx)
           case _ => None
         }
       case Project(projectList, inner) if projectList.forall(isPassthrough) =>
-        statsOf(inner)
+        indexOf(inner)
       case _ => None
     }
 
@@ -66,9 +105,12 @@ object GraftMetadataAggregate extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** `Some(value)` when this output expression is answerable from stats. */
+  /** `Some(internal value)` when this output expression is answerable from
+    * the group's stats (aggregates) or the directory values (grouping keys).
+    */
   private def evalFromStats(e: NamedExpression,
-      st: Seq[graft.logs.FileStats.FileStat]): Option[Any] = {
+      st: Seq[graft.logs.FileStats.FileStat],
+      groupValue: Map[String, Any]): Option[Any] = {
     def fromAgg(ae: AggregateExpression): Option[Any] =
       if (ae.isDistinct || ae.filter.nonEmpty) None
       else ae.aggregateFunction match {
@@ -84,6 +126,10 @@ object GraftMetadataAggregate extends Rule[LogicalPlan] {
     e match {
       case Alias(ae: AggregateExpression, _) => fromAgg(ae)
       case ae: AggregateExpression => fromAgg(ae)
+      case a: AttributeReference if groupValue.contains(a.name) =>
+        Some(groupValue(a.name))
+      case Alias(a: AttributeReference, _) if groupValue.contains(a.name) =>
+        Some(groupValue(a.name))
       case _ => None
     }
   }

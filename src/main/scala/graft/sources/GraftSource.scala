@@ -285,6 +285,21 @@ private[graft] class GraftFileIndex(
     else None
   }
 
+  /** [[completeStats]] grouped by partition-directory values (one entry per
+    * partition dir, values laid out in [[partitionSchema]] order) — lets a
+    * consumer answer partition-grouped aggregates (`GROUP BY date`) from
+    * metadata alone. Same completeness gate as the global shortcut.
+    */
+  lazy val statsByPartitionValues: Option[Seq[(Seq[Any], Seq[FileStats.FileStat])]] =
+    completeStats.map { _ =>
+      val width = partitionSchema.length
+      super.listFiles(Nil, Nil).map { pd =>
+        val vals = (0 until width).map(i => pd.values.get(i, partitionSchema(i).dataType))
+        (vals, pd.files.filter(f => inSnapshot(f.fileStatus))
+          .flatMap(f => stats.get(norm(f.getPath))))
+      }.filter(_._2.nonEmpty)
+    }
+
   private def norm(p: Path): String = p.toUri.getPath
 
   private def inSnapshot(f: FileStatus): Boolean =

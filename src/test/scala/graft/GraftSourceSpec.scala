@@ -215,6 +215,34 @@ class GraftSourceSpec extends SparkSpec {
     assert(bare.as[Long].head() == en)
   }
 
+  test("metadata-only aggregates: GROUP BY partition columns answers from stats") {
+    val root = newRoot("metag")
+    val df = fixture()
+    LogIngest.writeHive(df, root, partitionCols = parts)
+    def hasFileScan(d: DataFrame): Boolean = {
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+        p match {
+          case a: AdaptiveSparkPlanExec => scans(a.inputPlan)
+          case s: FileSourceScanExec => Seq(s)
+          case other => other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+        }
+      scans(d.queryExecution.executedPlan).nonEmpty
+    }
+    val t = spark.read.format("graft").load(root)
+    val per = t.groupBy($"date")
+      .agg(count(lit(1)).as("n"), max($"time_ns").as("hi"))
+    assert(!hasFileScan(per), "partition-grouped aggregate must not scan files")
+    val got = per.orderBy($"date").collect().map(_.mkString("|"))
+    val want = df.groupBy($"date")
+      .agg(count(lit(1)).as("n"), max($"time_ns").as("hi"))
+      .orderBy($"date").collect().map(_.mkString("|"))
+    assert(got.sameElements(want))
+    // grouping by a DATA column is not answerable from directory metadata
+    assert(hasFileScan(t.groupBy($"pod").count()))
+    // neither is a grouped aggregate under a filter
+    assert(hasFileScan(t.filter($"pod" === "pod-1").groupBy($"date").count()))
+  }
+
   test("sinceNs/pod CLI options: pruned scan plus the row predicate") {
     val root = newRoot("since")
     val df = fixture()
