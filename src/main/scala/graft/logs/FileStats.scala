@@ -203,7 +203,8 @@ object FileStats {
       val f = it.next()
       val rel = f.getPath.toUri.getPath.stripPrefix(base)
       if (rel.split('/').filter(_.nonEmpty).forall(GraftStore.visibleName))
-        out += GraftStore.FileEntry(rel, dir, f.getPath.toString, f.getLen)
+        out += GraftStore.FileEntry(rel, dir, f.getPath.toString, f.getLen,
+          f.getModificationTime)
     }
     out.result()
   }

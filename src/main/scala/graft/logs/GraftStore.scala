@@ -550,7 +550,7 @@ object GraftStore {
     * its full physical path, and its length.
     */
   private[graft] final case class FileEntry(key: String, legBase: String,
-      physical: String, len: Long)
+      physical: String, len: Long, mtime: Long = 0L)
 
   private[graft] def compositeEntries(spark: SparkSession, root: String,
       n: Int): Seq[FileEntry] = {
@@ -566,7 +566,7 @@ object GraftStore {
         val f = it.next()
         if (visibleName(f.getPath.getName))
           out += FileEntry(keyPrefix + f.getPath.toUri.getPath.stripPrefix(base),
-            legBase, f.getPath.toString, f.getLen)
+            legBase, f.getPath.toString, f.getLen, f.getModificationTime)
       }
       out.result()
     }

@@ -4,8 +4,9 @@ import graft.logs.{AppendCommit, DeleteVectors, FileStats, GraftStore, Versioned
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo => CEqualTo, Expression, GreaterThan => CGreaterThan, GreaterThanOrEqual => CGreaterThanOrEqual, LessThan => CLessThan, LessThanOrEqual => CLessThanOrEqual, Literal}
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, PartitionDirectory, PartitioningUtils}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
@@ -177,13 +178,12 @@ class GraftSourceProvider extends RelationProvider
 
     val overlay = GraftStore.readSchemaOverlay(spark, dir)
     val statsByKey = FileStats.read(spark, dir)
-    def norm(p: String): String = new Path(p).toUri.getPath
-    val allowed = entries.map(e => norm(e.physical) -> e.len).toMap
     val statsByPhysical = entries.flatMap { e =>
-      statsByKey.get(e.key).filter(_.len == e.len).map(s => norm(e.physical) -> s)
+      statsByKey.get(e.key).filter(_.len == e.len)
+        .map(s => GraftFileIndex.normPath(e.physical) -> s)
     }.toMap
     val legDirs = entries.map(_.legBase).distinct.sorted.map(new Path(_))
-    val index = new GraftFileIndex(spark, legDirs, allowed, statsByPhysical)
+    val index = new GraftFileIndex(spark, legDirs, entries, statsByPhysical)
     val fmtOptions =
       if (overlay.nonEmpty) Map("mergeSchema" -> "true") else Map.empty[String, String]
     val inferred = new ParquetFileFormat()
@@ -253,25 +253,125 @@ class GraftSourceProvider extends RelationProvider
   }
 }
 
-/** File index of ONE store snapshot: lists the composite file set (own +
-  * manifest-carried legs, nothing else — a carried holder directory may
-  * contain other versions' files and a live directory may gain appends, so
-  * membership is pinned to the manifest the snapshot committed) and skips
-  * files whose commit-time stats exclude the pushed `time_ns` bounds or
-  * `pod` equality. Partition columns (`date=`, hive tier) parse per leg
-  * exactly like the engine's per-leg `basePath` reads, so partition pruning
-  * composes with stats skipping: partition filters cut directories, stats
-  * cut files, parquet row-group stats cut pages — the three-tier funnel a
-  * 100 TB scan needs. Stats lines that are absent or stale (length
-  * mismatch) fail open: skipping is an optimization, never correctness —
-  * Spark re-evaluates every pushed predicate on the rows that survive.
+/** File index of ONE store snapshot, built FROM THE MANIFEST — the commit
+  * already names every composite file (own + carried legs), so the index
+  * never re-lists the filesystem: at the reference's ~1 MB object size a
+  * 100 TB store is ~10⁸ objects, and "the manifest IS the listing" is the
+  * difference between an O(1)-ish metadata read and 10⁸ LIST calls (the
+  * Delta/Iceberg log-over-listing play). Membership is exact: a carried
+  * holder directory may contain other versions' files and a live directory
+  * may gain appends, but only manifest entries exist here — including legs
+  * under `_`-prefixed staged-append directories that Spark's own listing
+  * would hide.
+  *
+  * Partition columns parse from each entry's layout-relative path (`k=v`
+  * segments, per leg — exactly what the engine's per-leg `basePath` reads
+  * infer), so partition pruning composes with stats skipping: partition
+  * filters cut directories, commit-time `_graft_filestats` ranges cut
+  * files on pushed `time_ns`/`pod` conjuncts BEFORE any footer is opened,
+  * and parquet row-group stats cut pages — the three-tier funnel a 100 TB
+  * scan needs. Stats lines that are absent or stale (length mismatch) fail
+  * open: skipping is an optimization, never correctness — Spark
+  * re-evaluates every pushed predicate on the rows that survive.
   */
 private[graft] class GraftFileIndex(
     spark: SparkSession,
     legDirs: Seq[Path],
-    allowed: Map[String, Long],
+    entries: Seq[GraftStore.FileEntry],
     stats: Map[String, FileStats.FileStat])
-  extends InMemoryFileIndex(spark, legDirs, Map.empty[String, String], None) {
+  extends org.apache.spark.sql.execution.datasources.FileIndex {
+
+  import GraftFileIndex._
+
+  private val zoneId = java.time.ZoneId.of(
+    spark.sessionState.conf.sessionLocalTimeZone)
+
+  /** `k=v` directory segments of one entry's layout-relative key. */
+  private def kvSegments(e: GraftStore.FileEntry): Seq[(String, String)] =
+    e.key.split('/').filter(_.nonEmpty).dropRight(1).toSeq
+      .takeWhile(_.contains('='))
+      .map { seg =>
+        val i = seg.indexOf('=')
+        (unescapePath(seg.substring(0, i)), unescapePath(seg.substring(i + 1)))
+      }
+
+  private val perEntryKv: Seq[(GraftStore.FileEntry, Seq[(String, String)])] =
+    entries.map(e => (e, kvSegments(e)))
+
+  private val partColNames: Seq[String] = {
+    val names = perEntryKv.map(_._2.map(_._1)).distinct
+    require(names.size == 1,
+      s"inconsistent partition layouts across snapshot files: $names")
+    names.head
+  }
+
+  override val partitionSchema: StructType = {
+    val byCol = partColNames.indices.map { i =>
+      perEntryKv.map(_._2(i)._2).filterNot(_ == HiveNullPartition).distinct
+    }
+    StructType(partColNames.zip(byCol).map { case (n, vals) =>
+      org.apache.spark.sql.types.StructField(n, inferPartType(vals), nullable = true)
+    })
+  }
+
+  private def statusOf(e: GraftStore.FileEntry): FileStatus =
+    new FileStatus(e.len, false, 1, DefaultBlockSize,
+      e.mtime, new Path(e.physical))
+
+  /** (partition values row, its files) — the snapshot's partition dirs. */
+  private val partitions: Seq[(InternalRow, Seq[Any], Seq[GraftStore.FileEntry])] =
+    perEntryKv.groupBy(_._2.map(_._2)).toSeq.sortBy(_._1.mkString("/"))
+      .map { case (raws, es) =>
+        val vals = raws.zipWithIndex.map { case (raw, i) =>
+          if (raw == HiveNullPartition) null
+          else PartitioningUtils.castPartValueToDesiredType(
+            partitionSchema(i).dataType, raw, zoneId)
+        }
+        (InternalRow.fromSeq(vals), vals, es.map(_._1))
+      }
+
+  override def rootPaths: Seq[Path] = legDirs
+
+  override def refresh(): Unit = () // a snapshot is immutable
+
+  override lazy val sizeInBytes: Long = entries.map(_.len).sum
+
+  override def inputFiles: Array[String] = entries.map(_.physical).toArray
+
+  def allFiles(): Seq[FileStatus] = entries.map(statusOf)
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept =
+      if (partitionFilters.isEmpty) partitions
+      else {
+        val bound = partitionFilters
+          .reduce(org.apache.spark.sql.catalyst.expressions.And)
+          .transform {
+            case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+              val i = partitionSchema.fieldIndex(a.name)
+              org.apache.spark.sql.catalyst.expressions.BoundReference(
+                i, partitionSchema(i).dataType, nullable = true)
+          }
+        val pred = org.apache.spark.sql.catalyst.expressions.Predicate
+          .createInterpreted(bound)
+        partitions.filter(p => pred.eval(p._1))
+      }
+    val (lo, hi, pod) = bounds(dataFilters)
+    def keep(e: GraftStore.FileEntry): Boolean =
+      stats.get(normPath(e.physical)) match {
+        case Some(s) if s.len == e.len =>
+          lo.forall(s.mayOverlapSince) &&
+            hi.forall(h => s.minNs.forall(_ <= h)) &&
+            pod.forall(s.mayContainPod)
+        case _ => true // no/stale stats: always scan
+      }
+    kept.flatMap { case (row, _, es) =>
+      val files = es.filter(keep)
+      if (files.isEmpty) None
+      else Some(PartitionDirectory(row, files.map(statusOf).toArray))
+    }
+  }
 
   /** Commit-time stats for every snapshot file — `Some` only when EVERY
     * file has a fresh sidecar line (key AND length match), so a consumer
@@ -280,51 +380,62 @@ private[graft] class GraftFileIndex(
     * protocol has no fresh line and disables the shortcut wholesale.
     */
   lazy val completeStats: Option[Seq[FileStats.FileStat]] = {
-    val lines = allowed.keys.toSeq.sorted.map(stats.get)
-    if (lines.forall(_.nonEmpty) && allowed.nonEmpty) Some(lines.map(_.get))
+    val lines = entries.map(e => stats.get(normPath(e.physical))
+      .filter(_.len == e.len))
+    if (entries.nonEmpty && lines.forall(_.nonEmpty)) Some(lines.map(_.get))
     else None
   }
 
-  /** [[completeStats]] grouped by partition-directory values (one entry per
-    * partition dir, values laid out in [[partitionSchema]] order) — lets a
-    * consumer answer partition-grouped aggregates (`GROUP BY date`) from
-    * metadata alone. Same completeness gate as the global shortcut.
+  /** [[completeStats]] grouped by partition values (laid out in
+    * [[partitionSchema]] order) — lets a consumer answer partition-grouped
+    * aggregates (`GROUP BY date`) from metadata alone. Same completeness
+    * gate as the global shortcut.
     */
   lazy val statsByPartitionValues: Option[Seq[(Seq[Any], Seq[FileStats.FileStat])]] =
     completeStats.map { _ =>
-      val width = partitionSchema.length
-      super.listFiles(Nil, Nil).map { pd =>
-        val vals = (0 until width).map(i => pd.values.get(i, partitionSchema(i).dataType))
-        (vals, pd.files.filter(f => inSnapshot(f.fileStatus))
-          .flatMap(f => stats.get(norm(f.getPath))))
-      }.filter(_._2.nonEmpty)
+      partitions.map { case (_, vals, es) =>
+        (vals, es.flatMap(e => stats.get(normPath(e.physical))))
+      }
     }
-
-  private def norm(p: Path): String = p.toUri.getPath
-
-  private def inSnapshot(f: FileStatus): Boolean =
-    allowed.get(norm(f.getPath)).contains(f.getLen)
-
-  override def allFiles(): Seq[FileStatus] = super.allFiles().filter(inSnapshot)
-
-  override def listFiles(partitionFilters: Seq[Expression],
-      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val (lo, hi, pod) = GraftFileIndex.bounds(dataFilters)
-    def keep(f: FileStatus): Boolean = stats.get(norm(f.getPath)) match {
-      case Some(s) if s.len == f.getLen =>
-        lo.forall(s.mayOverlapSince) &&
-          hi.forall(h => s.minNs.forall(_ <= h)) &&
-          pod.forall(s.mayContainPod)
-      case _ => true // no/stale stats: always scan
-    }
-    super.listFiles(partitionFilters, dataFilters)
-      .map(pd => pd.copy(files =
-        pd.files.filter(f => inSnapshot(f.fileStatus) && keep(f.fileStatus))))
-      .filter(_.files.nonEmpty)
-  }
 }
 
 private[graft] object GraftFileIndex {
+
+  val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
+  val DefaultBlockSize: Long = 128L * 1024 * 1024
+
+  private[sources] def normPath(p: String): String = new Path(p).toUri.getPath
+
+  /** Hive percent-escaping, decoded (the engine writes alnum/dash values,
+    * but pod names and labels can carry escapables).
+    */
+  def unescapePath(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Partition value type inference, matching Spark's common cases for the
+    * layouts the engine writes: int, long, yyyy-MM-dd date, else string.
+    */
+  def inferPartType(vals: Seq[String]): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    if (vals.isEmpty) StringType
+    else if (vals.forall(v => v.matches("-?\\d{1,9}"))) IntegerType
+    else if (vals.forall(v => v.matches("-?\\d{1,18}"))) LongType
+    else if (vals.forall(v => v.matches("\\d{4}-\\d{2}-\\d{2}"))) DateType
+    else StringType
+  }
 
   /** Conservative (lowerNs, upperNs, podEq) extraction from pushed data
     * filters — only shapes the stats can refute; everything else is ignored

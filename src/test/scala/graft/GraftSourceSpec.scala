@@ -243,6 +243,32 @@ class GraftSourceSpec extends SparkSpec {
     assert(hasFileScan(t.filter($"pod" === "pod-1").groupBy($"date").count()))
   }
 
+  test("pointer tier: manifest-carried multi-leg snapshots read natively over an object store") {
+    val srv = new graft.sources.S3StubServer()
+    try {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3l.impl", classOf[graft.sources.S3LiteFileSystem].getName)
+      hc.set("fs.s3l.endpoint", srv.endpoint)
+      hc.set("fs.s3l.impl.disable.cache", "true")
+      val root = "s3l://graft-src/conn-lake"
+      val df = fixture()
+      val dates = df.select($"date").distinct().as[String].collect().sorted
+      LogIngest.writeHive(df.filter($"date" =!= dates.last), root, partitionCols = parts)
+      assert(GraftStore.isPointerStore(spark, root))
+      // atomic append → the new version's manifest CARRIES the prior legs
+      AppendCommit.commit(df.filter($"date" === dates.last), root, parts,
+        commitId = Some("src-ptr-1"))
+      val got = spark.read.format("graft").load(root)
+      scanExec(got.filter($"time_ns" > 0L)) // native file scan, multi-leg index
+      assert(sortedRows(got) == sortedRows(GraftStore.readStore(spark, root)))
+      // stats skipping works across legs on the object-store tier too
+      val cutoff = df.agg(max($"time_ns")).as[Long].head() - 7L * 86400 * 1000000000L
+      val q = got.filter($"time_ns" >= cutoff)
+      q.collect()
+      assert(scanExec(q).metrics("numFiles").value < got.inputFiles.length)
+    } finally srv.stop()
+  }
+
   test("sinceNs/pod CLI options: pruned scan plus the row predicate") {
     val root = newRoot("since")
     val df = fixture()
