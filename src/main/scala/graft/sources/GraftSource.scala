@@ -487,6 +487,12 @@ private[sources] class GraftFrameRelation(
 
   override def schema: StructType = df.schema
 
+  // the delegate's rows stay in Tungsten format end to end: with
+  // needConversion=false the contract is an RDD of InternalRow (the same
+  // erased-cast idiom Spark's own relations use), skipping the external-Row
+  // round trip df.rdd would pay on every row of a merge-on-read scan
+  override val needConversion: Boolean = false
+
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
     val filtered = filters.flatMap(toColumn).foldLeft(df)(_.filter(_))
@@ -495,7 +501,7 @@ private[sources] class GraftFrameRelation(
         // COUNT(*)-style scan: no columns needed, but the row count is
         filtered.select()
       else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
-    projected.rdd
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 
   private def toColumn(f: Filter): Option[Column] = f match {
