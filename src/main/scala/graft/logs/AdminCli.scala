@@ -50,6 +50,12 @@ object AdminCli {
       |  watch     --root=DIR --close-events=DIR --checkpoint=DIR [--interval=DUR]
       |  snapshots --root=DIR
       |  vacuum    --root=DIR [--retain=N]   (keep N snapshots below live, default 0)
+      |  maintain  --root=DIR [--views=DIR,..] [--dirty-max-files=N]
+      |            [--dirty-min-avg-bytes=N] [--max-records=N] [--retain=N]
+      |            [--cluster-by=col,..] [--zorder=true]   (debt-gated auto
+      |            maintenance: metadata-only inventory decides; compacts
+      |            only when a rewrite would touch something, refreshes
+      |            views incrementally, no version churn when clean)
       |  stats     --root=DIR [--refresh=true]   (pruning-sidecar coverage;
       |            --refresh backfills/repairs it for pre-stats stores)
       |  diff      --root=DIR [--from=N] [--to=N]   (defaults: previous -> live)
@@ -81,6 +87,9 @@ object AdminCli {
     "files" -> (Set("root"), Set("version", "limit")),
     "matview-create" -> (Set("root", "view", "keys"), Set("sums")),
     "matview-refresh" -> (Set("root", "view"), Set.empty[String]),
+    "maintain" -> (Set("root"),
+      Set("views", "dirty-max-files", "dirty-min-avg-bytes", "max-records",
+        "retain", "cluster-by", "zorder")),
     "break-lease" -> (Set("root"), Set.empty[String]))
 
   def main(args: Array[String]): Unit = {
@@ -258,6 +267,33 @@ object AdminCli {
             s"[admin] view already at store v${r.baseVersion} — no-op"
           else s"[admin] view refreshed to v${r.viewVersion} " +
             s"(store v${r.baseVersion}, ${r.deltaRows} delta row(s))")
+      case "maintain" =>
+        val r = Maintenance.run(spark, opts("root"),
+          views = opts.get("views")
+            .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Seq.empty),
+          dirtyMaxFiles = opts.get("dirty-max-files").map(_.toInt).getOrElse(4),
+          dirtyMinAvgBytes =
+            opts.get("dirty-min-avg-bytes").map(_.toLong).getOrElse(32L << 20),
+          maxRecordsPerFile = maxRecords,
+          retainSnapshots = opts.get("retain").map(_.toInt).getOrElse(1),
+          cluster = opts.get("cluster-by").map(_.split(',').toSeq.map(_.trim)) match {
+            case None => ClusterSpec.TimeMajor
+            case Some(cols) =>
+              if (boolOpt("zorder")) ClusterSpec.ZOrder(cols)
+              else ClusterSpec.Lexicographic(cols)
+          })
+        val b = r.before
+        println(s"[admin] debt: ${b.dirtyPartitions}/${b.totalPartitions} " +
+          s"dirty partition(s), ${b.pendingDeleteRows} pending delete row(s) " +
+          s"in ${b.pendingDeleteFiles} file(s), ${b.staleViews.size} stale view(s)")
+        println(
+          if (!r.compacted && r.refreshedViews.isEmpty)
+            "[admin] clean — nothing to do (no lease taken, no version flip)"
+          else s"[admin] maintained: compacted=${r.compacted}, " +
+            s"views refreshed=${r.refreshedViews.size}; now " +
+            s"${r.after.dirtyPartitions} dirty, " +
+            s"${r.after.pendingDeleteRows} pending delete row(s)")
       case "break-lease" =>
         val existed = MaintenanceLease.breakLease(spark, opts("root"))
         println(if (existed) s"[admin] lease on ${opts("root")} broken"

@@ -111,6 +111,13 @@ object MatView {
     RefreshResult(cur + 1, head, deltaRows, noop = false)
   }
 
+  /** Store version the view is currently based on — the staleness probe
+    * ([[graft.logs.Maintenance]] compares it against the live version; a
+    * pointer-file read, no data touched).
+    */
+  def baseVersionOf(spark: SparkSession, viewDir: String): Int =
+    readMeta(spark, dirOf(viewDir, currentViewVersion(spark, viewDir))).baseVersion
+
   /** The view's current aggregate table (snapshot-consistent read). */
   def readView(spark: SparkSession, viewDir: String): DataFrame =
     spark.read.parquet(
