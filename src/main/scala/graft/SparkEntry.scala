@@ -138,6 +138,7 @@ object SparkEntry {
     "x16_merge_upsert" -> (StoreMergeQuery.run(_, _)),
     "x19_graft_source" -> (StoreSourceQuery.run(_, _)),
     "x20_stream_tail" -> (StoreTailQuery.run(_, _)),
+    "x21_maintain" -> (StoreMaintainQuery.run(_, _)),
     "x17_incremental_matview" -> (StoreMatViewQuery.run(_, _)),
     "d10_stream_dedup" -> (StreamDedupQuery.run(_, _)),
     "x18_metadata_tables" -> (StoreMetaQuery.run(_, _)),
@@ -290,6 +291,18 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(SUM(length(props)) AS BIGINT) AS msg_chars
         |FROM events
+        |GROUP BY 1 ORDER BY pod""".stripMargin,
+    // x21: debt-gated maintenance — a small-file storm plus pending
+    // deletion vectors must come out of ONE maintenance pass compacted and
+    // materialized (engine-gated, layout inferred), with the idempotent
+    // second pass flipping nothing; DuckDB restates the surviving per-pod
+    // totals, so maintenance losing or resurrecting a row flips the hash
+    "x21_maintain" ->
+      """SELECT 'pod-' || CAST(user_id % 4 AS VARCHAR) AS pod,
+        |  count(*) AS n,
+        |  CAST(SUM(length(props)) AS BIGINT) AS msg_chars
+        |FROM events
+        |WHERE NOT ((epoch_us(ts) % 97) < 13)
         |GROUP BY 1 ORDER BY pod""".stripMargin,
     // x13: the streaming store sink ingests the SAME fixture through
     // per-micro-batch atomic commits, then the store is compacted LIVE —

@@ -66,7 +66,11 @@ object StoreDeleteQuery {
 
     // delete #2: time predicate OVERLAPPING #1 — the commit merges vectors
     // and counts only the newly-matched rows
-    val del2 = (($"time_ns" / 1000).cast("long") % 97) < 13
+    // `div` keeps the ns→µs step in exact integer arithmetic — `/` goes
+    // through double, which rounds differently than the oracle's integer
+    // epoch_us at 2⁶⁰-scale nanos (one row per ~10⁴ lands on the other
+    // side of the modulus and the content checksum drifts by one message)
+    val del2 = expr("((time_ns div 1000) % 97) < 13")
     val c2 = DeleteVectors.deleteWhere(spark, root, del2, commitId = Some("x15-d2"))
 
     val live = GraftStore.readStore(spark, root)

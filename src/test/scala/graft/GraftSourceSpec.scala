@@ -237,6 +237,12 @@ class GraftSourceSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"), max($"time_ns").as("hi"))
       .orderBy($"date").collect().map(_.mkString("|"))
     assert(got.sameElements(want))
+    // DISTINCT over partition values is pure grouping — metadata-only too
+    val distinctDates = t.select($"date").distinct()
+    assert(!hasFileScan(distinctDates),
+      "DISTINCT over partition columns must answer from directory values")
+    assert(distinctDates.collect().map(_.mkString).sorted.sameElements(
+      df.select($"date").distinct().collect().map(_.mkString).sorted))
     // grouping by a DATA column is not answerable from directory metadata
     assert(hasFileScan(t.groupBy($"pod").count()))
     // neither is a grouped aggregate under a filter
