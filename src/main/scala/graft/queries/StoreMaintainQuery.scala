@@ -50,18 +50,28 @@ object StoreMaintainQuery {
       lit("app").as("container"))
       .withColumn("date", date_format($"time", "yyyy-MM-dd"))
 
-    // debt kind 1: small-file storm
-    LogIngest.writeHive(df, root, maxRecordsPerFile = 200, partitionCols = parts)
-    // debt kind 2: pending deletion vectors (SQL-restatable predicate).
+    // Both debt kinds scoped to ONE date partition (the x17/x18 precedent:
+    // the gate demonstrates the pruned path, so the pass should rewrite one
+    // day's files, not the store): the oldest date lands as a small-file
+    // storm via a tiny-maxRecordsPerFile append, and the delete predicate
+    // targets the same day.
+    val oldest = df.agg(min($"date")).as[String].head()
+    val oldDay = df.filter($"date" === oldest)
+    LogIngest.writeHive(df.filter($"date" =!= oldest), root, partitionCols = parts)
+    // storm size scales with the day's rows so the partition is dirty at
+    // ANY sf (a single-file partition is never dirty by the shared rule)
+    AppendCommit.commit(oldDay, root, parts,
+      maxRecordsPerFile = math.max(1L, oldDay.count() / 8),
+      commitId = Some("x21-storm"))
     // `div` keeps the ns→µs step in exact integer arithmetic — `/` would go
     // through double and round differently than DuckDB's epoch_us at 2⁶⁰ ns
-    val del = expr("((time_ns div 1000) % 97) < 13")
+    val del = $"date" === oldest && expr("((time_ns div 1000) % 97) < 13")
     val deleted = DeleteVectors.deleteWhere(spark, root, del,
       commitId = Some("x21-del")).deletedRows
 
     val d0 = Maintenance.debt(spark, root)
-    require(d0.dirtyPartitions > 0 && d0.pendingDeleteRows == deleted,
-      s"fixture failed to manufacture debt: $d0")
+    require(d0.dirtyPartitions == 1 && d0.pendingDeleteRows == deleted,
+      s"fixture failed to manufacture one-partition debt: $d0")
 
     val r1 = Maintenance.run(spark, root) // layout inferred, both debts cleared
     require(r1.compacted && r1.after.dirtyPartitions == 0 &&
