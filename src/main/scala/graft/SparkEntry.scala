@@ -302,7 +302,9 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(SUM(length(props)) AS BIGINT) AS msg_chars
         |FROM events
-        |WHERE NOT ((epoch_us(ts) % 97) < 13)
+        |WHERE NOT (strftime(ts, '%Y-%m-%d') =
+        |    (SELECT min(strftime(ts, '%Y-%m-%d')) FROM events)
+        |  AND (epoch_us(ts) % 97) < 13)
         |GROUP BY 1 ORDER BY pod""".stripMargin,
     // x13: the streaming store sink ingests the SAME fixture through
     // per-micro-batch atomic commits, then the store is compacted LIVE —
