@@ -59,7 +59,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * overwrite of a versioned store is a maintenance operation (compaction /
   * retention), not a side effect of a write.
   */
-class GraftSourceProvider extends RelationProvider
+class GraftSourceProvider extends RelationProvider with SchemaRelationProvider
     with CreatableRelationProvider with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
@@ -88,7 +88,8 @@ class GraftSourceProvider extends RelationProvider
     val root = validateStreamOptions(sqlContext, parameters)
     new graft.streaming.GraftStreamSource(spark, root,
       schema.getOrElse(streamDataSchema(sqlContext, parameters)),
-      parameters.getOrElse("startingVersion", "latest"), isCdc(parameters))
+      parameters.getOrElse("startingVersion", "latest"), isCdc(parameters),
+      metadataPath)
   }
 
   private def isCdc(parameters: Map[String, String]): Boolean =
@@ -120,7 +121,20 @@ class GraftSourceProvider extends RelationProvider
       parameters - "startingVersion" - "cdc").schema
 
   override def createRelation(sqlContext: SQLContext,
-      parameters: Map[String, String]): BaseRelation = {
+      parameters: Map[String, String]): BaseRelation =
+    createRelationImpl(sqlContext, parameters, None)
+
+  /** `.schema(...)` spelling: the user schema stands in for parquet
+    * inference — the one way to read a freshly-initialized store that has
+    * no files and no overlay yet.
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String], schema: StructType): BaseRelation =
+    createRelationImpl(sqlContext, parameters, Some(schema))
+
+  private def createRelationImpl(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      userSchema: Option[StructType]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val root = normRoot(parameters.getOrElse("path",
       throw new IllegalArgumentException(
@@ -163,7 +177,6 @@ class GraftSourceProvider extends RelationProvider
       case Some(v) => GraftStore.compositeEntries(spark, root, v)
       case None => FileStats.listDirEntries(spark, root)
     }
-    require(entries.nonEmpty, s"$root has no data files to read")
     val dv = DeleteVectors.read(spark, dir)
     if (dv.nonEmpty) {
       // merge-on-read debt: the anti-join is a DataFrame operator, so the
@@ -186,16 +199,24 @@ class GraftSourceProvider extends RelationProvider
     val index = new GraftFileIndex(spark, legDirs, entries, statsByPhysical)
     val fmtOptions =
       if (overlay.nonEmpty) Map("mergeSchema" -> "true") else Map.empty[String, String]
-    val inferred = new ParquetFileFormat()
-      .inferSchema(spark, fmtOptions, index.allFiles())
-      .getOrElse(throw new IllegalStateException(
-        s"could not infer a parquet schema for $root"))
     val partCols = index.partitionSchema.fieldNames.toSet
+    // an empty snapshot (freshly initialized store, or a first append that
+    // committed zero files) is an empty DataFrame, not an error — like any
+    // parquet/Delta reader; its schema comes from the user or the overlay
+    val inferred: StructType = userSchema.getOrElse {
+      if (entries.isEmpty) new StructType()
+      else new ParquetFileFormat()
+        .inferSchema(spark, fmtOptions, index.allFiles())
+        .getOrElse(throw new IllegalStateException(
+          s"could not infer a parquet schema for $root"))
+    }
     val dataSchema = overlay.foldLeft(
       StructType(inferred.filterNot(f => partCols(f.name)))) { case (s, (n, t)) =>
       if (s.fieldNames.contains(n) || partCols(n)) s
       else s.add(n, DataType.fromDDL(t), nullable = true)
     }
+    require(dataSchema.nonEmpty || partCols.nonEmpty,
+      s"$root is empty and declares no schema — pass .schema(...) or commit data first")
     HadoopFsRelation(index, index.partitionSchema, dataSchema, None,
       new ParquetFileFormat, fmtOptions)(spark)
   }
@@ -223,7 +244,9 @@ class GraftSourceProvider extends RelationProvider
     AppendCommit.commit(data, root,
       partitionCols = partitionCols,
       commitId = parameters.get("commitId"))
-    createRelation(sqlContext, Map("path" -> root))
+    // the written batch's schema backs the returned relation even when the
+    // commit published zero files (an empty first append is still a store)
+    createRelationImpl(sqlContext, Map("path" -> root), Some(data.schema))
   }
 
   /** Spark's SQL surface normalizes the `path` option to a qualified URI
@@ -240,15 +263,31 @@ class GraftSourceProvider extends RelationProvider
     GraftStore.isPointerStore(spark, root) ||
       VersionedStore.isVersioned(new Path(root).toUri.getPath)
 
+  /** `timestampAsOf` accepts epoch-millis, ISO-8601 instants,
+    * `yyyy-MM-dd HH:mm:ss` (UTC), and bare `yyyy-MM-dd` dates (midnight
+    * UTC — the most natural time-travel spelling); anything else fails
+    * with an error that names the accepted formats, not a raw parser
+    * stack trace.
+    */
   private def parseTimestampMillis(s: String): Long = {
     val t = s.trim
     if (t.matches("-?\\d+")) t.toLong
+    else if (t.matches("\\d{4}-\\d{2}-\\d{2}"))
+      java.time.LocalDate.parse(t).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.toEpochMilli
     else try java.time.Instant.parse(t).toEpochMilli
     catch {
       case _: java.time.format.DateTimeParseException =>
-        java.time.LocalDateTime
+        try java.time.LocalDateTime
           .parse(t.replace(' ', 'T'))
           .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            throw new IllegalArgumentException(
+              s"timestampAsOf '$s' is not a recognized time: pass " +
+                "epoch-millis, an ISO-8601 instant (2026-01-02T03:04:05Z), " +
+                "'yyyy-MM-dd HH:mm:ss' (UTC), or a bare 'yyyy-MM-dd' date")
+        }
     }
   }
 }
@@ -300,9 +339,9 @@ private[graft] class GraftFileIndex(
 
   private val partColNames: Seq[String] = {
     val names = perEntryKv.map(_._2.map(_._1)).distinct
-    require(names.size == 1,
+    require(names.size <= 1,
       s"inconsistent partition layouts across snapshot files: $names")
-    names.head
+    names.headOption.getOrElse(Seq.empty) // empty snapshot: no partitioning
   }
 
   override val partitionSchema: StructType = {

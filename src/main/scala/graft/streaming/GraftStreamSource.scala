@@ -44,7 +44,8 @@ class GraftStreamSource(
     root: String,
     dataSchema: StructType,
     startingVersion: String,
-    cdc: Boolean) extends Source with Logging {
+    cdc: Boolean,
+    metadataPath: String) extends Source with Logging {
 
   override val schema: StructType =
     if (cdc) StructType(dataSchema.fields :+
@@ -53,10 +54,45 @@ class GraftStreamSource(
 
   /** Version already consumed when the stream starts (exclusive base).
     * 0 = nothing consumed → first batch is the full live snapshot.
+    *
+    * `latest` resolves against the LIVE store exactly once per CHECKPOINT,
+    * not once per source incarnation: the first incarnation writes the
+    * resolved version under `metadataPath` (Delta's initial-offset pattern)
+    * and every later one reads it back. Without the file, a restart that
+    * replays a not-yet-committed batch 0 would re-resolve `latest` to a
+    * version >= that batch's end and return it empty — silently dropping
+    * every row in (originalBase, end].
     */
   private val baseVersion: Long = startingVersion match {
-    case "latest" => GraftStore.liveVersionOf(spark, root).toLong
+    case "latest" => resolveLatestOnce()
     case n => n.trim.toLong
+  }
+
+  private def resolveLatestOnce(): Long = {
+    val dir = new org.apache.hadoop.fs.Path(metadataPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val file = new org.apache.hadoop.fs.Path(dir, "graft-initial-version")
+    def read(): Long = {
+      val in = fs.open(file)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+    if (fs.exists(file)) read()
+    else {
+      val v = GraftStore.liveVersionOf(spark, root).toLong
+      fs.mkdirs(dir)
+      // write-then-rename: the published file is never partial, and losing
+      // the publish race to a concurrent incarnation just means adopting
+      // the winner's value (both resolved the same checkpoint's start)
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s".graft-initial-version.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.rename(tmp, file)) v
+      else { fs.delete(tmp, false); read() }
+    }
   }
 
   override def getOffset: Option[Offset] = {
@@ -109,4 +145,7 @@ class GraftStreamSource(
   override def stop(): Unit = ()
 
   override def toString: String = s"GraftStreamSource[$root, base=$baseVersion]"
+
+  /** Exposed for the restart spec: the base this incarnation settled on. */
+  private[graft] def resolvedBaseVersion: Long = baseVersion
 }

@@ -249,6 +249,79 @@ class GraftSourceSpec extends SparkSpec {
     assert(hasFileScan(t.filter($"pod" === "pod-1").groupBy($"date").count()))
   }
 
+  test("metadata-only aggregates: renames resolve by exprId, never by projected name") {
+    val root = newRoot("metar")
+    val df = fixture()
+    LogIngest.writeHive(df, root, partitionCols = parts)
+    def hasFileScan(d: DataFrame): Boolean = {
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+        p match {
+          case a: AdaptiveSparkPlanExec => scans(a.inputPlan)
+          case s: FileSourceScanExec => Seq(s)
+          case other => other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+        }
+      scans(d.queryExecution.executedPlan).nonEmpty
+    }
+    val t = spark.read.format("graft").load(root)
+    // a DATA column renamed to shadow a partition column must NOT answer
+    // from directory values — it resolves to `node`, which stats can't group
+    val shadow = t.select($"node".as("date")).groupBy($"date").count()
+    assert(hasFileScan(shadow), "renamed data column must fail open to a scan")
+    val Array(srow) = shadow.collect()
+    assert(srow.getString(0) == "n1" && srow.getLong(1) == df.count())
+    // a column renamed TO time_ns must not answer min/max from ns stats
+    val fakeTs = t.select($"pod".as("time_ns")).groupBy().agg(min($"time_ns"))
+    assert(hasFileScan(fakeTs), "fake time_ns must fail open to a scan")
+    assert(fakeTs.collect().head.getString(0) ==
+      df.agg(min($"pod")).collect().head.getString(0))
+    // a REAL rename of the partition column still answers from metadata —
+    // exprId resolution sees through the alias to the underlying column
+    val renamed = t.select($"date".as("d")).groupBy($"d").count()
+    assert(!hasFileScan(renamed), "renamed partition column keeps the shortcut")
+    val got = renamed.orderBy($"d").collect().map(_.mkString("|"))
+    val want = df.groupBy($"date").count().orderBy($"date")
+      .collect().map(_.mkString("|"))
+    assert(got.sameElements(want))
+    // same for a renamed time_ns under a renamed grouping
+    val rn = t.select($"date".as("d"), $"time_ns".as("tn"))
+      .groupBy($"d").agg(count(lit(1)).as("n"), max($"tn").as("hi"))
+    assert(!hasFileScan(rn))
+    val got2 = rn.orderBy($"d").collect().map(_.mkString("|"))
+    val want2 = df.groupBy($"date")
+      .agg(count(lit(1)).as("n"), max($"time_ns").as("hi"))
+      .orderBy($"date").collect().map(_.mkString("|"))
+    assert(got2.sameElements(want2))
+  }
+
+  test("empty store: reads as an empty DataFrame with a declared schema") {
+    val root = newRoot("empty")
+    GraftStore.init(spark, root)
+    val schema = fixture().schema
+    val got = spark.read.format("graft").schema(schema).load(root)
+    assert(got.count() == 0)
+    assert(got.schema.fieldNames.sameElements(schema.fieldNames))
+    // no user schema, no overlay, nothing committed → a clear error, not
+    // a bare require blowup deep in the index
+    val err = intercept[IllegalArgumentException] {
+      spark.read.format("graft").load(root)
+    }
+    assert(err.getMessage.contains("schema"))
+  }
+
+  test("timestampAsOf: bare dates parse, nonsense names the accepted formats") {
+    val root = newRoot("tsfmt")
+    LogIngest.writeHive(fixture(), root, partitionCols = parts)
+    // a far-future bare date resolves to the live version (midnight UTC)
+    val asOf = spark.read.format("graft")
+      .option("timestampAsOf", "2126-01-01").load(root)
+    assert(asOf.count() == fixture().count())
+    val err = intercept[IllegalArgumentException] {
+      spark.read.format("graft")
+        .option("timestampAsOf", "next tuesday").load(root)
+    }
+    assert(err.getMessage.contains("yyyy-MM-dd"))
+  }
+
   test("pointer tier: manifest-carried multi-leg snapshots read natively over an object store") {
     val srv = new graft.sources.S3StubServer()
     try {

@@ -145,6 +145,37 @@ class GraftStreamSourceSpec extends SparkSpec {
       df.filter($"date" === dates(1) || $"date" === dates(2)).count())
   }
 
+  test("startingVersion=latest resolves once per checkpoint: the base survives restart") {
+    val root = newRoot("latestbase")
+    val df = fixture()
+    val dates = df.select($"date").distinct().as[String].collect().sorted
+    LogIngest.writeHive(df.filter($"date" === dates(0)), root, partitionCols = parts)
+    val schema = spark.read.format("graft").load(root).schema
+    val meta = Files.createTempDirectory("graft-stream-meta").toString
+
+    // first incarnation resolves `latest` against the live store and
+    // PERSISTS it under the metadata path
+    val s1 = new graft.streaming.GraftStreamSource(
+      spark, root, schema, "latest", cdc = false, metadataPath = meta)
+    val base = s1.resolvedBaseVersion
+    assert(base == GraftStore.liveVersionOf(spark, root).toLong)
+
+    // a commit lands, then the driver dies before batch 0 commits: the
+    // restarted incarnation is created AFTER the commit it must deliver
+    AppendCommit.commit(df.filter($"date" === dates(1)), root, parts,
+      retainSnapshots = 3)
+    val s2 = new graft.streaming.GraftStreamSource(
+      spark, root, schema, "latest", cdc = false, metadataPath = meta)
+    // re-resolving `latest` here would skip the commit; the persisted base wins
+    assert(s2.resolvedBaseVersion == base)
+    // a DIFFERENT checkpoint resolves fresh — per-checkpoint, not global
+    val meta2 = Files.createTempDirectory("graft-stream-meta2").toString
+    val s3 = new graft.streaming.GraftStreamSource(
+      spark, root, schema, "latest", cdc = false, metadataPath = meta2)
+    assert(s3.resolvedBaseVersion == GraftStore.liveVersionOf(spark, root).toLong)
+    assert(s3.resolvedBaseVersion > base)
+  }
+
   test("option validation: plain directories and bad startingVersion refuse") {
     val dir = Files.createTempDirectory("graft-stream-plain").toString
     fixture().limit(5).write.mode("overwrite").parquet(s"$dir/plain")
