@@ -139,6 +139,7 @@ object SparkEntry {
     "x19_graft_source" -> (StoreSourceQuery.run(_, _)),
     "x20_stream_tail" -> (StoreTailQuery.run(_, _)),
     "x21_maintain" -> (StoreMaintainQuery.run(_, _)),
+    "x22_stream_sink" -> (StoreSinkQuery.run(_, _)),
     "x17_incremental_matview" -> (StoreMatViewQuery.run(_, _)),
     "d10_stream_dedup" -> (StreamDedupQuery.run(_, _)),
     "x18_metadata_tables" -> (StoreMetaQuery.run(_, _)),
@@ -287,6 +288,17 @@ object SparkEntry {
     // DuckDB restates the per-pod totals from events (same aggregate shape
     // as x19, but the rows travel through readStream micro-batches)
     "x20_stream_tail" ->
+      """SELECT 'pod-' || CAST(user_id % 4 AS VARCHAR) AS pod,
+        |  count(*) AS n,
+        |  CAST(SUM(length(props)) AS BIGINT) AS msg_chars
+        |FROM events
+        |GROUP BY 1 ORDER BY pod""".stripMargin,
+    // x22: the streaming graft SINK — the store-to-store bus (bootstrap
+    // tail of the source store committed micro-batch-atomically into a
+    // second store, with a mid-stream source commit and an idle checkpoint
+    // restart that must commit nothing); DuckDB restates the per-pod
+    // totals from events, so any drop/double on the bus flips the hash
+    "x22_stream_sink" ->
       """SELECT 'pod-' || CAST(user_id % 4 AS VARCHAR) AS pod,
         |  count(*) AS n,
         |  CAST(SUM(length(props)) AS BIGINT) AS msg_chars

@@ -60,9 +60,57 @@ import org.apache.spark.unsafe.types.UTF8String
   * retention), not a side effect of a write.
   */
 class GraftSourceProvider extends RelationProvider with SchemaRelationProvider
-    with CreatableRelationProvider with StreamSourceProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  // ---- streaming write: micro-batches as atomic commits ------------------
+
+  /** `df.writeStream.format("graft")` — see [[graft.streaming.GraftStreamSink]].
+    *
+    * Options: `partitionColumns` (comma list; `.partitionBy(...)` also
+    * works), `maxRecordsPerFile`, `retainSnapshots` (raise when lagging
+    * stream READERS tail this store), `refreshViews` (comma list of
+    * [[graft.logs.MatView]] dirs to catch up after each commit).
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val spark = sqlContext.sparkSession
+    val root = normRoot(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft sink needs a path: df.writeStream.format(\"graft\").start(<store root>)")))
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft streaming sink commits appends; got $outputMode — aggregate " +
+        "under a watermark in append mode, or upsert via " +
+        "LogStreamIngest.startUpsertSink")
+    val partCols =
+      if (partitionColumns.nonEmpty) partitionColumns
+      else parameters.get("partitionColumns")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+    graft.logs.LogIngest.ensureStore(spark, root)
+    // replay detection keys on (sinkId, batchId); the sink id derives from
+    // the checkpoint so it is stable across restarts and two queries with
+    // different checkpoints never collide on a store. Without a durable
+    // checkpoint there is no cross-restart replay to defend against, so a
+    // per-query-run id suffices.
+    val sinkId = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        parameters.getOrElse("checkpointLocation",
+          java.util.UUID.randomUUID().toString)))
+    new graft.streaming.GraftStreamSink(spark, root, sinkId,
+      partitionCols = partCols,
+      maxRecordsPerFile = parameters.get("maxRecordsPerFile")
+        .map(_.trim.toLong).getOrElse(1000000L),
+      retainSnapshots = parameters.get("retainSnapshots")
+        .map(_.trim.toInt).getOrElse(1),
+      refreshViews = parameters.get("refreshViews")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty))
+  }
 
   // ---- streaming read: tail store commits ([[GraftStreamSource]]) --------
 
