@@ -116,6 +116,7 @@ object SparkEntry {
     "t9_token_rarity" -> (ExtensionQueries.tokenRarity(_, _)),
     "t13_tfidf" -> (ExtensionQueries.tfidfScores(_, _)),
     "t14_quality_rules" -> (ExtensionQueries.qualityRules(_, _)),
+    "t15_substring_dedup" -> (ExtensionQueries.substringDedup(_, _)),
     // oracle projection: ppl is spec-gated (transcendental), Catalyst prunes it
     "t10_lm_bigram" -> ((s, dir) => ExtensionQueries.lmBigramScore(s, dir)
       .select("doc_id", "n_bigrams", "sum_bigram_freq", "sum_ctx_freq", "typicality")
@@ -889,6 +890,39 @@ object SparkEntry {
         |    AND n_stop >= 2
         |    AND n_sym * 10 <= n_tokens) AS keep_doc
         |FROM m ORDER BY doc_id""".stripMargin,
+    // t15: repeated-substring spans — any 8-token window shared by >= 2
+    // distinct documents marks its span; overlapping-or-adjacent windows
+    // (start gap <= 8) merge into maximal spans (gaps-and-islands); DuckDB
+    // recomputes windows/dup grams/coverage from the raw text, so a hash
+    // collision, an off-by-one in the window walk, or a bad merge all flip
+    // the hash
+    "t15_substring_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS t
+        |  FROM documents),
+        |w AS (SELECT doc_id, unnest(range(1, len(t)-8+2)) AS pos, t
+        |      FROM d WHERE len(t) >= 8),
+        |g AS (SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS gram FROM w),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |h AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+        |i AS (SELECT doc_id, pos,
+        |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+        |          THEN 1 ELSE 0 END AS brk
+        |      FROM h),
+        |j AS (SELECT doc_id, pos,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM i),
+        |s AS (SELECT doc_id, grp, min(pos) AS s, max(pos)+7 AS e FROM j GROUP BY 1, 2),
+        |ds AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |         CAST(sum(e-s+1) AS BIGINT) AS dup_tokens FROM s GROUP BY 1),
+        |dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows FROM h GROUP BY 1),
+        |nb AS (SELECT doc_id, CAST(greatest(len(t)-7, 0) AS BIGINT) AS n_windows FROM d)
+        |SELECT nb.doc_id, nb.n_windows,
+        |  COALESCE(dw.n_dup_windows, 0) AS n_dup_windows,
+        |  COALESCE(ds.n_spans, 0) AS n_spans,
+        |  COALESCE(ds.dup_tokens, 0) AS dup_tokens
+        |FROM nb LEFT JOIN dw USING (doc_id) LEFT JOIN ds USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "t13_tfidf" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -29,6 +29,63 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Cross-document repeated-substring spans — the distributed shape of
+    * suffix-array ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): any window of `k`
+    * consecutive tokens that also occurs in at least `minDocs` distinct
+    * documents marks its span; overlapping-or-adjacent marked windows merge
+    * into maximal spans per document (the regions an ExactSubstr pass would
+    * cut). Returns one row per document: total window count, duplicated
+    * window count, merged span count, and tokens covered by the spans.
+    *
+    * Scale shape (the suffix array itself does not distribute; this does):
+    * windows explode to (doc, pos, hash) with the gram STRING living only
+    * inside the projection — every shuffle key is the 8-byte hash. One
+    * hash-keyed aggregate (map-side partial) finds grams spanning ≥
+    * `minDocs` docs; one equi-join on the hash marks the windows; span
+    * merging is a per-document window function (state bounded by document
+    * length, the same bound the per-doc text already imposes). Nothing is
+    * corpus-quadratic, and there is no driver-side collect.
+    */
+  def repeatedSubstringSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"window length k=$k must be >= 2")
+    val base = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("t"))
+      .withColumn("n_windows",
+        greatest(size(col("t")) - (k - 1), lit(0)).cast("long"))
+    val win = base.filter(size(col("t")) >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), size(col("t")) - (k - 1)),
+        i => xxhash64(array_join(slice(col("t"), i, lit(k)), " "))))
+        .as(Seq("off", "h")))
+      .select(col(idCol), (col("off") + 1).as("pos"), col("h"))
+    val dup = win.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+    val hits = win.join(dup, "h").select(col(idCol), col("pos"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    // gaps-and-islands: windows whose starts are within k of each other
+    // cover contiguous tokens, so they merge into one span
+    val grouped = hits
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > k, 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(byDoc))
+    val spans = grouped.groupBy(col(idCol), col("grp"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (k - 1)).as("e"))
+    val spanStats = spans.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+    val dupStats = hits.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_windows"))
+    base.select(col(idCol), col("n_windows"))
+      .join(dupStats, Seq(idCol), "left")
+      .join(spanStats, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_dup_windows", "n_spans", "dup_tokens"))
+  }
+
   /** Distinct word-shingle hashes per document: the shared substrate of the
     * Jaccard / MinHash paths. Shingles are hashed to longs immediately so all
     * downstream joins/aggregations move 8-byte values.

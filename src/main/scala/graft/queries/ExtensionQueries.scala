@@ -212,6 +212,15 @@ object ExtensionQueries {
     TextAnalysis.tfidf(Tables.documents(spark, dir))
       .orderBy(col("doc_id"))
 
+  /** t15: cross-document repeated-substring spans
+    * ([[Dedup.repeatedSubstringSpans]]) — the ExactSubstr shape as hashed
+    * k-gram windows + per-doc island merging; DuckDB restates windows,
+    * duplicated grams, and merged-span coverage from the raw text.
+    */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSubstringSpans(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
+
   /** Rolling-hash fingerprints (custom codegen expression; rows-only gate —
     * the hash has no SQL equivalent, ScalaTest pins exact vectors).
     */

@@ -27,6 +27,47 @@ class DedupSpec extends SparkSpec {
     assert(exactPairs.forall { case (a, b) => a < b })
   }
 
+  test("repeated-substring spans: shared windows mark, islands merge, solo repeats don't") {
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val shared = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10" // 10 tokens → 3 windows at k=8
+    val fixture = Seq(
+      // docs 1 and 2 share a 10-token run: 3 dup windows each (pos gaps 1)
+      // merging into ONE span covering 10 tokens
+      (1L, s"${words("a", 4)} $shared ${words("b", 4)}"),
+      (2L, s"${words("x", 2)} $shared ${words("y", 6)}"),
+      // doc 3 repeats an 8-gram WITHIN itself only — minDocs=2 is about
+      // distinct documents, so nothing marks
+      (3L, s"${words("q", 8).replace("q", "r")} ${words("z", 3)} ${words("q", 8).replace("q", "r")}"),
+      // doc 4 is shorter than k: zero windows
+      (4L, "too short to window")
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSubstringSpans(fixture, k = 8, minDocs = 2)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_windows", $"n_dup_windows", $"n_spans", $"dup_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // doc1: 18 tokens → 11 windows; doc2: 18 tokens → 11 windows
+    // doc3: 19 tokens → 12 windows, none duplicated cross-doc
+    assert(got == Seq(
+      (1L, 11L, 3L, 1L, 10L),
+      (2L, 11L, 3L, 1L, 10L),
+      (3L, 12L, 0L, 0L, 0L),
+      (4L, 0L, 0L, 0L, 0L)))
+    // island boundaries: a contiguous dup run merges to one span; a second
+    // shared run past a non-shared gap is a separate island
+    val far = Seq(
+      (1L, s"${words("p", 8)} ${words("m", 8)} filler1 filler2 filler3 filler4 filler5 filler6 filler7 ${words("n", 8)}"),
+      (2L, s"${words("p", 8)} ${words("m", 8)} other1 other2 other3 other4 other5 other6 other7 ${words("n", 8)}")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSubstringSpans(far, k = 8, minDocs = 2)
+      .orderBy($"doc_id")
+      .select($"n_spans", $"dup_tokens").as[(Long, Long)].collect().toSeq
+    // the 9 windows of the shared p-m run (pos 1..9) merge into one span
+    // covering 16 tokens; the shared n-run at the tail (one window, 8
+    // tokens) sits past the gap and stays its own island
+    assert(spans == Seq((2L, 24L), (2L, 24L)))
+  }
+
   test("connected components: transitive chains collapse to the min id") {
     // 1-2, 2-3, 3-4 chain; 10-11 pair; 20-21-22 triangle with a stray 22-23
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
