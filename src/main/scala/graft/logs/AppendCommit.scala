@@ -86,17 +86,42 @@ object AppendCommit {
     * recent micro-batch(es), committed at most `retainSnapshots` commits ago.
     */
   private def committedVersion(spark: SparkSession, root: String,
-      id: String): Option[Int] = {
-    val (versions, dirOf): (Seq[Int], Int => String) =
-      if (GraftStore.isPointerStore(spark, root))
-        (GraftStore.listVersions(spark, root),
-          n => s"$root/${GraftStore.versionPrefix(n)}")
-      else {
-        val local = new Path(root).toUri.getPath
-        (VersionedStore.listVersions(local), n => VersionedStore.versionName(local, n))
+      id: String): Option[Int] =
+    // the durable ledger first — it survives snapshot retention, so a
+    // replay detected here is safe even after interleaved maintenance
+    // reclaimed the version that carried the commit record
+    GraftStore.txnVersion(spark, root, id).orElse {
+      val (versions, dirOf): (Seq[Int], Int => String) =
+        if (GraftStore.isPointerStore(spark, root))
+          (GraftStore.listVersions(spark, root),
+            n => s"$root/${GraftStore.versionPrefix(n)}")
+        else {
+          val local = new Path(root).toUri.getPath
+          (VersionedStore.listVersions(local), n => VersionedStore.versionName(local, n))
+        }
+      val scanned = versions
+        .filter(n => GraftStore.readCommitInfo(spark, dirOf(n)).exists(_.id == id))
+        .maxOption
+      // heal pre-ledger stores / crash-between-flip-and-marker commits
+      scanned.foreach(v => GraftStore.recordTxn(spark, root, id, v))
+      scanned
+    }
+
+  /** Staged row count, empty-safe: a ZERO-ROW batch (an idle micro-batch,
+    * a filtered-out partition) stages only `_SUCCESS` — `spark.read
+    * .parquet` on that dir fails schema inference, so probe for data files
+    * first (a recursive metadata walk over the just-written staging tree)
+    * and only open footers when some exist.
+    */
+  private def countStaged(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, stagingPath: Path): Long = {
+    def anyDataFile(p: Path): Boolean =
+      fs.listStatus(p).exists { s =>
+        Compaction.visible(s.getPath.getName) &&
+          (if (s.isDirectory) anyDataFile(s.getPath) else true)
       }
-    versions.filter(n => GraftStore.readCommitInfo(spark, dirOf(n)).exists(_.id == id))
-      .maxOption
+    if (!anyDataFile(stagingPath)) 0L
+    else spark.read.parquet(stagingPath.toString).count() // footer-only
   }
 
   /** Stage the batch under `stagingDir` with the store's physical write
@@ -134,7 +159,7 @@ object AppendCommit {
       fs.delete(stagingPath, true)
     }
     stage(df, stagingDir, partitionCols, maxRecordsPerFile)
-    val stagedRows = spark.read.parquet(stagingDir).count() // footer-only
+    val stagedRows = countStaged(spark, fs, stagingPath)
     if (stagedRows == 0L) {
       fs.delete(stagingPath, true)
       return Committed(GraftStore.currentVersion(spark, root), 0L, replayed = false)
@@ -217,6 +242,7 @@ object AppendCommit {
         abort(s"concurrent commit detected on $root during append publish " +
           s"(expected v$cur live); staged data kept at $stagingDir — retry")
       GraftStore.writePointer(spark, root, next) // THE commit: one atomic PUT
+      commitId.foreach(GraftStore.recordTxn(spark, root, _, next))
       val keep = GraftStore.closureOf(spark, root,
         GraftStore.listVersions(spark, root)
           .filter(_ < next).takeRight(retainSnapshots).toSet + next)
@@ -241,7 +267,7 @@ object AppendCommit {
     // staging siblings are consumed at publish; a survivor is debris
     if (fs.exists(stagingPath)) fs.delete(stagingPath, true)
     stage(df, stagingDir, partitionCols, maxRecordsPerFile)
-    val stagedRows = spark.read.parquet(stagingDir).count()
+    val stagedRows = countStaged(spark, fs, stagingPath)
     if (stagedRows == 0L) {
       fs.delete(stagingPath, true)
       return Committed(VersionedStore.currentVersion(local), 0L, replayed = false)
@@ -301,6 +327,7 @@ object AppendCommit {
         abort(s"concurrent commit detected on $root during append publish " +
           s"(expected v$prev live); staged data kept at $stagingDir — retry")
       VersionedStore.retarget(local, next) // THE commit: one atomic rename
+      commitId.foreach(GraftStore.recordTxn(spark, root, _, next))
       fs.delete(stagingPath, true) // files live on as links in the version
       val keep = VersionedStore.listVersions(local)
         .filter(_ <= prev).takeRight(retainSnapshots).toSet + next

@@ -55,6 +55,14 @@ object DeleteVectors {
     */
   val MaxRangesDefault: Int = 5000000
 
+  /** Above this many pending deleted POSITIONS, [[applyKeep]] switches from
+    * the exploded equi anti-join to a path-keyed range anti-join: explode
+    * cost is O(positions), range-residual cost is O(rows × ranges-per-file)
+    * — the latter wins exactly when ranges compress well (huge contiguous
+    * strikes), which is when positions blow up.
+    */
+  val ExplodePositionsMax: Long = 4L * 1024 * 1024
+
   /** One file's deletion vector: the file's length at delete time (identity
     * check — see class doc) and the deleted row positions as inclusive
     * `[start, end]` ranges, sorted, non-overlapping, non-adjacent.
@@ -314,6 +322,7 @@ object DeleteVectors {
       if (totalPositions(merged) != totalPositions(prior) + newPositions)
         abort("deletion-vector bookkeeping mismatch; aborting")
       flip(spark, root, cur, next, retainSnapshots, abort)
+      commitId.foreach(GraftStore.recordTxn(spark, root, _, next))
       DeleteCommitted(next, newPositions, replayed = false)
     }
   }
@@ -425,6 +434,7 @@ object DeleteVectors {
         abort(s"merge staged $stagedPhys physical rows, expected " +
           s"$prevPhys + $inserted; aborting with $curDir live")
       flip(spark, root, cur, next, retainSnapshots, abort)
+      commitId.foreach(GraftStore.recordTxn(spark, root, _, next))
       if (!pointer) fs.delete(stagingPath, true) // files live on as links
       MergeCommitted(next, matchedRows, inserted, replayed = false)
     }
@@ -435,17 +445,23 @@ object DeleteVectors {
   private def replayedVersion(spark: SparkSession, root: String,
       commitId: Option[String]): Option[Int] =
     commitId.flatMap { id =>
-      val (versions, dirOf): (Seq[Int], Int => String) =
-        if (GraftStore.isPointerStore(spark, root))
-          (GraftStore.listVersions(spark, root),
-            n => s"$root/${GraftStore.versionPrefix(n)}")
-        else {
-          val local = new Path(root).toUri.getPath
-          (VersionedStore.listVersions(local),
-            n => VersionedStore.versionName(local, n))
-        }
-      versions.filter(n => GraftStore.readCommitInfo(spark, dirOf(n)).exists(_.id == id))
-        .maxOption
+      // ledger first — survives retention (see GraftStore.recordTxn)
+      GraftStore.txnVersion(spark, root, id).orElse {
+        val (versions, dirOf): (Seq[Int], Int => String) =
+          if (GraftStore.isPointerStore(spark, root))
+            (GraftStore.listVersions(spark, root),
+              n => s"$root/${GraftStore.versionPrefix(n)}")
+          else {
+            val local = new Path(root).toUri.getPath
+            (VersionedStore.listVersions(local),
+              n => VersionedStore.versionName(local, n))
+          }
+        val scanned = versions
+          .filter(n => GraftStore.readCommitInfo(spark, dirOf(n)).exists(_.id == id))
+          .maxOption
+        scanned.foreach(v => GraftStore.recordTxn(spark, root, id, v))
+        scanned
+      }
     }
 
   private def requireNoCompactMarker(spark: SparkSession, root: String): Unit = {
@@ -497,23 +513,41 @@ object DeleteVectors {
       }
     }
     if (live.isEmpty) return tagged
-    // expand ranges to explicit positions IN SPARK (chunked so no sequence()
-    // array exceeds 64k elements), giving a pure equi anti-join the planner
-    // can broadcast while vectors are small — O(1) per probed row, vs
-    // O(ranges) for a range-condition join
-    val chunk = 65536L
-    val rangeRows = live.toSeq.flatMap { case (path, v) =>
-      v.ranges.flatMap { case (s, e) =>
-        (s to e by chunk).map(cs => (path, cs, math.min(cs + chunk - 1, e)))
+    val totalPositions = live.valuesIterator
+      .map(_.ranges.iterator.map { case (s, e) => e - s + 1 }.sum).sum
+    if (totalPositions <= ExplodePositionsMax) {
+      // expand ranges to explicit positions IN SPARK (chunked so no
+      // sequence() array exceeds 64k elements), giving a pure equi
+      // anti-join the planner can broadcast while vectors are small —
+      // O(1) per probed row
+      val chunk = 65536L
+      val rangeRows = live.toSeq.flatMap { case (path, v) =>
+        v.ranges.flatMap { case (s, e) =>
+          (s to e by chunk).map(cs => (path, cs, math.min(cs + chunk - 1, e)))
+        }
       }
+      val deletes = rangeRows.toDF("__del_path", "__del_start", "__del_end")
+        .select(col("__del_path"),
+          explode(sequence(col("__del_start"), col("__del_end"))).as("__del_pos"))
+      tagged.join(deletes,
+        tagged(PathCol) === deletes("__del_path") &&
+          tagged(PosCol) === deletes("__del_pos"),
+        "left_anti")
+    } else {
+      // HUGE delete debt (a contiguous billion-row strike compresses to one
+      // range but a billion positions): exploding would cost O(deleted
+      // positions) per read, so anti-join on the file path with the range
+      // test as a join residual — candidates per row are its file's RANGES,
+      // which is exactly what maxRanges already bounds
+      val ranges = live.toSeq.flatMap { case (path, v) =>
+        v.ranges.map { case (s, e) => (path, s, e) }
+      }.toDF("__del_path", "__del_start", "__del_end")
+      tagged.join(ranges,
+        tagged(PathCol) === ranges("__del_path") &&
+          tagged(PosCol) >= ranges("__del_start") &&
+          tagged(PosCol) <= ranges("__del_end"),
+        "left_anti")
     }
-    val deletes = rangeRows.toDF("__del_path", "__del_start", "__del_end")
-      .select(col("__del_path"),
-        explode(sequence(col("__del_start"), col("__del_end"))).as("__del_pos"))
-    tagged.join(deletes,
-      tagged(PathCol) === deletes("__del_path") &&
-        tagged(PosCol) === deletes("__del_pos"),
-      "left_anti")
   }
 
   /** Stage version `next` as a pure carry of version `cur` — manifest
@@ -574,9 +608,11 @@ object DeleteVectors {
     }
     val own = depthUnder(new Path(dir), 0)
     if (own >= 0 && own > 0) return own
-    // own dir may be empty/manifest-only: measure a carried holder instead
-    manifest.headOption.map { case (h, rel) =>
-      rel.count(_ == '/') + 1 // rel is the partition path at carry granularity
+    // own dir may be empty/manifest-only: measure a carried holder instead.
+    // rel is the partition path at carry granularity — "" for a FLAT store
+    // (depth 0), "k=v" for depth 1, "k=v/k2=v2" for depth 2
+    manifest.headOption.map { case (_, rel) =>
+      if (rel.isEmpty) 0 else rel.count(_ == '/') + 1
     }.getOrElse(math.max(own, 0))
   }
 

@@ -109,7 +109,7 @@ object FileStats {
       math.max(1, spark.sparkContext.defaultParallelism))
     spark.sparkContext.parallelize(files, slices).mapPartitions { it =>
       val conf = confB.value.value
-      it.map { case (key, physical, len) =>
+      it.flatMap { case (key, physical, len) =>
         try {
           val reader = ParquetFileReader.open(
             HadoopInputFile.fromPath(new Path(physical), conf))
@@ -159,14 +159,16 @@ object FileStats {
               if (!foundT) statsOk = false
               if (!foundP) podOk = false
             }
-            FileStat(key, len, rows,
+            Some(FileStat(key, len, rows,
               if (statsOk) mn else None, if (statsOk) mx else None,
-              if (podOk) pmn else None, if (podOk) pmx else None)
+              if (podOk) pmn else None, if (podOk) pmx else None))
           } finally reader.close()
         } catch {
-          // unreadable footer: record the file with no stats — it will
-          // always be scanned, and the scan itself will surface the error
-          case _: Throwable => FileStat(key, len, 0L, None, None, None, None)
+          // unreadable footer (transient store error, foreign file): emit NO
+          // line — an absent line already means "always scan, shortcuts
+          // disabled", whereas a line with rows=0 would MATCH by (key,len)
+          // and silently undercount every metadata-only answer
+          case _: Throwable => None
         }
       }
     }.collect().toSeq

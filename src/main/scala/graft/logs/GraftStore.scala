@@ -30,6 +30,7 @@ object GraftStore {
   val PointerName = "_current"
   val ManifestName = "_graft_manifest"
   val CommitInfoName = "_commit-info"
+  val TxnDirName = "_graft_txns"
 
   /** Staged-append directory prefix: a writer stages its part-files under
     * `<root>/_append-<id>` — the `_` prefix keeps the whole subtree
@@ -192,6 +193,43 @@ object GraftStore {
     atomicWriteBytes(spark, new Path(versionDir, ManifestName),
       entries.map { case (h, rel) => s"$h\t$rel" }
         .mkString("\n").getBytes("UTF-8"))
+  }
+
+  /** Durable commit-id ledger (`_graft_txns/<id>` beside the versions, a
+    * sibling `.txns/` dir on the symlink tier): one tiny marker object per
+    * EXPLICIT commit id, holding the committed version. Replay detection
+    * that scans retained versions' commit records is bounded by snapshot
+    * retention — if maintenance commits while a streaming writer is down,
+    * the version carrying the replayed batch's record is reclaimed and the
+    * replay would commit TWICE. The ledger is append-only and survives
+    * retention (Delta's `txn` action made explicit); markers are ~10 bytes,
+    * so a year of one-minute micro-batches is ~5 MB of metadata.
+    * Markers are written AFTER the pointer flip: a crash in between leaves
+    * no marker, and the fallback scan still finds the just-flipped version.
+    */
+  private def txnDir(spark: SparkSession, root: String): Path =
+    if (isPointerStore(spark, root)) new Path(root, TxnDirName)
+    else new Path(new Path(root).toUri.getPath + ".txns")
+
+  private[logs] def recordTxn(spark: SparkSession, root: String, id: String,
+      version: Int): Unit = {
+    val dir = txnDir(spark, root)
+    fsOf(spark, dir).mkdirs(dir)
+    atomicWriteBytes(spark, new Path(dir, id),
+      version.toString.getBytes("UTF-8"))
+  }
+
+  private[logs] def txnVersion(spark: SparkSession, root: String,
+      id: String): Option[Int] = {
+    val p = new Path(txnDir(spark, root), id)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        "UTF-8").trim.toInt)
+      finally in.close()
+    }
   }
 
   /** Atomic metadata-object write — single PUT on object stores, temp+rename

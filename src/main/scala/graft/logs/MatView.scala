@@ -66,10 +66,12 @@ object MatView {
   def create(spark: SparkSession, storeRoot: String, viewDir: String,
       keys: Seq[String], sums: Seq[(String, String)]): Int = {
     require(keys.nonEmpty, "materialized view needs at least one key column")
-    val base = GraftStore.liveVersionOf(spark, storeRoot)
-    val agg = aggregate(GraftStore.readStore(spark, storeRoot), keys, sums)
-    publish(spark, viewDir, 1, agg, Meta(base, keys, sums))
-    1
+    MaintenanceLease.withLeaseRetry(spark, viewDir, "matview-create", 10) {
+      val base = GraftStore.liveVersionOf(spark, storeRoot)
+      val agg = aggregate(GraftStore.readStore(spark, storeRoot), keys, sums)
+      publish(spark, viewDir, 1, agg, Meta(base, keys, sums))
+      1
+    }
   }
 
   /** Bring the view to the store's current snapshot by delta application.
@@ -79,6 +81,16 @@ object MatView {
     * and the refresh just re-bases.
     */
   def refresh(spark: SparkSession, storeRoot: String,
+      viewDir: String): RefreshResult =
+    // serialized per VIEW (not per store): a streaming sink's per-batch
+    // refresh and an operator's matview-refresh/maintain otherwise race the
+    // same staged version dir and the pointer flip — the lease gives the
+    // view's commit path the same discipline every store commit already has
+    MaintenanceLease.withLeaseRetry(spark, viewDir, "matview-refresh", 10) {
+      refreshLocked(spark, storeRoot, viewDir)
+    }
+
+  private def refreshLocked(spark: SparkSession, storeRoot: String,
       viewDir: String): RefreshResult = {
     val cur = currentViewVersion(spark, viewDir)
     val meta = readMeta(spark, dirOf(viewDir, cur))
@@ -96,8 +108,14 @@ object MatView {
     val dAgg = delta.groupBy(meta.keys.map(col): _*).agg(dAggs.head, dAggs.tail: _*)
 
     val view = readView(spark, viewDir)
-    val merged = view.join(dAgg, meta.keys, "full_outer")
-      .select(meta.keys.map(col) ++ Seq(
+    // NULL-SAFE key equality: groupBy treats NULL as a real group, so the
+    // merge join must too — a plain USING join would never match the null
+    // group and the view's null-key row would fork from its delta forever
+    val d = meta.keys.foldLeft(dAgg)((df, k) =>
+      df.withColumnRenamed(k, s"__d_$k"))
+    val cond = meta.keys.map(k => view(k) <=> d(s"__d_$k")).reduce(_ && _)
+    val merged = view.join(d, cond, "full_outer")
+      .select(meta.keys.map(k => coalesce(view(k), d(s"__d_$k")).as(k)) ++ Seq(
         (coalesce(col("n_rows"), lit(0L)) +
           coalesce(col("d_n_rows"), lit(0L))).as("n_rows")) ++
         meta.sums.map { case (name, _) =>

@@ -286,8 +286,16 @@ class GraftSourceProvider extends RelationProvider with SchemaRelationProvider
           "appends through the commit protocol")
       GraftStore.init(spark, root)
     }
+    // `.partitionBy(...)` reaches a v1 source as the JSON-encoded
+    // __partition_columns option — honor it like the explicit option, or a
+    // partitioned write would silently stage FLAT against the store layout
     val partitionCols = parameters.get("partitionColumns")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .orElse(parameters
+        .get(org.apache.spark.sql.execution.datasources.DataSourceUtils
+          .PARTITIONING_COLUMNS_KEY)
+        .map(org.apache.spark.sql.execution.datasources.DataSourceUtils
+          .decodePartitioningColumns))
       .getOrElse(Seq.empty)
     AppendCommit.commit(data, root,
       partitionCols = partitionCols,
@@ -373,13 +381,18 @@ private[graft] class GraftFileIndex(
   private val zoneId = java.time.ZoneId.of(
     spark.sessionState.conf.sessionLocalTimeZone)
 
-  /** `k=v` directory segments of one entry's layout-relative key. */
+  /** `k=v` directory segments of one entry's layout-relative key. Column
+    * NAMES are decoded here; VALUES stay in their on-disk escaped form —
+    * Spark's `castPartValueToDesiredType` runs `unescapePathName` itself
+    * for string/date types, so decoding here too would strip one escape
+    * level twice (`a%252Fb` → `a/b` instead of `a%2Fb`).
+    */
   private def kvSegments(e: GraftStore.FileEntry): Seq[(String, String)] =
     e.key.split('/').filter(_.nonEmpty).dropRight(1).toSeq
       .takeWhile(_.contains('='))
       .map { seg =>
         val i = seg.indexOf('=')
-        (unescapePath(seg.substring(0, i)), unescapePath(seg.substring(i + 1)))
+        (unescapePath(seg.substring(0, i)), seg.substring(i + 1))
       }
 
   private val perEntryKv: Seq[(GraftStore.FileEntry, Seq[(String, String)])] =

@@ -115,7 +115,12 @@ class GraftStreamSource(
     val to = versionOf(end)
     logInfo(s"graft stream batch $root: versions ($from, $to]")
     val rdd =
-      if (to <= from)
+      if (to <= from ||
+          // bootstrapping a dataless snapshot (fresh store): nothing to
+          // read and no parquet schema to infer — an empty batch of the
+          // declared schema, not an inference error
+          (from == 0L &&
+            GraftStore.compositeEntries(spark, root, to.toInt).isEmpty))
         spark.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow]
       else {
         val batch: DataFrame =

@@ -144,6 +144,36 @@ class AppendCommitSpec extends SparkSpec {
     }
   }
 
+  test("replay survives retention: the txn ledger outlives the commit's snapshot") {
+    withS3("ledger-lake") { root =>
+      val df = fixture().cache()
+      // time_ns is micros*1000, so its low bits are constant — split on a
+      // hash, not on the raw value
+      val bucket = pmod(xxhash64($"time_ns"), lit(4))
+      val head = df.filter(bucket < 2)
+      val batch = df.filter(bucket === 2)
+      val tail = df.filter(bucket === 3)
+      LogIngest.writeHive(head, root, partitionCols = parts)
+      val c1 = AppendCommit.commit(batch, root, parts, commitId = Some("led-b1"))
+      assert(!c1.replayed)
+      val after = head.count() + batch.count()
+      assert(GraftStore.readStore(spark, root).count() == after)
+      // maintenance while the writer is down: a FULL compaction rewrites
+      // every partition, so no manifest references led-b1's version any
+      // more and the next commit's retention reclaims it with its commit
+      // record — the scan-retained-versions fallback can no longer see it
+      Compaction.compactHive(spark, root, partitionCols = parts, full = true)
+      AppendCommit.commit(tail, root, parts)
+      assert(!GraftStore.listVersions(spark, root).contains(c1.version),
+        "fixture must actually reclaim the replayed batch's version")
+      // the restarted writer replays its batch: the durable ledger, not
+      // snapshot luck, must stop the double-commit
+      val replay = AppendCommit.commit(batch, root, parts, commitId = Some("led-b1"))
+      assert(replay.replayed && replay.version == c1.version)
+      assert(GraftStore.readStore(spark, root).count() == after + tail.count())
+    }
+  }
+
   test("writer vs maintenance: the publish queues behind the lease, then lands") {
     withS3("race-writer-lake") { root =>
       val df = fixture().limit(1500).cache()

@@ -38,6 +38,27 @@ class DeleteVectorSpec extends SparkSpec {
   // deterministic point-delete predicate (~1/7 of rows)
   private def delCond = xxhash64($"message") % 7 === 0
 
+  test("flat (unpartitioned) pointer store: repeated merges carry at depth 0") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dv-flat")
+      .resolve("store").toString
+    GraftStore.init(spark, root)
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("id", "payload")
+    AppendCommit.commit(batch((1L, "a"), (2L, "b")), root,
+      partitionCols = Seq.empty, commitId = Some("flat-0"))
+    // the first merge works from the live tree; the SECOND works from a
+    // manifest-only version whose carry rel is "" — its depth must come out
+    // 0, not 1, or the staged rows "land in no partition dirs"
+    DeleteVectors.mergeByKey(spark, root, batch((2L, "b2"), (3L, "c")),
+      keyCols = Seq("id"), partitionCols = Seq.empty,
+      commitId = Some("flat-m1"))
+    DeleteVectors.mergeByKey(spark, root, batch((3L, "c2"), (4L, "d")),
+      keyCols = Seq("id"), partitionCols = Seq.empty,
+      commitId = Some("flat-m2"))
+    val got = GraftStore.readStore(spark, root)
+      .select($"id", $"payload").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "b2", 3L -> "c2", 4L -> "d"))
+  }
+
   test("range compression and merge are exact") {
     assert(DeleteVectors.compress(Seq(0L, 1L, 2L, 5L, 7L, 8L)) ==
       Seq((0L, 2L), (5L, 5L), (7L, 8L)))

@@ -308,6 +308,39 @@ class GraftSourceSpec extends SparkSpec {
     assert(err.getMessage.contains("schema"))
   }
 
+  test("partition values with escapable characters decode exactly once") {
+    val root = newRoot("esc")
+    // 'a%2Fb' (literal percent-two-F) hive-escapes on disk to 'a%252Fb';
+    // a double decode would read it back as 'a/b'
+    val df = Seq((1L, "a%2Fb"), (2L, "plain")).toDF("id", "tag")
+    LogIngest.ensureStore(spark, root)
+    AppendCommit.commit(df, root, partitionCols = Seq("tag"))
+    val got = spark.read.format("graft").load(root)
+    assert(got.select($"tag").distinct().collect().map(_.getString(0)).toSet ==
+      Set("a%2Fb", "plain"))
+    assert(got.filter($"tag" === "a%2Fb").count() == 1)
+    // the metadata-aggregate shortcut sees the same single-decoded values
+    val grouped = spark.read.format("graft").load(root)
+      .groupBy($"tag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(grouped == Map("a%2Fb" -> 1L, "plain" -> 1L))
+  }
+
+  test("batch write: .partitionBy lands as real partition dirs") {
+    val root = newRoot("pby")
+    val df = fixture()
+    df.write.format("graft").partitionBy(parts: _*)
+      .mode(SaveMode.Append).save(root)
+    val got = spark.read.format("graft").load(root)
+    assert(got.count() == df.count())
+    assert(got.schema.fieldNames.toSet.intersect(parts.toSet) == parts.toSet)
+    assert(got.inputFiles.forall(_.contains("date=")),
+      "partitionBy must produce hive-layout files, not a flat stage")
+    // and a second partitioned append through the same spelling still works
+    df.limit(0).write.format("graft").partitionBy(parts: _*)
+      .mode(SaveMode.Append).save(root)
+  }
+
   test("timestampAsOf: bare dates parse, nonsense names the accepted formats") {
     val root = newRoot("tsfmt")
     LogIngest.writeHive(fixture(), root, partitionCols = parts)

@@ -37,6 +37,33 @@ class MatViewSpec extends SparkSpec {
     MatView.readView(spark, viewDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
 
+  test("null group keys merge through refresh (null-safe delta join)") {
+    val w = tmp("nullkey")
+    val root = w.resolve("lake").toString
+    val viewDir = w.resolve("view").toString
+    // event_type carries NULLs: groupBy makes a real null group, so the
+    // incremental delta must find and merge it, not fork a duplicate row
+    val withNulls = fixture()
+      .withColumn("event_type",
+        when($"val_l" % 3 === 0, lit(null: String)).otherwise($"event_type"))
+    LogIngest.writeHive(withNulls, root, partitionCols = parts)
+    MatView.create(spark, root, viewDir,
+      keys = Seq("event_type"), sums = Seq("sum_val" -> "val_l"))
+    val more = withNulls.withColumn("val_l", $"val_l" + 1000L)
+      .withColumn("time_ns", $"time_ns" + 1L)
+    AppendCommit.commit(more, root, parts, commitId = Some("mv-null-1"))
+    MatView.refresh(spark, root, viewDir)
+    val got = MatView.readView(spark, viewDir).collect()
+      .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = withNulls.unionAll(more)
+      .groupBy($"event_type")
+      .agg(count(lit(1)), sum($"val_l"))
+      .collect().map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got.size == want.size, s"null group must not fork: $got")
+    assert(got == want)
+  }
+
   test("create computes the full aggregate; refresh on unchanged head is a no-op") {
     val w = tmp("create")
     val root = w.resolve("lake").toString
