@@ -144,6 +144,7 @@ object SparkEntry {
     "x17_incremental_matview" -> (StoreMatViewQuery.run(_, _)),
     "d10_stream_dedup" -> (StreamDedupQuery.run(_, _)),
     "x18_metadata_tables" -> (StoreMetaQuery.run(_, _)),
+    "x23_metadata_agg" -> (StoreMetaAggQuery.run(_, _)),
     "v6_random_projection" -> (ExtensionQueries.randomProjectionGates(_, _)),
     "t11_bpe_vocab" -> (ExtensionQueries.bpeVocabGates(_, _)),
     "v7_quantize_int8" -> (ExtensionQueries.quantizationGates(_, _)),
@@ -1208,6 +1209,26 @@ object SparkEntry {
         |  TRUE AS mor_stats_unchanged, TRUE AS debt_drained_ok,
         |  TRUE AS history_ok
         |FROM events GROUP BY 1 ORDER BY date""".stripMargin,
+    // x23: partition-scoped metadata-only aggregates — the engine answers
+    // "rows + time bounds per day since last week" and the freshness probe
+    // max(date) from the stats sidecar + directory values (require()d to
+    // plan with NO file scan); DuckDB restates every number by scanning
+    // events for real, so a wrong dir kept/dropped or a drifted stats line
+    // flips the hash
+    "x23_metadata_agg" ->
+      """WITH cut AS (
+        |  SELECT strftime(make_timestamp(
+        |    (max(epoch_ns(ts)) - 604800000000000) // 1000), '%Y-%m-%d') AS d
+        |  FROM events)
+        |SELECT strftime(ts, '%Y-%m-%d') AS date,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(epoch_ns(ts)) // 1000 AS lo_us,
+        |  max(epoch_ns(ts)) // 1000 AS hi_us,
+        |  TRUE AS total_count_ok,
+        |  TRUE AS freshness_probe_ok
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') >= (SELECT d FROM cut)
+        |GROUP BY 1 ORDER BY date""".stripMargin,
     // d10: the survivor set of the 3-batch online-dedup stream is pure SQL
     // over documents (first batch wins, then min doc_id); store uniqueness,
     // the re-send no-op, and the batch-API cross-check are engine booleans

@@ -2,19 +2,21 @@ package graft.plans
 
 import graft.sources.GraftFileIndex
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, ExprId, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, BoundReference, ExprId, Expression, Literal, NamedExpression, PlanExpression, Predicate}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Metadata-only aggregates over `format("graft")` relations — the
   * optimizer-rule twin of the DSv2 `SupportsPushDownAggregates` contract
   * (and of [[graft.logs.MetaTables]]' manual surface): `COUNT(*)` /
-  * `MIN(time_ns)` / `MAX(time_ns)`, globally or GROUPED BY partition
-  * columns, with no filter, collapse to a [[LocalRelation]] computed from
-  * the commit-time `_graft_filestats` sidecar — the query answers from
-  * manifest-tier metadata with ZERO data file I/O. At 100 TB that is the
+  * `MIN(time_ns)` / `MAX(time_ns)` / `MIN`/`MAX` of a PARTITION column
+  * (`max(date)` — the "how fresh is the store" probe, answered from
+  * directory values), globally or GROUPED BY partition columns, with no
+  * filter, collapse to a [[LocalRelation]] computed from the commit-time
+  * `_graft_filestats` sidecar — the query answers from manifest-tier
+  * metadata with ZERO data file I/O. At 100 TB that is the
   * difference between an instant answer and a full-store scan ("rows per
   * day, whole store" is the canonical ops query), the Iceberg/Delta
   * "stats-only query" play.
@@ -27,9 +29,15 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *     ([[GraftFileIndex.completeStats]]); one out-of-protocol file
   *     disables the rewrite wholesale (fail open to the real scan);
   *   - grouping keys must be bare partition-column attributes (values come
-  *     from directory names, which every file in the dir shares); anything
-  *     else — a Filter, a data-column group, DISTINCT, an agg filter —
-  *     breaks the match and the plan runs untouched;
+  *     from directory names, which every file in the dir shares); a
+  *     `Filter` participates ONLY when its predicate touches partition
+  *     columns alone (then it selects whole directories exactly — every
+  *     row in a dir shares the dir's values, so `filter(date >= D).count()`
+  *     is still answered with zero I/O, the Delta/Iceberg partition-scoped
+  *     stats-count); anything else — a data-column predicate, a
+  *     data-column group, DISTINCT, an agg filter, a subquery or
+  *     nondeterministic condition — breaks the match and the plan runs
+  *     untouched;
   *   - `MIN`/`MAX` only when every file in the group carries the bound (an
   *     all-null `time_ns` file has none, and parquet-style min/max ignore
   *     nulls exactly like the aggregate does on non-empty data).
@@ -40,16 +48,17 @@ object GraftMetadataAggregate extends Rule[LogicalPlan] {
     case agg @ Aggregate(groupingExprs, aggExprs, child, _)
         if groupingExprs.forall(_.isInstanceOf[AttributeReference]) =>
       indexOf(child) match {
-        case Some((idx, resolve)) =>
+        case Some((idx, resolve, conds)) =>
           rewrite(agg, groupingExprs.map(_.asInstanceOf[AttributeReference]),
-            aggExprs, idx, resolve).getOrElse(agg)
+            aggExprs, idx, resolve, conds).getOrElse(agg)
         case None => agg
       }
   }
 
   private def rewrite(agg: Aggregate, grouping: Seq[AttributeReference],
       aggExprs: Seq[NamedExpression], idx: GraftFileIndex,
-      resolve: Map[ExprId, Attribute]): Option[LogicalPlan] = {
+      resolve: Map[ExprId, Attribute],
+      conds: Seq[Expression]): Option[LogicalPlan] = {
     val partCols = idx.partitionSchema.fieldNames
     // grouping keys resolve BY exprId to the relation's own attributes —
     // an intervening rename (`select($"node".as("date"))`) resolves to the
@@ -60,27 +69,51 @@ object GraftMetadataAggregate extends Rule[LogicalPlan] {
       grouping.map(g => resolve.get(g.exprId))
     if (groupingBase.exists(b => b.isEmpty || !partCols.contains(b.get.name)))
       return None
-    if (grouping.isEmpty) {
-      idx.completeStats.flatMap { st =>
-        val values = aggExprs.map(evalFromStats(_, st, Map.empty, resolve))
+    // a Filter joins the shortcut only when it selects whole directories:
+    // deterministic, subquery-free, every referenced column a partition
+    // column (resolved by exprId, so renames can't smuggle a data column)
+    val condsAnswerable = conds.forall { c =>
+      c.deterministic &&
+        !c.exists(_.isInstanceOf[PlanExpression[_]]) &&
+        c.references.forall(a =>
+          resolve.get(a.exprId).exists(u => partCols.contains(u.name)))
+    }
+    if (!condsAnswerable) return None
+    idx.statsByPartitionValues.map { all =>
+      if (conds.isEmpty) all
+      else {
+        val bound = conds.reduce(And).transform {
+          case a: AttributeReference =>
+            val i = partCols.indexOf(resolve(a.exprId).name)
+            BoundReference(i, idx.partitionSchema(i).dataType, nullable = true)
+        }
+        val pred = Predicate.createInterpreted(bound)
+        // NULL predicate results drop the dir — exactly a row Filter's
+        // semantics, and exact because every row in a dir carries the
+        // dir's partition values
+        all.filter { case (vals, _) => pred.eval(InternalRow.fromSeq(vals)) }
+      }
+    }.flatMap { perDir =>
+      if (grouping.isEmpty) {
+        val values = aggExprs.map(
+          evalFromStats(_, perDir, partCols, Map.empty, resolve))
         if (values.forall(_.isDefined))
           Some(LocalRelation(agg.output, Seq(InternalRow.fromSeq(values.map(_.get)))))
         else None
-      }
-    } else {
-      idx.statsByPartitionValues.flatMap { perDir =>
+      } else {
         // project each partition dir's values onto the grouping columns,
         // then merge dirs that agree on them (grouping by a PREFIX of the
         // partitioning, e.g. by date over a date/hour layout)
         val gIdx = groupingBase.map(b => partCols.indexOf(b.get.name))
         val merged = perDir
           .groupBy { case (vals, _) => gIdx.map(vals(_)) }
-          .toSeq.map { case (key, dirs) => (key, dirs.flatMap(_._2)) }
-        val rows = merged.map { case (key, st) =>
+          .toSeq.map { case (key, dirs) => (key, dirs) }
+        val rows = merged.map { case (key, dirs) =>
           val byId = grouping.zipWithIndex.map { case (g, i) =>
             g.exprId -> key(i)
           }.toMap
-          val values = aggExprs.map(evalFromStats(_, st, byId, resolve))
+          val values = aggExprs.map(
+            evalFromStats(_, dirs, partCols, byId, resolve))
           if (values.forall(_.isDefined))
             Some(InternalRow.fromSeq(values.map(_.get)))
           else None
@@ -93,22 +126,26 @@ object GraftMetadataAggregate extends Rule[LogicalPlan] {
   }
 
   /** The graft fast-tier index behind `child` when `child` is the relation
-    * under attribute-only projections, PLUS the resolution map from each
-    * visible attribute's exprId to the RELATION attribute it carries —
-    * aliases resolve through to the underlying column, so every downstream
-    * column test matches physical identity, never a projected name.
+    * under attribute-only projections and filters, PLUS the resolution map
+    * from each visible attribute's exprId to the RELATION attribute it
+    * carries — aliases resolve through to the underlying column, so every
+    * downstream column test matches physical identity, never a projected
+    * name — plus every `Filter` condition met on the way down (the caller
+    * decides whether those are answerable; their attributes stay resolvable
+    * because inner exprIds are kept in the map alongside projected ones).
     */
-  private def indexOf(
-      child: LogicalPlan): Option[(GraftFileIndex, Map[ExprId, Attribute])] =
+  private def indexOf(child: LogicalPlan)
+      : Option[(GraftFileIndex, Map[ExprId, Attribute], Seq[Expression])] =
     child match {
       case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         fs.location match {
           case idx: GraftFileIndex =>
-            Some((idx, lr.output.map(a => (a.exprId, a: Attribute)).toMap))
+            Some((idx, lr.output.map(a => (a.exprId, a: Attribute)).toMap,
+              Seq.empty))
           case _ => None
         }
       case Project(projectList, inner) =>
-        indexOf(inner).flatMap { case (idx, innerMap) =>
+        indexOf(inner).flatMap { case (idx, innerMap, conds) =>
           val entries = projectList.map {
             case a: AttributeReference =>
               innerMap.get(a.exprId).map(u => a.exprId -> u)
@@ -116,42 +153,92 @@ object GraftMetadataAggregate extends Rule[LogicalPlan] {
               innerMap.get(a.exprId).map(u => al.exprId -> u)
             case _ => None
           }
-          if (entries.forall(_.isDefined)) Some((idx, entries.flatten.toMap))
+          if (entries.forall(_.isDefined))
+            Some((idx, innerMap ++ entries.flatten, conds))
           else None
+        }
+      case Filter(cond, inner) =>
+        indexOf(inner).map { case (idx, innerMap, conds) =>
+          (idx, innerMap, conds :+ cond)
         }
       case _ => None
     }
 
   /** `Some(internal value)` when this output expression is answerable from
-    * the group's stats (aggregates) or the directory values (grouping keys,
-    * matched by exprId).
+    * the group's per-dir stats (row aggregates), the directory VALUES
+    * themselves (`min`/`max` over a partition column — `max(date)` is the
+    * canonical "how fresh is the store" probe, exact from dir names with
+    * zero I/O), or the grouping keys (matched by exprId). Scalar
+    * expressions AROUND those leaves (`cast(max(date) as string)`,
+    * `min(time_ns) div 1000` — CollapseProject folds post-agg projections
+    * into the Aggregate, so they arrive here) are handled by substituting
+    * each evaluated leaf as a [[Literal]] and constant-folding the rest;
+    * any residue (an unanswerable aggregate, a non-grouping column, a
+    * nondeterministic call) fails the whole rewrite open.
     */
   private def evalFromStats(e: NamedExpression,
-      st: Seq[graft.logs.FileStats.FileStat],
+      dirs: Seq[(Seq[Any], Seq[graft.logs.FileStats.FileStat])],
+      partCols: Seq[String],
       groupValue: Map[ExprId, Any],
       resolve: Map[ExprId, Attribute]): Option[Any] = {
+    val st = dirs.flatMap(_._2)
     def isTimeNs(a: Attribute): Boolean =
       resolve.get(a.exprId).exists(_.name == "time_ns")
+    /** min/max over a PARTITION column: exact from directory values —
+      * restricted to dirs that actually hold rows (a zero-row file cannot
+      * witness a value) with the null partition ignored, exactly the row
+      * aggregate's null semantics. Atomic partition types are Comparable
+      * in their internal form (Int, Long, UTF8String, date-days).
+      */
+    def partMinMax(a: Attribute, wantMin: Boolean): Option[Any] =
+      resolve.get(a.exprId).map(_.name).filter(partCols.contains).map { n =>
+        val i = partCols.indexOf(n)
+        val vals = dirs.filter(_._2.map(_.rows).sum > 0)
+          .map(_._1(i)).filter(_ != null)
+        if (vals.isEmpty) null
+        else {
+          val ord = new Ordering[Any] {
+            def compare(x: Any, y: Any): Int =
+              x.asInstanceOf[Comparable[Any]].compareTo(y)
+          }
+          if (wantMin) vals.min(ord) else vals.max(ord)
+        }
+      }
     def fromAgg(ae: AggregateExpression): Option[Any] =
       if (ae.isDistinct || ae.filter.nonEmpty) None
       else ae.aggregateFunction match {
         case Count(Seq(Literal(v, _))) if v != null => Some(st.map(_.rows).sum)
         case Min(a: Attribute) if isTimeNs(a) =>
           val bounds = st.map(_.minNs)
-          if (bounds.forall(_.nonEmpty)) Some(bounds.flatten.min) else None
+          if (bounds.isEmpty) Some(null) // zero rows survive: SQL min = null
+          else if (bounds.forall(_.nonEmpty)) Some(bounds.flatten.min)
+          else None
         case Max(a: Attribute) if isTimeNs(a) =>
           val bounds = st.map(_.maxNs)
-          if (bounds.forall(_.nonEmpty)) Some(bounds.flatten.max) else None
+          if (bounds.isEmpty) Some(null)
+          else if (bounds.forall(_.nonEmpty)) Some(bounds.flatten.max)
+          else None
+        case Min(a: Attribute) => partMinMax(a, wantMin = true)
+        case Max(a: Attribute) => partMinMax(a, wantMin = false)
         case _ => None
       }
-    e match {
-      case Alias(ae: AggregateExpression, _) => fromAgg(ae)
-      case ae: AggregateExpression => fromAgg(ae)
+    if (!e.deterministic) return None
+    var answerable = true
+    val substituted = e.transform {
+      case ae: AggregateExpression =>
+        fromAgg(ae) match {
+          case Some(v) => Literal(v, ae.dataType)
+          case None => answerable = false; ae
+        }
       case a: AttributeReference if groupValue.contains(a.exprId) =>
-        Some(groupValue(a.exprId))
-      case Alias(a: AttributeReference, _) if groupValue.contains(a.exprId) =>
-        Some(groupValue(a.exprId))
-      case _ => None
+        Literal(groupValue(a.exprId), a.dataType)
     }
+    val body = substituted match {
+      case Alias(c, _) => c
+      case other => other
+    }
+    if (!answerable || body.references.nonEmpty ||
+        body.exists(_.isInstanceOf[AggregateExpression])) None
+    else scala.util.Try(body.eval(InternalRow.empty)).toOption
   }
 }

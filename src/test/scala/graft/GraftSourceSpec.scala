@@ -247,6 +247,50 @@ class GraftSourceSpec extends SparkSpec {
     assert(hasFileScan(t.groupBy($"pod").count()))
     // neither is a grouped aggregate under a filter
     assert(hasFileScan(t.filter($"pod" === "pod-1").groupBy($"date").count()))
+    // min/max over a PARTITION column answers from directory values —
+    // max(date) is the canonical freshness probe
+    val fresh = t.groupBy().agg(min($"date").as("lo"), max($"date").as("hi"))
+    assert(!hasFileScan(fresh), "partition-column min/max must be metadata-only")
+    val Array(fr) = fresh.collect()
+    val Array(wf) = df.agg(min($"date"), max($"date")).collect()
+    assert(fr.mkString("|") == wf.mkString("|"))
+    // grouped: per-cluster latest date, still zero I/O
+    val perC = t.groupBy($"cluster").agg(max($"date").as("hi"), count(lit(1)).as("n"))
+    assert(!hasFileScan(perC))
+    assert(perC.collect().map(_.mkString("|")).sorted.sameElements(
+      df.groupBy($"cluster").agg(max($"date").as("hi"), count(lit(1)).as("n"))
+        .collect().map(_.mkString("|")).sorted))
+    // min/max over a DATA column still scans
+    assert(hasFileScan(t.groupBy().agg(max($"pod"))))
+    // a PARTITION-column-only filter selects whole directories exactly —
+    // count/min/max under it stay metadata-only (the partition-scoped
+    // stats-count)
+    val ds = df.select($"date").distinct().as[String].collect().sorted
+    val mid = ds(ds.length / 2)
+    val cnt = t.filter($"date" >= mid).groupBy().count()
+    assert(!hasFileScan(cnt), "partition-only filter + count must be metadata-only")
+    assert(cnt.as[Long].head() == df.filter($"date" >= mid).count())
+    val gf = t.filter($"date" >= mid).groupBy($"date").count()
+    assert(!hasFileScan(gf))
+    assert(gf.collect().map(_.mkString("|")).sorted.sameElements(
+      df.filter($"date" >= mid).groupBy($"date").count()
+        .collect().map(_.mkString("|")).sorted))
+    // a partition filter selecting NO dirs: count 0, min/max SQL-null
+    val none = t.filter($"date" === "1970-01-01")
+      .agg(count(lit(1)).as("n"), max($"time_ns").as("hi"), max($"date").as("d"))
+    assert(!hasFileScan(none))
+    val Array(nr) = none.collect()
+    assert(nr.getLong(0) == 0L && nr.isNullAt(1) && nr.isNullAt(2))
+    // CollapseProject folds post-agg scalars INTO the Aggregate
+    // (`cast(max(date) as string)`) — the substituted-literal fold keeps
+    // those metadata-only too
+    val folded = t.groupBy($"date").agg(max($"time_ns").as("hi"))
+      .select($"date".cast("string").as("d"), expr("hi div 1000").as("hi_us"))
+    assert(!hasFileScan(folded), "folded post-agg scalars must stay metadata-only")
+    assert(folded.collect().map(_.mkString("|")).sorted.sameElements(
+      df.groupBy($"date").agg(max($"time_ns").as("hi"))
+        .select($"date".cast("string").as("d"), expr("hi div 1000").as("hi_us"))
+        .collect().map(_.mkString("|")).sorted))
   }
 
   test("metadata-only aggregates: renames resolve by exprId, never by projected name") {
