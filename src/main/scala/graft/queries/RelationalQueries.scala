@@ -516,30 +516,44 @@ object RelationalQueries {
 
   /** TPC-H Q21 shape: suppliers who were the only late shipper in a finished
     * multi-supplier order ("late" = shipped >60 days after the order date —
-    * the testdata has no commit/receipt dates). EXISTS/NOT EXISTS go through
-    * the SQL surface so Catalyst plans the semi/anti joins.
+    * the testdata has no commit/receipt dates).
+    *
+    * Single-pass formulation: the textbook EXISTS / NOT EXISTS self-joins
+    * reference the lineitem⋈orders CTE three times, and Spark INLINES
+    * repeated CTE refs — three fact-table shuffles where one suffices (at
+    * sf1 this was the slowest TPC-H query in the suite, 3× the cost of its
+    * neighbors). Both existence checks are order-scoped, so they collapse
+    * to window aggregates over the ONE join output, partitioned by the
+    * join key the rows already hash on (zero extra shuffles):
+    *   ∃ other supplier        ⟺ min(l_suppkey) ≠ max(l_suppkey)
+    *   ∄ other LATE supplier   ⟺ min(late supp) = max(late supp), given
+    *                             this row is itself late.
+    * The DuckDB oracle keeps the EXISTS formulation — two independent
+    * derivations of the same rows.
     */
   def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v_q21")
-    Tables.orders(spark, dir).createOrReplaceTempView("orders_v_q21")
-    Tables.supplier(spark, dir).createOrReplaceTempView("supplier_v_q21")
-    spark.sql(
-      """WITH lo AS (
-        |  SELECT l_orderkey, l_suppkey,
-        |         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
-        |  FROM lineitem_v_q21 JOIN orders_v_q21 ON l_orderkey = o_orderkey
-        |  WHERE o_orderstatus = 'F')
-        |SELECT s_name, count(*) AS numwait
-        |FROM lo l1 JOIN supplier_v_q21 ON s_suppkey = l1.l_suppkey
-        |WHERE l1.late
-        |  AND EXISTS (SELECT 1 FROM lo l2
-        |              WHERE l2.l_orderkey = l1.l_orderkey
-        |                AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (SELECT 1 FROM lo l3
-        |                  WHERE l3.l_orderkey = l1.l_orderkey
-        |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
-        |GROUP BY s_name
-        |ORDER BY numwait DESC, s_name""".stripMargin)
+    val lo = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > date_add(col("o_orderdate"), 60)).as("late"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    val lateSupp = when(col("late"), col("l_suppkey"))
+    lo.withColumn("supp_lo", min(col("l_suppkey")).over(w))
+      .withColumn("supp_hi", max(col("l_suppkey")).over(w))
+      .withColumn("late_lo", min(lateSupp).over(w))
+      .withColumn("late_hi", max(lateSupp).over(w))
+      .filter(col("late") && col("supp_lo") =!= col("supp_hi") &&
+        col("late_lo") === col("late_hi"))
+      .join(broadcast(Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+        col("s_suppkey") === col("l_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
   }
 
   /** Exact grouped COUNT(DISTINCT): suppliers per part brand. The distinct
