@@ -40,12 +40,16 @@ object Dedup {
     *
     * Scale shape (the suffix array itself does not distribute; this does):
     * windows explode to (doc, pos, hash) with the gram STRING living only
-    * inside the projection — every shuffle key is the 8-byte hash. One
-    * hash-keyed aggregate (map-side partial) finds grams spanning ≥
-    * `minDocs` docs; one equi-join on the hash marks the windows; span
-    * merging is a per-document window function (state bounded by document
-    * length, the same bound the per-doc text already imposes). Nothing is
-    * corpus-quadratic, and there is no driver-side collect.
+    * inside the projection — every shuffle key is the 8-byte hash. At the
+    * default `minDocs = 2`, "occurs in ≥2 distinct docs" is exactly
+    * `min(doc) ≠ max(doc)` over a hash-partitioned window — ONE shuffle of
+    * the exploded rows, no aggregate-plus-join-back (which would recompute
+    * the whole explode: Spark inlines, it does not materialize). For
+    * `minDocs > 2` the general countDistinct aggregate + hash equi-join
+    * path runs instead. Span merging is a per-document window function
+    * (state bounded by document length, the same bound the per-doc text
+    * already imposes). Nothing is corpus-quadratic, and there is no
+    * driver-side collect.
     */
   def repeatedSubstringSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -61,11 +65,25 @@ object Dedup {
         i => xxhash64(array_join(slice(col("t"), i, lit(k)), " "))))
         .as(Seq("off", "h")))
       .select(col(idCol), (col("off") + 1).as("pos"), col("h"))
-    val dup = win.groupBy(col("h"))
-      .agg(countDistinct(col(idCol)).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select(col("h"))
-    val hits = win.join(dup, "h").select(col(idCol), col("pos"))
+    val hits =
+      if (minDocs == 2) {
+        // single-pass: ≥2 distinct docs ⟺ min(doc) ≠ max(doc) over the
+        // hash partition — one shuffle of the exploded rows, and the
+        // explode runs once (an aggregate + join-back would inline and
+        // recompute it)
+        val byHash = Window.partitionBy(col("h"))
+        win
+          .withColumn("d_lo", min(col(idCol)).over(byHash))
+          .withColumn("d_hi", max(col(idCol)).over(byHash))
+          .filter(col("d_lo") =!= col("d_hi"))
+          .select(col(idCol), col("pos"))
+      } else {
+        val dup = win.groupBy(col("h"))
+          .agg(countDistinct(col(idCol)).as("nd"))
+          .filter(col("nd") >= minDocs)
+          .select(col("h"))
+        win.join(dup, "h").select(col(idCol), col("pos"))
+      }
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     // gaps-and-islands: windows whose starts are within k of each other
     // cover contiguous tokens, so they merge into one span
