@@ -457,12 +457,16 @@ object RelationalQueries {
   /** TPC-H Q16 shape: distinct supplier counts per (brand, type, size) for a
     * size set, excluding one brand and "complaint" suppliers (negative
     * balance stands in for the comment scan). The exclusion set is a
-    * broadcast anti join; the distinct runs as expand+aggregate.
+    * broadcast anti join. Both broadcast joins run BEFORE any shuffle so
+    * the selective part filter prunes the fact rows first, and there is no
+    * pre-`distinct()` — `countDistinct` already dedups (two-phase partial
+    * aggregate), so a distinct would only add a full-width extra shuffle
+    * of the unfiltered pair set.
     */
   def supplierCountByPart(spark: SparkSession, dir: String): DataFrame = {
     val excluded = Tables.supplier(spark, dir)
       .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
-    Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey")).distinct()
+    Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
       .join(broadcast(Tables.part(spark, dir)
           .filter(col("p_brand") =!= "Brand#11" &&
             col("p_size").isin(1, 5, 9, 14, 20, 27, 33, 40))),
