@@ -103,11 +103,16 @@ object GraftMetadataAggregate extends Rule[LogicalPlan] {
       } else {
         // project each partition dir's values onto the grouping columns,
         // then merge dirs that agree on them (grouping by a PREFIX of the
-        // partitioning, e.g. by date over a date/hour layout)
+        // partitioning, e.g. by date over a date/hour layout). A group
+        // whose files all carry zero rows is DROPPED — a real scan
+        // produces no group for it (only the global aggregate reports
+        // count=0 over nothing), so a committed zero-row file must not
+        // invent a (key, 0) row or a phantom DISTINCT value.
         val gIdx = groupingBase.map(b => partCols.indexOf(b.get.name))
         val merged = perDir
           .groupBy { case (vals, _) => gIdx.map(vals(_)) }
           .toSeq.map { case (key, dirs) => (key, dirs) }
+          .filter { case (_, dirs) => dirs.flatMap(_._2).exists(_.rows > 0) }
         val rows = merged.map { case (key, dirs) =>
           val byId = grouping.zipWithIndex.map { case (g, i) =>
             g.exprId -> key(i)

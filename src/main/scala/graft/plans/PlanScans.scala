@@ -1,0 +1,32 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan walkers shared by the metadata-only-aggregate gates
+  * ([[graft.queries.StoreMetaAggQuery]]'s `require()`s) and the plan
+  * specs — one definition of "does this query touch a file scan", so a
+  * plan-shape change (a new AQE wrapper, a scan node variant) is handled
+  * once instead of drifting across copies.
+  */
+object PlanScans {
+
+  /** Every file-source scan in the executed plan, walking through AQE
+    * wrappers and into subqueries.
+    */
+  def fileScans(df: DataFrame): Seq[FileSourceScanExec] = {
+    def walk(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(walk) ++ other.subqueries.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  /** True when the plan contains no file-source scan at all — the whole
+    * answer comes from metadata ([[GraftMetadataAggregate]]'s
+    * LocalRelation).
+    */
+  def scanless(df: DataFrame): Boolean = fileScans(df).isEmpty
+}

@@ -543,7 +543,11 @@ object RelationalQueries {
           .select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
-        (col("l_shipdate") > date_add(col("o_orderdate"), 60)).as("late"))
+        // + INTERVAL, not date_add: date_add would truncate a timestamp
+        // orderdate to midnight and silently diverge from the oracle's
+        // `o_orderdate + INTERVAL 60 DAY`
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .as("late"))
     val w = Window.partitionBy(col("l_orderkey"))
     val lateSupp = when(col("late"), col("l_suppkey"))
     lo.withColumn("supp_lo", min(col("l_suppkey")).over(w))

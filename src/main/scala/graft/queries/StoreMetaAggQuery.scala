@@ -2,9 +2,8 @@ package graft.queries
 
 import graft.Tables
 import graft.logs._
+import graft.plans.PlanScans
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -30,18 +29,7 @@ object StoreMetaAggQuery {
     Tables.memo(memo, dir, spark)(build(spark, dir))
   }
 
-  /** True when the physical plan contains no file-source scan at all —
-    * the whole answer came from [[graft.plans.GraftMetadataAggregate]]'s
-    * LocalRelation. */
-  private def scanless(d: DataFrame): Boolean = {
-    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
-      p match {
-        case a: AdaptiveSparkPlanExec => scans(a.inputPlan)
-        case s: FileSourceScanExec => Seq(s)
-        case other => other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
-      }
-    scans(d.queryExecution.executedPlan).isEmpty
-  }
+  private def scanless(d: DataFrame): Boolean = PlanScans.scanless(d)
 
   private def build(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

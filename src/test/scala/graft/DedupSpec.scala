@@ -66,6 +66,24 @@ class DedupSpec extends SparkSpec {
     // covering 16 tokens; the shared n-run at the tail (one window, 8
     // tokens) sits past the gap and stays its own island
     assert(spans == Seq((2L, 24L), (2L, 24L)))
+    // minDocs > 2 takes the general countDistinct+join branch (minDocs=2
+    // runs the single-pass window path): a run shared by exactly two docs
+    // no longer qualifies, one shared by three still does
+    val three = Seq(
+      (1L, s"$shared ${words("a", 4)}"),
+      (2L, s"$shared ${words("b", 4)}"),
+      (3L, s"$shared ${words("c", 4)}"),
+      // e-run shared by docs 4 and 5 ONLY — below the minDocs=3 bar
+      (4L, s"${words("e", 10)} ${words("f", 4)}"),
+      (5L, s"${words("e", 10)} ${words("g", 4)}")
+    ).toDF("doc_id", "text")
+    val md3 = Dedup.repeatedSubstringSpans(three, k = 8, minDocs = 3)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_dup_windows", $"n_spans", $"dup_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(md3 == Seq(
+      (1L, 3L, 1L, 10L), (2L, 3L, 1L, 10L), (3L, 3L, 1L, 10L),
+      (4L, 0L, 0L, 0L), (5L, 0L, 0L, 0L)))
   }
 
   test("connected components: transitive chains collapse to the min id") {

@@ -26,17 +26,9 @@ class FileStatsSpec extends SparkSpec {
     .withColumn("date", date_format($"time", "yyyy-MM-dd"))
 
   /** Leaf files the executed plan actually scans. */
-  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
-    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
-      p match {
-        case a: AdaptiveSparkPlanExec => scans(a.inputPlan)
-        case s: FileSourceScanExec => Seq(s)
-        case other => other.children.flatMap(scans) ++
-          other.subqueries.flatMap(scans)
-      }
-    scans(df.queryExecution.executedPlan)
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    graft.plans.PlanScans.fileScans(df)
       .flatMap(_.relation.location.inputFiles.toSeq)
-  }
 
   test("commit-time stats: sidecar exists, row counts sum, min/max cover") {
     val root = Files.createTempDirectory("graft-fstats").resolve("store").toString

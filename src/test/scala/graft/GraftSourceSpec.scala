@@ -35,13 +35,7 @@ class GraftSourceSpec extends SparkSpec {
       .collect().map(_.mkString("|")).sorted.toSeq
 
   private def scanExec(df: DataFrame): FileSourceScanExec = {
-    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
-      p match {
-        case a: AdaptiveSparkPlanExec => scans(a.inputPlan)
-        case s: FileSourceScanExec => Seq(s)
-        case other => other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
-      }
-    val ss = scans(df.queryExecution.executedPlan)
+    val ss = graft.plans.PlanScans.fileScans(df)
     assert(ss.size == 1, s"expected one file scan, got ${ss.size}")
     ss.head
   }
@@ -180,15 +174,7 @@ class GraftSourceSpec extends SparkSpec {
     val root = newRoot("meta")
     val df = fixture()
     LogIngest.writeHive(df, root, partitionCols = parts)
-    def hasFileScan(d: DataFrame): Boolean = {
-      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
-        p match {
-          case a: AdaptiveSparkPlanExec => scans(a.inputPlan)
-          case s: FileSourceScanExec => Seq(s)
-          case other => other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
-        }
-      scans(d.queryExecution.executedPlan).nonEmpty
-    }
+    def hasFileScan(d: DataFrame): Boolean = !graft.plans.PlanScans.scanless(d)
     val t = spark.read.format("graft").load(root)
     val cnt = t.groupBy().agg(count(lit(1)).as("n"),
       min($"time_ns").as("lo"), max($"time_ns").as("hi"))
@@ -219,15 +205,7 @@ class GraftSourceSpec extends SparkSpec {
     val root = newRoot("metag")
     val df = fixture()
     LogIngest.writeHive(df, root, partitionCols = parts)
-    def hasFileScan(d: DataFrame): Boolean = {
-      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
-        p match {
-          case a: AdaptiveSparkPlanExec => scans(a.inputPlan)
-          case s: FileSourceScanExec => Seq(s)
-          case other => other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
-        }
-      scans(d.queryExecution.executedPlan).nonEmpty
-    }
+    def hasFileScan(d: DataFrame): Boolean = !graft.plans.PlanScans.scanless(d)
     val t = spark.read.format("graft").load(root)
     val per = t.groupBy($"date")
       .agg(count(lit(1)).as("n"), max($"time_ns").as("hi"))
@@ -297,15 +275,7 @@ class GraftSourceSpec extends SparkSpec {
     val root = newRoot("metar")
     val df = fixture()
     LogIngest.writeHive(df, root, partitionCols = parts)
-    def hasFileScan(d: DataFrame): Boolean = {
-      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
-        p match {
-          case a: AdaptiveSparkPlanExec => scans(a.inputPlan)
-          case s: FileSourceScanExec => Seq(s)
-          case other => other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
-        }
-      scans(d.queryExecution.executedPlan).nonEmpty
-    }
+    def hasFileScan(d: DataFrame): Boolean = !graft.plans.PlanScans.scanless(d)
     val t = spark.read.format("graft").load(root)
     // a DATA column renamed to shadow a partition column must NOT answer
     // from directory values — it resolves to `node`, which stats can't group
