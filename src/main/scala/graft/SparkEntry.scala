@@ -143,6 +143,7 @@ object SparkEntry {
     "x22_stream_sink" -> (StoreSinkQuery.run(_, _)),
     "x17_incremental_matview" -> (StoreMatViewQuery.run(_, _)),
     "d10_stream_dedup" -> (StreamDedupQuery.run(_, _)),
+    "d11_stream_neardup" -> (StreamNearDupQuery.run(_, _)),
     "x18_metadata_tables" -> (StoreMetaQuery.run(_, _)),
     "x23_metadata_agg" -> (StoreMetaAggQuery.run(_, _)),
     "v6_random_projection" -> (ExtensionQueries.randomProjectionGates(_, _)),
@@ -1242,6 +1243,22 @@ object SparkEntry {
         |  TRUE AS unique_ok, TRUE AS resend_noop_ok,
         |  TRUE AS store_matches_expected
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // d11: streaming NEAR-dedup survivors — order-dependent but
+    // non-recursive ("earlier SEEN", not "earlier admitted"), so pure SQL:
+    // a doc survives iff no exact-Jaccard pair (τ=0.8, the d2 body) links
+    // it to a doc with a smaller (batch, doc_id) arrival key. LSH recall,
+    // exact verification, and arrival order are all on the hash; the
+    // stream-vs-batch identity and the re-send no-op are engine booleans
+    "d11_stream_neardup" ->
+      ("WITH pairs AS (" + exactJaccardPairsBody + "),\n" +
+        """sym AS (SELECT id_a AS e, id_b AS d FROM pairs
+          |  UNION ALL SELECT id_b AS e, id_a AS d FROM pairs),
+          |dup AS (SELECT DISTINCT d FROM sym
+          |  WHERE (e % 3 < d % 3) OR (e % 3 = d % 3 AND e < d))
+          |SELECT doc_id, lang, source,
+          |  TRUE AS matches_batch_expected, TRUE AS resend_noop_ok
+          |FROM documents WHERE doc_id NOT IN (SELECT d FROM dup)
+          |ORDER BY doc_id""".stripMargin),
     // x17: the final materialized view restated from events minus the
     // delete predicate; the incremental-vs-full identity, per-commit delta
     // counts, and no-op/re-base behaviors are engine-verified booleans

@@ -81,6 +81,173 @@ object StreamingDedup {
     } finally withFp.unpersist()
   }
 
+  final case class NearDupResult(streamed: Long, admitted: Long,
+      droppedSeenId: Long, droppedNearDup: Long, version: Int,
+      replayed: Boolean)
+
+  /** ONLINE NEAR-duplicate filtering for one micro-batch: admit a document
+    * only when no EARLIER-SEEN document is an n-gram-Jaccard near-dup
+    * (J ≥ `threshold`) — the streaming counterpart of
+    * [[Dedup.minhashLshPairs]], with exact verification.
+    *
+    * The LSH state lives in STORES, not in streaming operator state: a
+    * `bands` index ((band, bucket, doc_id) — 8-byte rows) serves candidate
+    * generation by equi-join, and a `grams` index (doc_id → distinct
+    * shingle hashes, stored ONCE per doc) serves exact verification. That
+    * is the 100 TB shape: checkpoint state stays empty (restart-safe with
+    * no state-store bloat), the indexes are columnar, compactable, and
+    * queryable, and a crawler re-visit is an 8-byte id anti-join. Per
+    * batch:
+    *   1. id-resends drop (`doc_id` already in the grams index);
+    *   2. shingle + MinHash + band the fresh docs (one projection, no
+    *      shuffle — `bands=32, rows=2` puts the τ=0.8 miss probability
+    *      per true pair below 1e-14);
+    *   3. candidates = bands-index ⋈ batch bands on (band, bucket), plus
+    *      the in-batch self-join (earlier = smaller `doc_id`, the d10
+    *      arrival rule);
+    *   4. exact Jaccard on the 8-byte shingle sets verifies candidates
+    *      (hash collisions only ADD candidates; the exact check decides);
+    *   5. survivors commit exactly-once ([[AppendCommit]] + `commitId`);
+    *      ALL fresh docs (admitted or dropped — "earlier seen", not
+    *      "earlier admitted", keeps the policy non-recursive and
+    *      SQL-restatable) land in both indexes under a
+    *      per-commit directory, so a replayed batch overwrites its own
+    *      index slice instead of doubling it.
+    *
+    * Documents with fewer than `n` tokens have no shingles: they are never
+    * near-dups (of anything) and always admit — matching the batch
+    * operators' semantics.
+    */
+  def nearDupAppendBatch(spark: SparkSession, storeRoot: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      partitionCols: Seq[String], commitId: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 32,
+      threshold: Double = 0.8,
+      maxRecordsPerFile: Long = 1000000L): NearDupResult = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val idx = indexRoot(storeRoot)
+    import graft.expr.SketchFunctions
+    val withG = batch.dropDuplicates(idCol).withColumn("grams",
+      array_sort(array_distinct(
+        SketchFunctions.wordShingleHashes(col(textCol), n)))).persist()
+    try {
+      val streamed = withG.count()
+      val seenIds = readIndex(spark, s"$idx/grams")
+        .map(_.select(col("doc_id").as(idCol)))
+      val fresh = seenIds.fold(withG.toDF())(s =>
+        withG.join(s, Seq(idCol), "left_anti")).persist()
+      try {
+        val freshCount = fresh.count()
+        val sigs = fresh.filter(size(col("grams")) >= 1)
+          .withColumn("sig", SketchFunctions.minHashSig(col("grams"), numHashes))
+        val batchBands = sigs.select(col(idCol).as("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+          .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+          .persist()
+        val gramsOf = fresh.select(col(idCol).as("doc_id"), col("grams"))
+        val crossPairs = readIndex(spark, s"$idx/bands").map(sb =>
+          sb.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+            .join(batchBands.select(col("band"), col("bucket"),
+              col("doc_id").as("id_b")), Seq("band", "bucket"))
+            .select(col("id_a"), col("id_b")))
+        val inBatchPairs = batchBands.as("a")
+          .join(batchBands.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        val cand = crossPairs.fold(inBatchPairs)(_.unionAll(inBatchPairs))
+          .dropDuplicates("id_a", "id_b")
+        val earlierGrams = readIndex(spark, s"$idx/grams")
+          .fold(gramsOf)(g => g.unionByName(gramsOf))
+        val dupIds = cand
+          .join(earlierGrams.select(col("doc_id").as("id_a"),
+            col("grams").as("grams_a")), "id_a")
+          .join(gramsOf.select(col("doc_id").as("id_b"),
+            col("grams").as("grams_b")), "id_b")
+          .filter(size(array_intersect(col("grams_a"), col("grams_b")))
+            .cast("double") /
+            size(array_union(col("grams_a"), col("grams_b"))) >= threshold)
+          .select(col("id_b").as(idCol)).distinct()
+        val survivors = fresh.join(dupIds, Seq(idCol), "left_anti")
+          .drop("grams")
+        val admitted = survivors.count()
+        val result =
+          if (admitted == 0)
+            NearDupResult(streamed, 0L,
+              droppedSeenId = streamed - freshCount,
+              droppedNearDup = freshCount,
+              version = GraftStore.liveVersionOf(spark, storeRoot),
+              replayed = false)
+          else {
+            val committed = AppendCommit.commit(survivors, storeRoot,
+              partitionCols = partitionCols,
+              maxRecordsPerFile = maxRecordsPerFile,
+              commitId = Some(commitId))
+            NearDupResult(streamed, admitted,
+              droppedSeenId = streamed - freshCount,
+              droppedNearDup = freshCount - admitted,
+              version = committed.version, replayed = committed.replayed)
+          }
+        // index appends are per-commit directories: a replay OVERWRITES
+        // its own slice (idempotent), never doubles it. Write order is
+        // crash-deliberate: corpus commit, THEN bands, THEN grams — the
+        // grams index is the id-authority the resend anti-join reads, so
+        // any crash before it lands makes the replay recompute the whole
+        // batch (healing a half-written bands slice) instead of silently
+        // skipping docs whose buckets never landed.
+        if (freshCount > 0) {
+          batchBands
+            .write.mode("overwrite").parquet(s"$idx/bands/c=$commitId")
+          fresh.select(col(idCol).as("doc_id"), col("grams"))
+            .write.mode("overwrite").parquet(s"$idx/grams/c=$commitId")
+        }
+        batchBands.unpersist()
+        result
+      } finally fresh.unpersist()
+    } finally withG.unpersist()
+  }
+
+  /** Continuous online NEAR-dup filtering: every micro-batch admits only
+    * documents with no earlier-seen Jaccard near-dup, exactly-once.
+    */
+  def startNearDupSink(docs: DataFrame, storeRoot: String, checkpoint: String,
+      idCol: String, textCol: String, partitionCols: Seq[String],
+      n: Int = 3, numHashes: Int = 64, bands: Int = 32,
+      threshold: Double = 0.8,
+      triggerInterval: String = "60 seconds",
+      maxRecordsPerFile: Long = 1000000L): StreamingQuery = {
+    val spark = docs.sparkSession
+    val sinkId = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(checkpoint))
+    LogIngest.ensureStore(spark, storeRoot)
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        nearDupAppendBatch(spark, storeRoot, batch.toDF(), idCol, textCol,
+          partitionCols, commitId = s"nd$sinkId-b$batchId",
+          n = n, numHashes = numHashes, bands = bands, threshold = threshold,
+          maxRecordsPerFile = maxRecordsPerFile)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .start()
+  }
+
+  /** The near-dup LSH indexes live NEXT TO the store root (not inside it:
+    * store directories are versioned snapshots).
+    */
+  private[graft] def indexRoot(storeRoot: String): String =
+    storeRoot.stripSuffix("/") + "-neardup-index"
+
+  private def readIndex(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(path).drop("c")) else None
+  }
+
   /** Continuous online dedup: every micro-batch of `docs` admits only
     * never-seen content into the store, exactly-once per batch.
     */

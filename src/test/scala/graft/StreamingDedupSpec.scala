@@ -95,6 +95,46 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got == Map(1L -> "x", 2L -> "y", 4L -> "z"), s"store=$got")
   }
 
+  test("near-dup admission: LSH candidates, exact verify, store-backed state") {
+    val root = tmp("near").resolve("corpus").toString
+    LogIngest.ensureStore(spark, root)
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val base = words("b", 11) // 9 word-3-grams
+    val other = words("c", 11)
+    val b0 = docsDF((1L, base, "en"), (2L, words("u", 11), "en"),
+      (7L, "hi there", "en"))
+    val r0 = StreamingDedup.nearDupAppendBatch(spark, root, b0,
+      "doc_id", "text", Seq("lang"), commitId = "nd-c0")
+    assert(r0.streamed == 3 && r0.admitted == 3, s"r0=$r0")
+    // batch 1: 3 ~ 1 (J=0.9, cross-batch), 1 is an id re-send, 6 ~ 5
+    // in-batch (earlier = smaller id), 8 repeats 7's SHORT text (no
+    // 3-grams → near-dup never fires → admitted), 4 is fresh
+    val b1 = docsDF((3L, s"$base b12", "en"), (4L, words("v", 11), "en"),
+      (8L, "hi there", "en"), (1L, base, "en"),
+      (5L, other, "en"), (6L, s"$other c12", "en"))
+    val r1 = StreamingDedup.nearDupAppendBatch(spark, root, b1,
+      "doc_id", "text", Seq("lang"), commitId = "nd-c1")
+    assert(r1.streamed == 6 && r1.droppedSeenId == 1 &&
+      r1.droppedNearDup == 2 && r1.admitted == 3, s"r1=$r1")
+    // 9 duplicates DROPPED doc 6 — the policy is "earlier SEEN", not
+    // "earlier admitted", so it still drops (non-recursive rule)
+    val b2 = docsDF((9L, s"$other c12", "en"))
+    val r2 = StreamingDedup.nearDupAppendBatch(spark, root, b2,
+      "doc_id", "text", Seq("lang"), commitId = "nd-c2")
+    assert(r2.admitted == 0 && r2.droppedNearDup == 1, s"r2=$r2")
+    val ids = GraftStore.readStore(spark, root)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 4L, 5L, 7L, 8L), s"ids=$ids")
+    // full re-send: the 8-byte id anti-join short-circuits everything —
+    // zero admissions, no version churn
+    val v = GraftStore.liveVersionOf(spark, root)
+    val rAll = StreamingDedup.nearDupAppendBatch(spark, root,
+      b0.unionAll(b1).unionAll(b2), "doc_id", "text", Seq("lang"),
+      commitId = "nd-c3")
+    assert(rAll.admitted == 0 && rAll.droppedSeenId == rAll.streamed &&
+      GraftStore.liveVersionOf(spark, root) == v, s"rAll=$rAll")
+  }
+
   test("the seen side scans ONLY the fingerprint column") {
     val root = tmp("prune").resolve("corpus").toString
     LogIngest.ensureStore(spark, root)
