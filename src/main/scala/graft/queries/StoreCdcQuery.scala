@@ -67,10 +67,15 @@ object StoreCdcQuery {
     require(dates.length > 2, s"fixture too small: ${dates.length} dates")
     // v2: a small-file mess atomically appended into the newest date — the
     // writer commit protocol (stage under _append-<id>, publish by
-    // manifest-add + one pointer PUT) runs inside the oracle gate
+    // manifest-add + one pointer PUT) runs inside the oracle gate. The
+    // mess SCALES WITH THE DAY (~16 files at any sf): a fixed
+    // rows-per-file would mint ~17k files at sf1 and turn this gate into
+    // the whole bench's critical path (the x21-storm lesson).
+    val lastDay = df.filter($"date" === dates.last)
     val mess = AppendCommit.commit(
-      df.filter($"date" === dates.last).repartition(4), root, parts,
-      maxRecordsPerFile = 10, commitId = Some("cdc-mess"))
+      lastDay.repartition(4), root, parts,
+      maxRecordsPerFile = math.max(1L, lastDay.count() / 16),
+      commitId = Some("cdc-mess"))
     require(mess.version == 2 && !mess.replayed,
       s"append commit published v${mess.version} (replayed=${mess.replayed})")
 
