@@ -147,10 +147,16 @@ object StreamingDedup {
           .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
           .persist()
         val gramsOf = fresh.select(col(idCol).as("doc_id"), col("grams"))
+        // id_a ≠ id_b: a doc can meet ITS OWN index rows after a crash
+        // landed the bands slice but not the grams slice (the replay
+        // recomputes the whole batch) — self-identity is never a dup;
+        // genuine id re-sends never reach here (the grams-index anti-join
+        // dropped them)
         val crossPairs = readIndex(spark, s"$idx/bands").map(sb =>
           sb.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
             .join(batchBands.select(col("band"), col("bucket"),
               col("doc_id").as("id_b")), Seq("band", "bucket"))
+            .filter(col("id_a") =!= col("id_b"))
             .select(col("id_a"), col("id_b")))
         val inBatchPairs = batchBands.as("a")
           .join(batchBands.as("b"),

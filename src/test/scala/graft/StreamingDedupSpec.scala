@@ -135,6 +135,39 @@ class StreamingDedupSpec extends SparkSpec {
       GraftStore.liveVersionOf(spark, root) == v, s"rAll=$rAll")
   }
 
+  test("near-dup crash ordering: a lost grams slice replays to a consistent state") {
+    val root = tmp("nearcrash").resolve("corpus").toString
+    LogIngest.ensureStore(spark, root)
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val base = words("b", 11)
+    StreamingDedup.nearDupAppendBatch(spark, root,
+      docsDF((1L, base, "en"), (2L, words("u", 11), "en")),
+      "doc_id", "text", Seq("lang"), commitId = "ndc-c0")
+    val b1 = docsDF((3L, s"$base b12", "en"), (4L, words("v", 11), "en"))
+    val r1 = StreamingDedup.nearDupAppendBatch(spark, root, b1,
+      "doc_id", "text", Seq("lang"), commitId = "ndc-c1")
+    assert(r1.admitted == 1 && r1.droppedNearDup == 1, s"r1=$r1")
+    // simulate the crash window: corpus commit and bands slice landed,
+    // the grams slice (the id-authority) did not
+    val idx = StreamingDedup.indexRoot(root)
+    val gramsSlice = new org.apache.hadoop.fs.Path(s"$idx/grams/c=ndc-c1")
+    val fs = gramsSlice.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(gramsSlice, true), "fixture: grams slice must exist")
+    // replay: ids 3/4 look unseen again, the whole batch recomputes, the
+    // corpus commit no-ops via its commit id, the slices land again
+    val r2 = StreamingDedup.nearDupAppendBatch(spark, root, b1,
+      "doc_id", "text", Seq("lang"), commitId = "ndc-c1")
+    assert(r2.replayed && r2.admitted == 1 && r2.droppedNearDup == 1, s"r2=$r2")
+    assert(fs.exists(gramsSlice), "replay must restore the grams slice")
+    val ids = GraftStore.readStore(spark, root)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 4L), s"ids=$ids")
+    // after the heal, the id anti-join short-circuits the re-send again
+    val r3 = StreamingDedup.nearDupAppendBatch(spark, root, b1,
+      "doc_id", "text", Seq("lang"), commitId = "ndc-c2")
+    assert(r3.admitted == 0 && r3.droppedSeenId == 2, s"r3=$r3")
+  }
+
   test("the seen side scans ONLY the fingerprint column") {
     val root = tmp("prune").resolve("corpus").toString
     LogIngest.ensureStore(spark, root)
