@@ -165,6 +165,18 @@ object Dedup {
   def minhashSignatures(grams: DataFrame, numHashes: Int): DataFrame =
     grams.withColumn("sig", SketchFunctions.minHashSig(col("grams"), numHashes))
 
+  /** (doc_id, band, bucket) rows from a `sig` column: each of `bands`
+    * signature slices of `rows` values hashes to one bucket. THE banding
+    * definition — the batch pair-finder and the streaming near-dup index
+    * must produce identical buckets, so both call this.
+    */
+  def bandedBuckets(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
   /** MinHash + LSH banding: signatures are sliced into `bands` bands of
     * `rows = numHashes/bands` values; documents sharing any band bucket are
     * candidates; candidates are verified with exact Jaccard on the shingle
@@ -187,11 +199,7 @@ object Dedup {
     // Banded rows are NARROW (doc_id, band, bucket): the shingle arrays must
     // not ride through the candidate join + dedupe shuffle. Payloads are
     // joined back once per surviving candidate pair.
-    val banded = sigs.select(
-      col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded = bandedBuckets(sigs, bands, rows)
     val candIds = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

@@ -128,92 +128,125 @@ object StreamingDedup {
     val rows = numHashes / bands
     val idx = indexRoot(storeRoot)
     import graft.expr.SketchFunctions
+    // the kernel already dedupes shingle hashes, and array_intersect/
+    // array_union need no sort — trust it like Dedup.shingleHashes does
     val withG = batch.dropDuplicates(idCol).withColumn("grams",
-      array_sort(array_distinct(
-        SketchFunctions.wordShingleHashes(col(textCol), n)))).persist()
+      SketchFunctions.wordShingleHashes(col(textCol), n)).persist()
     try {
       val streamed = withG.count()
-      val seenIds = readIndex(spark, s"$idx/grams")
-        .map(_.select(col("doc_id").as(idCol)))
+      // ONE read of the grams index serves both the resend anti-join and
+      // exact verification
+      val gramsIdx = readIndex(spark, s"$idx/grams")
+      val seenIds = gramsIdx.map(_.select(col("doc_id").as(idCol)))
       val fresh = seenIds.fold(withG.toDF())(s =>
         withG.join(s, Seq(idCol), "left_anti")).persist()
       try {
         val freshCount = fresh.count()
         val sigs = fresh.filter(size(col("grams")) >= 1)
           .withColumn("sig", SketchFunctions.minHashSig(col("grams"), numHashes))
-        val batchBands = sigs.select(col(idCol).as("doc_id"),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
-          .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+        val batchBands = Dedup.bandedBuckets(
+          sigs.select(col(idCol).as("doc_id"), col("sig")), bands, rows)
           .persist()
-        val gramsOf = fresh.select(col(idCol).as("doc_id"), col("grams"))
-        // id_a ≠ id_b: a doc can meet ITS OWN index rows after a crash
-        // landed the bands slice but not the grams slice (the replay
-        // recomputes the whole batch) — self-identity is never a dup;
-        // genuine id re-sends never reach here (the grams-index anti-join
-        // dropped them)
-        val crossPairs = readIndex(spark, s"$idx/bands").map(sb =>
-          sb.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
-            .join(batchBands.select(col("band"), col("bucket"),
-              col("doc_id").as("id_b")), Seq("band", "bucket"))
-            .filter(col("id_a") =!= col("id_b"))
-            .select(col("id_a"), col("id_b")))
-        val inBatchPairs = batchBands.as("a")
-          .join(batchBands.as("b"),
-            col("a.band") === col("b.band") &&
-              col("a.bucket") === col("b.bucket") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        val cand = crossPairs.fold(inBatchPairs)(_.unionAll(inBatchPairs))
-          .dropDuplicates("id_a", "id_b")
-        val earlierGrams = readIndex(spark, s"$idx/grams")
-          .fold(gramsOf)(g => g.unionByName(gramsOf))
-        val dupIds = cand
-          .join(earlierGrams.select(col("doc_id").as("id_a"),
-            col("grams").as("grams_a")), "id_a")
-          .join(gramsOf.select(col("doc_id").as("id_b"),
-            col("grams").as("grams_b")), "id_b")
-          .filter(size(array_intersect(col("grams_a"), col("grams_b")))
-            .cast("double") /
-            size(array_union(col("grams_a"), col("grams_b"))) >= threshold)
-          .select(col("id_b").as(idCol)).distinct()
-        val survivors = fresh.join(dupIds, Seq(idCol), "left_anti")
-          .drop("grams")
-        val admitted = survivors.count()
-        val result =
-          if (admitted == 0)
-            NearDupResult(streamed, 0L,
-              droppedSeenId = streamed - freshCount,
-              droppedNearDup = freshCount,
-              version = GraftStore.liveVersionOf(spark, storeRoot),
-              replayed = false)
-          else {
-            val committed = AppendCommit.commit(survivors, storeRoot,
-              partitionCols = partitionCols,
-              maxRecordsPerFile = maxRecordsPerFile,
-              commitId = Some(commitId))
-            NearDupResult(streamed, admitted,
-              droppedSeenId = streamed - freshCount,
-              droppedNearDup = freshCount - admitted,
-              version = committed.version, replayed = committed.replayed)
-          }
-        // index appends are per-commit directories: a replay OVERWRITES
-        // its own slice (idempotent), never doubles it. Write order is
-        // crash-deliberate: corpus commit, THEN bands, THEN grams — the
-        // grams index is the id-authority the resend anti-join reads, so
-        // any crash before it lands makes the replay recompute the whole
-        // batch (healing a half-written bands slice) instead of silently
-        // skipping docs whose buckets never landed.
-        if (freshCount > 0) {
-          batchBands
-            .write.mode("overwrite").parquet(s"$idx/bands/c=$commitId")
-          fresh.select(col(idCol).as("doc_id"), col("grams"))
-            .write.mode("overwrite").parquet(s"$idx/grams/c=$commitId")
-        }
-        batchBands.unpersist()
-        result
+        try {
+          val gramsOf = fresh.select(col(idCol).as("doc_id"), col("grams"))
+          // id_a ≠ id_b: a doc can meet ITS OWN index rows after a crash
+          // landed the bands slice but not the grams slice (the replay
+          // recomputes the whole batch) — self-identity is never a dup;
+          // genuine id re-sends never reach here (the grams-index
+          // anti-join dropped them)
+          val crossPairs = readIndex(spark, s"$idx/bands").map(sb =>
+            sb.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+              .join(batchBands.select(col("band"), col("bucket"),
+                col("doc_id").as("id_b")), Seq("band", "bucket"))
+              .filter(col("id_a") =!= col("id_b"))
+              .select(col("id_a"), col("id_b")))
+          val inBatchPairs = batchBands.as("a")
+            .join(batchBands.as("b"),
+              col("a.band") === col("b.band") &&
+                col("a.bucket") === col("b.bucket") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          val rawCand = crossPairs.fold(inBatchPairs)(_.unionAll(inBatchPairs))
+            .dropDuplicates("id_a", "id_b")
+          // orient pairs whose "earlier" side is itself IN this batch —
+          // possible only through a stale bands slice from a crashed run:
+          // within one batch the arrival rule is doc_id order, so (a, b)
+          // with a > b would wrongly drop the EARLIER member on replay
+          val freshA = fresh.select(col(idCol).as("id_a"))
+            .withColumn("_in_batch", lit(true))
+          val cand = rawCand.join(freshA, Seq("id_a"), "left")
+            .filter(col("_in_batch").isNull || col("id_a") < col("id_b"))
+            .drop("_in_batch")
+          val earlierGrams = gramsIdx.fold(gramsOf)(_.unionByName(gramsOf))
+          val dupIds = cand
+            .join(earlierGrams.select(col("doc_id").as("id_a"),
+              col("grams").as("grams_a")), "id_a")
+            .join(gramsOf.select(col("doc_id").as("id_b"),
+              col("grams").as("grams_b")), "id_b")
+            .filter(size(array_intersect(col("grams_a"), col("grams_b")))
+              .cast("double") /
+              size(array_union(col("grams_a"), col("grams_b"))) >= threshold)
+            .select(col("id_b").as(idCol)).distinct()
+          val survivors = fresh.join(dupIds, Seq(idCol), "left_anti")
+            .drop("grams").persist()
+          try {
+            val admitted = survivors.count()
+            val result =
+              if (admitted == 0)
+                NearDupResult(streamed, 0L,
+                  droppedSeenId = streamed - freshCount,
+                  droppedNearDup = freshCount,
+                  version = GraftStore.liveVersionOf(spark, storeRoot),
+                  replayed = false)
+              else {
+                val committed = AppendCommit.commit(survivors, storeRoot,
+                  partitionCols = partitionCols,
+                  maxRecordsPerFile = maxRecordsPerFile,
+                  commitId = Some(commitId))
+                NearDupResult(streamed, admitted,
+                  droppedSeenId = streamed - freshCount,
+                  droppedNearDup = freshCount - admitted,
+                  version = committed.version, replayed = committed.replayed)
+              }
+            // index slices are per-commit directories PUBLISHED BY RENAME
+            // (write to an underscore-prefixed staging dir Spark readers
+            // ignore, then one atomic directory rename): a slice is
+            // all-or-nothing, so a replay can never see — or overwrite
+            // down to — a partial id set. Order stays crash-deliberate:
+            // corpus commit, THEN bands, THEN grams — the grams index is
+            // the id-authority the resend anti-join reads, so any crash
+            // before it lands makes the replay recompute the whole batch
+            // (healing a stale bands slice) instead of silently skipping
+            // docs whose buckets never landed.
+            if (freshCount > 0) {
+              writeSliceAtomic(spark, batchBands,
+                s"$idx/bands", s"c=$commitId")
+              writeSliceAtomic(spark,
+                fresh.select(col(idCol).as("doc_id"), col("grams")),
+                s"$idx/grams", s"c=$commitId")
+            }
+            result
+          } finally survivors.unpersist()
+        } finally batchBands.unpersist()
       } finally fresh.unpersist()
     } finally withG.unpersist()
+  }
+
+  /** Publish one index slice atomically: write under an
+    * underscore-prefixed staging directory (invisible to Spark readers),
+    * then a single directory rename. A crash leaves either no slice or a
+    * complete one — never a partial id set for the replay to trust.
+    */
+  private def writeSliceAtomic(spark: SparkSession, df: DataFrame,
+      parent: String, name: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(parent)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"_staging-$name")
+    val dst = new org.apache.hadoop.fs.Path(dir, name)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"atomic publish failed: $tmp -> $dst")
   }
 
   /** Continuous online NEAR-dup filtering: every micro-batch admits only
