@@ -36,13 +36,28 @@ object FileStats {
 
   val StatsName = "_graft_filestats"
 
-  /** Absent optional = the file carries no usable stats for that column
-    * (pre-stats file, missing column, or corrupt footer line) — always
-    * read such a file.
+  /** One leaf column's whole-file min/max. `kind` is the comparison
+    * domain: 'l' integer-like (int32/int64/date/timestamp), 'd' floating,
+    * 's' string. Values serialize as strings; the consumer re-parses by
+    * kind and only compares against a literal of the SAME kind.
+    */
+  final case class ColStat(kind: Char, min: String, max: String)
+
+  /** Absent optional / absent `cols` entry = the file carries no usable
+    * stats for that column (pre-stats file, missing column, null-only
+    * values, or corrupt footer line) — always read such a file.
+    *
+    * `cols` generalizes the dedicated `time_ns`/`pod` fields to EVERY
+    * primitive leaf column (the Delta `dataSkippingNumIndexedCols` play):
+    * any pushed range/equality conjunct can prune the file list before a
+    * footer is opened. The dedicated fields stay for the `--since`/selector
+    * fast paths and for sidecar back-compat (7-field lines parse with an
+    * empty map and simply don't prune on other columns).
     */
   final case class FileStat(key: String, len: Long, rows: Long,
       minNs: Option[Long], maxNs: Option[Long],
-      minPod: Option[String], maxPod: Option[String]) {
+      minPod: Option[String], maxPod: Option[String],
+      cols: Map[String, ColStat] = Map.empty) {
 
     /** Can this file contain a row with `time_ns >= cutoffNs`? */
     def mayOverlapSince(cutoffNs: Long): Boolean =
@@ -72,13 +87,28 @@ object FileStats {
     val in = fs.open(p)
     val text = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
     finally in.close()
+    def parseCols(field: String): Map[String, ColStat] =
+      if (field == NullMark) Map.empty
+      else field.split(',').iterator.flatMap { ent =>
+        ent.split(':') match {
+          case Array(n, kind, mn, mx) if kind.length == 1 =>
+            Some(unesc(n) -> ColStat(kind.charAt(0), unesc(mn), unesc(mx)))
+          case _ => None // torn entry: that column just won't prune
+        }
+      }.toMap
     text.split('\n').iterator.filter(_.nonEmpty).flatMap { line =>
       line.split('\t') match {
         case Array(k, len, rows, mn, mx, pmn, pmx) =>
+          // 7-field back-compat line (pre-column-stats sidecar)
           def optL(s: String) = if (s == NullMark) None else Some(s.toLong)
           def optS(s: String) = if (s == NullMark) None else Some(unesc(s))
           Some(FileStat(unesc(k), len.toLong, rows.toLong,
             optL(mn), optL(mx), optS(pmn), optS(pmx)))
+        case Array(k, len, rows, mn, mx, pmn, pmx, cols) =>
+          def optL(s: String) = if (s == NullMark) None else Some(s.toLong)
+          def optS(s: String) = if (s == NullMark) None else Some(unesc(s))
+          Some(FileStat(unesc(k), len.toLong, rows.toLong,
+            optL(mn), optL(mx), optS(pmn), optS(pmx), parseCols(cols)))
         case _ => None // torn/foreign line: that file just won't prune
       }
     }.map(s => (s.key, s)).toMap
@@ -88,7 +118,12 @@ object FileStats {
     val lines = stats.sortBy(_.key).map { s =>
       def l(o: Option[Long]) = o.map(_.toString).getOrElse(NullMark)
       def t(o: Option[String]) = o.map(esc).getOrElse(NullMark)
-      s"${esc(s.key)}\t${s.len}\t${s.rows}\t${l(s.minNs)}\t${l(s.maxNs)}\t${t(s.minPod)}\t${t(s.maxPod)}"
+      val cols =
+        if (s.cols.isEmpty) NullMark
+        else s.cols.toSeq.sortBy(_._1).map { case (n, c) =>
+          s"${esc(n)}:${c.kind}:${esc(c.min)}:${esc(c.max)}"
+        }.mkString(",")
+      s"${esc(s.key)}\t${s.len}\t${s.rows}\t${l(s.minNs)}\t${l(s.maxNs)}\t${t(s.minPod)}\t${t(s.maxPod)}\t$cols"
     }
     GraftStore.atomicWriteBytes(spark, new Path(dir, StatsName),
       lines.mkString("\n").getBytes("UTF-8"))
@@ -115,11 +150,20 @@ object FileStats {
             HadoopInputFile.fromPath(new Path(physical), conf))
           try {
             val blocks = reader.getFooter.getBlocks
+            val nBlocks = blocks.size()
             var rows = 0L
             var mn, mx = Option.empty[Long]
             var pmn, pmx = Option.empty[String]
             var statsOk = true
             var podOk = true
+            // per-column whole-file accumulators — a column is usable only
+            // when EVERY block witnessed non-null stats for it
+            final class Acc(val kind: Char) {
+              var ok = true; var blocksSeen = 0
+              var loL, hiL = 0L; var loD, hiD = 0.0d
+              var loS, hiS: String = null
+            }
+            val acc = scala.collection.mutable.HashMap.empty[String, Acc]
             val bit = blocks.iterator()
             while (bit.hasNext) {
               val b = bit.next()
@@ -131,11 +175,52 @@ object FileStats {
               while (cit.hasNext) {
                 val c = cit.next()
                 val name = c.getPath.toDotString
+                val st = c.getStatistics
+                val usable = st != null && !st.isEmpty &&
+                  st.getNumNulls < b.getRowCount &&
+                  st.genericGetMin != null && st.genericGetMax != null
+                val pt = c.getPrimitiveType
+                val kind: Char = pt.getPrimitiveTypeName match {
+                  case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 |
+                       org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 => 'l'
+                  case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT |
+                       org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.DOUBLE => 'd'
+                  case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY
+                    if pt.getLogicalTypeAnnotation.isInstanceOf[
+                      org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation] => 's'
+                  case _ => ' ' // untracked physical type: never prunes
+                }
+                if (kind != ' ') {
+                  val a = acc.getOrElseUpdate(name, new Acc(kind))
+                  if (a.kind != kind || !usable) a.ok = false
+                  else {
+                    a.blocksSeen += 1
+                    kind match {
+                      case 'l' =>
+                        val lo = st.genericGetMin.asInstanceOf[Number].longValue()
+                        val hi = st.genericGetMax.asInstanceOf[Number].longValue()
+                        if (a.blocksSeen == 1) { a.loL = lo; a.hiL = hi }
+                        else { a.loL = math.min(a.loL, lo); a.hiL = math.max(a.hiL, hi) }
+                      case 'd' =>
+                        val lo = st.genericGetMin.asInstanceOf[Number].doubleValue()
+                        val hi = st.genericGetMax.asInstanceOf[Number].doubleValue()
+                        if (lo.isNaN || hi.isNaN) a.ok = false
+                        else if (a.blocksSeen == 1) { a.loD = lo; a.hiD = hi }
+                        else { a.loD = math.min(a.loD, lo); a.hiD = math.max(a.hiD, hi) }
+                      case 's' =>
+                        val lo = st.minAsString; val hi = st.maxAsString
+                        if (lo == null || hi == null) a.ok = false
+                        else if (a.blocksSeen == 1) { a.loS = lo; a.hiS = hi }
+                        else {
+                          if (lo < a.loS) a.loS = lo
+                          if (hi > a.hiS) a.hiS = hi
+                        }
+                    }
+                  }
+                }
                 if (name == timeColumn) {
                   foundT = true
-                  val st = c.getStatistics
-                  if (st == null || st.isEmpty || st.getNumNulls == b.getRowCount)
-                    statsOk = false
+                  if (!usable) statsOk = false
                   else {
                     val lo = st.genericGetMin.asInstanceOf[Number].longValue()
                     val hi = st.genericGetMax.asInstanceOf[Number].longValue()
@@ -144,7 +229,6 @@ object FileStats {
                   }
                 } else if (name == podColumn) {
                   foundP = true
-                  val st = c.getStatistics
                   if (st == null || st.isEmpty) podOk = false
                   else {
                     val lo = st.minAsString; val hi = st.maxAsString
@@ -159,9 +243,18 @@ object FileStats {
               if (!foundT) statsOk = false
               if (!foundP) podOk = false
             }
+            val colStats = acc.iterator.collect {
+              case (n, a) if a.ok && a.blocksSeen == nBlocks =>
+                n -> (a.kind match {
+                  case 'l' => ColStat('l', a.loL.toString, a.hiL.toString)
+                  case 'd' => ColStat('d', a.loD.toString, a.hiD.toString)
+                  case 's' => ColStat('s', a.loS, a.hiS)
+                })
+            }.toMap
             Some(FileStat(key, len, rows,
               if (statsOk) mn else None, if (statsOk) mx else None,
-              if (podOk) pmn else None, if (podOk) pmx else None))
+              if (podOk) pmn else None, if (podOk) pmx else None,
+              colStats))
           } finally reader.close()
         } catch {
           // unreadable footer (transient store error, foreign file): emit NO

@@ -458,12 +458,16 @@ private[graft] class GraftFileIndex(
         partitions.filter(p => pred.eval(p._1))
       }
     val (lo, hi, pod) = bounds(dataFilters)
+    val ranges = colRanges(dataFilters)
     def keep(e: GraftStore.FileEntry): Boolean =
       stats.get(normPath(e.physical)) match {
         case Some(s) if s.len == e.len =>
           lo.forall(s.mayOverlapSince) &&
             hi.forall(h => s.minNs.forall(_ <= h)) &&
-            pod.forall(s.mayContainPod)
+            pod.forall(s.mayContainPod) &&
+            // generalized column skipping: any pushed window a column's
+            // whole-file min/max refutes drops the file; absent stats keep
+            ranges.forall { case (n, r) => s.cols.get(n).forall(r.overlaps) }
         case _ => true // no/stale stats: always scan
       }
     kept.flatMap { case (row, _, es) =>
@@ -570,6 +574,129 @@ private[graft] object GraftFileIndex {
       case _ =>
     }
     (lo, hi, pod)
+  }
+
+  /** One pushed column's conservative value window, in the stats sidecar's
+    * comparison domain ('l' integer-like, 'd' floating, 's' ASCII string).
+    * Strict bounds are widened to inclusive — pruning may only ever KEEP
+    * extra files, never drop a matching one.
+    */
+  final case class ColRange(kind: Char, lo: Option[Any], hi: Option[Any]) {
+
+    private def cmp(a: Any, b: Any): Int = kind match {
+      case 'l' => java.lang.Long.compare(
+        a.asInstanceOf[Long], b.asInstanceOf[Long])
+      case 'd' => java.lang.Double.compare(
+        a.asInstanceOf[Double], b.asInstanceOf[Double])
+      case _ => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+    }
+
+    /** Can a file with these whole-file stats hold a row in the window?
+      * Any parse/kind/ordering doubt answers true (scan the file).
+      */
+    def overlaps(cs: graft.logs.FileStats.ColStat): Boolean = {
+      if (cs.kind != kind) return true
+      try {
+        // java-String vs parquet unsigned-byte ordering agree only on
+        // ASCII — outside it, refuse to prune
+        if (kind == 's' &&
+          !(cs.min.forall(_ < 128) && cs.max.forall(_ < 128))) return true
+        val (csLo: Any, csHi: Any) = kind match {
+          case 'l' => (cs.min.toLong, cs.max.toLong)
+          case 'd' => (cs.min.toDouble, cs.max.toDouble)
+          case _ => (cs.min, cs.max)
+        }
+        lo.forall(v => cmp(csHi, v) >= 0) && hi.forall(v => cmp(csLo, v) <= 0)
+      } catch { case _: NumberFormatException => true }
+    }
+  }
+
+  /** Conservative per-column windows from pushed conjuncts — the
+    * generalized data-skipping tier (any `col {=,<,<=,>,>=} literal`
+    * shape over integer / floating / ASCII-string columns). Shapes the
+    * stats can't refute are ignored; a kind conflict drops the column.
+    */
+  def colRanges(dataFilters: Seq[Expression]): Map[String, ColRange] = {
+    import scala.collection.mutable
+    val acc = mutable.HashMap.empty[String, ColRange]
+    val poisoned = mutable.HashSet.empty[String]
+    def kindValue(v: Any): Option[(Char, Any)] = v match {
+      case null => None
+      case x: java.lang.Long => Some(('l', x.longValue))
+      case x: java.lang.Integer => Some(('l', x.longValue))
+      case x: java.lang.Short => Some(('l', x.longValue))
+      case x: java.lang.Byte => Some(('l', x.longValue))
+      case x: java.lang.Double => Some(('d', x.doubleValue))
+      case x: java.lang.Float => Some(('d', x.doubleValue))
+      case x: UTF8String =>
+        val s = x.toString
+        if (s.forall(_ < 128)) Some(('s', s)) else None
+      case _ => None
+    }
+    def tighten(name: String, kind: Char, loV: Option[Any],
+        hiV: Option[Any]): Unit = {
+      if (poisoned(name)) return
+      acc.get(name) match {
+        case Some(r) if r.kind != kind =>
+          poisoned += name; acc.remove(name); ()
+        case prev =>
+          val r = prev.getOrElse(ColRange(kind, None, None))
+          def cmp(a: Any, b: Any): Int = kind match {
+            case 'l' => java.lang.Long.compare(
+              a.asInstanceOf[Long], b.asInstanceOf[Long])
+            case 'd' => java.lang.Double.compare(
+              a.asInstanceOf[Double], b.asInstanceOf[Double])
+            case _ => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+          }
+          val nLo = (r.lo, loV) match {
+            case (Some(a), Some(b)) => Some(if (cmp(a, b) >= 0) a else b)
+            case (a, b) => a.orElse(b)
+          }
+          val nHi = (r.hi, hiV) match {
+            case (Some(a), Some(b)) => Some(if (cmp(a, b) <= 0) a else b)
+            case (a, b) => a.orElse(b)
+          }
+          acc(name) = ColRange(kind, nLo, nHi)
+      }
+    }
+    def attr(e: Expression): Option[String] = e match {
+      case a: Attribute => Some(a.name)
+      case _ => None
+    }
+    dataFilters.foreach {
+      case CEqualTo(e, Literal(v, _)) if attr(e).nonEmpty =>
+        kindValue(v).foreach { case (k, x) =>
+          tighten(attr(e).get, k, Some(x), Some(x)) }
+      case CEqualTo(Literal(v, _), e) if attr(e).nonEmpty =>
+        kindValue(v).foreach { case (k, x) =>
+          tighten(attr(e).get, k, Some(x), Some(x)) }
+      case CGreaterThanOrEqual(e, Literal(v, _)) if attr(e).nonEmpty =>
+        kindValue(v).foreach { case (k, x) =>
+          tighten(attr(e).get, k, Some(x), None) }
+      case CGreaterThan(e, Literal(v, _)) if attr(e).nonEmpty =>
+        kindValue(v).foreach { case (k, x) =>
+          tighten(attr(e).get, k, Some(x), None) }
+      case CLessThanOrEqual(e, Literal(v, _)) if attr(e).nonEmpty =>
+        kindValue(v).foreach { case (k, x) =>
+          tighten(attr(e).get, k, None, Some(x)) }
+      case CLessThan(e, Literal(v, _)) if attr(e).nonEmpty =>
+        kindValue(v).foreach { case (k, x) =>
+          tighten(attr(e).get, k, None, Some(x)) }
+      case CGreaterThanOrEqual(Literal(v, _), e) if attr(e).nonEmpty =>
+        kindValue(v).foreach { case (k, x) =>
+          tighten(attr(e).get, k, None, Some(x)) }
+      case CGreaterThan(Literal(v, _), e) if attr(e).nonEmpty =>
+        kindValue(v).foreach { case (k, x) =>
+          tighten(attr(e).get, k, None, Some(x)) }
+      case CLessThanOrEqual(Literal(v, _), e) if attr(e).nonEmpty =>
+        kindValue(v).foreach { case (k, x) =>
+          tighten(attr(e).get, k, Some(x), None) }
+      case CLessThan(Literal(v, _), e) if attr(e).nonEmpty =>
+        kindValue(v).foreach { case (k, x) =>
+          tighten(attr(e).get, k, Some(x), None) }
+      case _ =>
+    }
+    acc.toMap
   }
 }
 

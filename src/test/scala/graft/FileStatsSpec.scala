@@ -110,6 +110,93 @@ class FileStatsSpec extends SparkSpec {
       GraftStore.readStore(spark, root).filter($"pod" === "pod-0").count())
   }
 
+  test("generalized column skipping: pushed windows prune on any stats column") {
+    val root = Files.createTempDirectory("graft-fstats-cols")
+      .resolve("store").toString
+    val parts = Seq("cluster", "namespace", "date")
+    def half(uidBase: Long, scoreBase: Double, tagPrefix: String) =
+      fixture()
+        .withColumn("uid", lit(uidBase) + ($"time_ns" % 1000))
+        .withColumn("score", lit(scoreBase) + ($"time_ns" % 97) / 100.0)
+        .withColumn("tag", concat(lit(tagPrefix), $"time_ns" % 10))
+    LogIngest.writeHive(half(0L, 0.0, "alpha-"), root, partitionCols = parts)
+    AppendCommit.commit(half(100000L, 500.0, "zulu-"), root, parts,
+      commitId = Some("fs-cols"))
+    val t = spark.read.format("graft").load(root)
+    val total = t.inputFiles.length
+    val full = GraftStore.readStore(spark, root)
+    def check(q0: org.apache.spark.sql.DataFrame,
+        e: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val q = q0.select($"time_ns", $"uid")
+      val got = q.collect().map(_.mkString("|")).sorted
+      val want = e.select($"time_ns", $"uid").collect().map(_.mkString("|")).sorted
+      assert(got.sameElements(want), s"$what changed results")
+      val scanned = graft.plans.PlanScans.fileScans(q)
+        .head.metrics("numFiles").value
+      assert(scanned < total, s"$what should prune: $scanned of $total files")
+    }
+    // long window drops the low-uid half's files
+    check(t.filter($"uid" >= 100000L), full.filter($"uid" >= 100000L),
+      "uid range")
+    // double window drops the high-score half
+    check(t.filter($"score" < 100.0), full.filter($"score" < 100.0),
+      "score range")
+    // ASCII string window drops the alpha- half
+    check(t.filter($"tag" >= "zulu"), full.filter($"tag" >= "zulu"),
+      "tag range")
+    // equality composes with ranges
+    check(t.filter($"uid" === 100003L), full.filter($"uid" === 100003L),
+      "uid equality")
+    // back-compat: strip the cols field down to the 7-field format — the
+    // same queries keep their answers and simply stop pruning on uid
+    val dirP = new org.apache.hadoop.fs.Path(GraftStore.resolve(spark, root))
+    val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecars = {
+      val out = Seq.newBuilder[org.apache.hadoop.fs.Path]
+      val it = fs.listFiles(dirP, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName == FileStats.StatsName) out += f.getPath
+      }
+      out.result()
+    }
+    assert(sidecars.nonEmpty)
+    sidecars.foreach { p =>
+      val in = fs.open(p)
+      val text = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      val stripped = text.split('\n').map(l =>
+        l.split('\t').take(7).mkString("\t")).mkString("\n")
+      val out = fs.create(p, true)
+      try out.write(stripped.getBytes("UTF-8")) finally out.close()
+    }
+    val t2 = spark.read.format("graft").load(root)
+    val q2 = t2.filter($"uid" === 100003L).select($"time_ns", $"uid")
+    assert(q2.collect().map(_.mkString("|")).sorted
+      .sameElements(full.filter($"uid" === 100003L)
+        .select($"time_ns", $"uid").collect().map(_.mkString("|")).sorted))
+    assert(graft.plans.PlanScans.fileScans(q2)
+      .head.metrics("numFiles").value == total,
+      "7-field sidecar must fail open to scanning everything")
+  }
+
+  test("ColRange.overlaps: kind mismatch, parse failure, non-ASCII all keep") {
+    import graft.sources.GraftFileIndex.ColRange
+    val eq5 = ColRange('l', Some(5L), Some(5L))
+    assert(!eq5.overlaps(FileStats.ColStat('l', "6", "9")))
+    assert(eq5.overlaps(FileStats.ColStat('l', "1", "5")))
+    assert(eq5.overlaps(FileStats.ColStat('s', "1", "9")), "kind mismatch keeps")
+    assert(eq5.overlaps(FileStats.ColStat('l', "garbage", "9")), "bad parse keeps")
+    val sRange = ColRange('s', Some("zulu"), None)
+    assert(!sRange.overlaps(FileStats.ColStat('s', "alpha-0", "alpha-9")))
+    assert(sRange.overlaps(FileStats.ColStat('s', "ünïcödé", "ünïcödé")),
+      "non-ASCII stats refuse to prune")
+    val dHi = ColRange('d', None, Some(1.5d))
+    assert(!dHi.overlaps(FileStats.ColStat('d', "2.0", "3.0")))
+    assert(dHi.overlaps(FileStats.ColStat('d', "0.5", "3.0")))
+  }
+
   test("sidecar TSV round-trips hostile keys and pod names") {
     val dir = Files.createTempDirectory("graft-fstats-rt").toString
     val hostile = Seq(
@@ -117,7 +204,9 @@ class FileStatsSpec extends SparkSpec {
         Some(-1L), Some(Long.MaxValue), Some("pod\twith\ttabs"), Some("pod\nnl")),
       FileStats.FileStat("/k=v/ünïcödé.parquet", 1L, 0L, None, None, None, None),
       FileStats.FileStat("plain.parquet", 2L, 7L, Some(0L), Some(0L),
-        Some(""), Some("z" * 300)))
+        Some(""), Some("z" * 300),
+        Map("uid" -> FileStats.ColStat('l', "-5", "17"),
+          "häßlich:col,name" -> FileStats.ColStat('s', "a:b,c", "z\tz"))))
     FileStats.write(spark, dir, hostile)
     val back = FileStats.read(spark, dir)
     assert(back.size == hostile.size)
