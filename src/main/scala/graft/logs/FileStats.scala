@@ -75,6 +75,48 @@ object FileStats {
 
   private val NullMark = "-"
 
+  /** Most columns indexed per file, and the longest string min/max kept —
+    * a wide or free-text schema must not balloon the sidecar the planner
+    * reads whole (Delta caps at dataSkippingNumIndexedCols=32 and
+    * truncates strings; truncation is direction-unsafe for a max bound,
+    * so over-long strings DROP the column instead).
+    */
+  private val MaxStatCols = 32
+  private val MaxStatStringLen = 64
+
+  /** The comparison domain of a leaf column, or ' ' when its stats must
+    * not feed pruning. Classification needs the LOGICAL annotation, not
+    * just the physical type: an INT64 holds micros for a MICROS timestamp
+    * but millis for a MILLIS one, and only the former matches what a
+    * Catalyst literal pushes (micros for TimestampType, raw nanos for the
+    * engine's nanosAsLong longs); unsigned ints read wrong through signed
+    * longValue. Anything not provably literal-compatible is untracked.
+    */
+  private def statKind(pt: org.apache.parquet.schema.PrimitiveType): Char = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val ann = pt.getLogicalTypeAnnotation
+    pt.getPrimitiveTypeName match {
+      case INT32 | INT64 => ann match {
+        case null => 'l'
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+          if (i.isSigned) 'l' else ' '
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => 'l'
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          // MICROS matches TimestampType literals; NANOS matches the
+          // engine's nanosAsLong longs; MILLIS matches neither
+          if (t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS ||
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS) 'l'
+          else ' '
+        case _ => ' ' // decimal/time/unknown: unscaled values don't match
+      }
+      case FLOAT | DOUBLE => 'd'
+      case BINARY
+        if ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] => 's'
+      case _ => ' '
+    }
+  }
+
   private def esc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
   private def unesc(s: String): String =
@@ -89,8 +131,9 @@ object FileStats {
     finally in.close()
     def parseCols(field: String): Map[String, ColStat] =
       if (field == NullMark) Map.empty
-      else field.split(',').iterator.flatMap { ent =>
-        ent.split(':') match {
+      // limit = -1: an empty-string min/max must keep its field slot
+      else field.split(",", -1).iterator.flatMap { ent =>
+        ent.split(":", -1) match {
           case Array(n, kind, mn, mx) if kind.length == 1 =>
             Some(unesc(n) -> ColStat(kind.charAt(0), unesc(mn), unesc(mx)))
           case _ => None // torn entry: that column just won't prune
@@ -179,17 +222,7 @@ object FileStats {
                 val usable = st != null && !st.isEmpty &&
                   st.getNumNulls < b.getRowCount &&
                   st.genericGetMin != null && st.genericGetMax != null
-                val pt = c.getPrimitiveType
-                val kind: Char = pt.getPrimitiveTypeName match {
-                  case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 |
-                       org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 => 'l'
-                  case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT |
-                       org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.DOUBLE => 'd'
-                  case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY
-                    if pt.getLogicalTypeAnnotation.isInstanceOf[
-                      org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation] => 's'
-                  case _ => ' ' // untracked physical type: never prunes
-                }
+                val kind: Char = statKind(c.getPrimitiveType)
                 if (kind != ' ') {
                   val a = acc.getOrElseUpdate(name, new Acc(kind))
                   if (a.kind != kind || !usable) a.ok = false
@@ -250,7 +283,9 @@ object FileStats {
                   case 'd' => ColStat('d', a.loD.toString, a.hiD.toString)
                   case 's' => ColStat('s', a.loS, a.hiS)
                 })
-            }.toMap
+            }.filter { case (_, c) =>
+              c.min.length <= MaxStatStringLen && c.max.length <= MaxStatStringLen
+            }.toSeq.sortBy(_._1).take(MaxStatCols).toMap
             Some(FileStat(key, len, rows,
               if (statsOk) mn else None, if (statsOk) mx else None,
               if (podOk) pmn else None, if (podOk) pmx else None,

@@ -576,6 +576,24 @@ private[graft] object GraftFileIndex {
     (lo, hi, pod)
   }
 
+  /** Kind-dispatched ordering shared by the range builder and the overlap
+    * check — ONE definition, so the two sides can never diverge. Doubles
+    * are compared via `Double.compare` on values already canonicalized by
+    * [[canonDouble]].
+    */
+  private def cmpKind(kind: Char, a: Any, b: Any): Int = kind match {
+    case 'l' => java.lang.Long.compare(
+      a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case 'd' => java.lang.Double.compare(
+      a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case _ => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+  }
+
+  /** Spark's `-0.0 = 0.0` semantics vs `Double.compare`'s `-0.0 < 0.0`:
+    * canonicalize both sides to +0.0 before any comparison.
+    */
+  private def canonDouble(v: Double): Double = if (v == 0.0d) 0.0d else v
+
   /** One pushed column's conservative value window, in the stats sidecar's
     * comparison domain ('l' integer-like, 'd' floating, 's' ASCII string).
     * Strict bounds are widened to inclusive — pruning may only ever KEEP
@@ -583,16 +601,15 @@ private[graft] object GraftFileIndex {
     */
   final case class ColRange(kind: Char, lo: Option[Any], hi: Option[Any]) {
 
-    private def cmp(a: Any, b: Any): Int = kind match {
-      case 'l' => java.lang.Long.compare(
-        a.asInstanceOf[Long], b.asInstanceOf[Long])
-      case 'd' => java.lang.Double.compare(
-        a.asInstanceOf[Double], b.asInstanceOf[Double])
-      case _ => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
-    }
-
     /** Can a file with these whole-file stats hold a row in the window?
       * Any parse/kind/ordering doubt answers true (scan the file).
+      *
+      * Floating columns only ever refute via the UPPER bound: parquet
+      * min/max exclude NaN, and under Spark semantics NaN is LARGER than
+      * every value — a file whose visible max sits below `lo` could still
+      * hold NaN rows that satisfy `col > lo`, so the lower-bound check
+      * must not fire. NaN never satisfies `col <= hi`, so the upper check
+      * stays sound.
       */
     def overlaps(cs: graft.logs.FileStats.ColStat): Boolean = {
       if (cs.kind != kind) return true
@@ -603,10 +620,14 @@ private[graft] object GraftFileIndex {
           !(cs.min.forall(_ < 128) && cs.max.forall(_ < 128))) return true
         val (csLo: Any, csHi: Any) = kind match {
           case 'l' => (cs.min.toLong, cs.max.toLong)
-          case 'd' => (cs.min.toDouble, cs.max.toDouble)
+          case 'd' => (canonDouble(cs.min.toDouble), canonDouble(cs.max.toDouble))
           case _ => (cs.min, cs.max)
         }
-        lo.forall(v => cmp(csHi, v) >= 0) && hi.forall(v => cmp(csLo, v) <= 0)
+        if (kind == 'd' &&
+          (csLo.asInstanceOf[Double].isNaN || csHi.asInstanceOf[Double].isNaN))
+          return true
+        (kind == 'd' || lo.forall(v => cmpKind(kind, csHi, v) >= 0)) &&
+          hi.forall(v => cmpKind(kind, csLo, v) <= 0)
       } catch { case _: NumberFormatException => true }
     }
   }
@@ -626,8 +647,12 @@ private[graft] object GraftFileIndex {
       case x: java.lang.Integer => Some(('l', x.longValue))
       case x: java.lang.Short => Some(('l', x.longValue))
       case x: java.lang.Byte => Some(('l', x.longValue))
-      case x: java.lang.Double => Some(('d', x.doubleValue))
-      case x: java.lang.Float => Some(('d', x.doubleValue))
+      case x: java.lang.Double =>
+        // NaN compares specially in Spark (equal to itself, above
+        // everything): never build a window from it
+        if (x.isNaN) None else Some(('d', canonDouble(x.doubleValue)))
+      case x: java.lang.Float =>
+        if (x.isNaN) None else Some(('d', canonDouble(x.doubleValue)))
       case x: UTF8String =>
         val s = x.toString
         if (s.forall(_ < 128)) Some(('s', s)) else None
@@ -641,19 +666,12 @@ private[graft] object GraftFileIndex {
           poisoned += name; acc.remove(name); ()
         case prev =>
           val r = prev.getOrElse(ColRange(kind, None, None))
-          def cmp(a: Any, b: Any): Int = kind match {
-            case 'l' => java.lang.Long.compare(
-              a.asInstanceOf[Long], b.asInstanceOf[Long])
-            case 'd' => java.lang.Double.compare(
-              a.asInstanceOf[Double], b.asInstanceOf[Double])
-            case _ => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
-          }
           val nLo = (r.lo, loV) match {
-            case (Some(a), Some(b)) => Some(if (cmp(a, b) >= 0) a else b)
+            case (Some(a), Some(b)) => Some(if (cmpKind(kind, a, b) >= 0) a else b)
             case (a, b) => a.orElse(b)
           }
           val nHi = (r.hi, hiV) match {
-            case (Some(a), Some(b)) => Some(if (cmp(a, b) <= 0) a else b)
+            case (Some(a), Some(b)) => Some(if (cmpKind(kind, a, b) <= 0) a else b)
             case (a, b) => a.orElse(b)
           }
           acc(name) = ColRange(kind, nLo, nHi)

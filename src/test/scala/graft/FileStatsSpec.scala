@@ -195,6 +195,17 @@ class FileStatsSpec extends SparkSpec {
     val dHi = ColRange('d', None, Some(1.5d))
     assert(!dHi.overlaps(FileStats.ColStat('d', "2.0", "3.0")))
     assert(dHi.overlaps(FileStats.ColStat('d', "0.5", "3.0")))
+    // floats never refute via the LOWER bound: parquet min/max exclude
+    // NaN, and NaN satisfies any `col > x` under Spark semantics
+    val dLo = ColRange('d', Some(5.0d), None)
+    assert(dLo.overlaps(FileStats.ColStat('d', "0.1", "0.2")),
+      "a NaN row could satisfy col > 5 despite max=0.2")
+    // signed zero: a -0.0-only file matches a 0.0 upper bound
+    val z = ColRange('d', None, Some(0.0d))
+    assert(!z.overlaps(FileStats.ColStat('d', "0.5", "0.9")))
+    assert(z.overlaps(FileStats.ColStat('d', "-0.0", "-0.0")))
+    // NaN leaked into stats: keep
+    assert(dHi.overlaps(FileStats.ColStat('d', "NaN", "NaN")))
   }
 
   test("sidecar TSV round-trips hostile keys and pod names") {
