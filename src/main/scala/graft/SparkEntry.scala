@@ -146,6 +146,7 @@ object SparkEntry {
     "d11_stream_neardup" -> (StreamNearDupQuery.run(_, _)),
     "x18_metadata_tables" -> (StoreMetaQuery.run(_, _)),
     "x23_metadata_agg" -> (StoreMetaAggQuery.run(_, _)),
+    "x24_column_pruned" -> (StoreColPrunedQuery.run(_, _)),
     "v6_random_projection" -> (ExtensionQueries.randomProjectionGates(_, _)),
     "t11_bpe_vocab" -> (ExtensionQueries.bpeVocabGates(_, _)),
     "v7_quantize_int8" -> (ExtensionQueries.quantizationGates(_, _)),
@@ -1243,6 +1244,18 @@ object SparkEntry {
         |  TRUE AS unique_ok, TRUE AS resend_noop_ok,
         |  TRUE AS store_matches_expected
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // x24: generalized data skipping — two commits land disjoint uid
+    // halves, the engine answers a uid-windowed read through the graft
+    // connector with a require() that the scan touched fewer files than
+    // the snapshot holds (per-column sidecar stats pruned the listing);
+    // DuckDB restates the surviving rows from raw events, so over- or
+    // under-pruning flips the hash
+    "x24_column_pruned" ->
+      """SELECT epoch_ns(ts) // 1000 AS time_us,
+        |  1000000000 + CAST(user_id AS BIGINT) AS uid,
+        |  TRUE AS files_pruned
+        |FROM events WHERE event_id % 2 = 1
+        |ORDER BY time_us, uid""".stripMargin,
     // d11: streaming NEAR-dedup survivors — order-dependent but
     // non-recursive ("earlier SEEN", not "earlier admitted"), so pure SQL:
     // a doc survives iff no exact-Jaccard pair (τ=0.8, the d2 body) links
