@@ -5,7 +5,7 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo => CEqualTo, Expression, GreaterThan => CGreaterThan, GreaterThanOrEqual => CGreaterThanOrEqual, LessThan => CLessThan, LessThanOrEqual => CLessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualNullSafe => CEqualNullSafe, EqualTo => CEqualTo, Expression, GreaterThan => CGreaterThan, GreaterThanOrEqual => CGreaterThanOrEqual, In => CIn, InSet => CInSet, LessThan => CLessThan, LessThanOrEqual => CLessThanOrEqual, Literal, StartsWith => CStartsWith}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, PartitionDirectory, PartitioningUtils}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions.col
@@ -641,23 +641,9 @@ private[graft] object GraftFileIndex {
     import scala.collection.mutable
     val acc = mutable.HashMap.empty[String, ColRange]
     val poisoned = mutable.HashSet.empty[String]
-    def kindValue(v: Any): Option[(Char, Any)] = v match {
-      case null => None
-      case x: java.lang.Long => Some(('l', x.longValue))
-      case x: java.lang.Integer => Some(('l', x.longValue))
-      case x: java.lang.Short => Some(('l', x.longValue))
-      case x: java.lang.Byte => Some(('l', x.longValue))
-      case x: java.lang.Double =>
-        // NaN compares specially in Spark (equal to itself, above
-        // everything): never build a window from it
-        if (x.isNaN) None else Some(('d', canonDouble(x.doubleValue)))
-      case x: java.lang.Float =>
-        if (x.isNaN) None else Some(('d', canonDouble(x.doubleValue)))
-      case x: UTF8String =>
-        val s = x.toString
-        if (s.forall(_ < 128)) Some(('s', s)) else None
-      case _ => None
-    }
+    // NaN never builds a window (it compares specially in Spark: equal to
+    // itself, above everything) — see kindValueOf
+    def kindValue(v: Any): Option[(Char, Any)] = kindValueOf(v)
     def tighten(name: String, kind: Char, loV: Option[Any],
         hiV: Option[Any]): Unit = {
       if (poisoned(name)) return
@@ -712,9 +698,71 @@ private[graft] object GraftFileIndex {
       case CLessThan(Literal(v, _), e) if attr(e).nonEmpty =>
         kindValue(v).foreach { case (k, x) =>
           tighten(attr(e).get, k, Some(x), None) }
+      // <=> with a non-null literal matches like = (the null-match arm
+      // can't be refuted by value stats, so null literals are skipped)
+      case CEqualNullSafe(e, Literal(v, _)) if v != null && attr(e).nonEmpty =>
+        kindValue(v).foreach { case (k, x) =>
+          tighten(attr(e).get, k, Some(x), Some(x)) }
+      case CEqualNullSafe(Literal(v, _), e) if v != null && attr(e).nonEmpty =>
+        kindValue(v).foreach { case (k, x) =>
+          tighten(attr(e).get, k, Some(x), Some(x)) }
+      // IN-list → [min, max] window — only when EVERY non-null element
+      // maps to one kind (a single unmapped element would narrow the
+      // window below the true set and mis-prune)
+      case CIn(e, list) if attr(e).nonEmpty &&
+          list.forall(_.isInstanceOf[Literal]) =>
+        inWindow(attr(e).get,
+          list.map(_.asInstanceOf[Literal].value), tighten)
+      case CInSet(e, hset) if attr(e).nonEmpty =>
+        inWindow(attr(e).get, hset.toSeq, tighten)
+      // startsWith(p) → [p, p-with-last-char-incremented] for ASCII
+      // prefixes (the increment stays ASCII so the byte-vs-UTF16
+      // ordering guard holds)
+      case CStartsWith(e, Literal(p: UTF8String, _)) if attr(e).nonEmpty =>
+        val s = p.toString
+        if (s.nonEmpty && s.forall(_ < 128) && s.last < 127) {
+          val hi = s.init + (s.last + 1).toChar
+          tighten(attr(e).get, 's', Some(s), Some(hi))
+        }
       case _ =>
     }
     acc.toMap
+  }
+
+  /** Window an IN-membership set down to `[min, max]` — built only when
+    * every non-null element maps to the same comparison kind; any doubt
+    * builds nothing (scan).
+    */
+  private def inWindow(name: String, elems: Seq[Any],
+      tighten: (String, Char, Option[Any], Option[Any]) => Unit): Unit = {
+    val vals = elems.filter(_ != null)
+    val mapped = vals.flatMap(v => kindValueOf(v))
+    if (vals.nonEmpty && mapped.size == vals.size &&
+        mapped.iterator.map(_._1).toSet.size == 1) {
+      val k = mapped.head._1
+      val lo = mapped.map(_._2)
+        .reduce((a, b) => if (cmpKind(k, a, b) <= 0) a else b)
+      val hi = mapped.map(_._2)
+        .reduce((a, b) => if (cmpKind(k, a, b) >= 0) a else b)
+      tighten(name, k, Some(lo), Some(hi))
+    }
+  }
+
+  /** Shared literal→(kind, canonical value) mapping (see colRanges). */
+  private def kindValueOf(v: Any): Option[(Char, Any)] = v match {
+    case null => None
+    case x: java.lang.Long => Some(('l', x.longValue))
+    case x: java.lang.Integer => Some(('l', x.longValue))
+    case x: java.lang.Short => Some(('l', x.longValue))
+    case x: java.lang.Byte => Some(('l', x.longValue))
+    case x: java.lang.Double =>
+      if (x.isNaN) None else Some(('d', canonDouble(x.doubleValue)))
+    case x: java.lang.Float =>
+      if (x.isNaN) None else Some(('d', canonDouble(x.doubleValue)))
+    case x: UTF8String =>
+      val s = x.toString
+      if (s.forall(_ < 128)) Some(('s', s)) else None
+    case _ => None
   }
 }
 

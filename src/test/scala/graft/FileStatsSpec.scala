@@ -147,6 +147,19 @@ class FileStatsSpec extends SparkSpec {
     // equality composes with ranges
     check(t.filter($"uid" === 100003L), full.filter($"uid" === 100003L),
       "uid equality")
+    // IN-list windows to [min, max]
+    check(t.filter($"uid".isin(100001L, 100007L, 100900L)),
+      full.filter($"uid".isin(100001L, 100007L, 100900L)), "uid IN")
+    // a big IN-list plans as InSet past the conversion threshold
+    val many = (100001L to 100020L).toSeq
+    check(t.filter($"uid".isin(many: _*)),
+      full.filter($"uid".isin(many: _*)), "uid InSet")
+    // null-safe equality with a non-null literal
+    check(t.filter($"uid" <=> 100003L), full.filter($"uid" <=> 100003L),
+      "uid null-safe equality")
+    // startsWith becomes an ASCII prefix window
+    check(t.filter($"tag".startsWith("zulu-")),
+      full.filter($"tag".startsWith("zulu-")), "tag startsWith")
     // back-compat: strip the cols field down to the 7-field format — the
     // same queries keep their answers and simply stop pruning on uid
     val dirP = new org.apache.hadoop.fs.Path(GraftStore.resolve(spark, root))
