@@ -40,16 +40,16 @@ object Dedup {
     *
     * Scale shape (the suffix array itself does not distribute; this does):
     * windows explode to (doc, pos, hash) with the gram STRING living only
-    * inside the projection — every shuffle key is the 8-byte hash. At the
-    * default `minDocs = 2`, "occurs in ≥2 distinct docs" is exactly
-    * `min(doc) ≠ max(doc)` over a hash-partitioned window — ONE shuffle of
-    * the exploded rows, no aggregate-plus-join-back (which would recompute
-    * the whole explode: Spark inlines, it does not materialize). For
-    * `minDocs > 2` the general countDistinct aggregate + hash equi-join
-    * path runs instead. Span merging is a per-document window function
-    * (state bounded by document length, the same bound the per-doc text
-    * already imposes). Nothing is corpus-quadratic, and there is no
-    * driver-side collect.
+    * inside the projection — every shuffle key is the 8-byte hash. The
+    * duplicated-hash set comes from a skew-immune hash aggregate (map-side
+    * partial combine, so a gram in 10⁷ documents still ships one partial
+    * row per task) joined back against the SAME explicit Exchange —
+    * ReuseExchange materializes the exploded frame once as shuffle files,
+    * so the explode runs a single time and no operator buffers a whole
+    * gram partition (a `Window.partitionBy(hash)` would). Span merging is
+    * a per-document window function (state bounded by document length, the
+    * same bound the per-doc text already imposes). Nothing is
+    * corpus-quadratic, and there is no driver-side collect.
     */
   def repeatedSubstringSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -65,25 +65,43 @@ object Dedup {
         i => xxhash64(array_join(slice(col("t"), i, lit(k)), " "))))
         .as(Seq("off", "h")))
       .select(col(idCol), (col("off") + 1).as("pos"), col("h"))
-    val hits =
-      if (minDocs == 2) {
-        // single-pass: ≥2 distinct docs ⟺ min(doc) ≠ max(doc) over the
-        // hash partition — one shuffle of the exploded rows, and the
-        // explode runs once (an aggregate + join-back would inline and
-        // recompute it)
-        val byHash = Window.partitionBy(col("h"))
-        win
-          .withColumn("d_lo", min(col(idCol)).over(byHash))
-          .withColumn("d_hi", max(col(idCol)).over(byHash))
-          .filter(col("d_lo") =!= col("d_hi"))
-          .select(col(idCol), col("pos"))
-      } else {
-        val dup = win.groupBy(col("h"))
-          .agg(countDistinct(col(idCol)).as("nd"))
-          .filter(col("nd") >= minDocs)
+    // "occurs in ≥minDocs distinct docs" per gram hash, WITHOUT a
+    // Window.partitionBy(h): a window over h sends EVERY occurrence of one
+    // gram to a single task that buffers the whole partition — a
+    // boilerplate 8-gram appearing in 10⁷ documents is a one-task
+    // spill-sort at 100 TB. Instead both consumers hang off the SAME
+    // explicit hash Exchange: the aggregate is skew-immune (map-side
+    // partial min/max per task, one row per hash crosses the wire) and the
+    // join-back probes the identical Exchange subtree, which ReuseExchange
+    // materializes ONCE as shuffle files — the explode still runs a single
+    // time (the round-9 motivation for the window form), but no operator
+    // ever buffers a whole gram partition. The shuffle_hash hint keeps the
+    // probe side streaming (a sort-merge join would re-sort the hot hash
+    // partition in one task — the same skew in different clothes).
+    // ReuseExchange fires only on CANONICALLY IDENTICAL subtrees, and
+    // column pruning breaks that silently: a consumer that drops `pos`
+    // gets its own narrower Exchange and the explode runs once per copy.
+    // Every aggregate below therefore keeps a vacuous dependency on `pos`
+    // (min(pos) >= 1 is always true — positions are 1-based — but the
+    // optimizer cannot prove it, so `pos` survives pruning in every
+    // branch). The DedupSpec hot-gram test pins the result: exactly ONE
+    // GenerateExec in the executed plan.
+    val shuffled = win.repartition(col("h"))
+    val dup =
+      if (minDocs == 2)
+        // ≥2 distinct docs ⟺ min(doc) ≠ max(doc), no distinct-expansion
+        shuffled.groupBy(col("h"))
+          .agg(min(col(idCol)).as("d_lo"), max(col(idCol)).as("d_hi"),
+            min(col("pos")).as("p_lo"))
+          .filter(col("d_lo") =!= col("d_hi") && col("p_lo") >= 1)
           .select(col("h"))
-        win.join(dup, "h").select(col(idCol), col("pos"))
-      }
+      else
+        shuffled.groupBy(col("h"))
+          .agg(countDistinct(col(idCol)).as("nd"), min(col("pos")).as("p_lo"))
+          .filter(col("nd") >= minDocs && col("p_lo") >= 1)
+          .select(col("h"))
+    val hits = shuffled.join(dup.hint("shuffle_hash"), "h")
+      .select(col(idCol), col("pos"))
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     // gaps-and-islands: windows whose starts are within k of each other
     // cover contiguous tokens, so they merge into one span
@@ -96,8 +114,13 @@ object Dedup {
     val spanStats = spans.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + 1).as("dup_tokens"))
+    // count(CASE WHEN pos >= 1 THEN 1 END), not count(*): the branch is
+    // always taken (positions are 1-based) so the value is the same, but a
+    // bare count(pos) gets rewritten to count(1) (pos is non-nullable) and
+    // the pruned `pos` re-diverges THIS branch's join probe from the span
+    // branch's — same Exchange-reuse requirement as the aggregates above
     val dupStats = hits.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_dup_windows"))
+      .agg(count(when(col("pos") >= 1, lit(1))).as("n_dup_windows"))
     base.select(col(idCol), col("n_windows"))
       .join(dupStats, Seq(idCol), "left")
       .join(spanStats, Seq(idCol), "left")

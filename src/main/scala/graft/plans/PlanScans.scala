@@ -29,4 +29,23 @@ object PlanScans {
     * LocalRelation).
     */
   def scanless(df: DataFrame): Boolean = fileScans(df).isEmpty
+
+  /** Every node of the FINAL (post-AQE) physical plan, descending into
+    * materialized query stages but NOT into [[ReusedExchangeExec]] — a
+    * reused exchange's subtree ran once, so a consumer counting "how many
+    * times does operator X execute" (the DedupSpec single-explode assert)
+    * must not see it twice. Call after an action so AQE has finalized.
+    */
+  def finalNodes(df: DataFrame): Seq[SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case _: ReusedExchangeExec => Seq.empty
+      case other =>
+        other.children.flatMap(walk) ++ other.subqueries.flatMap(walk)
+    })
+    walk(df.queryExecution.executedPlan)
+  }
 }

@@ -86,6 +86,42 @@ class DedupSpec extends SparkSpec {
       (4L, 0L, 0L, 0L), (5L, 0L, 0L, 0L)))
   }
 
+  test("repeated-substring spans: hot gram takes no single-task window and explodes once") {
+    // one 8-gram planted in 75% of documents — the adversarial shape for a
+    // Window.partitionBy(gram hash): every occurrence would land in ONE
+    // task's buffered partition. The rewrite must (a) keep the answer, (b)
+    // plan NO window partitioned by the gram hash (the only windows are the
+    // per-document span merges), and (c) run the token explode ONCE — the
+    // duplicated-hash aggregate and the join-back must share one Exchange.
+    val hot = (1 to 8).map(i => s"hot$i").mkString(" ")
+    val docs = (1L to 40L).map { i =>
+      if (i % 4 != 0L)
+        (i, s"$hot u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g")
+      else
+        (i, (1 to 15).map(j => s"v${i}x$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Dedup.repeatedSubstringSpans(docs, k = 8, minDocs = 2)
+    out.collect() // finalize AQE on `out` itself so the plan walk is real
+    val rows = out.orderBy($"doc_id")
+      .select($"doc_id", $"n_dup_windows", $"n_spans", $"dup_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // hot docs: only the pos-1 window is the shared gram (tails are unique)
+    assert(rows == (1L to 40L).map(i =>
+      if (i % 4 != 0L) (i, 1L, 1L, 8L) else (i, 0L, 0L, 0L)))
+    // (b) every logical Window partitions on the document id, never the hash
+    val winSpecs = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec
+    }
+    assert(winSpecs.nonEmpty)
+    assert(winSpecs.forall(_.forall(_.references.forall(_.name == "doc_id"))),
+      s"window partitioned off the doc id: $winSpecs")
+    // (c) exactly one explode in the executed plan (ReuseExchange shares it)
+    val gens = graft.plans.PlanScans.finalNodes(out).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.GenerateExec])
+    assert(gens == 1, s"expected the explode to run once, saw $gens")
+  }
+
   test("connected components: transitive chains collapse to the min id") {
     // 1-2, 2-3, 3-4 chain; 10-11 pair; 20-21-22 triangle with a stray 22-23
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
