@@ -5,7 +5,7 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualNullSafe => CEqualNullSafe, EqualTo => CEqualTo, Expression, GreaterThan => CGreaterThan, GreaterThanOrEqual => CGreaterThanOrEqual, In => CIn, InSet => CInSet, LessThan => CLessThan, LessThanOrEqual => CLessThanOrEqual, Literal, StartsWith => CStartsWith}
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Attribute, EqualNullSafe => CEqualNullSafe, EqualTo => CEqualTo, Expression, GreaterThan => CGreaterThan, GreaterThanOrEqual => CGreaterThanOrEqual, In => CIn, InSet => CInSet, LessThan => CLessThan, LessThanOrEqual => CLessThanOrEqual, Literal, Or => COr, StartsWith => CStartsWith}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, PartitionDirectory, PartitioningUtils}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions.col
@@ -594,22 +594,30 @@ private[graft] object GraftFileIndex {
     */
   private def canonDouble(v: Double): Double = if (v == 0.0d) 0.0d else v
 
-  /** One pushed column's conservative value window, in the stats sidecar's
-    * comparison domain ('l' integer-like, 'd' floating, 's' ASCII string).
-    * Strict bounds are widened to inclusive — pruning may only ever KEEP
-    * extra files, never drop a matching one.
+  /** One pushed column's conservative value constraint — a UNION of
+    * inclusive windows, in the stats sidecar's comparison domain
+    * ('l' integer-like, 'd' floating, 's' ASCII string). A single
+    * conjunct contributes one window; a same-column disjunction
+    * (`uid < 10 OR uid > 10⁹`) or a small IN-list contributes several.
+    * Strict bounds are widened to inclusive and an unmappable disjunct
+    * voids the whole union — pruning may only ever KEEP extra files,
+    * never drop a matching one. An EMPTY union is a proven-unsatisfiable
+    * conjunction (`x >= 5 AND x <= 3`): every file with usable stats
+    * refutes. `None` = unbounded on that side of a window.
     */
-  final case class ColRange(kind: Char, lo: Option[Any], hi: Option[Any]) {
+  final case class ColRange(kind: Char, windows: Seq[(Option[Any], Option[Any])]) {
 
-    /** Can a file with these whole-file stats hold a row in the window?
+    /** Can a file with these whole-file stats hold a row in ANY window?
       * Any parse/kind/ordering doubt answers true (scan the file).
       *
       * Floating columns only ever refute via the UPPER bound: parquet
       * min/max exclude NaN, and under Spark semantics NaN is LARGER than
-      * every value — a file whose visible max sits below `lo` could still
-      * hold NaN rows that satisfy `col > lo`, so the lower-bound check
-      * must not fire. NaN never satisfies `col <= hi`, so the upper check
-      * stays sound.
+      * every value — a file whose visible max sits below a window's `lo`
+      * could still hold NaN rows that satisfy `col > lo`, so the
+      * lower-bound check must not fire. NaN never satisfies `col <= hi`,
+      * so the upper check stays sound — and an empty union always carries
+      * an upper bound in its pedigree (emptiness needs lo > hi), which a
+      * NaN row would fail, so refuting everything stays sound too.
       */
     def overlaps(cs: graft.logs.FileStats.ColStat): Boolean = {
       if (cs.kind != kind) return true
@@ -626,127 +634,186 @@ private[graft] object GraftFileIndex {
         if (kind == 'd' &&
           (csLo.asInstanceOf[Double].isNaN || csHi.asInstanceOf[Double].isNaN))
           return true
-        (kind == 'd' || lo.forall(v => cmpKind(kind, csHi, v) >= 0)) &&
-          hi.forall(v => cmpKind(kind, csLo, v) <= 0)
+        windows.exists { case (lo, hi) =>
+          (kind == 'd' || lo.forall(v => cmpKind(kind, csHi, v) >= 0)) &&
+            hi.forall(v => cmpKind(kind, csLo, v) <= 0)
+        }
       } catch { case _: NumberFormatException => true }
     }
   }
 
-  /** Conservative per-column windows from pushed conjuncts — the
+  /** Window-count cap per column: intersections cross-multiply and IN
+    * lists can be huge; past the cap the union collapses to its convex
+    * hull — a superset, so strictly conservative.
+    */
+  private val MaxWindowsPerCol = 16
+
+  private type Win = (Option[Any], Option[Any])
+
+  /** Conservative per-column window unions from pushed conjuncts — the
     * generalized data-skipping tier (any `col {=,<,<=,>,>=} literal`
-    * shape over integer / floating / ASCII-string columns). Shapes the
-    * stats can't refute are ignored; a kind conflict drops the column.
+    * shape over integer / floating / ASCII-string columns, IN-lists as
+    * point unions, and same-column DISJUNCTIONS — `uid < 10 OR
+    * uid > 10⁹` prunes the middle instead of scanning everything).
+    * Shapes the stats can't refute are ignored; a kind conflict drops
+    * the column.
     */
   def colRanges(dataFilters: Seq[Expression]): Map[String, ColRange] = {
     import scala.collection.mutable
     val acc = mutable.HashMap.empty[String, ColRange]
     val poisoned = mutable.HashSet.empty[String]
-    // NaN never builds a window (it compares specially in Spark: equal to
-    // itself, above everything) — see kindValueOf
-    def kindValue(v: Any): Option[(Char, Any)] = kindValueOf(v)
-    def tighten(name: String, kind: Char, loV: Option[Any],
-        hiV: Option[Any]): Unit = {
+    def tighten(name: String, kind: Char, ws: Seq[Win]): Unit = {
       if (poisoned(name)) return
       acc.get(name) match {
         case Some(r) if r.kind != kind =>
           poisoned += name; acc.remove(name); ()
         case prev =>
-          val r = prev.getOrElse(ColRange(kind, None, None))
-          val nLo = (r.lo, loV) match {
-            case (Some(a), Some(b)) => Some(if (cmpKind(kind, a, b) >= 0) a else b)
-            case (a, b) => a.orElse(b)
-          }
-          val nHi = (r.hi, hiV) match {
-            case (Some(a), Some(b)) => Some(if (cmpKind(kind, a, b) <= 0) a else b)
-            case (a, b) => a.orElse(b)
-          }
-          acc(name) = ColRange(kind, nLo, nHi)
+          val merged = prev.fold(ws)(r => intersectWindows(kind, r.windows, ws))
+          acc(name) = ColRange(kind, capWindows(kind, merged))
       }
     }
-    def attr(e: Expression): Option[String] = e match {
-      case a: Attribute => Some(a.name)
-      case _ => None
-    }
-    dataFilters.foreach {
-      case CEqualTo(e, Literal(v, _)) if attr(e).nonEmpty =>
-        kindValue(v).foreach { case (k, x) =>
-          tighten(attr(e).get, k, Some(x), Some(x)) }
-      case CEqualTo(Literal(v, _), e) if attr(e).nonEmpty =>
-        kindValue(v).foreach { case (k, x) =>
-          tighten(attr(e).get, k, Some(x), Some(x)) }
-      case CGreaterThanOrEqual(e, Literal(v, _)) if attr(e).nonEmpty =>
-        kindValue(v).foreach { case (k, x) =>
-          tighten(attr(e).get, k, Some(x), None) }
-      case CGreaterThan(e, Literal(v, _)) if attr(e).nonEmpty =>
-        kindValue(v).foreach { case (k, x) =>
-          tighten(attr(e).get, k, Some(x), None) }
-      case CLessThanOrEqual(e, Literal(v, _)) if attr(e).nonEmpty =>
-        kindValue(v).foreach { case (k, x) =>
-          tighten(attr(e).get, k, None, Some(x)) }
-      case CLessThan(e, Literal(v, _)) if attr(e).nonEmpty =>
-        kindValue(v).foreach { case (k, x) =>
-          tighten(attr(e).get, k, None, Some(x)) }
-      case CGreaterThanOrEqual(Literal(v, _), e) if attr(e).nonEmpty =>
-        kindValue(v).foreach { case (k, x) =>
-          tighten(attr(e).get, k, None, Some(x)) }
-      case CGreaterThan(Literal(v, _), e) if attr(e).nonEmpty =>
-        kindValue(v).foreach { case (k, x) =>
-          tighten(attr(e).get, k, None, Some(x)) }
-      case CLessThanOrEqual(Literal(v, _), e) if attr(e).nonEmpty =>
-        kindValue(v).foreach { case (k, x) =>
-          tighten(attr(e).get, k, Some(x), None) }
-      case CLessThan(Literal(v, _), e) if attr(e).nonEmpty =>
-        kindValue(v).foreach { case (k, x) =>
-          tighten(attr(e).get, k, Some(x), None) }
-      // <=> with a non-null literal matches like = (the null-match arm
-      // can't be refuted by value stats, so null literals are skipped)
-      case CEqualNullSafe(e, Literal(v, _)) if v != null && attr(e).nonEmpty =>
-        kindValue(v).foreach { case (k, x) =>
-          tighten(attr(e).get, k, Some(x), Some(x)) }
-      case CEqualNullSafe(Literal(v, _), e) if v != null && attr(e).nonEmpty =>
-        kindValue(v).foreach { case (k, x) =>
-          tighten(attr(e).get, k, Some(x), Some(x)) }
-      // IN-list → [min, max] window — only when EVERY non-null element
-      // maps to one kind (a single unmapped element would narrow the
-      // window below the true set and mis-prune)
-      case CIn(e, list) if attr(e).nonEmpty &&
-          list.forall(_.isInstanceOf[Literal]) =>
-        inWindow(attr(e).get,
-          list.map(_.asInstanceOf[Literal].value), tighten)
-      case CInSet(e, hset) if attr(e).nonEmpty =>
-        inWindow(attr(e).get, hset.toSeq, tighten)
-      // startsWith(p) → [p, p-with-last-char-incremented] for ASCII
-      // prefixes (the increment stays ASCII so the byte-vs-UTF16
-      // ordering guard holds)
-      case CStartsWith(e, Literal(p: UTF8String, _)) if attr(e).nonEmpty =>
-        val s = p.toString
-        if (s.nonEmpty && s.forall(_ < 128) && s.last < 127) {
-          val hi = s.init + (s.last + 1).toChar
-          tighten(attr(e).get, 's', Some(s), Some(hi))
-        }
-      case _ =>
+    dataFilters.foreach { f =>
+      conjunctWindows(f).foreach { case (n, k, ws) => tighten(n, k, ws) }
     }
     acc.toMap
   }
 
-  /** Window an IN-membership set down to `[min, max]` — built only when
-    * every non-null element maps to the same comparison kind; any doubt
-    * builds nothing (scan).
+  /** The window union ONE top-level conjunct contributes: a leaf shape
+    * directly, or a same-column OR whose every disjunct maps to the same
+    * (column, kind) — one unmappable disjunct voids the whole OR (its
+    * rows could live anywhere).
     */
-  private def inWindow(name: String, elems: Seq[Any],
-      tighten: (String, Char, Option[Any], Option[Any]) => Unit): Unit = {
+  private def conjunctWindows(f: Expression): Option[(String, Char, Seq[Win])] =
+    f match {
+      case or: COr =>
+        def disjuncts(e: Expression): Seq[Expression] = e match {
+          case COr(l, r) => disjuncts(l) ++ disjuncts(r)
+          case x => Seq(x)
+        }
+        val parts = disjuncts(or).map(conjunctWindows)
+        if (parts.nonEmpty && parts.forall(_.isDefined)) {
+          val ps = parts.map(_.get)
+          if (ps.map(p => (p._1, p._2)).distinct.size == 1)
+            Some((ps.head._1, ps.head._2,
+              capWindows(ps.head._2, ps.flatMap(_._3))))
+          else None
+        } else None
+      // a disjunct can itself be a conjunction — `(a >= 1 AND a <= 5) OR
+      // a > 9` — meaningful only when both sides window the SAME column
+      case CAnd(l, r) =>
+        for {
+          (n1, k1, w1) <- conjunctWindows(l)
+          (n2, k2, w2) <- conjunctWindows(r)
+          if n1 == n2 && k1 == k2
+        } yield (n1, k1, intersectWindows(k1, w1, w2))
+      case leaf => leafWindows(leaf)
+    }
+
+  /** The window union of one LEAF predicate shape, or None when the stats
+    * can't refute it. Strict bounds widen to inclusive; `<=>` with a
+    * non-null literal matches like `=` (the null-match arm can't be
+    * refuted by value stats, so null literals are skipped); IN-lists
+    * become a union of points (only when EVERY non-null element maps to
+    * one kind — a single unmapped element would narrow the union below
+    * the true set and mis-prune); `startsWith(p)` becomes
+    * [p, p-with-last-char-incremented] for ASCII prefixes (the increment
+    * stays ASCII so the byte-vs-UTF16 ordering guard holds).
+    */
+  private def leafWindows(f: Expression): Option[(String, Char, Seq[Win])] = {
+    def attr(e: Expression): Option[String] = e match {
+      case a: Attribute => Some(a.name)
+      case _ => None
+    }
+    def one(e: Expression, v: Any, mk: Any => Win): Option[(String, Char, Seq[Win])] =
+      for { n <- attr(e); (k, x) <- kindValueOf(v) } yield (n, k, Seq(mk(x)))
+    f match {
+      case CEqualTo(e, Literal(v, _)) => one(e, v, x => (Some(x), Some(x)))
+      case CEqualTo(Literal(v, _), e) => one(e, v, x => (Some(x), Some(x)))
+      case CEqualNullSafe(e, Literal(v, _)) if v != null =>
+        one(e, v, x => (Some(x), Some(x)))
+      case CEqualNullSafe(Literal(v, _), e) if v != null =>
+        one(e, v, x => (Some(x), Some(x)))
+      case CGreaterThanOrEqual(e, Literal(v, _)) => one(e, v, x => (Some(x), None))
+      case CGreaterThan(e, Literal(v, _)) => one(e, v, x => (Some(x), None))
+      case CLessThanOrEqual(e, Literal(v, _)) => one(e, v, x => (None, Some(x)))
+      case CLessThan(e, Literal(v, _)) => one(e, v, x => (None, Some(x)))
+      case CGreaterThanOrEqual(Literal(v, _), e) => one(e, v, x => (None, Some(x)))
+      case CGreaterThan(Literal(v, _), e) => one(e, v, x => (None, Some(x)))
+      case CLessThanOrEqual(Literal(v, _), e) => one(e, v, x => (Some(x), None))
+      case CLessThan(Literal(v, _), e) => one(e, v, x => (Some(x), None))
+      case CIn(e, list) if list.forall(_.isInstanceOf[Literal]) =>
+        attr(e).flatMap(n =>
+          setWindows(n, list.map(_.asInstanceOf[Literal].value)))
+      case CInSet(e, hset) => attr(e).flatMap(n => setWindows(n, hset.toSeq))
+      case CStartsWith(e, Literal(p: UTF8String, _)) =>
+        val s = p.toString
+        attr(e).filter(_ => s.nonEmpty && s.forall(_ < 128) && s.last < 127)
+          .map { n =>
+            (n, 's', Seq((Some(s): Option[Any],
+              Some(s.init + (s.last + 1).toChar): Option[Any])))
+          }
+      case _ => None
+    }
+  }
+
+  /** IN-membership → union of point windows (or the [min, max] hull past
+    * the cap) — built only when every non-null element maps to the same
+    * comparison kind; any doubt builds nothing (scan).
+    */
+  private def setWindows(name: String, elems: Seq[Any]): Option[(String, Char, Seq[Win])] = {
     val vals = elems.filter(_ != null)
     val mapped = vals.flatMap(v => kindValueOf(v))
     if (vals.nonEmpty && mapped.size == vals.size &&
         mapped.iterator.map(_._1).toSet.size == 1) {
       val k = mapped.head._1
-      val lo = mapped.map(_._2)
-        .reduce((a, b) => if (cmpKind(k, a, b) <= 0) a else b)
-      val hi = mapped.map(_._2)
-        .reduce((a, b) => if (cmpKind(k, a, b) >= 0) a else b)
-      tighten(name, k, Some(lo), Some(hi))
-    }
+      val pts: Seq[Win] = mapped.map(_._2).distinct
+        .map(p => (Some(p): Option[Any], Some(p): Option[Any]))
+      Some((name, k, capWindows(k, pts)))
+    } else None
   }
+
+  /** Pairwise intersection of two window unions; empty intersections drop
+    * (and an all-empty result is the proven-unsatisfiable union — see
+    * [[ColRange]]).
+    */
+  private def intersectWindows(kind: Char, a: Seq[Win], b: Seq[Win]): Seq[Win] =
+    for {
+      (lo1, hi1) <- a
+      (lo2, hi2) <- b
+      lo = maxBound(kind, lo1, lo2)
+      hi = minBound(kind, hi1, hi2)
+      if !(lo.isDefined && hi.isDefined && cmpKind(kind, lo.get, hi.get) > 0)
+    } yield (lo, hi)
+
+  private def maxBound(kind: Char, a: Option[Any], b: Option[Any]): Option[Any] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(if (cmpKind(kind, x, y) >= 0) x else y)
+      case _ => a.orElse(b)
+    }
+
+  private def minBound(kind: Char, a: Option[Any], b: Option[Any]): Option[Any] =
+    (a, b) match {
+      case (Some(x), Some(y)) => Some(if (cmpKind(kind, x, y) <= 0) x else y)
+      case _ => a.orElse(b)
+    }
+
+  /** Past [[MaxWindowsPerCol]], collapse a union to its convex hull (a
+    * superset — conservative). An empty union stays empty: that is the
+    * proven-unsatisfiable case, not an absence of constraint.
+    */
+  private def capWindows(kind: Char, ws: Seq[Win]): Seq[Win] =
+    if (ws.size <= MaxWindowsPerCol) ws
+    else {
+      val lo =
+        if (ws.exists(_._1.isEmpty)) None
+        else ws.flatMap(_._1).reduceOption((x, y) =>
+          if (cmpKind(kind, x, y) <= 0) x else y)
+      val hi =
+        if (ws.exists(_._2.isEmpty)) None
+        else ws.flatMap(_._2).reduceOption((x, y) =>
+          if (cmpKind(kind, x, y) >= 0) x else y)
+      Seq((lo, hi))
+    }
 
   /** Shared literal→(kind, canonical value) mapping (see colRanges). */
   private def kindValueOf(v: Any): Option[(Char, Any)] = v match {

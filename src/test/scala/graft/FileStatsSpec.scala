@@ -160,6 +160,22 @@ class FileStatsSpec extends SparkSpec {
     // startsWith becomes an ASCII prefix window
     check(t.filter($"tag".startsWith("zulu-")),
       full.filter($"tag".startsWith("zulu-")), "tag startsWith")
+    // same-column DISJUNCTION: the union of windows refutes the low half
+    // even though neither disjunct alone covers the predicate — without
+    // OR handling this scans everything and the prune assert fails
+    check(t.filter($"uid" < -5L || $"uid" >= 100000L),
+      full.filter($"uid" < -5L || $"uid" >= 100000L), "uid OR range")
+    // disjunct that is itself a conjunction on the same column
+    check(t.filter(($"uid" >= -100L && $"uid" < -5L) || $"uid" >= 100000L),
+      full.filter(($"uid" >= -100L && $"uid" < -5L) || $"uid" >= 100000L),
+      "uid OR with AND arm")
+    // a mixed-column OR must fail open (same results, no prune assert)
+    val mixed = t.filter($"uid" < -5L || $"tag" >= "zulu")
+      .select($"time_ns", $"uid")
+    assert(mixed.collect().map(_.mkString("|")).sorted.sameElements(
+      full.filter($"uid" < -5L || $"tag" >= "zulu")
+        .select($"time_ns", $"uid").collect().map(_.mkString("|")).sorted),
+      "mixed-column OR changed results")
     // back-compat: strip the cols field down to the 7-field format — the
     // same queries keep their answers and simply stop pruning on uid
     val dirP = new org.apache.hadoop.fs.Path(GraftStore.resolve(spark, root))
@@ -196,29 +212,77 @@ class FileStatsSpec extends SparkSpec {
 
   test("ColRange.overlaps: kind mismatch, parse failure, non-ASCII all keep") {
     import graft.sources.GraftFileIndex.ColRange
-    val eq5 = ColRange('l', Some(5L), Some(5L))
+    def w(lo: Option[Any], hi: Option[Any]) = Seq((lo, hi))
+    val eq5 = ColRange('l', w(Some(5L), Some(5L)))
     assert(!eq5.overlaps(FileStats.ColStat('l', "6", "9")))
     assert(eq5.overlaps(FileStats.ColStat('l', "1", "5")))
     assert(eq5.overlaps(FileStats.ColStat('s', "1", "9")), "kind mismatch keeps")
     assert(eq5.overlaps(FileStats.ColStat('l', "garbage", "9")), "bad parse keeps")
-    val sRange = ColRange('s', Some("zulu"), None)
+    val sRange = ColRange('s', w(Some("zulu"), None))
     assert(!sRange.overlaps(FileStats.ColStat('s', "alpha-0", "alpha-9")))
     assert(sRange.overlaps(FileStats.ColStat('s', "ünïcödé", "ünïcödé")),
       "non-ASCII stats refuse to prune")
-    val dHi = ColRange('d', None, Some(1.5d))
+    val dHi = ColRange('d', w(None, Some(1.5d)))
     assert(!dHi.overlaps(FileStats.ColStat('d', "2.0", "3.0")))
     assert(dHi.overlaps(FileStats.ColStat('d', "0.5", "3.0")))
     // floats never refute via the LOWER bound: parquet min/max exclude
     // NaN, and NaN satisfies any `col > x` under Spark semantics
-    val dLo = ColRange('d', Some(5.0d), None)
+    val dLo = ColRange('d', w(Some(5.0d), None))
     assert(dLo.overlaps(FileStats.ColStat('d', "0.1", "0.2")),
       "a NaN row could satisfy col > 5 despite max=0.2")
     // signed zero: a -0.0-only file matches a 0.0 upper bound
-    val z = ColRange('d', None, Some(0.0d))
+    val z = ColRange('d', w(None, Some(0.0d)))
     assert(!z.overlaps(FileStats.ColStat('d', "0.5", "0.9")))
     assert(z.overlaps(FileStats.ColStat('d', "-0.0", "-0.0")))
     // NaN leaked into stats: keep
     assert(dHi.overlaps(FileStats.ColStat('d', "NaN", "NaN")))
+    // UNION of windows: a file matches when ANY window overlaps; the
+    // gap between them refutes
+    val gap = ColRange('l', Seq(
+      (None: Option[Any], Some(10L): Option[Any]),
+      (Some(1000L): Option[Any], None: Option[Any])))
+    assert(gap.overlaps(FileStats.ColStat('l', "0", "5")))
+    assert(gap.overlaps(FileStats.ColStat('l', "999", "2000")))
+    assert(!gap.overlaps(FileStats.ColStat('l', "50", "500")),
+      "the middle of the union's gap must refute")
+    // EMPTY union = proven-unsatisfiable conjunction: refute everything
+    val never = ColRange('l', Seq.empty)
+    assert(!never.overlaps(FileStats.ColStat('l', "0", "5")))
+  }
+
+  test("colRanges: disjunctions, IN point-unions, unsatisfiable conjunctions") {
+    import graft.sources.GraftFileIndex
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val uid = AttributeReference("uid", LongType)()
+    // OR of ranges: two windows, middle refutes (checked via overlaps)
+    val r = GraftFileIndex.colRanges(Seq(
+      Or(LessThan(uid, Literal(10L)),
+        GreaterThan(uid, Literal(1000000000L)))))("uid")
+    assert(r.windows.size == 2)
+    assert(!r.overlaps(FileStats.ColStat('l', "500", "900")))
+    assert(r.overlaps(FileStats.ColStat('l', "0", "5")))
+    assert(r.overlaps(FileStats.ColStat('l', "2000000000", "3000000000")))
+    // IN-list is a union of POINTS now: the middle refutes too
+    val in = GraftFileIndex.colRanges(Seq(
+      In(uid, Seq(Literal(1L), Literal(1000000000L)))))("uid")
+    assert(!in.overlaps(FileStats.ColStat('l', "100", "900")),
+      "between two IN points must refute")
+    assert(in.overlaps(FileStats.ColStat('l', "900", "1000000001")))
+    // conjunction that can never hold: empty union, refutes everything
+    val never = GraftFileIndex.colRanges(Seq(
+      GreaterThanOrEqual(uid, Literal(100L)),
+      LessThanOrEqual(uid, Literal(10L))))("uid")
+    assert(never.windows.isEmpty)
+    assert(!never.overlaps(FileStats.ColStat('l', "0", "1000")))
+    // a disjunction with an unmappable arm voids the whole OR
+    val tag = AttributeReference("tag", StringType)()
+    val ranges = GraftFileIndex.colRanges(Seq(
+      Or(LessThan(uid, Literal(10L)),
+        GreaterThan(tag, Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString("z"),
+          StringType)))))
+    assert(!ranges.contains("uid"), "mixed-column OR must build no window")
   }
 
   test("sidecar TSV round-trips hostile keys and pod names") {
