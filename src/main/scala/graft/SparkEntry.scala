@@ -147,6 +147,7 @@ object SparkEntry {
     "x18_metadata_tables" -> (StoreMetaQuery.run(_, _)),
     "x23_metadata_agg" -> (StoreMetaAggQuery.run(_, _)),
     "x24_column_pruned" -> (StoreColPrunedQuery.run(_, _)),
+    "x25_data_minmax" -> (StoreDataMinMaxQuery.run(_, _)),
     "v6_random_projection" -> (ExtensionQueries.randomProjectionGates(_, _)),
     "t11_bpe_vocab" -> (ExtensionQueries.bpeVocabGates(_, _)),
     "v7_quantize_int8" -> (ExtensionQueries.quantizationGates(_, _)),
@@ -1256,6 +1257,17 @@ object SparkEntry {
         |  TRUE AS files_pruned
         |FROM events WHERE event_id % 2 = 1
         |ORDER BY time_us, uid""".stripMargin,
+    // x25: data-column min/max from the stats sidecar — the engine
+    // answers per-day uid/etype bounds with a require()d scanless plan
+    // (and require()s the double-max probe KEEPS its scan: NaN makes a
+    // stats max unsound); DuckDB restates the bounds by scanning events
+    "x25_data_minmax" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS date,
+        |  min(user_id) AS lo_uid, max(user_id) AS hi_uid,
+        |  min(event_type) AS lo_et, max(event_type) AS hi_et,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  TRUE AS double_max_scan_ok
+        |FROM events GROUP BY 1 ORDER BY date""".stripMargin,
     // d11: streaming NEAR-dedup survivors — order-dependent but
     // non-recursive ("earlier SEEN", not "earlier admitted"), so pure SQL:
     // a doc survives iff no exact-Jaccard pair (τ=0.8, the d2 body) links

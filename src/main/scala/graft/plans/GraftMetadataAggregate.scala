@@ -11,12 +11,14 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 /** Metadata-only aggregates over `format("graft")` relations — the
   * optimizer-rule twin of the DSv2 `SupportsPushDownAggregates` contract
   * (and of [[graft.logs.MetaTables]]' manual surface): `COUNT(*)` /
-  * `MIN(time_ns)` / `MAX(time_ns)` / `MIN`/`MAX` of a PARTITION column
-  * (`max(date)` — the "how fresh is the store" probe, answered from
-  * directory values), globally or GROUPED BY partition columns, with no
-  * filter, collapse to a [[LocalRelation]] computed from the commit-time
-  * `_graft_filestats` sidecar — the query answers from manifest-tier
-  * metadata with ZERO data file I/O. At 100 TB that is the
+  * `MIN`/`MAX` of `time_ns`, of a PARTITION column (`max(date)` — the
+  * "how fresh is the store" probe, answered from directory values), or of
+  * ANY data column whose per-file [[graft.logs.FileStats.ColStat]] bounds
+  * cover the group (`min(uid)`, `max(tag)` — see `dataMinMax`'s gates),
+  * globally or GROUPED BY partition columns, collapse to a
+  * [[LocalRelation]] computed from the commit-time `_graft_filestats`
+  * sidecar — the query answers from manifest-tier metadata with ZERO data
+  * file I/O. At 100 TB that is the
   * difference between an instant answer and a full-store scan ("rows per
   * day, whole store" is the canonical ops query), the Iceberg/Delta
   * "stats-only query" play.
@@ -209,6 +211,76 @@ object GraftMetadataAggregate extends Rule[LogicalPlan] {
           if (wantMin) vals.min(ord) else vals.max(ord)
         }
       }
+    /** min/max over an arbitrary DATA column, answered from the sidecar's
+      * per-column whole-file bounds ([[graft.logs.FileStats.ColStat]]) —
+      * the Delta/Iceberg stats-only min/max generalized past `time_ns`.
+      * Gates, all fail-open:
+      *   - every rows>0 file in the group must carry the column with the
+      *     kind its Spark type expects (a zero-row file witnesses nothing
+      *     and is vacuously covered; an all-null-column file has no entry
+      *     and correctly disables the shortcut — its nulls don't feed the
+      *     aggregate, but a sibling could, and "some file lacks bounds"
+      *     must read as "don't know", never as null);
+      *   - timestamps are excluded wholesale: a ColStat 'l' raw long is
+      *     MICROS or NANOS depending on the writer's logical annotation
+      *     and the kind char cannot tell them apart, while TimestampType
+      *     literals are always micros;
+      *   - floating columns answer MIN only (parquet min/max exclude NaN
+      *     and NaN is the LARGEST value under Spark semantics, so a
+      *     stats max under-reports; a NaN-free min is exact), and a ±0.0
+      *     min fails open (the sign bit of a zero min is not recoverable
+      *     from stats text vs what a real scan would return);
+      *   - string bounds must be pure ASCII on every file (where parquet's
+      *     unsigned-byte ordering, Java's UTF-16 ordering, and Spark's
+      *     UTF8String ordering all agree — the same guard the pruning
+      *     consumer applies).
+      */
+    def dataMinMax(a: Attribute, wantMin: Boolean): Option[Any] = {
+      import org.apache.spark.sql.types._
+      val u = resolve.get(a.exprId).getOrElse(return None)
+      if (partCols.contains(u.name)) return None
+      val kind: Char = a.dataType match {
+        case LongType | IntegerType | ShortType | ByteType | DateType => 'l'
+        case DoubleType | FloatType => 'd'
+        case StringType => 's'
+        case _ => return None // timestamps, decimals, nested: not answerable
+      }
+      val live = st.filter(_.rows > 0)
+      if (live.isEmpty) return Some(null) // zero rows survive: SQL min = null
+      val bounds = live.map(_.cols.get(u.name))
+      if (!bounds.forall(_.exists(_.kind == kind))) return None
+      val cs = bounds.map(_.get)
+      try kind match {
+        case 'l' =>
+          val vs = cs.map(c => (if (wantMin) c.min else c.max).toLong)
+          val v = if (wantMin) vs.min else vs.max
+          a.dataType match {
+            case LongType => Some(v)
+            case IntegerType | DateType => Some(v.toInt)
+            case ShortType => Some(v.toShort)
+            case ByteType => Some(v.toByte)
+            case _ => None
+          }
+        case 'd' =>
+          if (!wantMin) None
+          else {
+            val vs = cs.map(_.min.toDouble)
+            if (vs.exists(x => x.isNaN || x == 0.0d)) None
+            else {
+              val v = vs.min
+              Some(if (a.dataType == FloatType) v.toFloat else v)
+            }
+          }
+        case _ =>
+          if (!cs.forall(c => c.min.forall(_ < 128) && c.max.forall(_ < 128)))
+            None
+          else {
+            val vs = cs.map(c => if (wantMin) c.min else c.max)
+            Some(org.apache.spark.unsafe.types.UTF8String.fromString(
+              if (wantMin) vs.min else vs.max))
+          }
+      } catch { case _: NumberFormatException => None }
+    }
     def fromAgg(ae: AggregateExpression): Option[Any] =
       if (ae.isDistinct || ae.filter.nonEmpty) None
       else ae.aggregateFunction match {
@@ -217,14 +289,18 @@ object GraftMetadataAggregate extends Rule[LogicalPlan] {
           val bounds = st.map(_.minNs)
           if (bounds.isEmpty) Some(null) // zero rows survive: SQL min = null
           else if (bounds.forall(_.nonEmpty)) Some(bounds.flatten.min)
-          else None
+          else dataMinMax(a, wantMin = true)
         case Max(a: Attribute) if isTimeNs(a) =>
           val bounds = st.map(_.maxNs)
           if (bounds.isEmpty) Some(null)
           else if (bounds.forall(_.nonEmpty)) Some(bounds.flatten.max)
-          else None
-        case Min(a: Attribute) => partMinMax(a, wantMin = true)
-        case Max(a: Attribute) => partMinMax(a, wantMin = false)
+          else dataMinMax(a, wantMin = false)
+        case Min(a: Attribute) =>
+          partMinMax(a, wantMin = true)
+            .orElse(dataMinMax(a, wantMin = true))
+        case Max(a: Attribute) =>
+          partMinMax(a, wantMin = false)
+            .orElse(dataMinMax(a, wantMin = false))
         case _ => None
       }
     if (!e.deterministic) return None

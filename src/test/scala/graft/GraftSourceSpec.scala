@@ -188,8 +188,16 @@ class GraftSourceSpec extends SparkSpec {
     // a filter breaks the match: real scan, same answer
     val filtered = t.filter($"pod" === "pod-1").groupBy().count()
     assert(hasFileScan(filtered))
-    // aggregates stats can't answer (min of a data column) scan files
-    assert(hasFileScan(t.groupBy().agg(min($"message"))))
+    // min/max of a DATA column now answers from the sidecar's per-column
+    // bounds (x25) — message stats are short ASCII here, so zero I/O
+    val dmm = t.groupBy().agg(min($"message").as("lo"), max($"message").as("hi"))
+    assert(!hasFileScan(dmm), "data-column min/max must answer from ColStat")
+    assert(dmm.collect().head.mkString("|") ==
+      df.agg(min($"message"), max($"message")).collect().head.mkString("|"))
+    // a TIMESTAMP column stays excluded (ColStat's raw long can be micros
+    // or nanos — the kind char can't tell, so the rule must not guess)
+    assert(hasFileScan(t.groupBy().agg(min($"time"))),
+      "timestamp min/max must fail open to a real scan")
     // fail open: strip the sidecar — the SAME query plans a real scan
     val dir = new org.apache.hadoop.fs.Path(GraftStore.resolve(spark, root))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -238,8 +246,10 @@ class GraftSourceSpec extends SparkSpec {
     assert(perC.collect().map(_.mkString("|")).sorted.sameElements(
       df.groupBy($"cluster").agg(max($"date").as("hi"), count(lit(1)).as("n"))
         .collect().map(_.mkString("|")).sorted))
-    // min/max over a DATA column still scans
-    assert(hasFileScan(t.groupBy().agg(max($"pod"))))
+    // min/max over a DATA column answers from its ColStat bounds too (x25)
+    val dpod = t.groupBy().agg(max($"pod").as("hi"))
+    assert(!hasFileScan(dpod), "data-column max must answer from ColStat")
+    assert(dpod.as[String].head() == df.agg(max($"pod")).as[String].head())
     // a PARTITION-column-only filter selects whole directories exactly —
     // count/min/max under it stay metadata-only (the partition-scoped
     // stats-count)
@@ -283,9 +293,13 @@ class GraftSourceSpec extends SparkSpec {
     assert(hasFileScan(shadow), "renamed data column must fail open to a scan")
     val Array(srow) = shadow.collect()
     assert(srow.getString(0) == "n1" && srow.getLong(1) == df.count())
-    // a column renamed TO time_ns must not answer min/max from ns stats
+    // a column renamed TO time_ns must not answer from the ns stats: it
+    // resolves by exprId to `pod`, whose own ColStat bounds answer it
+    // scanlessly (x25) — the VALUE is min(pod), proving the resolution
+    // routed to the underlying column and never to the dedicated ns field
     val fakeTs = t.select($"pod".as("time_ns")).groupBy().agg(min($"time_ns"))
-    assert(hasFileScan(fakeTs), "fake time_ns must fail open to a scan")
+    assert(!hasFileScan(fakeTs),
+      "renamed pod answers from pod's own ColStat bounds")
     assert(fakeTs.collect().head.getString(0) ==
       df.agg(min($"pod")).collect().head.getString(0))
     // a REAL rename of the partition column still answers from metadata —
