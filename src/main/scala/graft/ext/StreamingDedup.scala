@@ -259,8 +259,7 @@ object StreamingDedup {
       triggerInterval: String = "60 seconds",
       maxRecordsPerFile: Long = 1000000L): StreamingQuery = {
     val spark = docs.sparkSession
-    val sinkId = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(checkpoint))
+    val sinkId = GraftStore.sinkIdFor(checkpoint)
     LogIngest.ensureStore(spark, storeRoot)
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -295,8 +294,7 @@ object StreamingDedup {
       triggerInterval: String = "60 seconds",
       maxRecordsPerFile: Long = 1000000L): StreamingQuery = {
     val spark = docs.sparkSession
-    val sinkId = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(checkpoint))
+    val sinkId = GraftStore.sinkIdFor(checkpoint)
     LogIngest.ensureStore(spark, storeRoot)
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>

@@ -117,6 +117,24 @@ object FileStats {
     }
   }
 
+  /** `a < b` under unsigned UTF-8 byte comparison — parquet's BINARY stats
+    * ordering, and the one Spark's UTF8String comparisons use. Cross-block
+    * merges must use THIS ordering so a recorded whole-file bound is a
+    * true extreme of the per-block bounds.
+    */
+  private[graft] def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   private def esc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
   private def unesc(s: String): String =
@@ -245,8 +263,15 @@ object FileStats {
                         if (lo == null || hi == null) a.ok = false
                         else if (a.blocksSeen == 1) { a.loS = lo; a.hiS = hi }
                         else {
-                          if (lo < a.loS) a.loS = lo
-                          if (hi > a.hiS) a.hiS = hi
+                          // merge in UTF-8 BYTE order — the ordering each
+                          // block's own min/max already obeys (parquet
+                          // compares unsigned bytes). Java's UTF-16 `<`
+                          // disagrees above U+E000 vs supplementary
+                          // characters, and a bound merged under the wrong
+                          // ordering is one a future consumer could
+                          // wrongly trust
+                          if (utf8Lt(lo, a.loS)) a.loS = lo
+                          if (utf8Lt(a.hiS, hi)) a.hiS = hi
                         }
                     }
                   }
@@ -267,8 +292,11 @@ object FileStats {
                     val lo = st.minAsString; val hi = st.maxAsString
                     if (lo == null || hi == null) podOk = false
                     else {
-                      pmn = Some(pmn.fold(lo)(Ordering[String].min(_, lo)))
-                      pmx = Some(pmx.fold(hi)(Ordering[String].max(_, hi)))
+                      // same UTF-8 byte-order merge as the generic column
+                      // accumulators (identical for the ASCII names the
+                      // consumer is willing to prune on)
+                      pmn = Some(pmn.fold(lo)(p => if (utf8Lt(lo, p)) lo else p))
+                      pmx = Some(pmx.fold(hi)(p => if (utf8Lt(p, hi)) hi else p))
                     }
                   }
                 }

@@ -206,10 +206,33 @@ object GraftStore {
     * so a year of one-minute micro-batches is ~5 MB of metadata.
     * Markers are written AFTER the pointer flip: a crash in between leaves
     * no marker, and the fallback scan still finds the just-flipped version.
+    *
+    * Lifecycle: the pointer tier's ledger lives INSIDE the root, so
+    * deleting the store deletes it; the symlink tier's root is itself a
+    * symlink, so its ledger is the sibling `.txns/` dir and
+    * [[VersionedStore.init]] clears a stale one when a fresh store is
+    * created at the same path. Operational hazard, documented contract:
+    * wiping a CHECKPOINT while keeping the store keeps its ledger too, so
+    * the restarted query's batch 0 carries an already-recorded commit id
+    * and is dropped as a replay — restart onto a surviving store with a
+    * NEW checkpoint path, never a wiped one.
     */
   private def txnDir(spark: SparkSession, root: String): Path =
     if (isPointerStore(spark, root)) new Path(root, TxnDirName)
     else new Path(new Path(root).toUri.getPath + ".txns")
+
+  /** Stable streaming-sink identity from a checkpoint path: the first 128
+    * bits of SHA-256, hex. Commit ids embed this (`g<sinkId>-b<batchId>`),
+    * so its width IS the collision budget between two checkpoints feeding
+    * one store — a 32-bit hash would let two distinct checkpoints share
+    * commit ids and silently drop the later query's batches as replays;
+    * at 128 bits the birthday bound is ~2⁶⁴ checkpoints per store.
+    */
+  def sinkIdFor(checkpoint: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(checkpoint.getBytes("UTF-8"))
+      .take(16).map(b => f"${b & 0xff}%02x").mkString
+  }
 
   private[logs] def recordTxn(spark: SparkSession, root: String, id: String,
       version: Int): Unit = {

@@ -109,8 +109,7 @@ object LogStreamIngest {
     // content-independent and restart-stable: replay detection must key on
     // the same id before and after a crash, and two sinks with different
     // checkpoints must never collide
-    val sinkId = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(checkpoint))
+    val sinkId = GraftStore.sinkIdFor(checkpoint)
     LogIngest.ensureStore(spark, storeRoot)
     parsed.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -146,8 +145,7 @@ object LogStreamIngest {
       maxRecordsPerFile: Long = 1000000L,
       retainSnapshots: Int = 1): StreamingQuery = {
     val spark = updates.sparkSession
-    val sinkId = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(checkpoint))
+    val sinkId = GraftStore.sinkIdFor(checkpoint)
     LogIngest.ensureStore(spark, storeRoot)
     updates.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>

@@ -29,11 +29,23 @@ object VersionedStore {
 
   /** Create an empty versioned store: `<root>.v000001` plus the root symlink
     * (relative target, so the store directory is relocatable as a unit).
+    *
+    * A surviving `<root>.txns` commit-id ledger from a DELETED store at the
+    * same path is cleared first: a fresh store has no committed
+    * transactions by definition, and resurrected ledger entries would make
+    * a streaming writer reusing its checkpoint path silently skip its
+    * first batches as replays ([[GraftStore]]'s ledger contract). The
+    * sibling placement itself is forced by this tier's layout — the root
+    * IS a symlink to the current version dir, so nothing durable can live
+    * "inside" it.
     */
   def init(root: String): Unit = {
     val rootPath = Paths.get(root)
     require(!Files.exists(rootPath, LinkOption.NOFOLLOW_LINKS),
       s"$root already exists — init only creates fresh stores")
+    val staleLedger = Paths.get(root + ".txns")
+    if (Files.isDirectory(staleLedger))
+      org.apache.commons.io.FileUtils.deleteDirectory(staleLedger.toFile)
     val v1 = Paths.get(versionName(root, 1))
     Files.createDirectories(v1)
     Files.createSymbolicLink(rootPath, v1.getFileName)

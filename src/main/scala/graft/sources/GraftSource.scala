@@ -93,14 +93,27 @@ class GraftSourceProvider extends RelationProvider with SchemaRelationProvider
         .getOrElse(Seq.empty)
     graft.logs.LogIngest.ensureStore(spark, root)
     // replay detection keys on (sinkId, batchId); the sink id derives from
-    // the checkpoint so it is stable across restarts and two queries with
-    // different checkpoints never collide on a store. Without a durable
-    // checkpoint there is no cross-restart replay to defend against, so a
-    // per-query-run id suffices.
-    val sinkId = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(
-        parameters.getOrElse("checkpointLocation",
-          java.util.UUID.randomUUID().toString)))
+    // the EFFECTIVE checkpoint so it is stable across restarts and two
+    // queries with different checkpoints never collide on a store. Spark
+    // resolves the durable checkpoint AFTER sink creation, so mirror
+    // StreamingQueryManager's rule here: the explicit writer option, else
+    // spark.sql.streaming.checkpointLocation + queryName (both in
+    // `parameters`). With neither — including conf-without-queryName,
+    // where Spark itself picks a fresh random subdirectory per start —
+    // there is no durable checkpoint identity and no cross-restart replay
+    // to defend against, so a per-query-run id suffices. The path is
+    // FS-qualified before hashing so two spellings of one directory agree.
+    val effectiveCheckpoint = parameters.get("checkpointLocation")
+      .orElse(spark.sessionState.conf.checkpointLocation.flatMap(root0 =>
+        parameters.get("queryName").map(n =>
+          new org.apache.hadoop.fs.Path(root0, n).toString)))
+    val sinkId = graft.logs.GraftStore.sinkIdFor(
+      effectiveCheckpoint.map { cp =>
+        val p = new org.apache.hadoop.fs.Path(cp)
+        try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .makeQualified(p).toString
+        catch { case _: java.io.IOException => p.toString }
+      }.getOrElse(java.util.UUID.randomUUID().toString))
     new graft.streaming.GraftStreamSink(spark, root, sinkId,
       partitionCols = partCols,
       maxRecordsPerFile = parameters.get("maxRecordsPerFile")

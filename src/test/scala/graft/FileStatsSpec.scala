@@ -285,6 +285,24 @@ class FileStatsSpec extends SparkSpec {
     assert(!ranges.contains("uid"), "mixed-column OR must build no window")
   }
 
+  test("utf8Lt merges block bounds in parquet's unsigned-byte order") {
+    // the cross-block merge must use the SAME ordering each block's own
+    // min/max obeys (parquet unsigned bytes = Spark UTF8String order).
+    // U+E000 (UTF-8 EE 80 80) vs U+10000 (F0 90 80 80) is exactly where
+    // Java's UTF-16 `<` flips the verdict: the surrogate pair starts at
+    // 0xD800 < 0xE000, so UTF-16 calls the supplementary char SMALLER
+    val e000 = "\uE000"
+    val supp = new String(Character.toChars(0x10000))
+    assert(!(e000 < supp), "UTF-16 disagrees (the trap this guards)")
+    assert(FileStats.utf8Lt(e000, supp), "byte order: U+E000 < U+10000")
+    assert(!FileStats.utf8Lt(supp, e000))
+    // prefix rule and equality
+    assert(FileStats.utf8Lt("ab", "abc"))
+    assert(!FileStats.utf8Lt("abc", "abc"))
+    // plain ASCII agrees with both orderings
+    assert(FileStats.utf8Lt("alpha", "beta"))
+  }
+
   test("sidecar TSV round-trips hostile keys and pod names") {
     val dir = Files.createTempDirectory("graft-fstats-rt").toString
     val hostile = Seq(

@@ -84,6 +84,58 @@ class GraftStreamSinkSpec extends SparkSpec {
     assert(GraftStore.liveVersionOf(spark, root) == v + 1)
   }
 
+  test("sink id resolves conf + queryName: a crash-replayed batch commits once") {
+    // Spark resolves a durable checkpoint from
+    // spark.sql.streaming.checkpointLocation + queryName AFTER sink
+    // creation — the sink must mirror that resolution, or every restart
+    // mints a fresh random sink id and a crash-replayed micro-batch
+    // commits twice
+    val w = tmp("confck")
+    val root = w.resolve("store").toString
+    spark.conf.set("spark.sql.streaming.checkpointLocation",
+      w.resolve("ckroot").toString)
+    try {
+      val provider = new graft.sources.GraftSourceProvider
+      def mkSink(name: String) = provider.createSink(spark.sqlContext,
+        Map("path" -> root, "queryName" -> name), Seq("lang"),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      mkSink("confq").addBatch(0L, docs((1L, "a", "en")))
+      assert(GraftStore.readStore(spark, root).count() == 1)
+      // a NEW sink instance (the restart) replaying batch 0 must no-op
+      mkSink("confq").addBatch(0L, docs((1L, "a", "en")))
+      assert(GraftStore.readStore(spark, root).count() == 1,
+        "replayed batch under a conf-resolved checkpoint must not double")
+      // a different queryName is a different lineage: its batch 0 commits
+      mkSink("otherq").addBatch(0L, docs((2L, "b", "en")))
+      assert(GraftStore.readStore(spark, root).count() == 2)
+    } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
+  }
+
+  test("deleted store re-created at the same path starts with a clean ledger") {
+    val w = tmp("ledger")
+    val root = w.resolve("store").toString
+    LogIngest.ensureStore(spark, root)
+    AppendCommit.commit(docs((1L, "a", "en")), root, Seq("lang"),
+      commitId = Some("replay-probe"))
+    assert(GraftStore.readStore(spark, root).count() == 1)
+    // wipe the store the way an operator would — root symlink + version
+    // dirs; the sibling .txns ledger survives exactly this way
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root))
+    Option(w.toFile.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("store.v"))
+      .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+    // fresh store at the same path: the stale ledger must not resurrect —
+    // without init-time clearing this commit is silently dropped as a
+    // replay of the dead store's transaction
+    LogIngest.ensureStore(spark, root)
+    val committed = AppendCommit.commit(docs((2L, "b", "en")), root,
+      Seq("lang"), commitId = Some("replay-probe"))
+    assert(!committed.replayed,
+      "fresh store must not treat its first commit as a replay")
+    assert(GraftStore.readStore(spark, root).select($"doc_id")
+      .as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("store-to-store: readStream tail feeds a writeStream sink — the durable bus") {
     val w = tmp("bus")
     val src = w.resolve("src").toString
