@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.logs.{AppendCommit, GraftStore, LogIngest}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -17,18 +17,44 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *      document bodies (the [[Dedup]] scale rule);
   *   2. in-batch first-writer-wins: min id per fingerprint (one
   *      batch-sized shuffle);
-  *   3. cross-batch: LEFT ANTI join against the corpus' `fingerprint`
-  *      column — a single-column Parquet scan (column pruning leaves the
-  *      text bytes on disk), distinct-ed to 8-byte keys. At 100 TB the
-  *      admitted-signature side is what a bucketed signature index would
-  *      serve; the read path is already the narrowest possible scan;
+  *   3. cross-batch: LEFT ANTI join against a BUCKET-PARTITIONED
+  *      signature index (`c=<commit>/b=<fingerprint mod N>` hive dirs
+  *      beside the store) — the scan reads ONLY the buckets this batch's
+  *      fingerprints hash to, so per-batch index I/O follows the batch's
+  *      bucket coverage, not the corpus (each bucket holds corpus/N
+  *      8-byte rows, kept compact by the debt-gated loop below). A
+  *      pre-index store bootstraps the index once from the corpus'
+  *      `fingerprint` column, after which the corpus data files are
+  *      never opened again for dedup;
   *   4. survivors commit atomically ([[AppendCommit]]) with an
-  *      exactly-once `d<sinkId>-b<batchId>` id — a replayed batch
-  *      re-deduplicates to the same survivors and the commit no-ops.
+  *      exactly-once `d<sinkId>-b<batchId>` id, THEN their fingerprints
+  *      publish as an atomic per-commit index slice — a crash between
+  *      the two makes the replay recompute the batch (the commit no-ops
+  *      on its recorded id, the slice overwrite is idempotent), and
+  *      batches are sequential per query, so the heal always lands
+  *      before the next batch reads the index;
+  *   5. when the slice count passes `maxIndexSlices`, the batch compacts
+  *      the index in-line (single-writer, so nothing races) — the same
+  *      debt-gated contract as [[graft.logs.Maintenance]], which also
+  *      reaches these indexes for offline runs.
   *
   * First-batch edge: a dataless store (fresh sink) admits everything.
   */
 object StreamingDedup {
+
+  /** Default index fan-out: N=64 puts a 10⁹-doc corpus at ~125 MB of
+    * 8-byte rows per bucket, while a small batch touching k buckets reads
+    * k/64 of the index. Recorded in `_graft_index_meta` on first write —
+    * later batches follow the recorded value, so a drifting caller
+    * parameter cannot mis-prune.
+    */
+  val DefaultIndexBuckets = 64
+
+  /** Compact an index once it accumulates more than this many per-commit
+    * slices: bounds both the per-batch directory listing and the
+    * small-file count regardless of stream lifetime.
+    */
+  val DefaultMaxIndexSlices = 8
 
   final case class BatchResult(streamed: Long, admitted: Long,
       droppedInBatch: Long, droppedExisting: Long, version: Int,
@@ -41,7 +67,10 @@ object StreamingDedup {
   def dedupAppendBatch(spark: SparkSession, storeRoot: String,
       batch: DataFrame, idCol: String, textCol: String,
       partitionCols: Seq[String], commitId: Option[String] = None,
-      maxRecordsPerFile: Long = 1000000L): BatchResult = {
+      maxRecordsPerFile: Long = 1000000L,
+      indexBuckets: Int = DefaultIndexBuckets,
+      maxIndexSlices: Int = DefaultMaxIndexSlices): BatchResult = {
+    val idx = dedupIndexRoot(storeRoot)
     val withFp = batch.withColumn("fingerprint", xxhash64(col(textCol)))
       .persist()
     try {
@@ -50,33 +79,61 @@ object StreamingDedup {
         .withColumn("_rn", row_number().over(
           Window.partitionBy(col("fingerprint")).orderBy(col(idCol))))
         .filter(col("_rn") === 1).drop("_rn")
-      val seen =
-        if (GraftStore.isDataless(spark, storeRoot))
-          None // dataless store: first batch admits everything
-        else Some(GraftStore.readStore(spark, storeRoot)
-          .select(col("fingerprint")).distinct())
+      val nb = effectiveBuckets(spark, idx, indexBuckets)
+      val batchBuckets = bucketsOf(withFp, pmod(col("fingerprint"), lit(nb)))
+      val seen: Option[DataFrame] =
+        readBucketed(spark, idx, "b", batchBuckets)
+          .map(_.select(col("fingerprint")))
+          .orElse {
+            if (GraftStore.isDataless(spark, storeRoot))
+              None // dataless store, no index: first batch admits everything
+            else {
+              // pre-index store (batch-built corpus, first streaming
+              // attach): bootstrap the signature index ONCE from the
+              // corpus' own fingerprint column — the last corpus-wide
+              // data scan this store's dedup path ever runs
+              writeSliceAtomic(spark,
+                GraftStore.readStore(spark, storeRoot)
+                  .select(col("fingerprint")).distinct(),
+                idx, "c=bootstrap",
+                Some(("b", pmod(col("fingerprint"), lit(nb)))))
+              readBucketed(spark, idx, "b", batchBuckets)
+                .map(_.select(col("fingerprint")))
+            }
+          }
       val fresh = seen.fold(inBatch)(s =>
         inBatch.join(s, Seq("fingerprint"), "left_anti")).persist()
       try {
         val admitted = fresh.count()
         val inBatchCount = inBatch.count()
-        if (admitted == 0)
-          // fully-duplicate batch: no version churn; idempotent under
-          // replay (a re-run re-deduplicates to the same zero survivors)
-          BatchResult(streamed, 0L,
-            droppedInBatch = streamed - inBatchCount,
-            droppedExisting = inBatchCount,
-            version = GraftStore.liveVersionOf(spark, storeRoot),
-            replayed = false)
-        else {
-          val committed = AppendCommit.commit(fresh, storeRoot,
-            partitionCols = partitionCols,
-            maxRecordsPerFile = maxRecordsPerFile, commitId = commitId)
-          BatchResult(streamed, admitted,
-            droppedInBatch = streamed - inBatchCount,
-            droppedExisting = inBatchCount - admitted,
-            version = committed.version, replayed = committed.replayed)
-        }
+        val result =
+          if (admitted == 0)
+            // fully-duplicate batch: no version churn; idempotent under
+            // replay (a re-run re-deduplicates to the same zero survivors)
+            BatchResult(streamed, 0L,
+              droppedInBatch = streamed - inBatchCount,
+              droppedExisting = inBatchCount,
+              version = GraftStore.liveVersionOf(spark, storeRoot),
+              replayed = false)
+          else {
+            val committed = AppendCommit.commit(fresh, storeRoot,
+              partitionCols = partitionCols,
+              maxRecordsPerFile = maxRecordsPerFile, commitId = commitId)
+            // corpus FIRST, index slice SECOND: a crash in between leaves
+            // the slice missing, the replayed batch recomputes the same
+            // survivors (the commit no-ops on its recorded id) and the
+            // slice overwrite heals — written on replay too, for exactly
+            // that case
+            writeSliceAtomic(spark, fresh.select(col("fingerprint")),
+              idx, s"c=${commitId.getOrElse(newSliceId())}",
+              Some(("b", pmod(col("fingerprint"), lit(nb)))))
+            BatchResult(streamed, admitted,
+              droppedInBatch = streamed - inBatchCount,
+              droppedExisting = inBatchCount - admitted,
+              version = committed.version, replayed = committed.replayed)
+          }
+        compactIndex(spark, idx, Seq("fingerprint"), maxIndexSlices)
+        result
       } finally fresh.unpersist()
     } finally withFp.unpersist()
   }
@@ -96,17 +153,26 @@ object StreamingDedup {
     * shingle hashes, stored ONCE per doc) serves exact verification. That
     * is the 100 TB shape: checkpoint state stays empty (restart-safe with
     * no state-store bloat), the indexes are columnar, compactable, and
-    * queryable, and a crawler re-visit is an 8-byte id anti-join. Per
-    * batch:
-    *   1. id-resends drop (`doc_id` already in the grams index);
+    * queryable, and a crawler re-visit is an 8-byte id anti-join. Both
+    * indexes are BUCKET-PARTITIONED (`c=<commit>/pb=<hash mod N>` /
+    * `gb=<hash mod N>` dirs) so every per-batch read below prunes to the
+    * buckets the batch's keys hash to — per-batch index I/O follows the
+    * batch, not the corpus — and the debt-gated compaction keeps slice
+    * counts bounded. Per batch:
+    *   1. id-resends drop (`doc_id` already in the grams index — read
+    *      pruned to the batch ids' `gb` buckets);
     *   2. shingle + MinHash + band the fresh docs (one projection, no
     *      shuffle — `bands=32, rows=2` puts the τ=0.8 miss probability
     *      per true pair below 1e-14);
-    *   3. candidates = bands-index ⋈ batch bands on (band, bucket), plus
-    *      the in-batch self-join (earlier = smaller `doc_id`, the d10
-    *      arrival rule);
+    *   3. candidates = bands-index ⋈ batch bands on (band, bucket) — the
+    *      index side pruned to the batch's `pb = hash(band, bucket) % N`
+    *      buckets, which is exactly where any matching row must live —
+    *      plus the in-batch self-join (earlier = smaller `doc_id`, the
+    *      d10 arrival rule);
     *   4. exact Jaccard on the 8-byte shingle sets verifies candidates
-    *      (hash collisions only ADD candidates; the exact check decides);
+    *      (hash collisions only ADD candidates; the exact check
+    *      decides) — the earlier side's grams read pruned to the
+    *      candidates' `gb` buckets;
     *   5. survivors commit exactly-once ([[AppendCommit]] + `commitId`);
     *      ALL fresh docs (admitted or dropped — "earlier seen", not
     *      "earlier admitted", keeps the policy non-recursive and
@@ -123,10 +189,15 @@ object StreamingDedup {
       partitionCols: Seq[String], commitId: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 32,
       threshold: Double = 0.8,
-      maxRecordsPerFile: Long = 1000000L): NearDupResult = {
+      maxRecordsPerFile: Long = 1000000L,
+      indexBuckets: Int = DefaultIndexBuckets,
+      maxIndexSlices: Int = DefaultMaxIndexSlices): NearDupResult = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     val idx = indexRoot(storeRoot)
+    val bandsRoot = s"$idx/bands"
+    val gramsRoot = s"$idx/grams"
+    val nb = effectiveBuckets(spark, idx, indexBuckets)
     import graft.expr.SketchFunctions
     // the kernel already dedupes shingle hashes, and array_intersect/
     // array_union need no sort — trust it like Dedup.shingleHashes does
@@ -134,10 +205,9 @@ object StreamingDedup {
       SketchFunctions.wordShingleHashes(col(textCol), n)).persist()
     try {
       val streamed = withG.count()
-      // ONE read of the grams index serves both the resend anti-join and
-      // exact verification
-      val gramsIdx = readIndex(spark, s"$idx/grams")
-      val seenIds = gramsIdx.map(_.select(col("doc_id").as(idCol)))
+      val idBuckets = bucketsOf(withG, pmod(xxhash64(col(idCol)), lit(nb)))
+      val seenIds = readBucketed(spark, gramsRoot, "gb", idBuckets)
+        .map(_.select(col("doc_id").as(idCol)))
       val fresh = seenIds.fold(withG.toDF())(s =>
         withG.join(s, Seq(idCol), "left_anti")).persist()
       try {
@@ -149,17 +219,20 @@ object StreamingDedup {
           .persist()
         try {
           val gramsOf = fresh.select(col(idCol).as("doc_id"), col("grams"))
+          val bandBuckets = bucketsOf(batchBands,
+            pmod(xxhash64(col("band"), col("bucket")), lit(nb)))
           // id_a ≠ id_b: a doc can meet ITS OWN index rows after a crash
           // landed the bands slice but not the grams slice (the replay
           // recomputes the whole batch) — self-identity is never a dup;
           // genuine id re-sends never reach here (the grams-index
           // anti-join dropped them)
-          val crossPairs = readIndex(spark, s"$idx/bands").map(sb =>
-            sb.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
-              .join(batchBands.select(col("band"), col("bucket"),
-                col("doc_id").as("id_b")), Seq("band", "bucket"))
-              .filter(col("id_a") =!= col("id_b"))
-              .select(col("id_a"), col("id_b")))
+          val crossPairs = readBucketed(spark, bandsRoot, "pb", bandBuckets)
+            .map(sb =>
+              sb.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+                .join(batchBands.select(col("band"), col("bucket"),
+                  col("doc_id").as("id_b")), Seq("band", "bucket"))
+                .filter(col("id_a") =!= col("id_b"))
+                .select(col("id_a"), col("id_b")))
           val inBatchPairs = batchBands.as("a")
             .join(batchBands.as("b"),
               col("a.band") === col("b.band") &&
@@ -171,82 +244,221 @@ object StreamingDedup {
           // orient pairs whose "earlier" side is itself IN this batch —
           // possible only through a stale bands slice from a crashed run:
           // within one batch the arrival rule is doc_id order, so (a, b)
-          // with a > b would wrongly drop the EARLIER member on replay
+          // with a > b would wrongly drop the EARLIER member on replay.
+          // Persisted: the candidate set is consumed twice — once to
+          // collect its id_a buckets (pruning the verification's grams
+          // read), once in the verification join itself.
           val freshA = fresh.select(col(idCol).as("id_a"))
             .withColumn("_in_batch", lit(true))
           val cand = rawCand.join(freshA, Seq("id_a"), "left")
             .filter(col("_in_batch").isNull || col("id_a") < col("id_b"))
             .drop("_in_batch")
-          val earlierGrams = gramsIdx.fold(gramsOf)(_.unionByName(gramsOf))
-          val dupIds = cand
-            .join(earlierGrams.select(col("doc_id").as("id_a"),
-              col("grams").as("grams_a")), "id_a")
-            .join(gramsOf.select(col("doc_id").as("id_b"),
-              col("grams").as("grams_b")), "id_b")
-            .filter(size(array_intersect(col("grams_a"), col("grams_b")))
-              .cast("double") /
-              size(array_union(col("grams_a"), col("grams_b"))) >= threshold)
-            .select(col("id_b").as(idCol)).distinct()
-          val survivors = fresh.join(dupIds, Seq(idCol), "left_anti")
-            .drop("grams").persist()
+            .persist()
           try {
-            val admitted = survivors.count()
-            val result =
-              if (admitted == 0)
-                NearDupResult(streamed, 0L,
-                  droppedSeenId = streamed - freshCount,
-                  droppedNearDup = freshCount,
-                  version = GraftStore.liveVersionOf(spark, storeRoot),
-                  replayed = false)
-              else {
-                val committed = AppendCommit.commit(survivors, storeRoot,
-                  partitionCols = partitionCols,
-                  maxRecordsPerFile = maxRecordsPerFile,
-                  commitId = Some(commitId))
-                NearDupResult(streamed, admitted,
-                  droppedSeenId = streamed - freshCount,
-                  droppedNearDup = freshCount - admitted,
-                  version = committed.version, replayed = committed.replayed)
+            val candBuckets = bucketsOf(cand,
+              pmod(xxhash64(col("id_a")), lit(nb)))
+            val earlierIdxGrams = readBucketed(spark, gramsRoot, "gb", candBuckets)
+              .map(_.select(col("doc_id"), col("grams")))
+            val earlierGrams =
+              earlierIdxGrams.fold(gramsOf)(_.unionByName(gramsOf))
+            val dupIds = cand
+              .join(earlierGrams.select(col("doc_id").as("id_a"),
+                col("grams").as("grams_a")), "id_a")
+              .join(gramsOf.select(col("doc_id").as("id_b"),
+                col("grams").as("grams_b")), "id_b")
+              .filter(size(array_intersect(col("grams_a"), col("grams_b")))
+                .cast("double") /
+                size(array_union(col("grams_a"), col("grams_b"))) >= threshold)
+              .select(col("id_b").as(idCol)).distinct()
+            val survivors = fresh.join(dupIds, Seq(idCol), "left_anti")
+              .drop("grams").persist()
+            try {
+              val admitted = survivors.count()
+              val result =
+                if (admitted == 0)
+                  NearDupResult(streamed, 0L,
+                    droppedSeenId = streamed - freshCount,
+                    droppedNearDup = freshCount,
+                    version = GraftStore.liveVersionOf(spark, storeRoot),
+                    replayed = false)
+                else {
+                  val committed = AppendCommit.commit(survivors, storeRoot,
+                    partitionCols = partitionCols,
+                    maxRecordsPerFile = maxRecordsPerFile,
+                    commitId = Some(commitId))
+                  NearDupResult(streamed, admitted,
+                    droppedSeenId = streamed - freshCount,
+                    droppedNearDup = freshCount - admitted,
+                    version = committed.version, replayed = committed.replayed)
+                }
+              // index slices are per-commit directories PUBLISHED BY RENAME
+              // (write to an underscore-prefixed staging dir Spark readers
+              // ignore, then one atomic directory rename): a slice is
+              // all-or-nothing, so a replay can never see — or overwrite
+              // down to — a partial id set. Order stays crash-deliberate:
+              // corpus commit, THEN bands, THEN grams — the grams index is
+              // the id-authority the resend anti-join reads, so any crash
+              // before it lands makes the replay recompute the whole batch
+              // (healing a stale bands slice) instead of silently skipping
+              // docs whose buckets never landed.
+              if (freshCount > 0) {
+                writeSliceAtomic(spark, batchBands, bandsRoot, s"c=$commitId",
+                  Some(("pb",
+                    pmod(xxhash64(col("band"), col("bucket")), lit(nb)))))
+                writeSliceAtomic(spark,
+                  fresh.select(col(idCol).as("doc_id"), col("grams")),
+                  gramsRoot, s"c=$commitId",
+                  Some(("gb", pmod(xxhash64(col("doc_id")), lit(nb)))))
               }
-            // index slices are per-commit directories PUBLISHED BY RENAME
-            // (write to an underscore-prefixed staging dir Spark readers
-            // ignore, then one atomic directory rename): a slice is
-            // all-or-nothing, so a replay can never see — or overwrite
-            // down to — a partial id set. Order stays crash-deliberate:
-            // corpus commit, THEN bands, THEN grams — the grams index is
-            // the id-authority the resend anti-join reads, so any crash
-            // before it lands makes the replay recompute the whole batch
-            // (healing a stale bands slice) instead of silently skipping
-            // docs whose buckets never landed.
-            if (freshCount > 0) {
-              writeSliceAtomic(spark, batchBands,
-                s"$idx/bands", s"c=$commitId")
-              writeSliceAtomic(spark,
-                fresh.select(col(idCol).as("doc_id"), col("grams")),
-                s"$idx/grams", s"c=$commitId")
-            }
-            result
-          } finally survivors.unpersist()
+              compactIndex(spark, bandsRoot,
+                Seq("band", "bucket", "doc_id"), maxIndexSlices)
+              compactIndex(spark, gramsRoot, Seq("doc_id"), maxIndexSlices)
+              result
+            } finally survivors.unpersist()
+          } finally cand.unpersist()
         } finally batchBands.unpersist()
       } finally fresh.unpersist()
     } finally withG.unpersist()
+  }
+
+  // ---- bucketed index plumbing -----------------------------------------
+
+  /** The exact-dedup signature index lives NEXT TO the store root (like
+    * the near-dup indexes: store directories are versioned snapshots).
+    */
+  private[graft] def dedupIndexRoot(storeRoot: String): String =
+    storeRoot.stripSuffix("/") + "-dedup-index"
+
+  /** The near-dup LSH indexes live NEXT TO the store root (not inside it:
+    * store directories are versioned snapshots).
+    */
+  private[graft] def indexRoot(storeRoot: String): String =
+    storeRoot.stripSuffix("/") + "-neardup-index"
+
+  /** The distinct bucket values a frame's key expression hashes to —
+    * bounded by the bucket fan-out (≤ N ints), so the driver collect is
+    * k-bounded metadata, never data-plane.
+    */
+  private def bucketsOf(df: DataFrame, bucketExpr: Column): Seq[Int] =
+    df.select(bucketExpr.cast("int").as("_bkt")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+
+  /** Pruned read of a bucketed index: of every slice, only the partition
+    * dirs whose `pcol` value is in `buckets` feed the scan (hive partition
+    * pruning on the bucket column — StreamingDedupSpec asserts scanned
+    * files follow the batch's buckets, not the index size). None when the
+    * index does not exist yet.
+    */
+  private[graft] def readBucketed(spark: SparkSession, path: String,
+      pcol: String, buckets: Seq[Int]): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // "exists" means AT LEAST ONE published slice — the root dir appears
+    // earlier than the first slice (the meta marker creates it), and a
+    // staging dir must never count
+    val hasSlice = fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("c="))
+    if (!hasSlice) None
+    else Some(spark.read.parquet(path)
+      .filter(col(pcol).isin(buckets: _*))
+      .drop("c", pcol))
   }
 
   /** Publish one index slice atomically: write under an
     * underscore-prefixed staging directory (invisible to Spark readers),
     * then a single directory rename. A crash leaves either no slice or a
     * complete one — never a partial id set for the replay to trust.
+    * `bucketing = (partition column, bucket expression)` lays the slice
+    * out as `<name>/<pcol>=<k>` hive dirs, one writer task per bucket.
     */
   private def writeSliceAtomic(spark: SparkSession, df: DataFrame,
-      parent: String, name: String): Unit = {
+      parent: String, name: String,
+      bucketing: Option[(String, Column)] = None): Unit = {
     val dir = new org.apache.hadoop.fs.Path(parent)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(dir, s"_staging-$name")
     val dst = new org.apache.hadoop.fs.Path(dir, name)
-    df.write.mode("overwrite").parquet(tmp.toString)
+    bucketing match {
+      case Some((pcol, expr)) =>
+        df.withColumn(pcol, expr.cast("int"))
+          .repartition(col(pcol))
+          .write.partitionBy(pcol).mode("overwrite").parquet(tmp.toString)
+      case None =>
+        df.write.mode("overwrite").parquet(tmp.toString)
+    }
     if (fs.exists(dst)) fs.delete(dst, true)
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"atomic publish failed: $tmp -> $dst")
+  }
+
+  private def newSliceId(): String =
+    java.util.UUID.randomUUID().toString.take(8)
+
+  private val MetaName = "_graft_index_meta"
+
+  /** The bucket fan-out this index was BUILT with: recorded on first use,
+    * authoritative afterwards — a caller passing a different number later
+    * gets the recorded one (a silent mismatch would prune the wrong
+    * directories, which is a correctness error, not a tuning choice).
+    */
+  private[graft] def effectiveBuckets(spark: SparkSession, idxRoot: String,
+      requested: Int): Int = {
+    require(requested >= 1, s"indexBuckets must be >= 1, got $requested")
+    val p = new org.apache.hadoop.fs.Path(idxRoot, MetaName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val text = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      text.trim.stripPrefix("buckets=").toInt
+    } else {
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      try out.write(s"buckets=$requested".getBytes("UTF-8"))
+      finally out.close()
+      requested
+    }
+  }
+
+  /** Debt-gated index compaction: once more than `maxSlices` per-commit
+    * slice dirs exist, merge them into one `c=compact-*` slice (same
+    * bucket layout, duplicates dropped) published by atomic rename, then
+    * delete the merged slices. Readers tolerate every crash window:
+    * compact-published-but-olds-undeleted only duplicates rows, which the
+    * anti-join / candidate-dedup / verification-distinct consumers
+    * absorb, and the next compaction converges. Single-writer by
+    * contract — the streaming batch loop calls this in-line between its
+    * own reads, and [[graft.logs.Maintenance]] only touches a quiesced
+    * stream's indexes.
+    */
+  private[graft] def compactIndex(spark: SparkSession, root: String,
+      dedupKeys: Seq[String], maxSlices: Int,
+      force: Boolean = false): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val slices = fs.listStatus(p).filter(s => s.isDirectory &&
+      s.getPath.getName.startsWith("c=")).map(_.getPath)
+    if (slices.length <= (if (force) 1 else maxSlices)) return false
+    val all = spark.read.parquet(root)
+    val pcol = all.columns.find(c => c == "b" || c == "pb" || c == "gb")
+    val merged = all.drop("c").dropDuplicates(dedupKeys)
+    val name = s"c=compact-${newSliceId()}"
+    val tmp = new org.apache.hadoop.fs.Path(p, s"_staging-$name")
+    val dst = new org.apache.hadoop.fs.Path(p, name)
+    pcol match {
+      case Some(c0) =>
+        merged.repartition(col(c0))
+          .write.partitionBy(c0).mode("overwrite").parquet(tmp.toString)
+      case None =>
+        merged.write.mode("overwrite").parquet(tmp.toString)
+    }
+    if (fs.exists(dst)) fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"atomic publish failed: $tmp -> $dst")
+    slices.foreach(s => fs.delete(s, true))
+    true
   }
 
   /** Continuous online NEAR-dup filtering: every micro-batch admits only
@@ -257,7 +469,9 @@ object StreamingDedup {
       n: Int = 3, numHashes: Int = 64, bands: Int = 32,
       threshold: Double = 0.8,
       triggerInterval: String = "60 seconds",
-      maxRecordsPerFile: Long = 1000000L): StreamingQuery = {
+      maxRecordsPerFile: Long = 1000000L,
+      indexBuckets: Int = DefaultIndexBuckets,
+      maxIndexSlices: Int = DefaultMaxIndexSlices): StreamingQuery = {
     val spark = docs.sparkSession
     val sinkId = GraftStore.sinkIdFor(checkpoint)
     LogIngest.ensureStore(spark, storeRoot)
@@ -266,24 +480,13 @@ object StreamingDedup {
         nearDupAppendBatch(spark, storeRoot, batch.toDF(), idCol, textCol,
           partitionCols, commitId = s"nd$sinkId-b$batchId",
           n = n, numHashes = numHashes, bands = bands, threshold = threshold,
-          maxRecordsPerFile = maxRecordsPerFile)
+          maxRecordsPerFile = maxRecordsPerFile,
+          indexBuckets = indexBuckets, maxIndexSlices = maxIndexSlices)
         ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(triggerInterval))
       .start()
-  }
-
-  /** The near-dup LSH indexes live NEXT TO the store root (not inside it:
-    * store directories are versioned snapshots).
-    */
-  private[graft] def indexRoot(storeRoot: String): String =
-    storeRoot.stripSuffix("/") + "-neardup-index"
-
-  private def readIndex(spark: SparkSession, path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(path).drop("c")) else None
   }
 
   /** Continuous online dedup: every micro-batch of `docs` admits only
@@ -292,7 +495,9 @@ object StreamingDedup {
   def startDedupSink(docs: DataFrame, storeRoot: String, checkpoint: String,
       idCol: String, textCol: String, partitionCols: Seq[String],
       triggerInterval: String = "60 seconds",
-      maxRecordsPerFile: Long = 1000000L): StreamingQuery = {
+      maxRecordsPerFile: Long = 1000000L,
+      indexBuckets: Int = DefaultIndexBuckets,
+      maxIndexSlices: Int = DefaultMaxIndexSlices): StreamingQuery = {
     val spark = docs.sparkSession
     val sinkId = GraftStore.sinkIdFor(checkpoint)
     LogIngest.ensureStore(spark, storeRoot)
@@ -300,7 +505,8 @@ object StreamingDedup {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         dedupAppendBatch(spark, storeRoot, batch.toDF(), idCol, textCol,
           partitionCols, commitId = Some(s"d$sinkId-b$batchId"),
-          maxRecordsPerFile = maxRecordsPerFile)
+          maxRecordsPerFile = maxRecordsPerFile,
+          indexBuckets = indexBuckets, maxIndexSlices = maxIndexSlices)
         ()
       }
       .option("checkpointLocation", checkpoint)

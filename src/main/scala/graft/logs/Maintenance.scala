@@ -38,9 +38,13 @@ object Maintenance {
     def clean: Boolean = !needsCompact && staleViews.isEmpty
   }
 
-  /** What one [[run]] pass did, with the before/after inventories. */
+  /** What one [[run]] pass did, with the before/after inventories.
+    * `compactedIndexes` names the sibling dedup/near-dup index stores
+    * whose per-commit slices this pass merged.
+    */
   final case class Ran(compacted: Boolean, refreshedViews: Seq[String],
-      before: Debt, after: Debt)
+      before: Debt, after: Debt,
+      compactedIndexes: Seq[String] = Seq.empty)
 
   /** Inventory debt from metadata alone: composite file listing, per-file
     * lengths, deletion-vector sidecars, view base-version pointers. No data
@@ -108,7 +112,8 @@ object Maintenance {
       maxRecordsPerFile: Long = 4000000L,
       partitionCols: Seq[String] = Seq.empty,
       retainSnapshots: Int = 1,
-      cluster: ClusterSpec = ClusterSpec.TimeMajor): Ran = {
+      cluster: ClusterSpec = ClusterSpec.TimeMajor,
+      indexMaxSlices: Int = graft.ext.StreamingDedup.DefaultMaxIndexSlices): Ran = {
     val before = debt(spark, root, views, dirtyMaxFiles, dirtyMinAvgBytes)
     if (before.needsCompact) {
       val cols =
@@ -131,7 +136,32 @@ object Maintenance {
       val r = MatView.refresh(spark, root, v)
       if (r.noop) None else Some(v)
     }
+    val indexes = compactDedupIndexes(spark, root, indexMaxSlices)
     val after = debt(spark, root, views, dirtyMaxFiles, dirtyMinAvgBytes)
-    Ran(before.needsCompact, refreshed, before, after)
+    Ran(before.needsCompact, refreshed, before, after, indexes)
+  }
+
+  /** Debt-gated compaction of the SIBLING dedup index stores a streaming
+    * dedup sink maintains beside `root` (`<root>-dedup-index` and
+    * `<root>-neardup-index/{bands,grams}` — [[graft.ext.StreamingDedup]]):
+    * per-commit slices past the slice-count gate merge into one compact
+    * slice per index, same metadata-tier decision rule as the store's own
+    * compaction. Returns the index roots actually rewritten. Offline use
+    * only while the owning stream is stopped — the live stream runs the
+    * same compactor in-line between its own reads (single-writer), and a
+    * concurrent rewrite could delete a slice mid-scan.
+    */
+  def compactDedupIndexes(spark: SparkSession, root: String,
+      maxSlices: Int = graft.ext.StreamingDedup.DefaultMaxIndexSlices): Seq[String] = {
+    import graft.ext.StreamingDedup
+    val targets = Seq(
+      (StreamingDedup.dedupIndexRoot(root), Seq("fingerprint")),
+      (StreamingDedup.indexRoot(root) + "/bands",
+        Seq("band", "bucket", "doc_id")),
+      (StreamingDedup.indexRoot(root) + "/grams", Seq("doc_id")))
+    targets.flatMap { case (idx, keys) =>
+      if (StreamingDedup.compactIndex(spark, idx, keys, maxSlices)) Some(idx)
+      else None
+    }
   }
 }

@@ -27,6 +27,39 @@ class MaintenanceSpec extends SparkSpec {
   private def newRoot(tag: String): String =
     Files.createTempDirectory(s"graft-maint-$tag").resolve("store").toString
 
+  test("sibling dedup index stores compact through the maintenance loop") {
+    val w = Files.createTempDirectory("graft-maint-didx")
+    val root = w.resolve("corpus").toString
+    LogIngest.ensureStore(spark, root)
+    def docs(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("doc_id", "text", "lang")
+    // slices pile up (inline gate set high), stream then quiesces
+    (0 until 4).foreach { b =>
+      graft.ext.StreamingDedup.dedupAppendBatch(spark, root,
+        docs(((b * 10).toLong, s"mx-$b", "en")), "doc_id", "text",
+        Seq("lang"), commitId = Some(s"mi-c$b"),
+        indexBuckets = 4, maxIndexSlices = 100)
+    }
+    val idx = graft.ext.StreamingDedup.dedupIndexRoot(root)
+    def slices(): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(p).filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("c=")).map(_.getPath.getName).toSeq
+    }
+    assert(slices().size == 4)
+    val ran = Maintenance.run(spark, root,
+      partitionCols = Seq("lang"), indexMaxSlices = 2)
+    assert(ran.compactedIndexes.contains(idx),
+      s"maintenance must compact the index: ${ran.compactedIndexes}")
+    assert(slices().size == 1 && slices().head.startsWith("c=compact-"))
+    // the compacted index still deduplicates
+    val r = graft.ext.StreamingDedup.dedupAppendBatch(spark, root,
+      docs((99L, "mx-2", "en")), "doc_id", "text", Seq("lang"),
+      commitId = Some("mi-dup"), indexBuckets = 4)
+    assert(r.admitted == 0 && r.droppedExisting == 1, s"r=$r")
+  }
+
   test("small-file debt triggers one compaction; a clean store takes the no-op fast path") {
     val root = newRoot("sf")
     val df = fixture()

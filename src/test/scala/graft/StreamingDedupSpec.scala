@@ -168,17 +168,161 @@ class StreamingDedupSpec extends SparkSpec {
     assert(r3.admitted == 0 && r3.droppedSeenId == 2, s"r3=$r3")
   }
 
-  test("the seen side scans ONLY the fingerprint column") {
+  test("the bootstrap side scans ONLY the fingerprint column") {
     val root = tmp("prune").resolve("corpus").toString
     LogIngest.ensureStore(spark, root)
     StreamingDedup.dedupAppendBatch(spark, root,
       docsDF((1L, "pruned-text-a", "en")), "doc_id", "text", Seq("lang"),
       commitId = Some("sd-p0"))
+    // the one remaining corpus-wide read (legacy-store index bootstrap)
+    // must leave the text bytes on disk
     val seen = GraftStore.readStore(spark, root)
       .select($"fingerprint").distinct()
     val plan = seen.queryExecution.executedPlan.toString()
     assert(plan.contains("ReadSchema") &&
       plan.contains("struct<fingerprint:bigint>"),
       s"fingerprint scan must prune the text column:\n${plan.take(1500)}")
+  }
+
+  private def leafFiles(path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next().getPath.toString
+      if (f.endsWith(".parquet") && !f.contains("_staging")) out += f
+    }
+    out.result()
+  }
+
+  private def sliceDirs(path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(s => s.isDirectory &&
+      s.getPath.getName.startsWith("c=")).map(_.getPath.getName).toSeq
+  }
+
+  test("d10 index reads scan the batch's buckets, not the corpus") {
+    val root = tmp("buckets").resolve("corpus").toString
+    LogIngest.ensureStore(spark, root)
+    val nb = 8
+    // three batches spanning many buckets -> several multi-bucket slices
+    // (maxIndexSlices high enough that nothing compacts mid-test)
+    (0 until 3).foreach { b =>
+      val docs = docsDF((0 until 32).map(i =>
+        ((b * 100 + i).toLong, s"text-$b-$i", "en")): _*)
+      StreamingDedup.dedupAppendBatch(spark, root, docs, "doc_id", "text",
+        Seq("lang"), commitId = Some(s"bk-c$b"),
+        indexBuckets = nb, maxIndexSlices = 100)
+    }
+    val idx = StreamingDedup.dedupIndexRoot(root)
+    val total = leafFiles(idx).size
+    assert(total > nb, s"fixture too small: $total index files")
+    // one doc -> one fingerprint bucket; the pruned read the batch runs
+    // must touch only that bucket's files across the slices
+    val fp = docsDF((999L, "text-1-7", "en"))
+      .select(xxhash64($"text")).as[Long].head()
+    val bucket = (((fp % nb) + nb) % nb).toInt
+    val inBucket = leafFiles(idx).count(_.contains(s"b=$bucket"))
+    val pruned = StreamingDedup.readBucketed(spark, idx, "b", Seq(bucket)).get
+    pruned.collect()
+    val scanned = graft.plans.PlanScans.fileScans(pruned)
+      .head.metrics("numFiles").value
+    assert(scanned == inBucket && scanned < total,
+      s"pruned read must follow the bucket: scanned $scanned, " +
+        s"bucket holds $inBucket, index holds $total")
+    // and the batch itself still sees the fingerprint through that bucket:
+    // a duplicate text admits nothing
+    val r = StreamingDedup.dedupAppendBatch(spark, root,
+      docsDF((999L, "text-1-7", "en")), "doc_id", "text", Seq("lang"),
+      commitId = Some("bk-dup"), indexBuckets = nb, maxIndexSlices = 100)
+    assert(r.admitted == 0 && r.droppedExisting == 1, s"r=$r")
+  }
+
+  test("d10 index slices compact past the debt gate; dedup is unchanged") {
+    val root = tmp("compact").resolve("corpus").toString
+    LogIngest.ensureStore(spark, root)
+    (0 until 4).foreach { b =>
+      StreamingDedup.dedupAppendBatch(spark, root,
+        docsDF(((b * 10).toLong, s"t-$b", "en")), "doc_id", "text",
+        Seq("lang"), commitId = Some(s"cp-c$b"),
+        indexBuckets = 4, maxIndexSlices = 2)
+    }
+    val idx = StreamingDedup.dedupIndexRoot(root)
+    val slices = sliceDirs(idx)
+    assert(slices.size <= 3, s"slices must stay bounded: $slices")
+    assert(slices.exists(_.startsWith("c=compact-")),
+      s"a compacted slice must exist: $slices")
+    // compacted state still deduplicates every earlier batch's content
+    val r = StreamingDedup.dedupAppendBatch(spark, root,
+      docsDF((99L, "t-0", "en"), (98L, "t-3", "en"), (97L, "t-new", "en")),
+      "doc_id", "text", Seq("lang"), commitId = Some("cp-dup"),
+      indexBuckets = 4, maxIndexSlices = 2)
+    assert(r.admitted == 1 && r.droppedExisting == 2, s"r=$r")
+  }
+
+  test("d10 legacy store without an index bootstraps it once from the corpus") {
+    val root = tmp("boot").resolve("corpus").toString
+    LogIngest.ensureStore(spark, root)
+    StreamingDedup.dedupAppendBatch(spark, root,
+      docsDF((1L, "boot-a", "en"), (2L, "boot-b", "en")), "doc_id", "text",
+      Seq("lang"), commitId = Some("bt-c0"))
+    // simulate a pre-index corpus (or a lost index): delete the whole
+    // index directory — the next batch must rebuild it from the corpus'
+    // fingerprint column and still drop the duplicate
+    val idx = new org.apache.hadoop.fs.Path(StreamingDedup.dedupIndexRoot(root))
+    val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(idx, true), "fixture: index must exist")
+    val r = StreamingDedup.dedupAppendBatch(spark, root,
+      docsDF((3L, "boot-a", "en"), (4L, "boot-c", "en")), "doc_id", "text",
+      Seq("lang"), commitId = Some("bt-c1"))
+    assert(r.admitted == 1 && r.droppedExisting == 1, s"r=$r")
+    assert(sliceDirs(idx.toString).exists(_ == "c=bootstrap"),
+      "bootstrap slice must be published")
+  }
+
+  test("d11 bands/grams reads prune to the batch's buckets and slices compact") {
+    val root = tmp("nearbk").resolve("corpus").toString
+    LogIngest.ensureStore(spark, root)
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val nb = 8
+    (0 until 4).foreach { b =>
+      val docs = docsDF((0 until 8).map(i =>
+        ((b * 100 + i).toLong, words(s"w$b-$i-", 11), "en")): _*)
+      StreamingDedup.nearDupAppendBatch(spark, root, docs, "doc_id", "text",
+        Seq("lang"), commitId = s"nbk-c$b",
+        indexBuckets = nb, maxIndexSlices = 2)
+    }
+    val idx = StreamingDedup.indexRoot(root)
+    // debt gate ran: both indexes stay at a bounded slice count
+    assert(sliceDirs(s"$idx/bands").size <= 3 &&
+      sliceDirs(s"$idx/grams").size <= 3,
+      s"slices must stay bounded: bands=${sliceDirs(s"$idx/bands")} " +
+        s"grams=${sliceDirs(s"$idx/grams")}")
+    // the grams resend-check for ONE doc id prunes to one gb bucket
+    val gTotal = leafFiles(s"$idx/grams").size
+    val gBucket = docsDF((205L, "x", "en"))
+      .select(pmod(xxhash64($"doc_id"), lit(nb)).cast("int")).as[Int].head()
+    val gInBucket = leafFiles(s"$idx/grams").count(_.contains(s"gb=$gBucket"))
+    val gPruned = StreamingDedup.readBucketed(
+      spark, s"$idx/grams", "gb", Seq(gBucket)).get
+    gPruned.collect()
+    val gScanned = graft.plans.PlanScans.fileScans(gPruned)
+      .head.metrics("numFiles").value
+    assert(gScanned == gInBucket && gScanned < gTotal,
+      s"grams read must prune: $gScanned of $gTotal (bucket=$gInBucket)")
+    // semantics survive bucketing + compaction: near-dup of batch-0 doc
+    // drops, id re-send drops, fresh admits
+    val r = StreamingDedup.nearDupAppendBatch(spark, root,
+      docsDF((500L, words("w0-3-", 11) + " tail", "en"),
+        (999L, "fresh " + words("q", 10), "en"),
+        (103L, words("w1-3-", 11), "en")),
+      "doc_id", "text", Seq("lang"), commitId = "nbk-c9",
+      indexBuckets = nb, maxIndexSlices = 2)
+    assert(r.droppedNearDup == 1 && r.droppedSeenId == 1 && r.admitted == 1,
+      s"r=$r")
   }
 }
