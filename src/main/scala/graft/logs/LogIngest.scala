@@ -46,6 +46,11 @@ object LogIngest {
     CriFunctions.parsed(raw, clusterName)
       .withColumn("namespace", regexp_extract(col("file_path"), podPathRegex, 1))
       .withColumn("pod", regexp_extract(col("file_path"), podPathRegex, 2))
+      // group 3 = the pod UID (Tag_Regex captures it, fluent-bit.conf:12-14):
+      // distinguishes two incarnations of one StatefulSet pod name — the
+      // rebirth case the close-write ledger handles — so it rides as a
+      // data column (high-cardinality: never a partition dir)
+      .withColumn("pod_id", regexp_extract(col("file_path"), podPathRegex, 3))
       .withColumn("container", regexp_extract(col("file_path"), podPathRegex, 4))
       .withColumn("node", lit(nodeName))
       .withColumn("date", date_format(col("time"), "yyyy-MM-dd"))
@@ -165,7 +170,9 @@ object LogIngest {
     val t = uploadTime.atZone(java.time.ZoneOffset.UTC)
     def f2(i: Int) = f"$i%02d"
     val full = df
-      .drop("date", "hour")
+      // pod_id is engine-side metadata; reference positional files carry
+      // exactly the reference schema (fluent-bit.conf:66 contract)
+      .drop("date", "hour", "pod_id")
       .withColumn("year", lit(t.getYear.toString))
       .withColumn("month", lit(f2(t.getMonthValue)))
       .withColumn("day", lit(f2(t.getDayOfMonth)))

@@ -97,6 +97,11 @@ final case class LogQuery(
       }
       LogPathLayout.withPathColumns(filePath)
         .foldLeft(scan) { case (df, (name, c)) => df.withColumn(name, c) }
+        // the positional layout records no pod uid: surface the column as
+        // null so the schema matches hive reads AND a pod_id selector
+        // matches NOTHING here (null === v drops every row) instead of
+        // silently matching everything
+        .withColumn("pod_id", lit(null).cast("string"))
         .drop(graft.sources.ArrowIpcSource.FilePathColumn)
     }
   }

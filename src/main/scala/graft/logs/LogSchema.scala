@@ -42,14 +42,27 @@ object LogSchema {
     */
   val hivePartitionColumns: Seq[String] = Seq("cluster", "namespace", "date", "hour")
 
-  /** Full logical schema exposed to queries. */
+  /** Full logical schema exposed to queries. `pod_id` (Tag_Regex group 3,
+    * fluent-bit.conf:12-14) is hive-layout only: the engine's CRI ingest
+    * captures it from the pods path as an IN-FILE column (high-cardinality
+    * uid — never a partition dir), while the reference's positional layout
+    * has no uid segment, so positional reads surface it as null and
+    * positional writes drop it to keep reference-format files exact.
+    */
   val struct: StructType = StructType(
     dataStruct.fields.toSeq ++
       pathColumns.map(StructField(_, StringType)) ++
-      Seq(StructField("date", StringType), StructField("hour", StringType))
+      Seq(StructField("pod_id", StringType),
+        StructField("date", StringType), StructField("hour", StringType))
   )
 
-  val selectorKeys: Set[String] = Set("cluster", "namespace", "node", "pod", "container")
+  /** Selector surface. `pod_id` selects the pod INCARNATION — two rebirths
+    * of one StatefulSet pod name have distinct uids (hive layout; on the
+    * positional layout, which records no uid, a pod_id selector matches
+    * nothing rather than everything).
+    */
+  val selectorKeys: Set[String] =
+    Set("cluster", "namespace", "node", "pod", "pod_id", "container")
 
   /** Parquet bloom filters for the hive layout's in-file selector columns.
     *

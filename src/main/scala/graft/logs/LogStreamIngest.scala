@@ -33,6 +33,7 @@ object LogStreamIngest {
     CriFunctions.parsed(raw, clusterName)
       .withColumn("namespace", regexp_extract(col("file_path"), LogIngest.podPathRegex, 1))
       .withColumn("pod", regexp_extract(col("file_path"), LogIngest.podPathRegex, 2))
+      .withColumn("pod_id", regexp_extract(col("file_path"), LogIngest.podPathRegex, 3))
       .withColumn("container", regexp_extract(col("file_path"), LogIngest.podPathRegex, 4))
       .withColumn("node", lit(nodeName))
       .drop("file_path")

@@ -83,6 +83,47 @@ class LogPipelineSpec extends SparkSpec {
       .dataFrame(spark, store).count() == 0)
   }
 
+  test("pod_id: two incarnations of one pod name stay distinguishable") {
+    // a StatefulSet pod reborn under the same NAME gets a fresh uid —
+    // Tag_Regex group 3 (fluent-bit.conf:12-14); without it the two
+    // incarnations' logs are indistinguishable
+    val root = work.resolve("varlog-uid")
+    def put(rel: String, lines: String*): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, lines.mkString("", "\n", "\n"))
+    }
+    put("pods/default_web-9_uid-aaa/app/0.log",
+      "2024-01-15T10:00:00.000000000Z stdout F first life")
+    put("pods/default_web-9_uid-bbb/app/0.log",
+      "2024-01-15T10:00:01.000000000Z stdout F second life")
+    val df = LogIngest.readCri(spark, root.toString + "/pods/*/*/*.log",
+      clusterName = "dev", nodeName = "node-a")
+    assert(df.select($"pod").distinct().as[String].collect().toSeq == Seq("web-9"))
+    assert(df.select($"pod_id").distinct().as[String].collect().sorted.toSeq ==
+      Seq("uid-aaa", "uid-bbb"))
+    // hive store + selector surface: pod_id narrows within the pod name
+    val store = work.resolve("lake-uid").toString
+    LogIngest.writeHive(df, store,
+      partitionCols = Seq("cluster", "namespace", "date"))
+    val second = LogQuery(
+      LogSelector.parse("""{pod="web-9",pod_id="uid-bbb"}"""),
+      layout = LogLayout.Hive, output = LogOutput.Raw)
+      .dataFrame(spark, store)
+    assert(second.select("message").as[String].collect().toSeq ==
+      Seq("second life"))
+    // positional layout records no uid: a pod_id selector matches NOTHING
+    // (never everything), and plain reads surface the column as null
+    val pstore = work.resolve("lake-uid-pos").toString
+    LogIngest.writePositional(df, pstore,
+      uploadTime = java.time.Instant.parse("2024-02-01T00:00:00Z"))
+    assert(LogQuery(LogSelector.parse("""{pod_id="uid-bbb"}"""),
+      output = LogOutput.Raw).dataFrame(spark, pstore).count() == 0)
+    val plain = LogQuery(LogSelector.parse("""{pod="web-9"}"""),
+      output = LogOutput.Lines).dataFrame(spark, pstore)
+    assert(plain.count() == 2)
+  }
+
   test("json output mode: full columns, parseable rows, cluster pruning (--context)") {
     val store = work.resolve("lake-json").toString
     LogIngest.writePositional(ingested, store,

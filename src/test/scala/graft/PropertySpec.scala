@@ -118,7 +118,10 @@ class PropertySpec extends AnyFunSuite {
       val glob = LogPathLayout.buildGlob("/r", labels, "parquet")
       // root + 11 layout segments, always
       assert(glob.stripPrefix("/r/").split("/").length == LogPathLayout.segments.size)
-      labels.foreach { case (_, v) => assert(glob.contains(v)) }
+      // pod_id is not a positional path segment (the layout records no
+      // uid) — every path-borne label must appear in the glob
+      labels.filterNot(_._1 == "pod_id")
+        .foreach { case (_, v) => assert(glob.contains(v)) }
     }
   }
 }
