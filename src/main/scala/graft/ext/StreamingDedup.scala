@@ -212,7 +212,31 @@ object StreamingDedup {
         withG.join(s, Seq(idCol), "left_anti")).persist()
       try {
         val freshCount = fresh.count()
-        val sigs = fresh.filter(size(col("grams")) >= 1)
+        // EXACT-twin collapse — the adversarial-identical-batch guard: a
+        // batch of 10⁴ copies of one document would put 10⁴ rows in every
+        // band bucket and the in-batch self-join would emit 10⁸ pairs per
+        // band. Identical gram SETS are J=1 near-dups of each other at any
+        // τ ≤ 1, so all copies collapse to their min-id representative
+        // BEFORE the LSH machinery: the copies drop by identity (their
+        // earlier-seen twin is the representative — the arrival rule,
+        // unchanged), only representatives band/self-join/land in the
+        // bands index (equivalent: a future near-dup of the family meets
+        // the representative's identical bands and grams), and every
+        // fresh doc still lands in the grams index (the id authority).
+        // Gram-less docs never near-dup — identical short docs all admit,
+        // matching the batch operators — so they bypass the collapse.
+        val withKey = fresh.withColumn("_ck",
+          when(size(col("grams")) >= 1, xxhash64(col("grams"))))
+        val repIds = withKey.filter(col("_ck").isNotNull)
+          .groupBy(col("_ck")).agg(min(col(idCol)).as("_rep"))
+        val keyedReps = withKey.join(repIds, Seq("_ck"), "left")
+        val collapsed = keyedReps
+          .filter(col("_ck").isNotNull && col(idCol) =!= col("_rep"))
+          .select(col(idCol))
+        val reps = keyedReps
+          .filter(col("_ck").isNull || col(idCol) === col("_rep"))
+          .drop("_ck", "_rep")
+        val sigs = reps.filter(size(col("grams")) >= 1)
           .withColumn("sig", SketchFunctions.minHashSig(col("grams"), numHashes))
         val batchBands = Dedup.bandedBuckets(
           sigs.select(col(idCol).as("doc_id"), col("sig")), bands, rows)
@@ -270,6 +294,7 @@ object StreamingDedup {
                 .cast("double") /
                 size(array_union(col("grams_a"), col("grams_b"))) >= threshold)
               .select(col("id_b").as(idCol)).distinct()
+              .unionByName(collapsed).distinct()
             val survivors = fresh.join(dupIds, Seq(idCol), "left_anti")
               .drop("grams").persist()
             try {

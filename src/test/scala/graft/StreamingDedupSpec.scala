@@ -284,6 +284,41 @@ class StreamingDedupSpec extends SparkSpec {
       "bootstrap slice must be published")
   }
 
+  test("d11 adversarial identical batch: exact twins collapse before LSH") {
+    val root = tmp("twin").resolve("corpus").toString
+    LogIngest.ensureStore(spark, root)
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val text = words("t", 11)
+    val nDocs = 2000
+    // 2000 copies of one document: without the collapse the in-batch
+    // bands self-join emits ~4M pairs per band x 32 bands; with it, one
+    // representative survives to the LSH stage
+    val clones = docsDF((1 to nDocs).map(i => (i.toLong, text, "en")): _*)
+    val r = StreamingDedup.nearDupAppendBatch(spark, root, clones,
+      "doc_id", "text", Seq("lang"), commitId = "tw-c0")
+    assert(r.streamed == nDocs && r.admitted == 1 &&
+      r.droppedNearDup == (nDocs - 1), s"r=$r")
+    assert(GraftStore.readStore(spark, root)
+      .select($"doc_id").as[Long].collect().toSeq == Seq(1L))
+    // the bands index holds the representative's rows ONLY (bands count),
+    // not nDocs x bands — the observable proof the self-join side stayed
+    // bounded; the grams index keeps every id (resend authority)
+    val idx = StreamingDedup.indexRoot(root)
+    assert(spark.read.parquet(s"$idx/bands").count() == 32,
+      "bands slice must hold only the representative")
+    assert(spark.read.parquet(s"$idx/grams").count() == nDocs)
+    // identical SHORT docs (no shingles) are never near-dups: all admit
+    val rs = StreamingDedup.nearDupAppendBatch(spark, root,
+      docsDF((9001L, "hi", "en"), (9002L, "hi", "en")),
+      "doc_id", "text", Seq("lang"), commitId = "tw-c1")
+    assert(rs.admitted == 2, s"rs=$rs")
+    // and a later near-dup of the family still drops via the representative
+    val r2 = StreamingDedup.nearDupAppendBatch(spark, root,
+      docsDF((9100L, s"$text t12", "en")), "doc_id", "text", Seq("lang"),
+      commitId = "tw-c2")
+    assert(r2.admitted == 0 && r2.droppedNearDup == 1, s"r2=$r2")
+  }
+
   test("d11 bands/grams reads prune to the batch's buckets and slices compact") {
     val root = tmp("nearbk").resolve("corpus").toString
     LogIngest.ensureStore(spark, root)
