@@ -40,7 +40,11 @@ object ScaleUp {
 
     def t(name: String) = Tables.table(spark, src, name)
     def write(df: DataFrame, name: String): Unit =
-      df.drop("__rep").coalesce(4).write.mode("overwrite")
+      // repartition, not coalesce: coalesce(4) inherited the SOURCE scan's
+      // 1-2 splits and wrote one jumbo file per table, capping every later
+      // scan (and both engines' bench parallelism) at its ~11 row groups —
+      // 32 files give file-granular parallelism to Spark and DuckDB alike
+      df.drop("__rep").repartition(32).write.mode("overwrite")
         .parquet(s"$dest/$name.parquet")
 
     val ordSpan = keySpan(t("orders"), "o_orderkey")
