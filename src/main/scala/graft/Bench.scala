@@ -35,12 +35,26 @@ object Bench {
     * taken after shutdownNow, so a late-finishing task can never contradict
     * the derived failed list.
     */
+  /** Optional name-prefix filter (`SPARK_GRAFT_BENCH_FILTER=q,t1`) for
+    * family-scoped experiments — the driver contract never sets it, so
+    * official rounds always time the full set.
+    */
+  private def selectedQueries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    sys.env.get("SPARK_GRAFT_BENCH_FILTER") match {
+      case Some(f) =>
+        val prefixes = f.split(',').map(_.trim).filter(_.nonEmpty)
+        all.filter { case (n, _) => prefixes.exists(n.startsWith) }
+      case None => all
+    }
+  }
+
   private def runRound(spark: SparkSession, sfDir: String,
       parallel: Int): (Double, Map[String, Double], Boolean) = {
     val pool = Executors.newFixedThreadPool(parallel)
     val results = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     val t0 = System.nanoTime()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    selectedQueries.foreach { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit = {
           val q0 = System.nanoTime()
@@ -63,7 +77,7 @@ object Bench {
     }
     val wall = (System.nanoTime() - t0) / 1e9
     import scala.jdk.CollectionConverters._
-    val snapshot: Map[String, Double] = SparkEntry.queries.keys.map { n =>
+    val snapshot: Map[String, Double] = selectedQueries.map { case (n, _) =>
       n -> results.asScala.getOrElse(n, -1.0)
     }.toMap
     (wall, snapshot, finished)
@@ -116,7 +130,7 @@ object Bench {
       // v4 split: the gate times build+search together, but at 100 TB the
       // index BUILD is a batch job and SEARCH is the query — time them
       // apart so the search span reflects its pruned-cell scan
-      try {
+      if (sys.env.contains("SPARK_GRAFT_BENCH_FILTER")) () else try {
         val b0 = System.nanoTime()
         val idx = graft.queries.ExtensionQueries.ivfIndexBuild(spark, sfDir)
         val bSec = (System.nanoTime() - b0) / 1e9

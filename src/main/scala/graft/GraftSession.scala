@@ -92,6 +92,16 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    configureS3aFromEnv(configure(spark))
+    val configured = configureS3aFromEnv(configure(spark))
+    // ops escape hatch: SPARK_GRAFT_CONF="k=v;k2=v2" applies runtime-settable
+    // SQLConf overrides after the engine defaults (experiments, per-box
+    // tuning) — unset in the driver contract, so official runs see defaults
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => configured.conf.set(k.trim, v.trim)
+        case _ => ()
+      }
+    })
+    configured
   }
 }

@@ -74,13 +74,21 @@ object StreamingDedup {
     val withFp = batch.withColumn("fingerprint", xxhash64(col(textCol)))
       .persist()
     try {
-      val streamed = withFp.count()
+      val nb = effectiveBuckets(spark, idx, indexBuckets)
+      // ONE pass over the persisted batch answers three questions: rows
+      // streamed, distinct fingerprints (== the first-writer-wins frame's
+      // size, so inBatch never executes its window a second time just to
+      // be counted), and the bucket set (bounded by the fan-out) that
+      // prunes the index read
+      val hdr = withFp.agg(count(lit(1)), countDistinct(col("fingerprint")),
+        collect_set(pmod(col("fingerprint"), lit(nb)).cast("int"))).head()
+      val streamed = hdr.getLong(0)
+      val inBatchCount = hdr.getLong(1)
+      val batchBuckets = hdr.getSeq[Int](2)
       val inBatch = withFp
         .withColumn("_rn", row_number().over(
           Window.partitionBy(col("fingerprint")).orderBy(col(idCol))))
         .filter(col("_rn") === 1).drop("_rn")
-      val nb = effectiveBuckets(spark, idx, indexBuckets)
-      val batchBuckets = bucketsOf(withFp, pmod(col("fingerprint"), lit(nb)))
       val seen: Option[DataFrame] =
         readBucketed(spark, idx, "b", batchBuckets)
           .map(_.select(col("fingerprint")))
@@ -105,7 +113,6 @@ object StreamingDedup {
         inBatch.join(s, Seq("fingerprint"), "left_anti")).persist()
       try {
         val admitted = fresh.count()
-        val inBatchCount = inBatch.count()
         val result =
           if (admitted == 0)
             // fully-duplicate batch: no version churn; idempotent under
@@ -202,16 +209,26 @@ object StreamingDedup {
     // the kernel already dedupes shingle hashes, and array_intersect/
     // array_union need no sort — trust it like Dedup.shingleHashes does
     val withG = batch.dropDuplicates(idCol).withColumn("grams",
-      SketchFunctions.wordShingleHashes(col(textCol), n)).persist()
+        SketchFunctions.wordShingleHashes(col(textCol), n))
+      // _ck keys the exact-twin collapse below: identical gram sets hash
+      // equal; gram-less docs (no shingles) stay null and bypass it
+      .withColumn("_ck", when(size(col("grams")) >= 1, xxhash64(col("grams"))))
+      .persist()
     try {
-      val streamed = withG.count()
-      val idBuckets = bucketsOf(withG, pmod(xxhash64(col(idCol)), lit(nb)))
+      val hdr = withG.agg(count(lit(1)),
+        collect_set(pmod(xxhash64(col(idCol)), lit(nb)).cast("int"))).head()
+      val streamed = hdr.getLong(0)
+      val idBuckets = hdr.getSeq[Int](1)
       val seenIds = readBucketed(spark, gramsRoot, "gb", idBuckets)
         .map(_.select(col("doc_id").as(idCol)))
       val fresh = seenIds.fold(withG.toDF())(s =>
         withG.join(s, Seq(idCol), "left_anti")).persist()
       try {
-        val freshCount = fresh.count()
+        // one pass over the persisted fresh frame: row count + twin census
+        val fhdr = fresh.agg(count(lit(1)), count(col("_ck")),
+          countDistinct(col("_ck"))).head()
+        val freshCount = fhdr.getLong(0)
+        val hasTwins = fhdr.getLong(1) != fhdr.getLong(2)
         // EXACT-twin collapse — the adversarial-identical-batch guard: a
         // batch of 10⁴ copies of one document would put 10⁴ rows in every
         // band bucket and the in-batch self-join would emit 10⁸ pairs per
@@ -223,19 +240,20 @@ object StreamingDedup {
         // bands index (equivalent: a future near-dup of the family meets
         // the representative's identical bands and grams), and every
         // fresh doc still lands in the grams index (the id authority).
-        // Gram-less docs never near-dup — identical short docs all admit,
-        // matching the batch operators — so they bypass the collapse.
-        val withKey = fresh.withColumn("_ck",
-          when(size(col("grams")) >= 1, xxhash64(col("grams"))))
-        val repIds = withKey.filter(col("_ck").isNotNull)
-          .groupBy(col("_ck")).agg(min(col(idCol)).as("_rep"))
-        val keyedReps = withKey.join(repIds, Seq("_ck"), "left")
-        val collapsed = keyedReps
-          .filter(col("_ck").isNotNull && col(idCol) =!= col("_rep"))
-          .select(col(idCol))
-        val reps = keyedReps
-          .filter(col("_ck").isNull || col(idCol) === col("_rep"))
-          .drop("_ck", "_rep")
+        // The common twin-free batch skips the collapse joins entirely —
+        // the census above already proved them a no-op.
+        val (reps, collapsed) =
+          if (!hasTwins) (fresh.drop("_ck"), None)
+          else {
+            val repIds = fresh.filter(col("_ck").isNotNull)
+              .groupBy(col("_ck")).agg(min(col(idCol)).as("_rep"))
+            val keyedReps = fresh.join(repIds, Seq("_ck"), "left")
+            (keyedReps.filter(col("_ck").isNull || col(idCol) === col("_rep"))
+              .drop("_ck", "_rep"),
+              Some(keyedReps
+                .filter(col("_ck").isNotNull && col(idCol) =!= col("_rep"))
+                .select(col(idCol))))
+          }
         val sigs = reps.filter(size(col("grams")) >= 1)
           .withColumn("sig", SketchFunctions.minHashSig(col("grams"), numHashes))
         val batchBands = Dedup.bandedBuckets(
@@ -294,9 +312,10 @@ object StreamingDedup {
                 .cast("double") /
                 size(array_union(col("grams_a"), col("grams_b"))) >= threshold)
               .select(col("id_b").as(idCol)).distinct()
-              .unionByName(collapsed).distinct()
-            val survivors = fresh.join(dupIds, Seq(idCol), "left_anti")
-              .drop("grams").persist()
+            val dupIdsAll = collapsed.fold(dupIds)(c =>
+              dupIds.unionByName(c).distinct())
+            val survivors = fresh.join(dupIdsAll, Seq(idCol), "left_anti")
+              .drop("grams", "_ck").persist()
             try {
               val admitted = survivors.count()
               val result =

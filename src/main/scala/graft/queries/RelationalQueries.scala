@@ -294,10 +294,14 @@ object RelationalQueries {
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(sum(discPrice).cast("double").as("total_revenue"))
-    val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+    // global max via a window over the one aggregated pass (supplier-sized,
+    // one partition of ~|suppliers| rows) — the scalar-subquery join form
+    // would inline `rev` and scan/aggregate the fact table twice
+    val all = Window.partitionBy()
     Tables.supplier(spark, dir)
-      .join(rev, col("s_suppkey") === col("l_suppkey"))
-      .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
+      .join(rev.withColumn("max_rev", max(col("total_revenue")).over(all))
+          .filter(col("total_revenue") === col("max_rev")).drop("max_rev"),
+        col("s_suppkey") === col("l_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy(col("s_suppkey"))
   }
@@ -383,10 +387,14 @@ object RelationalQueries {
     val withBal = pairs
       .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
       .select(col("p_type"), col("s_suppkey"), money(col("s_acctbal")).as("bal_d"))
-    val minBal = withBal.groupBy(col("p_type")).agg(min(col("bal_d")).as("min_bal_d"))
+    // min-per-type via a window over the ONE pass, not aggregate+join-back:
+    // Spark inlines the repeated frame, so the join form recomputes the
+    // whole lineitem distinct pipeline (the q21/t15 lesson). The window
+    // partition is p_type — bounded by suppliers-per-type, never fact-sized
+    val byType = Window.partitionBy(col("p_type"))
     withBal
-      .join(broadcast(minBal.withColumnRenamed("p_type", "mt")),
-        col("p_type") === col("mt") && col("bal_d") === col("min_bal_d"))
+      .withColumn("min_bal_d", min(col("bal_d")).over(byType))
+      .filter(col("bal_d") === col("min_bal_d"))
       .groupBy(col("p_type"), col("min_bal_d"))
       .agg(min(col("s_suppkey")).as("s_suppkey"))
       .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
