@@ -71,20 +71,30 @@ object StreamingDedup {
       indexBuckets: Int = DefaultIndexBuckets,
       maxIndexSlices: Int = DefaultMaxIndexSlices): BatchResult = {
     val idx = dedupIndexRoot(storeRoot)
+    // resurrection guard, the sibling-state twin of VersionedStore.init's
+    // ledger clearing: slices are only ever written AFTER their corpus
+    // commit, so "store dataless but index has slices" can only mean the
+    // store was deleted and re-created while its sibling index survived —
+    // and trusting it would silently drop the fresh store's first
+    // documents as duplicates of the dead corpus
+    val dataless = GraftStore.isDataless(spark, storeRoot)
+    if (dataless) dropStaleIndex(spark, idx)
     val withFp = batch.withColumn("fingerprint", xxhash64(col(textCol)))
       .persist()
     try {
       val nb = effectiveBuckets(spark, idx, indexBuckets)
-      // ONE pass over the persisted batch answers three questions: rows
-      // streamed, distinct fingerprints (== the first-writer-wins frame's
-      // size, so inBatch never executes its window a second time just to
-      // be counted), and the bucket set (bounded by the fan-out) that
-      // prunes the index read
+      // ONE pass over the persisted batch answers four questions: rows
+      // streamed, distinct fingerprints plus whether a null-text group
+      // exists (their sum == the first-writer-wins frame's size —
+      // countDistinct skips the null group the window keeps, so a bare
+      // countDistinct under-counted and reported droppedExisting = -1),
+      // and the bucket set (bounded by the fan-out) pruning the index read
       val hdr = withFp.agg(count(lit(1)), countDistinct(col("fingerprint")),
+        count(when(col("fingerprint").isNull, lit(1))),
         collect_set(pmod(col("fingerprint"), lit(nb)).cast("int"))).head()
       val streamed = hdr.getLong(0)
-      val inBatchCount = hdr.getLong(1)
-      val batchBuckets = hdr.getSeq[Int](2)
+      val inBatchCount = hdr.getLong(1) + (if (hdr.getLong(2) > 0) 1L else 0L)
+      val batchBuckets = hdr.getSeq[Int](3)
       val inBatch = withFp
         .withColumn("_rn", row_number().over(
           Window.partitionBy(col("fingerprint")).orderBy(col(idCol))))
@@ -93,7 +103,7 @@ object StreamingDedup {
         readBucketed(spark, idx, "b", batchBuckets)
           .map(_.select(col("fingerprint")))
           .orElse {
-            if (GraftStore.isDataless(spark, storeRoot))
+            if (dataless)
               None // dataless store, no index: first batch admits everything
             else {
               // pre-index store (batch-built corpus, first streaming
@@ -204,6 +214,10 @@ object StreamingDedup {
     val idx = indexRoot(storeRoot)
     val bandsRoot = s"$idx/bands"
     val gramsRoot = s"$idx/grams"
+    // resurrection guard — see dedupAppendBatch: index slices imply their
+    // corpus commit, so a dataless store with surviving sibling indexes is
+    // a deleted store's ghost state and must not veto fresh admissions
+    if (GraftStore.isDataless(spark, storeRoot)) dropStaleIndex(spark, idx)
     val nb = effectiveBuckets(spark, idx, indexBuckets)
     import graft.expr.SketchFunctions
     // the kernel already dedupes shingle hashes, and array_intersect/
@@ -345,10 +359,17 @@ object StreamingDedup {
               // before it lands makes the replay recompute the whole batch
               // (healing a stale bands slice) instead of silently skipping
               // docs whose buckets never landed.
-              if (freshCount > 0) {
+              // the bands slice is written only when the batch HAS banded
+              // docs: a partitioned write of an empty frame emits no
+              // parquet files, and a file-less slice dir would wedge every
+              // later read on schema inference (an all-short-docs first
+              // batch is the trigger; such docs carry no bands anyway)
+              if (fhdr.getLong(1) > 0) {
                 writeSliceAtomic(spark, batchBands, bandsRoot, s"c=$commitId",
                   Some(("pb",
                     pmod(xxhash64(col("band"), col("bucket")), lit(nb)))))
+              }
+              if (freshCount > 0) {
                 writeSliceAtomic(spark,
                   fresh.select(col(idCol).as("doc_id"), col("grams")),
                   gramsRoot, s"c=$commitId",
@@ -371,13 +392,13 @@ object StreamingDedup {
     * the near-dup indexes: store directories are versioned snapshots).
     */
   private[graft] def dedupIndexRoot(storeRoot: String): String =
-    storeRoot.stripSuffix("/") + "-dedup-index"
+    storeRoot.stripSuffix("/") + GraftStore.DedupIndexSuffix
 
   /** The near-dup LSH indexes live NEXT TO the store root (not inside it:
     * store directories are versioned snapshots).
     */
   private[graft] def indexRoot(storeRoot: String): String =
-    storeRoot.stripSuffix("/") + "-neardup-index"
+    storeRoot.stripSuffix("/") + GraftStore.NearDupIndexSuffix
 
   /** The distinct bucket values a frame's key expression hashes to —
     * bounded by the bucket fan-out (≤ N ints), so the driver collect is
@@ -440,10 +461,24 @@ object StreamingDedup {
 
   private val MetaName = "_graft_index_meta"
 
+  /** Delete a surviving index tree whose owning store no longer holds data
+    * (see the resurrection guards at both batch entries). Removing the
+    * whole root also clears the fan-out marker, so the rebuilt index is
+    * free to record a new bucket count.
+    */
+  private def dropStaleIndex(spark: SparkSession, idxRoot: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(idxRoot)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   /** The bucket fan-out this index was BUILT with: recorded on first use,
     * authoritative afterwards — a caller passing a different number later
     * gets the recorded one (a silent mismatch would prune the wrong
     * directories, which is a correctness error, not a tuning choice).
+    * The marker is published atomically ([[GraftStore.atomicWriteBytes]]):
+    * a bare create-then-write could crash in between and leave an empty
+    * marker every later batch chokes on.
     */
   private[graft] def effectiveBuckets(spark: SparkSession, idxRoot: String,
       requested: Int): Int = {
@@ -458,9 +493,8 @@ object StreamingDedup {
       text.trim.stripPrefix("buckets=").toInt
     } else {
       fs.mkdirs(p.getParent)
-      val out = fs.create(p, true)
-      try out.write(s"buckets=$requested".getBytes("UTF-8"))
-      finally out.close()
+      GraftStore.atomicWriteBytes(spark, p,
+        s"buckets=$requested".getBytes("UTF-8"))
       requested
     }
   }

@@ -32,6 +32,14 @@ object GraftStore {
   val CommitInfoName = "_commit-info"
   val TxnDirName = "_graft_txns"
 
+  /** Sibling directory suffixes for the streaming-dedup index stores
+    * ([[graft.ext.StreamingDedup]]) — named here so store CREATION can
+    * clear a dead store's surviving indexes (the same resurrection hazard
+    * as the `.txns` ledger, one layer out).
+    */
+  val DedupIndexSuffix = "-dedup-index"
+  val NearDupIndexSuffix = "-neardup-index"
+
   /** Staged-append directory prefix: a writer stages its part-files under
     * `<root>/_append-<id>` — the `_` prefix keeps the whole subtree
     * invisible to Spark listings AND to `listVersions`, so an in-flight or
@@ -227,6 +235,14 @@ object GraftStore {
     * one store — a 32-bit hash would let two distinct checkpoints share
     * commit ids and silently drop the later query's batches as replays;
     * at 128 bits the birthday bound is ~2⁶⁴ checkpoints per store.
+    *
+    * Format note: this replaced a 32-bit murmur hex id. Ledger entries
+    * recorded under the old format no longer match, so a stream that
+    * crashed mid-commit UNDER THE OLD BUILD and restarts on this one
+    * replays that one batch without the ledger guard (Spark's own
+    * checkpoint commit log still covers the common restart). Accepted:
+    * nothing deployed carries old-format ledgers, and keeping a legacy
+    * fallback would cement the collision-prone format forever.
     */
   def sinkIdFor(checkpoint: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -259,7 +275,7 @@ object GraftStore {
     * elsewhere (see [[writeManifest]]'s rationale). Shared by the manifest
     * and the per-file statistics sidecar ([[FileStats]]).
     */
-  private[logs] def atomicWriteBytes(spark: SparkSession, p: Path,
+  private[graft] def atomicWriteBytes(spark: SparkSession, p: Path,
       bytes: Array[Byte]): Unit = {
     val fs = fsOf(spark, p)
     val scheme = Option(p.toUri.getScheme).getOrElse("file")

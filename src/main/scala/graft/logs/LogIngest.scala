@@ -137,19 +137,36 @@ object LogIngest {
       fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
     if (isLocal) {
       val p = java.nio.file.Paths.get(rootPath.toUri.getPath)
-      if (!java.nio.file.Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      if (!java.nio.file.Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
         try VersionedStore.init(p.toString)
         catch {
           case _: java.nio.file.FileAlreadyExistsException => ()
           case e: IllegalArgumentException if e.getMessage.contains("already exists") => ()
         }
+        dropStaleSiblingIndexes(spark, root)
+      }
     } else if (!fs.exists(rootPath)) {
       try GraftStore.init(spark, root)
       catch {
         case e: IllegalArgumentException if e.getMessage.contains("already") => ()
       }
+      dropStaleSiblingIndexes(spark, root)
     }
   }
+
+  /** A FRESH store has no seen documents, so any surviving sibling dedup
+    * index at the same path is a deleted store's ghost state — trusting it
+    * would silently drop the new store's first documents as duplicates of
+    * the dead corpus (the `.txns`-ledger resurrection hazard, one layer
+    * out; [[graft.ext.StreamingDedup]] keeps a dataless-store guard as
+    * defense in depth for stores created outside this path).
+    */
+  private def dropStaleSiblingIndexes(spark: SparkSession, root: String): Unit =
+    Seq(GraftStore.DedupIndexSuffix, GraftStore.NearDupIndexSuffix).foreach { s =>
+      val p = new Path(root.stripSuffix("/") + s)
+      val pfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (pfs.exists(p)) pfs.delete(p, true)
+    }
 
   /** Reference-compatible positional-layout writer (SURVEY §1.3; layout
     * y-logcli:5). Spark can only emit `k=v` directories, so this writes

@@ -97,11 +97,6 @@ final case class LogQuery(
       }
       LogPathLayout.withPathColumns(filePath)
         .foldLeft(scan) { case (df, (name, c)) => df.withColumn(name, c) }
-        // the positional layout records no pod uid: surface the column as
-        // null so the schema matches hive reads AND a pod_id selector
-        // matches NOTHING here (null === v drops every row) instead of
-        // silently matching everything
-        .withColumn("pod_id", lit(null).cast("string"))
         .drop(graft.sources.ArrowIpcSource.FilePathColumn)
     }
   }
@@ -136,7 +131,15 @@ final case class LogQuery(
           selector.labels.get("pod"))
     }
 
-    val selected = selector.labels.foldLeft(base) {
+    // layouts that record no pod uid (the positional layout by design,
+    // pre-pod_id hive stores by age) surface the column as null, so a
+    // pod_id selector matches NOTHING there — the silent alternative,
+    // skipping the filter, would return BOTH incarnations of a reborn pod
+    // under a selector whose whole purpose is telling them apart
+    val withUid =
+      if (base.columns.contains("pod_id")) base
+      else base.withColumn("pod_id", lit(null).cast("string"))
+    val selected = selector.labels.foldLeft(withUid) {
       case (df, (k, v)) if df.columns.contains(k) => df.filter(col(k) === v)
       case (df, _) => df
     }

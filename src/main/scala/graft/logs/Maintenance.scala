@@ -113,6 +113,15 @@ object Maintenance {
       partitionCols: Seq[String] = Seq.empty,
       retainSnapshots: Int = 1,
       cluster: ClusterSpec = ClusterSpec.TimeMajor,
+      /** Also compact the SIBLING streaming-dedup index stores (see
+        * [[compactDedupIndexes]]). Set false when the owning stream is
+        * LIVE: unlike the store's own versioned compaction, an index
+        * rewrite deletes merged slices immediately, and a concurrent
+        * micro-batch that already planned its pruned read would hit the
+        * deleted files — live streams run the same compactor in-line
+        * between their own reads instead.
+        */
+      compactIndexes: Boolean = true,
       indexMaxSlices: Int = graft.ext.StreamingDedup.DefaultMaxIndexSlices): Ran = {
     val before = debt(spark, root, views, dirtyMaxFiles, dirtyMinAvgBytes)
     if (before.needsCompact) {
@@ -136,7 +145,9 @@ object Maintenance {
       val r = MatView.refresh(spark, root, v)
       if (r.noop) None else Some(v)
     }
-    val indexes = compactDedupIndexes(spark, root, indexMaxSlices)
+    val indexes =
+      if (compactIndexes) compactDedupIndexes(spark, root, indexMaxSlices)
+      else Seq.empty
     val after = debt(spark, root, views, dirtyMaxFiles, dirtyMinAvgBytes)
     Ran(before.needsCompact, refreshed, before, after, indexes)
   }

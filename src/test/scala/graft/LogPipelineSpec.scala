@@ -122,6 +122,19 @@ class LogPipelineSpec extends SparkSpec {
     val plain = LogQuery(LogSelector.parse("""{pod="web-9"}"""),
       output = LogOutput.Lines).dataFrame(spark, pstore)
     assert(plain.count() == 2)
+    // a PRE-pod_id hive store (no column in any file) gets the same
+    // contract: the selector matches nothing, never everything — silently
+    // skipping the filter would return both incarnations under a selector
+    // whose purpose is telling them apart
+    val legacy = work.resolve("lake-uid-legacy").toString
+    LogIngest.writeHive(df.drop("pod_id"), legacy,
+      partitionCols = Seq("cluster", "namespace", "date"))
+    assert(LogQuery(LogSelector.parse("""{pod_id="uid-bbb"}"""),
+      layout = LogLayout.Hive, output = LogOutput.Raw)
+      .dataFrame(spark, legacy).count() == 0)
+    assert(LogQuery(LogSelector.parse("""{pod="web-9"}"""),
+      layout = LogLayout.Hive, output = LogOutput.Raw)
+      .dataFrame(spark, legacy).count() == 2)
   }
 
   test("json output mode: full columns, parseable rows, cluster pruning (--context)") {
