@@ -67,14 +67,20 @@ object ScaleUp {
 
     // events goes through Tables.events, not the raw table loader: ts must be
     // epoch-nano Long for the +replica shift, whatever the source's physical
-    // type, and the scaled copy is then written in the engine's canonical
-    // int64-nanos form.
+    // type. The scaled copy is written back as TIMESTAMP-µs — the driver
+    // testdata's own physical type — so every ts-arithmetic oracle
+    // (epoch_us(ts), interval predicates) binds at scale exactly as it does
+    // at sf0.1 and both engines read the identical reader path. The replica
+    // tie-break shifts by +rep MICROseconds (applied after the µs
+    // truncation, so it survives the precision drop).
     def ev = Tables.events(spark, src)
     val evSpan = keySpan(ev, "event_id")
     val userSpan = keySpan(ev, "user_id")
     write(replicate(ev, reps,
       Map("event_id" -> evSpan, "user_id" -> userSpan))
-      .withColumn("ts", col("ts") + col("__rep").cast("long")), "events")
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000") + col("__rep").cast("long"))),
+      "events")
 
     val docSpan = keySpan(t("documents"), "doc_id")
     val docsRep = replicate(t("documents"), reps, Map("doc_id" -> docSpan))
