@@ -240,9 +240,27 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 64-bit fingerprint per doc (custom codegen
-    * expression), candidates = equal 16-bit band (any of 4 bands — Hamming
-    * distance ≤ 3 guarantees at least one identical band by pigeonhole),
-    * verified by exact Hamming distance.
+    * expression), candidate tables per the block-permutation scheme of
+    * Manku/Jain/Sarma (WWW'07): the fingerprint splits into `maxHamming + 2`
+    * pieces, so ≤ maxHamming flipped bits leave ≥ 2 pieces untouched and
+    * every true pair collides in at least one of the C(pieces,2) two-piece
+    * tables — recall is exact by pigeonhole, precision by the explicit
+    * Hamming check.
+    *
+    * Scale shape, three guards that each kill a quadratic term:
+    * - DISTINCT fingerprints feed the table join — k fp-identical docs
+    *   (exact twins after tokenization) would put k rows in every one of
+    *   their buckets and k² rows into the candidate shuffle; collapsed, they
+    *   cost one row and their hamming-0 doc pairs come from the diagonal
+    *   expansion below.
+    * - Two-piece (~26-bit) keys, not single 16-bit bands: natural-language
+    *   fingerprints concentrate heavily on narrow keys (a 16-bit band
+    *   bucket reaches thousands of fps on web-like corpora, and the probe
+    *   does |bucket|² work), while requiring two clean pieces at once
+    *   spreads the same fps across a 2²⁶ key space.
+    * - The Hamming check rides INSIDE the join condition, so a residual
+    *   bucket collision between mere lookalikes dies in the codegen'd probe
+    *   and never reaches the dedup shuffle.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
@@ -251,20 +269,39 @@ object Dedup {
     // function and drops the projection out of whole-stage codegen
     val fp = docs.select(col(idCol).as("doc_id"),
       HashFunctions.simHashText(col(textCol)).as("fp"))
-    val banded = fp.select(col("doc_id"), col("fp"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+    val fps = fp.select("fp").distinct()
+    val nPieces = maxHamming + 2
+    val width = 64 / nPieces // last piece absorbs the remainder bits
+    def piece(i: Int): Column = {
+      val w = if (i == nPieces - 1) 64 - width * i else width
+      shiftrightunsigned(col("fp"), width * i)
+        .bitwiseAND(lit((1L << w) - 1L))
+    }
+    val tables = for { i <- 0 until nPieces; j <- i + 1 until nPieces }
+      yield shiftleft(piece(i), 32).bitwiseXOR(piece(j)) // disjoint: w ≤ 32
+    val banded = fps.select(col("fp"), posexplode(array(tables: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    banded.as("a")
+    val offDiag = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
-      .dropDuplicates("id_a", "id_b")
+          col("a.fp") < col("b.fp") &&
+          bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= maxHamming)
+      .select(col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .dropDuplicates("fp_a", "fp_b")
+    // diagonal rows expand to the hamming-0 pairs of fp-identical docs; an
+    // fp with one doc expands to nothing (the ida<idb filter), so appending
+    // ALL distinct fps is correct and avoids a doc-multiplicity pre-count
+    val fpPairs = offDiag
+      .unionByName(fps.select(col("fp").as("fp_a"), col("fp").as("fp_b")))
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+    fpPairs
+      .join(fp.select(col("fp").as("fp_a"), col("doc_id").as("ida")), "fp_a")
+      .join(fp.select(col("fp").as("fp_b"), col("doc_id").as("idb")), "fp_b")
+      // off-diagonal fp pairs yield each doc pair once (a doc has one fp) in
+      // arbitrary id order; diagonal pairs yield both orders — keep one
+      .filter(col("fp_a") =!= col("fp_b") || col("ida") < col("idb"))
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"), col("hamming"))
   }
 
   /** Connected components over a near-dup pair list: every document in a

@@ -184,6 +184,41 @@ class DedupSpec extends SparkSpec {
     assert(overlap >= 0.5, s"simhash/jaccard overlap $overlap")
   }
 
+  test("simhash pairs: clone-heavy corpus matches brute force, incl. hamming-0 groups") {
+    // 3 groups of 40 fingerprint-identical docs (exact twins) + salted
+    // variants + unrelated docs: the distinct-fp band join must produce the
+    // same pair set a brute-force all-pairs hamming scan does, with the twin
+    // groups' C(40,2) hamming-0 pairs coming from the diagonal expansion
+    import org.apache.spark.sql.functions.{col => c}
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog again and again tonight",
+      "pack my box with five dozen liquor jugs before the morning train leaves",
+      "how vexingly quick daft zebras jump when the circus lights flare up")
+    val rows = (for {
+      (t, g) <- base.zipWithIndex
+      i <- 0 until 40
+    } yield (g * 1000L + i, t)) ++
+      // near variants: one word swapped (small hamming of the group fp)
+      base.zipWithIndex.map { case (t, g) =>
+        (g * 1000L + 500, t.replace("the", "a")) } ++
+      (0 until 30).map(i => (9000L + i, s"unique document number $i with entirely distinct content ${i * 7}"))
+    val docs2 = rows.toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(docs2, "doc_id", "text", maxHamming = 3)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()
+    // brute force over the same fingerprints
+    val fps = docs2.select($"doc_id",
+      graft.expr.HashFunctions.simHashText(c("text")).as("fp"))
+      .as[(Long, Long)].collect()
+    val expected = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps
+      if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (ia, ib, java.lang.Long.bitCount(fa ^ fb))).toSet
+    assert(got.length == got.toSet.size, "duplicate pairs emitted")
+    assert(got.toSet == expected)
+    // the twin groups alone contribute 3 * C(40,2) hamming-0 pairs
+    assert(got.count(_._3 == 0) >= 3 * 40 * 39 / 2)
+  }
+
   test("clustered embedding near-dup: exact precision, recall vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     val clustered = Dedup.embeddingNearDupPairsClustered(emb, "vec_id", "embedding",
