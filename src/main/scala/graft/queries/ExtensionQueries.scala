@@ -727,11 +727,18 @@ object ExtensionQueries {
     * in SketchAccuracySpec.
     */
   def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    // dedup-first instead of countDistinct-beside-other-aggs: the mixed
+    // distinct/non-distinct Aggregate plans an Expand (every input row
+    // duplicated per aggregate path) plus a 4-phase agg; pre-collapsing on
+    // (event_type, user_id) is one map-side-combining shuffle, and the HLL
+    // sketch is duplicate-insensitive so approx_count_distinct over the
+    // deduped frame returns the identical estimate (4.7x at the 10x
+    // rehearsal). n_events rides along as sum of the per-pair counts.
     Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("c"))
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-        countDistinct(col("user_id")).as("n_exact_users"),
-        count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_exact_users"), sum(col("c")).as("n_events"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
       .select(col("event_type"), col("n_exact_users"), col("n_events"),
         (abs(col("approx_users") - col("n_exact_users"))
           <= col("n_exact_users") * 0.05).as("approx_ok"))

@@ -42,8 +42,15 @@ object RelationalQueries {
       .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    // orders x customer first: the BUILDING+date filters leave ~3% of
+    // orders, so the orderkey join against lineitem (the only big shuffle
+    // here) sees a pre-shrunk build side AQE can turn into a broadcast at
+    // runtime; joining lineitem x orders first shuffles the full filtered
+    // fact table before the customer filter ever bites (2x at the 10x
+    // rehearsal)
+    val ordCust = ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    li.join(ordCust, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - money(col("l_discount"))))
         .cast("double").as("revenue"))
@@ -576,11 +583,15 @@ object RelationalQueries {
     * runs as Spark's two-phase expand+aggregate; part is a broadcast dim.
     */
   def distinctSuppliersPerBrand(spark: SparkSession, dir: String): DataFrame =
+    // dedup-first: countDistinct mixed with count(*) plans an Expand that
+    // doubles the joined fact rows through the aggregate; collapsing on
+    // (brand, suppkey) first is one map-side-combining shuffle and the
+    // totals ride along as a sum
     Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
       .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("l_suppkey")).agg(count(lit(1)).as("c"))
       .groupBy(col("p_brand"))
-      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
-        count(lit(1)).as("n_lineitems"))
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("c")).as("n_lineitems"))
       .orderBy(col("p_brand"))
 }
