@@ -157,18 +157,24 @@ object TextAnalysis {
     import org.apache.spark.sql.functions.{broadcast, countDistinct, log, sum}
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
     val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = tok.groupBy(col("token"))
-      .agg(countDistinct(col(idCol)).as("df"))
-    val n = tok.select(countDistinct(col(idCol))).head().getLong(0)
-    val docLen = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n_tok"))
+    // df from tf, not a second explode: tf rows are already distinct
+    // (doc, token) pairs, so a plain per-token count IS the document
+    // frequency — the token shuffle sees deduped pairs and no
+    // distinct-aggregate two-phase
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // N = docs with ≥1 token (the oracle's `count(DISTINCT doc_id) FROM t`);
+    // distinct before count keeps the action's shuffle doc-sized
+    val n = tok.select(col(idCol)).distinct().count()
     tf.join(broadcast(dfreq), "token")
       // ln((N+1)/(df+1)) computed EXACTLY as the oracle writes it — the
       // algebraically equal ln(N+1)−ln(df+1) rounds differently in doubles
       .withColumn("w",
         col("tf") * (log(lit(n + 1.0) / (col("df") + 1.0)) + 1.0))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_terms"), sum(col("w")).as("wsum"))
-      .join(docLen, idCol)
+      // doc length = Σ tf rides the scoring aggregate — no fourth pass
+      // over the exploded tokens and no join-back
+      .agg(count(lit(1)).as("n_terms"), sum(col("w")).as("wsum"),
+        sum(col("tf")).as("n_tok"))
       .select(col(idCol), col("n_terms"),
         (col("wsum") / col("n_tok")).as("tfidf"))
   }
