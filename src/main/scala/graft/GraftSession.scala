@@ -22,6 +22,11 @@ object GraftSession {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
+    // Spark's default parquet timestamp output is the deprecated INT96,
+    // which carries NO column statistics — every written `time`-style µs
+    // column would be unprunable at the row-group tier. INT64 micros is
+    // the modern type the driver testdata itself uses.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     // runtime skew-join splitting: hot keys (one pod flooding logs, one

@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
   * linear in the scale factor (the honest shape: real corpora don't contain
   * 10 byte-identical copies of everything). Embeddings perturb one dimension
   * per replica for the same reason. Event timestamps shift by `replica`
-  * nanoseconds to keep the total order tie-free.
+  * MICROseconds (post-truncation, so the shift survives the µs write);
+  * the driver testdata's minimum inter-event gap is ~140 µs, so the order
+  * stays tie-free for reps ≤ 100 — past that, replicas of adjacent events
+  * may collide on ts (harmless to the oracles, which never order by bare ts
+  * without a key, but worth knowing before a reps=1000 run).
   */
 object ScaleUp {
 

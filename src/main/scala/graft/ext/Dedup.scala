@@ -302,6 +302,10 @@ object Dedup {
       .filter(col("fp_a") =!= col("fp_b") || col("ida") < col("idb"))
       .select(least(col("ida"), col("idb")).as("id_a"),
         greatest(col("ida"), col("idb")).as("id_b"), col("hamming"))
+      // id-level dedup guards against duplicated doc_id rows in the input
+      // (the pre-rewrite contract); the shuffle is output-sized, not
+      // candidate-sized
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Connected components over a near-dup pair list: every document in a

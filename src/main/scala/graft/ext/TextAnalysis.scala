@@ -154,7 +154,7 @@ object TextAnalysis {
     */
   def tfidf(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, countDistinct, log, sum}
+    import org.apache.spark.sql.functions.{broadcast, log, sum}
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
     val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     // df from tf, not a second explode: tf rows are already distinct

@@ -737,7 +737,10 @@ object ExtensionQueries {
     Tables.events(spark, dir)
       .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("c"))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_exact_users"), sum(col("c")).as("n_events"),
+      // count(user_id), not count(*): a NULL user forms its own group row
+      // here, but count(DISTINCT user_id) — and the oracle — exclude NULLs;
+      // n_events keeps every row via the summed per-group counts
+      .agg(count(col("user_id")).as("n_exact_users"), sum(col("c")).as("n_events"),
         approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
       .select(col("event_type"), col("n_exact_users"), col("n_events"),
         (abs(col("approx_users") - col("n_exact_users"))

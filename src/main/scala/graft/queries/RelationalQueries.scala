@@ -592,6 +592,8 @@ object RelationalQueries {
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("l_suppkey")).agg(count(lit(1)).as("c"))
       .groupBy(col("p_brand"))
-      .agg(count(lit(1)).as("n_suppliers"), sum(col("c")).as("n_lineitems"))
+      // count(l_suppkey) skips a NULL-supplier group row, matching
+      // count(DISTINCT l_suppkey) semantics; the row total keeps every row
+      .agg(count(col("l_suppkey")).as("n_suppliers"), sum(col("c")).as("n_lineitems"))
       .orderBy(col("p_brand"))
 }
