@@ -103,6 +103,47 @@ object HashKernels {
     while (k < 64) { if (counts(k) > 0) out |= (1L << k); k += 1 }
     out
   }
+
+  /** All k-token window hashes of a token array in one pass: each token is
+    * hashed ONCE (fmix64 ∘ polyHash), windows combine the k token hashes
+    * with a rolling 64-bit polynomial (Rabin–Karp slide: subtract the
+    * leaving token's `h·B^(k-1)`, multiply by B, add the entering token),
+    * and every window value is avalanched before emission. Replaces the
+    * `transform(sequence(...), i -> xxhash64(array_join(slice(t,i,k))))`
+    * composition, which builds a throwaway string PER WINDOW — O(n·k·|tok|)
+    * allocation versus this kernel's O(n) longs. Equal token windows hash
+    * equal by construction; distinct windows collide at the same 2⁻⁶⁴
+    * birthday odds the string form had. Hash VALUES differ from the string
+    * form — fine for every consumer, which only compares hashes to hashes.
+    */
+  def windowHashes(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    val empty = new Array[Long](0)
+    if (n < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(empty)
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = fmix64(polyHash(tokens.getUTF8String(i)))
+      i += 1
+    }
+    val B = 0x100000001b3L
+    var bk = 1L
+    i = 0
+    while (i < k - 1) { bk *= B; i += 1 } // B^(k-1), wrapping
+    val out = new Array[Long](n - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + th(i); i += 1 }
+    out(0) = fmix64(h)
+    i = k
+    while (i < n) {
+      h = (h - th(i - k) * bk) * B + th(i)
+      out(i - k + 1) = fmix64(h)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** `poly_hash64(string) → long` — document fingerprint (rolling hash). */
@@ -144,9 +185,28 @@ case class SimHashText(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `window_hashes(array<string>, k) → array<long>` — all k-token window
+  * hashes in one pass (rolling polynomial over per-token hashes). Tokens
+  * must be non-null elements (the TextAnalysis.tokens contract).
+  */
+case class WindowHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 2, s"window length k=$k must be >= 2")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "window_hashes"
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.windowHashes(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.HashKernels.windowHashes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): WindowHashes =
+    copy(child = newChild)
+}
+
 /** `hamming64(long, long) → int` — Hamming distance between fingerprints. */
 object HashFunctions {
   def polyHash64(c: Column): Column = Compat.column(PolyHash64(Compat.expression(c)))
   def simHash64(c: Column): Column = Compat.column(SimHash64(Compat.expression(c)))
   def simHashText(c: Column): Column = Compat.column(SimHashText(Compat.expression(c)))
+  def windowHashes(c: Column, k: Int): Column =
+    Compat.column(WindowHashes(Compat.expression(c), k))
 }

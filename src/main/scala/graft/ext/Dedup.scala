@@ -59,11 +59,14 @@ object Dedup {
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("t"))
       .withColumn("n_windows",
         greatest(size(col("t")) - (k - 1), lit(0)).cast("long"))
+    // window_hashes kernel: per-token hash once + rolling polynomial —
+    // the transform/slice/array_join composition built a throwaway string
+    // per window (O(n·k·|token|) allocation) and dropped the projection
+    // out of whole-stage codegen (higher-order function)
     val win = base.filter(size(col("t")) >= k)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(1), size(col("t")) - (k - 1)),
-        i => xxhash64(array_join(slice(col("t"), i, lit(k)), " "))))
-        .as(Seq("off", "h")))
+      .select(col(idCol),
+        posexplode(graft.expr.HashFunctions.windowHashes(col("t"), k))
+          .as(Seq("off", "h")))
       .select(col(idCol), (col("off") + 1).as("pos"), col("h"))
     // "occurs in ≥minDocs distinct docs" per gram hash, WITHOUT a
     // Window.partitionBy(h): a window over h sends EVERY occurrence of one

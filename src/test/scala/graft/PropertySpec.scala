@@ -81,6 +81,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: windowHashes — equal token windows hash equal, distinct ones differ") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+    val wordsGen = Gen.listOfN(12, wordGen)
+    def wh(words: Seq[String], k: Int): Seq[Long] =
+      graft.expr.HashKernels.windowHashes(
+        new GenericArrayData(words.map(UTF8String.fromString).toArray), k)
+        .toLongArray().toSeq
+    forAll(Gen.zip(wordsGen, Gen.chooseNum(2, 5))) { case (words, k) =>
+      val hs = wh(words, k)
+      assert(hs.length == math.max(words.length - k + 1, 0))
+      // the rolling slide must agree with hashing each window from scratch
+      val direct = words.sliding(k).map(w => wh(w, k).head).toSeq
+      assert(hs == direct)
+      // hash equality must coincide with window equality (64-bit hashes on
+      // a 5-word vocabulary: a collision here means the slide is broken)
+      val wins = words.sliding(k).toSeq
+      for (i <- wins.indices; j <- wins.indices)
+        assert((hs(i) == hs(j)) == (wins(i) == wins(j)),
+          s"windows $i/$j: ${wins(i)} vs ${wins(j)}")
+    }
+    // below-k input yields an empty array, not a crash
+    assert(wh(Seq("one"), 2).isEmpty)
+  }
+
   test("property: simHashText is whitespace-layout and case invariant") {
     val wordGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
     val wordsGen = Gen.nonEmptyListOf(wordGen)
