@@ -118,13 +118,17 @@ object HashKernels {
     */
   def windowHashes(tokens: ArrayData, k: Int): ArrayData = {
     val n = tokens.numElements()
-    val empty = new Array[Long](0)
     if (n < k)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(empty)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
     val th = new Array[Long](n)
     var i = 0
     while (i < n) {
-      th(i) = fmix64(polyHash(tokens.getUTF8String(i)))
+      // null elements hash as a fixed sentinel rather than NPE-ing inside
+      // codegen: engine-produced token arrays never contain nulls, but the
+      // Column API is public and parquet arrays default to containsNull
+      val t = tokens.getUTF8String(i)
+      th(i) = if (t == null) 0x9e3779b97f4a7c15L else fmix64(polyHash(t))
       i += 1
     }
     val B = 0x100000001b3L

@@ -65,7 +65,7 @@ object Dedup {
     // out of whole-stage codegen (higher-order function)
     val win = base.filter(size(col("t")) >= k)
       .select(col(idCol),
-        posexplode(graft.expr.HashFunctions.windowHashes(col("t"), k))
+        posexplode(HashFunctions.windowHashes(col("t"), k))
           .as(Seq("off", "h")))
       .select(col(idCol), (col("off") + 1).as("pos"), col("h"))
     // "occurs in ≥minDocs distinct docs" per gram hash, WITHOUT a
