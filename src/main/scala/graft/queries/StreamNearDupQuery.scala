@@ -85,18 +85,27 @@ object StreamNearDupQuery {
 
     // independent batch expectation: exact pairs (no df cap — exactness
     // beats the posting guard at gate scale), arrival order (batch, id)
+    // both edge directions from ONE pass (a unionAll of pairs + its flip
+    // would inline and re-run the whole pair pipeline twice — the
+    // connectedComponents edges trick)
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       n = 3, threshold = 0.8, maxDf = Long.MaxValue)
       .select($"id_a", $"id_b")
-    val sym = pairs.unionAll(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
+    val sym = pairs.select(explode(array(
+        struct($"id_a", $"id_b"),
+        struct($"id_b".as("id_a"), $"id_a".as("id_b")))).as("e"))
+      .select($"e.id_a".as("id_a"), $"e.id_b".as("id_b"))
     val dupTargets = sym.filter(
       ($"id_a" % 3 < $"id_b" % 3) ||
         ($"id_a" % 3 === $"id_b" % 3 && $"id_a" < $"id_b"))
       .select($"id_b".as("doc_id")).distinct()
+    // persisted: the two exceptAll directions would otherwise each re-run
+    // the exact-pairs pipeline feeding this frame
     val expected = docs.join(dupTargets, Seq("doc_id"), "left_anti")
-      .select($"doc_id", $"lang", $"source")
+      .select($"doc_id", $"lang", $"source").persist()
     val matches = store.exceptAll(expected).count() == 0 &&
       expected.exceptAll(store).count() == 0
+    expected.unpersist()
 
     docs.unpersist()
     val out = store.select($"doc_id", $"lang", $"source",
