@@ -774,8 +774,24 @@ object GraftStore {
     }
     val tagged = (readSide(a, dvA), readSide(b, dvB)) match {
       case (Some(f), Some(t)) =>
-        t.exceptAll(f).withColumn("_change", lit("added"))
-          .unionByName(f.exceptAll(t).withColumn("_change", lit("removed")))
+        // ONE scan per side: a t.exceptAll(f) / f.exceptAll(t) pair would
+        // each rewrite to its own union+count aggregate, scanning every
+        // touched file twice. Tagging sides ±1 and expanding the summed
+        // delta is the same rewrite Catalyst applies INSIDE one exceptAll,
+        // shared across both directions — identical multiset output
+        // (delta copies of "added" when t has more, |delta| of "removed"
+        // when f has more).
+        import org.apache.spark.sql.functions.{abs, col, explode, sequence, sum, when}
+        val cols = t.columns.toSeq
+        f.withColumn("_side", lit(-1L))
+          .unionByName(t.withColumn("_side", lit(1L)))
+          .groupBy(cols.map(col): _*)
+          .agg(sum(col("_side")).as("_delta"))
+          .filter(col("_delta") =!= 0L)
+          .withColumn("_dup", explode(sequence(lit(1L), abs(col("_delta")))))
+          .withColumn("_change",
+            when(col("_delta") > 0L, lit("added")).otherwise(lit("removed")))
+          .select(cols.map(col) :+ col("_change"): _*)
       case (Some(f), None) => f.withColumn("_change", lit("removed"))
       case (None, Some(t)) => t.withColumn("_change", lit("added"))
       case (None, None) =>
