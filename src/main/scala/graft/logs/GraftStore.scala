@@ -720,7 +720,8 @@ object GraftStore {
     * one-partition retention or compaction on a 10⁴-partition store scans
     * one partition's worth of data, not the store. Rewritten-in-place
     * partitions (compaction) read on both sides but cancel in the
-    * `exceptAll` (one hash shuffle over the changed rows only): a clean
+    * count-delta aggregate (one hash shuffle over the changed rows only,
+    * both directions from a single scan of each side): a clean
     * compaction yields an EMPTY frame, which is the audit invariant —
     * `diffVersions.rowDelta == 0` proves counts, `rowDiff.isEmpty` proves
     * contents.
