@@ -147,25 +147,33 @@ object TextAnalysis {
     * (smoothed idf, length-normalized). Exact double math — the DuckDB
     * oracle restates the same formula term for term.
     *
-    * Scale shape: one (doc, token) shuffle for tf, one token shuffle for
-    * df; df is vocabulary-sized and BROADCAST back (same pattern as the
-    * t7/t9 vocab joins), so the scoring join adds no shuffle; the final
-    * per-doc aggregate is one keyed shuffle. Nothing is corpus-quadratic.
+    * Scale shape: ONE corpus scan — the (doc, token) `tf` aggregate is
+    * persisted and every downstream branch (document frequency, corpus
+    * size N, the scoring join) reads that one materialization; without the
+    * cache Spark inlines each reference and re-scans the corpus per branch.
+    * `df` is vocabulary-sized and GROWS with the corpus, so it is joined
+    * on the token shuffle both sides already need — never force-broadcast
+    * (a forced hint is a driver OOM at 100 TB; AQE still broadcasts it at
+    * runtime when it is actually small). The final per-doc aggregate is
+    * one keyed shuffle. Nothing is corpus-quadratic.
     */
   def tfidf(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, log, sum}
+    import org.apache.spark.sql.functions.{log, sum}
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
     val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .persist()
     // df from tf, not a second explode: tf rows are already distinct
     // (doc, token) pairs, so a plain per-token count IS the document
     // frequency — the token shuffle sees deduped pairs and no
     // distinct-aggregate two-phase
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    // N = docs with ≥1 token (the oracle's `count(DISTINCT doc_id) FROM t`);
-    // distinct before count keeps the action's shuffle doc-sized
-    val n = tok.select(col(idCol)).distinct().count()
-    tf.join(broadcast(dfreq), "token")
+    // N = docs with ≥1 token (the oracle's `count(DISTINCT doc_id) FROM t`),
+    // derived from the cached tf (distinct docs there ≡ docs with a token)
+    // so this action materializes the cache instead of re-scanning the
+    // corpus; distinct before count keeps the action's shuffle doc-sized
+    val n = tf.select(col(idCol)).distinct().count()
+    tf.join(dfreq, "token")
       // ln((N+1)/(df+1)) computed EXACTLY as the oracle writes it — the
       // algebraically equal ln(N+1)−ln(df+1) rounds differently in doubles
       .withColumn("w",

@@ -50,6 +50,46 @@ class PlanAssertSpec extends SparkSpec {
       "s6 selector predicate not pushed")
   }
 
+  test("q11 reads lineitem only through the shared per-part cache") {
+    // the per-part aggregate feeds both the threshold scalar and the main
+    // filter; without the persist Spark inlines it and scans lineitem twice
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val lp = SparkEntry.queries("q11_important_parts")(spark, sf)
+      .queryExecution.optimizedPlan
+    val direct = lp.collect {
+      case r: LogicalRelation if r.relation.toString.contains("lineitem") => r }
+    val cached = lp.collect { case i: InMemoryRelation => i }
+    assert(direct.isEmpty, s"q11 scans lineitem outside the cache:\n$lp")
+    assert(cached.size == 2, s"q11 lost a shared cache consumer:\n$lp")
+  }
+
+  test("q17 scans lineitem exactly once, brand-filtered before the average") {
+    val p = plan("q17_small_quantity")
+    val scans = p.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans == 1, s"q17 scans lineitem $scans times:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q17 lost its broadcast part dim:\n$p")
+    assert(p.contains("Window"), s"q17 lost its windowed per-part average:\n$p")
+  }
+
+  test("t13 reads the corpus once and never force-broadcasts the vocabulary") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val lp = SparkEntry.queries("t13_tfidf")(spark, sf)
+      .queryExecution.optimizedPlan
+    val direct = lp.collect {
+      case r: LogicalRelation if r.relation.toString.contains("documents") => r }
+    assert(direct.isEmpty, s"t13 re-scans the corpus outside the tf cache:\n$lp")
+    assert(lp.collect { case i: InMemoryRelation => i }.size == 2,
+      s"t13 lost a tf cache consumer:\n$lp")
+    // df grows with the corpus: the scoring join must carry NO static
+    // broadcast hint (AQE may still broadcast at runtime when small)
+    val hinted = lp.collect { case j: Join if j.hint != JoinHint.NONE => j }
+    assert(hinted.isEmpty, s"t13 forces a broadcast:\n${hinted.mkString("\n")}")
+  }
+
   test("t4 fingerprint dup-gate joins on the text hash, not the raw text") {
     // raw `text` as an equi-join key would move full document bodies through
     // hash partitioning and key comparison — the key must be xxhash64(text)
