@@ -335,12 +335,15 @@ object SparkEntry {
         |  CASE WHEN event_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS stream,
         |  'F' AS logtag, props AS message
         |FROM events WHERE user_id % 3 = 0 ORDER BY time_us, message""".stripMargin,
+    // long-cents restatement: per-row money is rounded ONCE to integer
+    // cents, sums are exact integers (DuckDB BIGINT sums are HUGEINT), and
+    // the double conversion + division happen in the same order as Spark
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -407,8 +410,8 @@ object SparkEntry {
         |  FROM documents)
         |GROUP BY 1 ORDER BY n DESC, token LIMIT 30""".stripMargin,
     "q6_forecast_revenue" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |               CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      """SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) *
+        |               CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
         |  count(*) AS n
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -477,21 +480,19 @@ object SparkEntry {
         |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
         |FROM v GROUP BY 1 ORDER BY o_year""".stripMargin,
     "q14_promo_revenue" ->
-      """SELECT
-        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
-        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
-        |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
-        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |               (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_share
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+      """WITH s AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(round(l_extendedprice*100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount*100) AS BIGINT))
+        |      ELSE 0 END) AS DOUBLE) / 10000.0 AS promo_revenue,
+        |    CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) *
+        |             (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01')
+        |SELECT promo_revenue, total_revenue,
+        |  100.0 * promo_revenue / total_revenue AS promo_share
+        |FROM s""".stripMargin,
     "q15_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,

@@ -408,11 +408,34 @@ object StreamingDedup {
     df.select(bucketExpr.cast("int").as("_bkt")).distinct()
       .collect().map(_.getInt(0)).toSeq
 
+  /** Published slice dirs under an index root, split into (bucketed,
+    * legacy): a bucketed slice carries `pcol=<k>` hive subdirs, a legacy
+    * (pre-bucketing) slice holds its parquet files directly. The listing
+    * is slice-bounded metadata (compaction keeps the count under
+    * `maxIndexSlices`), never data-plane.
+    */
+  private def classifySlices(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, pcol: String)
+      : (Seq[org.apache.hadoop.fs.Path], Seq[org.apache.hadoop.fs.Path]) = {
+    val slices = fs.listStatus(root).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("c=")).map(_.getPath).toSeq
+    slices.partition(s => fs.listStatus(s).exists(d =>
+      d.isDirectory && d.getPath.getName.startsWith(pcol + "=")))
+  }
+
   /** Pruned read of a bucketed index: of every slice, only the partition
     * dirs whose `pcol` value is in `buckets` feed the scan (hive partition
     * pruning on the bucket column — StreamingDedupSpec asserts scanned
     * files follow the batch's buckets, not the index size). None when the
     * index does not exist yet.
+    *
+    * Migration path: slices written before the bucketed layout carry no
+    * `pcol` column, and a single mixed-tree read would throw (conflicting
+    * partition structures) — wedging the stream permanently. Legacy
+    * slices are therefore read SEPARATELY and unpruned (correct, just not
+    * skippy) and unioned in; the in-line [[compactIndex]] rewrites the
+    * whole tree into one bucketed slice once the slice gate trips, after
+    * which the legacy branch disappears.
     */
   private[graft] def readBucketed(spark: SparkSession, path: String,
       pcol: String, buckets: Seq[Int]): Option[DataFrame] = {
@@ -421,12 +444,23 @@ object StreamingDedup {
     // "exists" means AT LEAST ONE published slice — the root dir appears
     // earlier than the first slice (the meta marker creates it), and a
     // staging dir must never count
-    val hasSlice = fs.exists(p) && fs.listStatus(p).exists(s =>
-      s.isDirectory && s.getPath.getName.startsWith("c="))
-    if (!hasSlice) None
-    else Some(spark.read.parquet(path)
-      .filter(col(pcol).isin(buckets: _*))
-      .drop("c", pcol))
+    if (!fs.exists(p)) return None
+    val (bucketed, legacy) = classifySlices(fs, p, pcol)
+    val pruned =
+      if (bucketed.isEmpty) None
+      else Some(spark.read.option("basePath", path)
+        .parquet(bucketed.map(_.toString): _*)
+        .filter(col(pcol).isin(buckets: _*))
+        .drop("c", pcol))
+    val full =
+      if (legacy.isEmpty) None
+      else Some(spark.read.option("basePath", path)
+        .parquet(legacy.map(_.toString): _*)
+        .drop("c"))
+    (pruned, full) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
   }
 
   /** Publish one index slice atomically: write under an
@@ -510,6 +544,39 @@ object StreamingDedup {
     * own reads, and [[graft.logs.Maintenance]] only touches a quiesced
     * stream's indexes.
     */
+  /** Bucket column for an index payload (the three index kinds have
+    * disjoint schemas) and its recomputable bucket expression — the same
+    * deterministic hash the writers use, so rebucketing legacy rows lands
+    * them exactly where a pruned read will look.
+    */
+  private def bucketingFor(columns: Seq[String], nb: Int)
+      : Option[(String, Column)] =
+    if (columns.contains("fingerprint"))
+      Some(("b", pmod(col("fingerprint"), lit(nb))))
+    else if (columns.contains("band"))
+      Some(("pb", pmod(xxhash64(col("band"), col("bucket")), lit(nb))))
+    else if (columns.contains("doc_id"))
+      Some(("gb", pmod(xxhash64(col("doc_id")), lit(nb))))
+    else None
+
+  /** The recorded bucket fan-out for an index root: the meta marker lives
+    * at the root itself (exact-dedup index) or at the parent (the near-dup
+    * bands/grams subdirs share their parent's marker). None for a
+    * pre-bucketing tree that has never seen an upgraded batch.
+    */
+  private def recordedBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[Int] =
+    Seq(new org.apache.hadoop.fs.Path(root, MetaName),
+      new org.apache.hadoop.fs.Path(root.getParent, MetaName))
+      .find(fs.exists)
+      .map { m =>
+        val in = fs.open(m)
+        val text = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+        text.trim.stripPrefix("buckets=").toInt
+      }
+
   private[graft] def compactIndex(spark: SparkSession, root: String,
       dedupKeys: Seq[String], maxSlices: Int,
       force: Boolean = false): Boolean = {
@@ -519,24 +586,40 @@ object StreamingDedup {
     val slices = fs.listStatus(p).filter(s => s.isDirectory &&
       s.getPath.getName.startsWith("c=")).map(_.getPath)
     if (slices.length <= (if (force) 1 else maxSlices)) return false
-    val all = spark.read.parquet(root)
-    val pcol = all.columns.find(c => c == "b" || c == "pb" || c == "gb")
-    val merged = all.drop("c").dropDuplicates(dedupKeys)
-    val name = s"c=compact-${newSliceId()}"
-    val tmp = new org.apache.hadoop.fs.Path(p, s"_staging-$name")
-    val dst = new org.apache.hadoop.fs.Path(p, name)
-    pcol match {
-      case Some(c0) =>
-        merged.repartition(col(c0))
-          .write.partitionBy(c0).mode("overwrite").parquet(tmp.toString)
-      case None =>
-        merged.write.mode("overwrite").parquet(tmp.toString)
+    // read bucketed and legacy slice groups separately (a single read of a
+    // mixed tree throws on conflicting partition structures), merge the
+    // PAYLOAD, and recompute the bucket column for every row — this is
+    // also the one-time migration that turns a pre-bucketing tree into a
+    // pruned one
+    val (bucketedSlices, legacySlices) = classifySlicesAny(fs, p)
+    def readGroup(g: Seq[org.apache.hadoop.fs.Path]): Option[DataFrame] =
+      if (g.isEmpty) None
+      else Some(spark.read.option("basePath", root)
+        .parquet(g.map(_.toString): _*)
+        .drop("c", "b", "pb", "gb"))
+    val payload = (readGroup(bucketedSlices), readGroup(legacySlices)) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (a, b) => a.orElse(b).get
     }
-    if (fs.exists(dst)) fs.delete(dst, true)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"atomic publish failed: $tmp -> $dst")
+    val merged = payload.dropDuplicates(dedupKeys)
+    val bucketing = recordedBuckets(fs, p)
+      .flatMap(nb => bucketingFor(merged.columns.toSeq, nb))
+    writeSliceAtomic(spark, merged, root, s"c=compact-${newSliceId()}",
+      bucketing)
     slices.foreach(s => fs.delete(s, true))
     true
+  }
+
+  /** [[classifySlices]] against any of the three bucket column names —
+    * compaction doesn't know its index kind up front.
+    */
+  private def classifySlicesAny(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path)
+      : (Seq[org.apache.hadoop.fs.Path], Seq[org.apache.hadoop.fs.Path]) = {
+    val slices = fs.listStatus(root).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("c=")).map(_.getPath).toSeq
+    slices.partition(s => fs.listStatus(s).exists(d => d.isDirectory &&
+      Seq("b=", "pb=", "gb=").exists(d.getPath.getName.startsWith)))
   }
 
   /** Continuous online NEAR-dup filtering: every micro-batch admits only

@@ -52,10 +52,14 @@ object AdminCli {
       |  vacuum    --root=DIR [--retain=N]   (keep N snapshots below live, default 0)
       |  maintain  --root=DIR [--views=DIR,..] [--dirty-max-files=N]
       |            [--dirty-min-avg-bytes=N] [--max-records=N] [--retain=N]
-      |            [--cluster-by=col,..] [--zorder=true]   (debt-gated auto
+      |            [--cluster-by=col,..] [--zorder=true]
+      |            [--compact-indexes=true]   (debt-gated auto
       |            maintenance: metadata-only inventory decides; compacts
       |            only when a rewrite would touch something, refreshes
-      |            views incrementally, no version churn when clean)
+      |            views incrementally, no version churn when clean;
+      |            --compact-indexes also rewrites sibling streaming-dedup
+      |            index slices — OFFLINE ONLY, a live stream's planned
+      |            read would hit the immediately-deleted merged slices)
       |  stats     --root=DIR [--refresh=true]   (pruning-sidecar coverage;
       |            --refresh backfills/repairs it for pre-stats stores)
       |  diff      --root=DIR [--from=N] [--to=N]   (defaults: previous -> live)
@@ -89,7 +93,7 @@ object AdminCli {
     "matview-refresh" -> (Set("root", "view"), Set.empty[String]),
     "maintain" -> (Set("root"),
       Set("views", "dirty-max-files", "dirty-min-avg-bytes", "max-records",
-        "retain", "cluster-by", "zorder")),
+        "retain", "cluster-by", "zorder", "compact-indexes")),
     "break-lease" -> (Set("root"), Set.empty[String]))
 
   def main(args: Array[String]): Unit = {
@@ -282,7 +286,11 @@ object AdminCli {
             case Some(cols) =>
               if (boolOpt("zorder")) ClusterSpec.ZOrder(cols)
               else ClusterSpec.Lexicographic(cols)
-          })
+          },
+          // explicit opt-in: index compaction deletes merged slices
+          // immediately and would crash a LIVE stream's planned read —
+          // only safe in an offline maintenance window
+          compactIndexes = boolOpt("compact-indexes"))
         val b = r.before
         println(s"[admin] debt: ${b.dirtyPartitions}/${b.totalPartitions} " +
           s"dirty partition(s), ${b.pendingDeleteRows} pending delete row(s) " +

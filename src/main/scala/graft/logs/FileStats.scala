@@ -38,8 +38,21 @@ object FileStats {
 
   /** One leaf column's whole-file min/max. `kind` is the comparison
     * domain: 'l' integer-like (int32/int64/date/timestamp), 'd' floating,
-    * 's' string. Values serialize as strings; the consumer re-parses by
-    * kind and only compares against a literal of the SAME kind.
+    * 's' string, 'S' string BOUNDS-ONLY. Values serialize as strings; the
+    * consumer re-parses by kind and only compares against a literal of
+    * the SAME kind.
+    *
+    * 'S' marks strings from a footer whose writer may TRUNCATE binary
+    * statistics (anything not parquet-mr — pyarrow/DuckDB truncate long
+    * values and increment the truncated max): the bounds stay
+    * conservative, so pruning treats 'S' exactly like 's', but the max
+    * may be a fabricated string not present in the data, so
+    * metadata-only min/max ANSWERING must not use it
+    * ([[graft.plans.GraftMetadataAggregate]] requires 's'). parquet-mr
+    * footers are exact-or-absent (stats above the size cap are dropped,
+    * never truncated, unless a writer opts into truncation — which this
+    * engine never does). Sidecars written before this distinction carry
+    * 's' for foreign files until their next refresh.
     */
   final case class ColStat(kind: Char, min: String, max: String)
 
@@ -212,6 +225,12 @@ object FileStats {
           try {
             val blocks = reader.getFooter.getBlocks
             val nBlocks = blocks.size()
+            // exact string stats only from parquet-mr footers (see
+            // [[ColStat]]); the metadata API surfaces no per-column
+            // exactness flag, so writer identity is the gate
+            val exactStrings = Option(
+              reader.getFooter.getFileMetaData.getCreatedBy)
+              .exists(_.startsWith("parquet-mr"))
             var rows = 0L
             var mn, mx = Option.empty[Long]
             var pmn, pmx = Option.empty[String]
@@ -309,7 +328,7 @@ object FileStats {
                 n -> (a.kind match {
                   case 'l' => ColStat('l', a.loL.toString, a.hiL.toString)
                   case 'd' => ColStat('d', a.loD.toString, a.hiD.toString)
-                  case 's' => ColStat('s', a.loS, a.hiS)
+                  case 's' => ColStat(if (exactStrings) 's' else 'S', a.loS, a.hiS)
                 })
             }.filter { case (_, c) =>
               c.min.length <= MaxStatStringLen && c.max.length <= MaxStatStringLen

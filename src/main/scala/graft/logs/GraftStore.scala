@@ -782,16 +782,37 @@ object GraftStore {
         // shared across both directions — identical multiset output
         // (delta copies of "added" when t has more, |delta| of "removed"
         // when f has more).
-        import org.apache.spark.sql.functions.{abs, col, explode, sequence, sum, when}
+        import org.apache.spark.sql.functions.{abs, col, explode, least, sequence, shiftright, sum, when}
         val cols = t.columns.toSeq
-        f.withColumn("_side", lit(-1L))
-          .unionByName(t.withColumn("_side", lit(1L)))
+        // working columns must not shadow user data columns (a data column
+        // literally named "_delta" would silently corrupt the diff)
+        def free(base: String): String =
+          Iterator.iterate(base)("_" + _).find(!cols.contains(_)).get
+        val side = free("_side")
+        val delta = free("_delta")
+        val chunk = free("_chunk")
+        val dup = free("_dup")
+        // two-level expansion: sequence() materializes one in-memory array
+        // per row, and a single |delta|-long array would hit the sequence
+        // length cap (and executor memory) when one distinct row's
+        // multiplicity differs by tens of millions — e.g. a bulk duplicate
+        // re-ingest. Chunking bounds every array to `step` elements while
+        // the generate operators stream the rows.
+        // power-of-two step: shiftright is exact long floor-division
+        // (Column `/` is double division, inexact past 2^53)
+        val stepBits = 12
+        val step = 1L << stepBits
+        val n = abs(col(delta))
+        f.withColumn(side, lit(-1L))
+          .unionByName(t.withColumn(side, lit(1L)))
           .groupBy(cols.map(col): _*)
-          .agg(sum(col("_side")).as("_delta"))
-          .filter(col("_delta") =!= 0L)
-          .withColumn("_dup", explode(sequence(lit(1L), abs(col("_delta")))))
+          .agg(sum(col(side)).as(delta))
+          .filter(col(delta) =!= 0L)
+          .withColumn(chunk, explode(sequence(lit(0L), shiftright(n - 1L, stepBits))))
+          .withColumn(dup, explode(sequence(lit(1L),
+            least(lit(step), n - col(chunk) * step))))
           .withColumn("_change",
-            when(col("_delta") > 0L, lit("added")).otherwise(lit("removed")))
+            when(col(delta) > 0L, lit("added")).otherwise(lit("removed")))
           .select(cols.map(col) :+ col("_change"): _*)
       case (Some(f), None) => f.withColumn("_change", lit("removed"))
       case (None, Some(t)) => t.withColumn("_change", lit("added"))

@@ -135,22 +135,29 @@ object LogIngest {
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
       fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    // stale-index cleanup runs ONLY when THIS process created the store:
+    // losing the create race means a concurrent creator's stream may
+    // already be bootstrapping its sibling index, and deleting it from the
+    // loser would silently discard a freshly built index (self-healing via
+    // the dataless guard, but at the cost of a full corpus rescan)
     if (isLocal) {
       val p = java.nio.file.Paths.get(rootPath.toUri.getPath)
       if (!java.nio.file.Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-        try VersionedStore.init(p.toString)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException => ()
-          case e: IllegalArgumentException if e.getMessage.contains("already exists") => ()
-        }
-        dropStaleSiblingIndexes(spark, root)
+        val created =
+          try { VersionedStore.init(p.toString); true }
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+            case e: IllegalArgumentException if e.getMessage.contains("already exists") => false
+          }
+        if (created) dropStaleSiblingIndexes(spark, root)
       }
     } else if (!fs.exists(rootPath)) {
-      try GraftStore.init(spark, root)
-      catch {
-        case e: IllegalArgumentException if e.getMessage.contains("already") => ()
-      }
-      dropStaleSiblingIndexes(spark, root)
+      val created =
+        try { GraftStore.init(spark, root); true }
+        catch {
+          case e: IllegalArgumentException if e.getMessage.contains("already") => false
+        }
+      if (created) dropStaleSiblingIndexes(spark, root)
     }
   }
 

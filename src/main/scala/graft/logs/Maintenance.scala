@@ -114,14 +114,18 @@ object Maintenance {
       retainSnapshots: Int = 1,
       cluster: ClusterSpec = ClusterSpec.TimeMajor,
       /** Also compact the SIBLING streaming-dedup index stores (see
-        * [[compactDedupIndexes]]). Set false when the owning stream is
-        * LIVE: unlike the store's own versioned compaction, an index
-        * rewrite deletes merged slices immediately, and a concurrent
-        * micro-batch that already planned its pruned read would hit the
-        * deleted files — live streams run the same compactor in-line
-        * between their own reads instead.
+        * [[compactDedupIndexes]]). OFF by default because the documented
+        * ops pattern runs `maintain` every few minutes against stores
+        * whose stream may be LIVE: unlike the store's own versioned
+        * compaction, an index rewrite deletes merged slices immediately,
+        * and a concurrent micro-batch that already planned its pruned
+        * read would hit the deleted files and crash the stream (data
+        * stays safe via exactly-once commit ids, but the run is lost).
+        * Live streams run the same compactor in-line between their own
+        * reads; set true only for offline maintenance windows
+        * (`AdminCli maintain --compact-indexes=true`).
         */
-      compactIndexes: Boolean = true,
+      compactIndexes: Boolean = false,
       indexMaxSlices: Int = graft.ext.StreamingDedup.DefaultMaxIndexSlices): Ran = {
     val before = debt(spark, root, views, dirtyMaxFiles, dirtyMinAvgBytes)
     if (before.needsCompact) {

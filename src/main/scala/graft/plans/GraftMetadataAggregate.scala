@@ -248,6 +248,11 @@ object GraftMetadataAggregate extends Rule[LogicalPlan] {
       val live = st.filter(_.rows > 0)
       if (live.isEmpty) return Some(null) // zero rows survive: SQL min = null
       val bounds = live.map(_.cols.get(u.name))
+      // exact-kind equality is load-bearing for strings: 'S' stats (from a
+      // possibly-truncating foreign writer) are valid BOUNDS but their max
+      // can be a fabricated string absent from the data — answering
+      // max(col) from one would return a value that does not exist. 'S'
+      // therefore falls through to a real scan; pruning still uses it.
       if (!bounds.forall(_.exists(_.kind == kind))) return None
       val cs = bounds.map(_.get)
       try kind match {

@@ -18,18 +18,39 @@ object RelationalQueries {
 
   private def money(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
-  /** TPC-H Q1 shape: wide grouped aggregation over lineitem. */
-  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+  /** Money as exact integer CENTS: one round per row (the testdata money is
+    * 2-dp, so `x*100` is within 1e-9 of an integer and every rounding mode
+    * agrees), then all per-row arithmetic is primitive long math inside
+    * whole-stage codegen — no per-row decimal multiply/rescale, which is
+    * what made the decimal(18,2) aggregates 4x DuckDB's int128 path at the
+    * 10x rehearsal. The sum stays exact: plain cents fit a long sum to
+    * ~1e12 rows/group, but cents-squared products (price x discount-factor,
+    * ~4e8/row) would overflow a long sum near 1e10 rows — decimal(20,0)
+    * input widens the sum to decimal(30,0), which Spark keeps in a compact
+    * long until the value actually outgrows it. The DuckDB oracle restates
+    * the identical cents pipeline (its BIGINT sum is a HUGEINT — also
+    * exact), so the final double cast + division is bit-identical.
+    */
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  /** TPC-H Q1 shape: wide grouped aggregation over lineitem — all in exact
+    * long-cents arithmetic (see [[cents]]).
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val ec = cents(col("l_extendedprice"))
+    val dc = cents(col("l_discount"))
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
-        sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - money(col("l_discount"))))
-          .cast("double").as("sum_disc_price"),
+        (sum(cents(col("l_quantity"))).cast("double") / 100.0).as("sum_qty"),
+        (sum(ec.cast("decimal(20,0)")).cast("double") / 100.0).as("sum_base_price"),
+        (sum((ec * (lit(100L) - dc)).cast("decimal(20,0)")).cast("double") / 10000.0)
+          .as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
 
   /** TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem, top-10 revenue.
     * customer is the small side → broadcast; lineitem⋈orders shuffles on the
@@ -183,7 +204,8 @@ object RelationalQueries {
   }
 
   /** TPC-H Q6 shape: the pure-scan revenue-forecast aggregate (every
-    * predicate and the projection push into the parquet reader).
+    * predicate and the projection push into the parquet reader); the
+    * price x discount product is exact long-cents math (see [[cents]]).
     */
   def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -191,8 +213,8 @@ object RelationalQueries {
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
-      .agg(sum(money(col("l_extendedprice")) * money(col("l_discount")))
-        .cast("double").as("revenue"),
+      .agg((sum((cents(col("l_extendedprice")) * cents(col("l_discount")))
+          .cast("decimal(20,0)")).cast("double") / 10000.0).as("revenue"),
         count(lit(1)).as("n"))
 
   /** TPC-H Q13 shape: customer order-count distribution (LEFT OUTER join —
@@ -276,19 +298,23 @@ object RelationalQueries {
 
   /** TPC-H Q14 shape: promo revenue share for one ship month — a conditional
     * aggregate ratio over a tight scan window (both predicates push to
-    * parquet row groups; part is a broadcast dim).
+    * parquet row groups; part is a broadcast dim). Exact long-cents
+    * arithmetic per row (see [[cents]]); the share is computed from the
+    * two already-divided doubles, restated the same way in the oracle.
     */
-  def promoRevenue(spark: SparkSession, dir: String): DataFrame =
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val dpc = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))),
         col("l_partkey") === col("p_partkey"))
       .agg(
-        sum(when(col("p_type") === "PROMO", discPrice)
-          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("promo_revenue"),
-        sum(discPrice).cast("double").as("total_revenue"))
+        (sum(when(col("p_type") === "PROMO", dpc).otherwise(lit(0L))
+          .cast("decimal(20,0)")).cast("double") / 10000.0).as("promo_revenue"),
+        (sum(dpc.cast("decimal(20,0)")).cast("double") / 10000.0).as("total_revenue"))
       .withColumn("promo_share", lit(100.0) * col("promo_revenue") / col("total_revenue"))
+  }
 
   /** TPC-H Q15 shape: the top supplier(s) by quarterly revenue — an aggregate
     * reused twice (per-supplier revenue, then its max) without recomputation

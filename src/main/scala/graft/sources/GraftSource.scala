@@ -633,7 +633,12 @@ private[graft] object GraftFileIndex {
       * NaN row would fail, so refuting everything stays sound too.
       */
     def overlaps(cs: graft.logs.FileStats.ColStat): Boolean = {
-      if (cs.kind != kind) return true
+      // 'S' = string bounds from a possibly-truncating foreign writer:
+      // still CONSERVATIVE bounds (truncated min <= true min, incremented
+      // max >= true max), so pruning may use them like 's' — only
+      // value-ANSWERING may not (GraftMetadataAggregate's concern)
+      val csKind = if (cs.kind == 'S') 's' else cs.kind
+      if (csKind != kind) return true
       try {
         // java-String vs parquet unsigned-byte ordering agree only on
         // ASCII — outside it, refuse to prune

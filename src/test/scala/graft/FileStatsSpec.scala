@@ -250,6 +250,40 @@ class FileStatsSpec extends SparkSpec {
     assert(!never.overlaps(FileStats.ColStat('l', "0", "5")))
   }
 
+  test("foreign-writer string stats are bounds-only 'S': prune yes, answer no") {
+    import graft.sources.GraftFileIndex.ColRange
+    // engine-written (parquet-mr footer): exact 's'
+    val eng = Files.createTempDirectory("graft-exactstr").toString
+    Seq(("alpha", 1L), ("mike", 2L), ("zulu", 3L)).toDF("name", "v")
+      .coalesce(1).write.mode("overwrite").parquet(eng)
+    val engStat = FileStats.refreshDir(spark, eng, Map.empty)
+      .flatMap(_.cols.get("name"))
+    assert(engStat.nonEmpty && engStat.forall(_.kind == 's'), s"$engStat")
+
+    // pyarrow-written driver testdata (created_by parquet-cpp-arrow, a
+    // writer that truncates long binary stats): bounds-only 'S'. Copied
+    // into a temp dir — refreshDir stamps a sidecar and testdata is
+    // read-only (and a bare file, not a directory)
+    val forn = Files.createTempDirectory("graft-foreignstr").toString
+    Files.copy(java.nio.file.Paths.get(s"$sf/nation.parquet"),
+      java.nio.file.Paths.get(s"$forn/nation.parquet"))
+    val fornStat = FileStats.refreshDir(spark, forn, Map.empty)
+      .flatMap(_.cols.get("n_name"))
+    assert(fornStat.nonEmpty && fornStat.forall(_.kind == 'S'),
+      s"foreign string stats must be marked inexact: $fornStat")
+    // the bounds still PRUNE (conservative either way) ...
+    val miss = ColRange('s', Seq((Some("zzz"): Option[Any], None: Option[Any])))
+    assert(fornStat.forall(c => !miss.overlaps(c)),
+      "an 'S' bound past the window must still refute the file")
+    val hit = ColRange('s', Seq((Some("NATION_1"): Option[Any],
+      Some("NATION_1"): Option[Any])))
+    assert(fornStat.exists(hit.overlaps), "an overlapping 'S' bound keeps")
+    // ... but metadata-only min/max ANSWERING rejects 'S' — the kind-exact
+    // gate in GraftMetadataAggregate requires 's' (a truncated max can be
+    // a string absent from the data); pinned here at the ColStat level
+    assert(fornStat.forall(_.kind != 's'))
+  }
+
   test("colRanges: disjunctions, IN point-unions, unsatisfiable conjunctions") {
     import graft.sources.GraftFileIndex
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}

@@ -48,8 +48,10 @@ class MaintenanceSpec extends SparkSpec {
           s.getPath.getName.startsWith("c=")).map(_.getPath.getName).toSeq
     }
     assert(slices().size == 4)
+    // offline window: index compaction is opt-in (default false — a LIVE
+    // stream's planned read would hit the immediately-deleted slices)
     val ran = Maintenance.run(spark, root,
-      partitionCols = Seq("lang"), indexMaxSlices = 2)
+      partitionCols = Seq("lang"), compactIndexes = true, indexMaxSlices = 2)
     assert(ran.compactedIndexes.contains(idx),
       s"maintenance must compact the index: ${ran.compactedIndexes}")
     assert(slices().size == 1 && slices().head.startsWith("c=compact-"))

@@ -85,6 +85,30 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(spark.read.parquet(aFile.getPath).columns.contains("quality"))
   }
 
+  test("rowDiff: bulk re-ingest multiplicity and hostile column names") {
+    // a store whose DATA columns shadow the diff's working names, plus one
+    // distinct row whose multiplicity jumps by 10k in a single commit —
+    // the expansion must chunk (one 10k-element sequence() array per row
+    // would not survive a tens-of-millions delta) and the working columns
+    // must dodge the collisions
+    val root = Files.createTempDirectory("graft-rowdiff")
+      .resolve("store").toString
+    val row = Seq(("dup", 7L, -3L, "en")).toDF("_delta", "_side", "_dup", "lang")
+    LogIngest.writeHive(row, root, partitionCols = Seq("lang"))
+    val bulk = spark.range(10000).select(lit("dup").as("_delta"),
+      lit(7L).as("_side"), lit(-3L).as("_dup"), lit("en").as("lang"))
+    AppendCommit.commit(bulk, root, Seq("lang"))
+    val diff = GraftStore.rowDiff(spark, root, 1, 2).cache()
+    try {
+      assert(diff.count() == 10000L)
+      assert(diff.filter(col("_change") === "added").count() == 10000L)
+      // payload columns come through untouched, including the shadow names
+      val r = diff.select("_delta", "_side", "_dup", "lang").distinct().collect()
+      assert(r.length == 1 && r.head.getString(0) == "dup" &&
+        r.head.getLong(1) == 7L && r.head.getLong(2) == -3L)
+    } finally diff.unpersist()
+  }
+
   test("pointer tier: add-column references the identical object set; time travel spans it") {
     val srv = new graft.sources.S3StubServer()
     try {

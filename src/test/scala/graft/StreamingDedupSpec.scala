@@ -381,6 +381,84 @@ class StreamingDedupSpec extends SparkSpec {
     assert(r2.admitted == 0 && r2.droppedNearDup == 1, s"r2=$r2")
   }
 
+  /** Rewrite a bucketed index slice into the pre-bucketing layout (plain
+    * parquet files, no partition subdirs) — simulates an index written by
+    * an older engine version.
+    */
+  private def downgradeSlice(idx: String, slice: String, pcol: String): Unit = {
+    val sliceDir = new org.apache.hadoop.fs.Path(s"$idx/$slice")
+    val fs = sliceDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val payload = spark.read.parquet(sliceDir.toString).drop(pcol)
+    val tmp = new org.apache.hadoop.fs.Path(idx, "_staging-downgrade")
+    payload.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(sliceDir, true)
+    assert(fs.rename(tmp, sliceDir))
+  }
+
+  test("pre-bucketing exact-dedup slices: unpruned read, compaction rebuckets") {
+    val root = tmp("legacyex").resolve("corpus").toString
+    LogIngest.ensureStore(spark, root)
+    StreamingDedup.dedupAppendBatch(spark, root,
+      docsDF((1L, "a", "en"), (2L, "b", "en")), "doc_id", "text",
+      Seq("lang"), commitId = Some("lg-b0"))
+    val idx = StreamingDedup.dedupIndexRoot(root)
+    downgradeSlice(idx, sliceDirs(idx).head, "b")
+    assert(leafFiles(idx).forall(!_.contains("/b=")), "downgrade failed")
+    // the upgraded reader must not wedge on the legacy slice — and must
+    // still see its fingerprints (duplicate "a" drops)
+    val r1 = StreamingDedup.dedupAppendBatch(spark, root,
+      docsDF((3L, "a", "en"), (4L, "c", "en")), "doc_id", "text",
+      Seq("lang"), commitId = Some("lg-b1"))
+    assert(r1.admitted == 1 && r1.droppedExisting == 1, s"r1=$r1")
+    // compaction is the one-time migration: the mixed tree merges into a
+    // single BUCKETED slice
+    assert(StreamingDedup.compactIndex(spark, idx, Seq("fingerprint"),
+      maxSlices = 8, force = true))
+    val after = sliceDirs(idx)
+    assert(after.size == 1 && after.head.startsWith("c=compact-"), s"$after")
+    assert(leafFiles(idx).forall(_.contains("/b=")),
+      s"migration must rebucket every file: ${leafFiles(idx)}")
+    // pruned reads against the migrated tree still see every fingerprint
+    val r2 = StreamingDedup.dedupAppendBatch(spark, root,
+      docsDF((9L, "a", "en"), (8L, "b", "en"), (7L, "c", "en")),
+      "doc_id", "text", Seq("lang"), commitId = Some("lg-b2"))
+    assert(r2.admitted == 0 && r2.droppedExisting == 3, s"r2=$r2")
+  }
+
+  test("pre-bucketing near-dup slices: stream keeps running, then migrates") {
+    val root = tmp("legacynd").resolve("corpus").toString
+    LogIngest.ensureStore(spark, root)
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    StreamingDedup.nearDupAppendBatch(spark, root,
+      docsDF((101L, words("w", 11), "en"), (102L, words("z", 11), "en")),
+      "doc_id", "text", Seq("lang"), commitId = "lgn-b0")
+    val idx = StreamingDedup.indexRoot(root)
+    downgradeSlice(s"$idx/bands", sliceDirs(s"$idx/bands").head, "pb")
+    downgradeSlice(s"$idx/grams", sliceDirs(s"$idx/grams").head, "gb")
+    // the first upgraded batch reads the legacy slices unpruned: the
+    // near-dup of 101 drops, the id re-send drops, the fresh doc admits
+    val r1 = StreamingDedup.nearDupAppendBatch(spark, root,
+      docsDF((201L, words("w", 11) + " tail", "en"),
+        (102L, words("q", 11), "en"),
+        (301L, "fresh " + words("f", 10), "en")),
+      "doc_id", "text", Seq("lang"), commitId = "lgn-b1")
+    assert(r1.droppedNearDup == 1 && r1.droppedSeenId == 1 && r1.admitted == 1,
+      s"r1=$r1")
+    // force-compact both indexes: every file lands under a bucket dir
+    assert(StreamingDedup.compactIndex(spark, s"$idx/bands",
+      Seq("band", "bucket", "doc_id"), maxSlices = 8, force = true))
+    assert(StreamingDedup.compactIndex(spark, s"$idx/grams",
+      Seq("doc_id"), maxSlices = 8, force = true))
+    assert(leafFiles(s"$idx/bands").forall(_.contains("/pb=")) &&
+      leafFiles(s"$idx/grams").forall(_.contains("/gb=")),
+      "migration must rebucket both near-dup indexes")
+    // and the migrated tree still answers: everything re-sent drops
+    val r2 = StreamingDedup.nearDupAppendBatch(spark, root,
+      docsDF((401L, words("w", 11), "en"), (301L, "x", "en")),
+      "doc_id", "text", Seq("lang"), commitId = "lgn-b2")
+    assert(r2.admitted == 0, s"r2=$r2")
+  }
+
   test("d11 bands/grams reads prune to the batch's buckets and slices compact") {
     val root = tmp("nearbk").resolve("corpus").toString
     LogIngest.ensureStore(spark, root)
