@@ -340,10 +340,10 @@ object SparkEntry {
     // the double conversion + division happen in the same order as Spark
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
-        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
-        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) *
-        |           (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        |  CAST(SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+        |  CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+        |  CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) *
+        |           (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -410,8 +410,8 @@ object SparkEntry {
         |  FROM documents)
         |GROUP BY 1 ORDER BY n DESC, token LIMIT 30""".stripMargin,
     "q6_forecast_revenue" ->
-      """SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) *
-        |               CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+      """SELECT CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) *
+        |               CAST(floor(l_discount*100 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
         |  count(*) AS n
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -483,11 +483,11 @@ object SparkEntry {
       """WITH s AS (
         |  SELECT
         |    CAST(SUM(CASE WHEN p_type = 'PROMO'
-        |      THEN CAST(round(l_extendedprice*100) AS BIGINT) *
-        |           (100 - CAST(round(l_discount*100) AS BIGINT))
+        |      THEN CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) *
+        |           (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))
         |      ELSE 0 END) AS DOUBLE) / 10000.0 AS promo_revenue,
-        |    CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) *
-        |             (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS total_revenue
+        |    CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) *
+        |             (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS total_revenue
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01')
         |SELECT promo_revenue, total_revenue,

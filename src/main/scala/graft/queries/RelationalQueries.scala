@@ -18,37 +18,51 @@ object RelationalQueries {
 
   private def money(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
-  /** Money as exact integer CENTS: one round per row (the testdata money is
-    * 2-dp, so `x*100` is within 1e-9 of an integer and every rounding mode
-    * agrees), then all per-row arithmetic is primitive long math inside
-    * whole-stage codegen — no per-row decimal multiply/rescale, which is
-    * what made the decimal(18,2) aggregates 4x DuckDB's int128 path at the
-    * 10x rehearsal. The sum stays exact: plain cents fit a long sum to
-    * ~1e12 rows/group, but cents-squared products (price x discount-factor,
-    * ~4e8/row) would overflow a long sum near 1e10 rows — decimal(20,0)
-    * input widens the sum to decimal(30,0), which Spark keeps in a compact
-    * long until the value actually outgrows it. The DuckDB oracle restates
-    * the identical cents pipeline (its BIGINT sum is a HUGEINT — also
-    * exact), so the final double cast + division is bit-identical.
+  /** Money as exact integer CENTS: `floor(x*100 + 0.5)` is one primitive
+    * double op per row (the testdata money is 2-dp, so `x*100` is within
+    * 1e-9 of an integer and the +0.5 floor is exact nearest-rounding;
+    * `round()` would go through a per-row BigDecimal — measured 2.4x the
+    * whole query at the 10x rehearsal), then all per-row arithmetic is
+    * primitive long math inside whole-stage codegen — no per-row decimal
+    * multiply/rescale, which is what made the decimal(18,2) aggregates 4x
+    * DuckDB's int128 path. The DuckDB oracle restates the identical cents
+    * pipeline (its BIGINT sum is a HUGEINT — also exact), so the final
+    * double cast + division is bit-identical.
     */
   private def cents(c: org.apache.spark.sql.Column) =
-    round(c * 100).cast("long")
+    floor(c * 100 + 0.5).cast("long")
 
-  /** TPC-H Q1 shape: wide grouped aggregation over lineitem — all in exact
-    * long-cents arithmetic (see [[cents]]).
+  /** TPC-H Q1 shape: wide grouped aggregation over lineitem — exact
+    * long-cents arithmetic (see [[cents]]) summed HIERARCHICALLY: the
+    * per-row path sums pure longs per (group, shuffle-partition) — the
+    * bucket is `spark_partition_id()`, constant per task, so map-side
+    * combine collapses each partition to one subtotal row per group —
+    * and the handful of long subtotals re-sum as decimal(20,0) on the
+    * second (group-only) level. Exact at any scale: a per-partition long
+    * subtotal of cents-squared products (~4e8/row) would need >2e10 rows
+    * in ONE partition to overflow, two orders past any sane partition
+    * size, and the decimal re-sum is unbounded. The same values as a
+    * one-level decimal sum (integer arithmetic, any grouping), at pure
+    * primitive codegen cost.
     */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
     val ec = cents(col("l_extendedprice"))
     val dc = cents(col("l_discount"))
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"),
+        spark_partition_id().as("_b"))
+      .agg(
+        sum(cents(col("l_quantity"))).as("_q"),
+        sum(ec).as("_e"),
+        sum(ec * (lit(100L) - dc)).as("_d"),
+        count(lit(1)).as("_n"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        (sum(cents(col("l_quantity"))).cast("double") / 100.0).as("sum_qty"),
-        (sum(ec.cast("decimal(20,0)")).cast("double") / 100.0).as("sum_base_price"),
-        (sum((ec * (lit(100L) - dc)).cast("decimal(20,0)")).cast("double") / 10000.0)
-          .as("sum_disc_price"),
-        count(lit(1)).as("count_order"))
+        (sum(col("_q").cast("decimal(20,0)")).cast("double") / 100.0).as("sum_qty"),
+        (sum(col("_e").cast("decimal(20,0)")).cast("double") / 100.0).as("sum_base_price"),
+        (sum(col("_d").cast("decimal(20,0)")).cast("double") / 10000.0).as("sum_disc_price"),
+        sum(col("_n")).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
@@ -205,7 +219,8 @@ object RelationalQueries {
 
   /** TPC-H Q6 shape: the pure-scan revenue-forecast aggregate (every
     * predicate and the projection push into the parquet reader); the
-    * price x discount product is exact long-cents math (see [[cents]]).
+    * price x discount product is exact long-cents math, summed
+    * hierarchically (see [[pricingSummary]] for the pattern).
     */
   def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -213,9 +228,15 @@ object RelationalQueries {
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
-      .agg((sum((cents(col("l_extendedprice")) * cents(col("l_discount")))
-          .cast("decimal(20,0)")).cast("double") / 10000.0).as("revenue"),
-        count(lit(1)).as("n"))
+      .groupBy(spark_partition_id().as("_b"))
+      .agg(sum(cents(col("l_extendedprice")) * cents(col("l_discount"))).as("_r"),
+        count(lit(1)).as("_n"))
+      .agg((sum(col("_r").cast("decimal(20,0)")).cast("double") / 10000.0)
+          .as("revenue"),
+        // empty scan: the keyed first level emits ZERO rows, but a global
+        // count(*) must still answer 0 (revenue stays null, like a plain
+        // SUM over nothing)
+        coalesce(sum(col("_n")), lit(0L)).as("n"))
 
   /** TPC-H Q13 shape: customer order-count distribution (LEFT OUTER join —
     * customers with zero orders must appear — then a second aggregation over
@@ -309,10 +330,13 @@ object RelationalQueries {
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))),
         col("l_partkey") === col("p_partkey"))
+      .groupBy(spark_partition_id().as("_b"))
       .agg(
-        (sum(when(col("p_type") === "PROMO", dpc).otherwise(lit(0L))
-          .cast("decimal(20,0)")).cast("double") / 10000.0).as("promo_revenue"),
-        (sum(dpc.cast("decimal(20,0)")).cast("double") / 10000.0).as("total_revenue"))
+        sum(when(col("p_type") === "PROMO", dpc).otherwise(lit(0L))).as("_p"),
+        sum(dpc).as("_t"))
+      .agg(
+        (sum(col("_p").cast("decimal(20,0)")).cast("double") / 10000.0).as("promo_revenue"),
+        (sum(col("_t").cast("decimal(20,0)")).cast("double") / 10000.0).as("total_revenue"))
       .withColumn("promo_share", lit(100.0) * col("promo_revenue") / col("total_revenue"))
   }
 
@@ -327,12 +351,16 @@ object RelationalQueries {
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(sum(discPrice).cast("double").as("total_revenue"))
-    // global max via a window over the one aggregated pass (supplier-sized,
-    // one partition of ~|suppliers| rows) — the scalar-subquery join form
-    // would inline `rev` and scan/aggregate the fact table twice
-    val all = Window.partitionBy()
+      // the aggregate feeds BOTH the max scalar and the equality filter;
+      // without the cache Spark inlines it and aggregates the fact table
+      // twice (the q11 lesson). persist() is supplier-cardinality. The
+      // former empty-partition window computed the same max but moved the
+      // whole aggregate into ONE partition — fine at |suppliers| today,
+      // a single-task wall once dimensions grow with the corpus.
+      .persist()
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
     Tables.supplier(spark, dir)
-      .join(rev.withColumn("max_rev", max(col("total_revenue")).over(all))
+      .join(rev.join(broadcast(maxRev))
           .filter(col("total_revenue") === col("max_rev")).drop("max_rev"),
         col("s_suppkey") === col("l_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
