@@ -81,7 +81,9 @@ object Sampling {
     }
     val thr = floor(least(lit(1.0),
         (w * lit(budgetTokens)) / col("stratum_tokens")) * lit(65536.0)).cast("long")
-    df.join(broadcast(tot), strataCol)
+    // strata counts are usually a handful of mixture domains, but the
+    // stratum column's cardinality is caller-chosen — size-guard the hint
+    df.join(graft.plans.Hints.dimBroadcast(tot), strataCol)
       .withColumn("mix_threshold", thr)
       .filter(bucket(col(idCol)) < col("mix_threshold"))
   }

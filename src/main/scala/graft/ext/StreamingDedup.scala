@@ -56,6 +56,27 @@ object StreamingDedup {
     */
   val DefaultMaxIndexSlices = 8
 
+  /** ONE lease serializes every writer of a store's sibling dedup state —
+    * concurrent sinks (two streams with different checkpoints on one
+    * corpus), direct batch callers, and [[graft.logs.Maintenance]]'s index
+    * compaction all queue here for the whole read-decide-commit-index
+    * cycle. Without it, two batches that both read the index before either
+    * writes would BOTH admit the same text (duplicate survivors — the
+    * corpus commit's lease serializes only the pointer flip, not the
+    * dedup decision). Exact on `file:` (CREATE_NEW) and on conditional-
+    * write object stores ([[graft.sources.S3LiteFileSystem]] maps
+    * create-only to `If-None-Match: *`). Throughput contract: concurrent
+    * sinks serialize PER BATCH — admission stays a single-writer decision;
+    * scale batch size, not writer count. Lock order is always dedup-state
+    * lease -> store maintenance lease (inside AppendCommit), never the
+    * reverse, so the pair cannot deadlock.
+    */
+  private[graft] def withStateLock[T](spark: SparkSession, storeRoot: String)
+      (f: => T): T =
+    graft.logs.MaintenanceLease.withLeaseRetry(spark,
+      storeRoot.stripSuffix("/") + "-dedupstate", "dedup-batch",
+      attempts = 60, backoffMs = 500)(f)
+
   final case class BatchResult(streamed: Long, admitted: Long,
       droppedInBatch: Long, droppedExisting: Long, version: Int,
       replayed: Boolean)
@@ -69,7 +90,8 @@ object StreamingDedup {
       partitionCols: Seq[String], commitId: Option[String] = None,
       maxRecordsPerFile: Long = 1000000L,
       indexBuckets: Int = DefaultIndexBuckets,
-      maxIndexSlices: Int = DefaultMaxIndexSlices): BatchResult = {
+      maxIndexSlices: Int = DefaultMaxIndexSlices): BatchResult =
+      withStateLock(spark, storeRoot) {
     val idx = dedupIndexRoot(storeRoot)
     // resurrection guard, the sibling-state twin of VersionedStore.init's
     // ledger clearing: slices are only ever written AFTER their corpus
@@ -208,7 +230,8 @@ object StreamingDedup {
       threshold: Double = 0.8,
       maxRecordsPerFile: Long = 1000000L,
       indexBuckets: Int = DefaultIndexBuckets,
-      maxIndexSlices: Int = DefaultMaxIndexSlices): NearDupResult = {
+      maxIndexSlices: Int = DefaultMaxIndexSlices): NearDupResult =
+      withStateLock(spark, storeRoot) {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     val idx = indexRoot(storeRoot)

@@ -235,13 +235,14 @@ object AppendCommit {
           abort(s"staged snapshot holds $stagedTotal rows, expected " +
             s"$prevRows + $stagedRows; aborting with $curDir live")
       }
-      // optimistic re-check: the lease fails open on object stores (HEAD
-      // then PUT), so verify no racing commit flipped the pointer since
-      // this manifest was built — the staged data dir survives for a retry
-      if (GraftStore.currentVersion(spark, root) != cur)
+      // THE commit: one compare-and-swap pointer PUT. On conditional-write
+      // stores (S3 If-Match via ConditionalWrites) the precondition rides
+      // the PUT itself — no interleaving can lose an update; elsewhere it
+      // degrades to the optimistic re-check + plain PUT. Either way the
+      // loser aborts with its staged data intact, retryable.
+      if (!GraftStore.casWritePointer(spark, root, cur, next))
         abort(s"concurrent commit detected on $root during append publish " +
           s"(expected v$cur live); staged data kept at $stagingDir — retry")
-      GraftStore.writePointer(spark, root, next) // THE commit: one atomic PUT
       commitId.foreach(GraftStore.recordTxn(spark, root, _, next))
       val keep = GraftStore.closureOf(spark, root,
         GraftStore.listVersions(spark, root)

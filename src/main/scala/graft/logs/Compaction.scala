@@ -582,9 +582,8 @@ object Compaction {
       }
       GraftStore.writeCommitInfo(spark, nextDir, GraftStore.CommitInfo(
         "compact", java.util.UUID.randomUUID().toString, System.currentTimeMillis()))
-      // the lease fails open on object stores (HEAD-then-PUT): verify no
-      // racing commit (e.g. an atomic append publish) flipped the pointer
-      // since inventory — its flip would also have swept this staged prefix
+      // pre-flight re-check before the marker lands (a racing commit's
+      // flip would also have swept this staged prefix)
       if (GraftStore.currentVersion(spark, root) != cur) {
         fs.delete(new Path(nextDir), true)
         throw new IllegalStateException(
@@ -592,7 +591,15 @@ object Compaction {
             s"(expected v$cur live); staged version removed — re-run compaction")
       }
       writeMarker(fs, marker, expectedRows)
-      GraftStore.writePointer(spark, root, next) // THE commit: one atomic PUT
+      // THE commit: compare-and-swap where the store supports conditional
+      // writes, re-check + plain PUT elsewhere (see casWritePointer)
+      if (!GraftStore.casWritePointer(spark, root, cur, next)) {
+        fs.delete(marker, false)
+        fs.delete(new Path(nextDir), true)
+        throw new IllegalStateException(
+          s"concurrent commit detected on $root during compaction publish " +
+            s"(expected v$cur live); staged version removed — re-run compaction")
+      }
       val liveRows = GraftStore.readStore(spark, root).count()
       require(liveRows == expectedRows,
         s"post-commit count $liveRows != expected $expectedRows — inspect $root")

@@ -361,14 +361,18 @@ object DeleteVectors {
       val entries = GraftStore.compositeEntries(spark, root, cur)
       val prior = read(spark, curDir)
       // 1. vector for matched keys: semi-join the live view against the
-      //    update keys (broadcast — update batches are small next to the
-      //    store) and collect (file, position)
+      //    update keys (size-guarded broadcast — update batches are small
+      //    next to the store in the streaming-upsert pattern, but a BULK
+      //    merge's key set grows with the update, and a forced hint there
+      //    is an executor OOM; past the cap the semi-join shuffles and AQE
+      //    still broadcasts at runtime if the actual size allows)
+      //    and collect (file, position)
       val keys = updates.select(keyCols.map(col): _*).distinct()
       // a dataless store (fresh streaming sink, first batch) matches nothing
       val matched =
         if (entries.isEmpty) Array.empty[org.apache.spark.sql.Row]
         else taggedLiveRead(spark, root, cur, prior, entries)
-          .join(broadcast(keys), keyCols, "left_semi")
+          .join(graft.plans.Hints.dimBroadcast(keys), keyCols, "left_semi")
           .groupBy(col(PathCol)).agg(sort_array(collect_list(col(PosCol))).as("ps"))
           .collect()
       val keyOfNorm = entries.map(e => (normalizePath(e.physical), e)).toMap
@@ -626,10 +630,11 @@ object DeleteVectors {
   private def flip(spark: SparkSession, root: String, cur: Int, next: Int,
       retainSnapshots: Int, abort: String => Nothing): Unit =
     if (GraftStore.isPointerStore(spark, root)) {
-      if (GraftStore.currentVersion(spark, root) != cur)
+      // compare-and-swap on conditional-write stores, re-check + PUT
+      // elsewhere (see casWritePointer)
+      if (!GraftStore.casWritePointer(spark, root, cur, next))
         abort(s"concurrent commit detected on $root during publish " +
           s"(expected v$cur live) — staged version removed, retry")
-      GraftStore.writePointer(spark, root, next)
       val keep = GraftStore.closureOf(spark, root,
         GraftStore.listVersions(spark, root)
           .filter(_ < next).takeRight(retainSnapshots).toSet + next)

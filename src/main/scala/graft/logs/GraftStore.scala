@@ -930,6 +930,33 @@ object GraftStore {
     try out.write(versionPrefix(n).getBytes("UTF-8")) finally out.close()
   }
 
+  /** Compare-and-swap pointer flip: publish version `next` only if the
+    * pointer STILL names `expected` at the instant of the write. On a
+    * filesystem with conditional writes ([[graft.sources.ConditionalWrites]]
+    * — the S3 `If-Match` contract) this is exact: the precondition rides
+    * the PUT itself, so no interleaving between a writer's re-check and its
+    * flip can lose an update (the window Delta-on-S3 closes with an
+    * external LogStore). Elsewhere it degrades to re-check + plain PUT —
+    * today's best-effort, explicitly documented as such. Returns false
+    * (nothing written, staged data intact) when a racing commit won.
+    */
+  def casWritePointer(spark: SparkSession, root: String,
+      expected: Int, next: Int): Boolean = {
+    val p = new Path(root, PointerName)
+    fsOf(spark, p) match {
+      case cw: graft.sources.ConditionalWrites =>
+        cw.readWithTag(p) match {
+          case Some((bytes, tag))
+              if new String(bytes, "UTF-8").trim == versionPrefix(expected) =>
+            cw.putIfTag(p, versionPrefix(next).getBytes("UTF-8"), Some(tag))
+          case _ => false // pointer already moved (or unreadable): lose cleanly
+        }
+      case _ =>
+        if (currentVersion(spark, root) != expected) false
+        else { writePointer(spark, root, next); true }
+    }
+  }
+
   /** Create an empty pointer store (version 1). */
   def init(spark: SparkSession, root: String): Unit = {
     val rootPath = new Path(root)

@@ -169,14 +169,19 @@ object Maintenance {
   def compactDedupIndexes(spark: SparkSession, root: String,
       maxSlices: Int = graft.ext.StreamingDedup.DefaultMaxIndexSlices): Seq[String] = {
     import graft.ext.StreamingDedup
-    val targets = Seq(
-      (StreamingDedup.dedupIndexRoot(root), Seq("fingerprint")),
-      (StreamingDedup.indexRoot(root) + "/bands",
-        Seq("band", "bucket", "doc_id")),
-      (StreamingDedup.indexRoot(root) + "/grams", Seq("doc_id")))
-    targets.flatMap { case (idx, keys) =>
-      if (StreamingDedup.compactIndex(spark, idx, keys, maxSlices)) Some(idx)
-      else None
+    // the dedup-state lease serializes this against live batches: a batch
+    // holds it for its whole read-decide-commit-index cycle, so a rewrite
+    // here can never delete a slice a planned read is about to open
+    StreamingDedup.withStateLock(spark, root) {
+      val targets = Seq(
+        (StreamingDedup.dedupIndexRoot(root), Seq("fingerprint")),
+        (StreamingDedup.indexRoot(root) + "/bands",
+          Seq("band", "bucket", "doc_id")),
+        (StreamingDedup.indexRoot(root) + "/grams", Seq("doc_id")))
+      targets.flatMap { case (idx, keys) =>
+        if (StreamingDedup.compactIndex(spark, idx, keys, maxSlices)) Some(idx)
+        else None
+      }
     }
   }
 }

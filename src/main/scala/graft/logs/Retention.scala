@@ -213,7 +213,11 @@ object Retention {
         s"aborting with $curDir live")
     GraftStore.writeCommitInfo(spark, nextDir, GraftStore.CommitInfo(
       "retention", java.util.UUID.randomUUID().toString, System.currentTimeMillis()))
-    GraftStore.writePointer(spark, root, next) // one atomic PUT
+    // compare-and-swap on conditional-write stores (see casWritePointer)
+    if (!GraftStore.casWritePointer(spark, root, cur, next))
+      throw new IllegalStateException(
+        s"concurrent commit detected on $root during retention publish " +
+          s"(expected v$cur live); $nextDir staged — re-run retention")
     // grace contract: keep the replaced snapshot + transitive manifest closure
     val keep = GraftStore.closureOf(spark, root, Set(cur, next))
     GraftStore.dropVersionsExcept(spark, root, keep)

@@ -88,9 +88,9 @@ object SchemaEvolution {
       abort(s"evolution commit would change the file set " +
         s"(${(staged diff before).size} added, ${(before diff staged).size} removed); " +
         s"aborting with $curDir live")
-    if (GraftStore.currentVersion(spark, root) != cur)
+    // compare-and-swap on conditional-write stores (see casWritePointer)
+    if (!GraftStore.casWritePointer(spark, root, cur, next))
       abort(s"concurrent commit detected on $root during add-column publish")
-    GraftStore.writePointer(spark, root, next)
     val keep = GraftStore.closureOf(spark, root,
       GraftStore.listVersions(spark, root).filter(_ < next).takeRight(1).toSet + next)
     GraftStore.dropVersionsExcept(spark, root, keep)

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.plans.Hints
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -83,7 +84,7 @@ object RelationalQueries {
     // runtime; joining lineitem x orders first shuffles the full filtered
     // fact table before the customer filter ever bites (2x at the 10x
     // rehearsal)
-    val ordCust = ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    val ordCust = ord.join(Hints.dimBroadcast(cust), col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
     li.join(ordCust, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
@@ -111,9 +112,9 @@ object RelationalQueries {
     val supp = Tables.supplier(spark, dir)
     Tables.lineitem(spark, dir)
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust.select(col("c_custkey"), col("c_nationkey"), col("n_name"))),
+      .join(Hints.dimBroadcast(cust.select(col("c_custkey"), col("c_nationkey"), col("n_name"))),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+      .join(Hints.dimBroadcast(supp), col("l_suppkey") === col("s_suppkey") &&
         col("s_nationkey") === col("c_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - money(col("l_discount"))))
@@ -275,7 +276,7 @@ object RelationalQueries {
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Hints.dimBroadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("c_nationkey") === col("ck"))
       .join(broadcast(n2), col("s_nationkey") === col("sk"))
       .filter((col("cust_nation") === "NATION_1" && col("supp_nation") === "NATION_2") ||
@@ -298,16 +299,16 @@ object RelationalQueries {
     val suppNations = Tables.nation(spark, dir)
       .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir).filter(col("p_type") === "ECONOMY")),
+      .join(Hints.dimBroadcast(Tables.part(spark, dir).filter(col("p_type") === "ECONOMY")),
         col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(spark, dir)
           .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
             col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
         col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(custNations), col("c_nationkey") === col("ck"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(suppNations), col("s_nationkey") === col("sk"))
+      .join(Hints.dimBroadcast(custNations), col("c_nationkey") === col("ck"))
+      .join(Hints.dimBroadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Hints.dimBroadcast(suppNations), col("s_nationkey") === col("sk"))
       .groupBy(date_format(col("o_orderdate"), "yyyy").as("o_year"))
       .agg(
         sum(when(col("supp_nation") === "NATION_3", discPrice)
@@ -328,7 +329,7 @@ object RelationalQueries {
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
-      .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))),
+      .join(Hints.dimBroadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))),
         col("l_partkey") === col("p_partkey"))
       .groupBy(spark_partition_id().as("_b"))
       .agg(
@@ -391,7 +392,7 @@ object RelationalQueries {
     */
   def disjunctivePredicates(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Hints.dimBroadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
           col("l_quantity").between(1, 11)) ||
@@ -442,11 +443,11 @@ object RelationalQueries {
     */
   def minBalanceSupplier(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
-      .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))),
+      .join(Hints.dimBroadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))),
         col("l_partkey") === col("p_partkey"))
       .select(col("p_type"), col("l_suppkey")).distinct()
     val withBal = pairs
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Hints.dimBroadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
       .select(col("p_type"), col("s_suppkey"), money(col("s_acctbal")).as("bal_d"))
     // min-per-type via a window over the ONE pass, not aggregate+join-back:
     // Spark inlines the repeated frame, so the join form recomputes the
@@ -458,7 +459,7 @@ object RelationalQueries {
       .filter(col("bal_d") === col("min_bal_d"))
       .groupBy(col("p_type"), col("min_bal_d"))
       .agg(min(col("s_suppkey")).as("s_suppkey"))
-      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
+      .join(Hints.dimBroadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
         Seq("s_suppkey"))
       .select(col("p_type"), col("s_suppkey"), col("s_name"),
         col("min_bal_d").cast("double").as("min_bal"))
@@ -471,12 +472,12 @@ object RelationalQueries {
     */
   def productProfit(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir).filter(col("p_name").like("red%"))
+      .join(Hints.dimBroadcast(Tables.part(spark, dir).filter(col("p_name").like("red%"))
           .select(col("p_partkey"))),
         col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))),
+      .join(Hints.dimBroadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"),
@@ -547,11 +548,11 @@ object RelationalQueries {
     val excluded = Tables.supplier(spark, dir)
       .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
     Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
-      .join(broadcast(Tables.part(spark, dir)
+      .join(Hints.dimBroadcast(Tables.part(spark, dir)
           .filter(col("p_brand") =!= "Brand#11" &&
             col("p_size").isin(1, 5, 9, 14, 20, 27, 33, 40))),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(Hints.dimBroadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
@@ -573,7 +574,7 @@ object RelationalQueries {
   def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_partkey"))
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir).filter(col("p_brand") === "Brand#12")
+      .join(Hints.dimBroadcast(Tables.part(spark, dir).filter(col("p_brand") === "Brand#12")
           .select(col("p_partkey"))),
         col("l_partkey") === col("p_partkey"))
       // exactly the join-back arithmetic: CAST(SUM(DECIMAL(18,2)) AS DOUBLE)
@@ -592,7 +593,7 @@ object RelationalQueries {
     val shippers = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-      .join(broadcast(Tables.part(spark, dir).filter(col("p_name").like("red%"))
+      .join(Hints.dimBroadcast(Tables.part(spark, dir).filter(col("p_name").like("red%"))
           .select(col("p_partkey"))),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_suppkey"), col("l_partkey"))
@@ -645,7 +646,7 @@ object RelationalQueries {
       .withColumn("late_hi", max(lateSupp).over(w))
       .filter(col("late") && col("supp_lo") =!= col("supp_hi") &&
         col("late_lo") === col("late_hi"))
-      .join(broadcast(Tables.supplier(spark, dir)
+      .join(Hints.dimBroadcast(Tables.supplier(spark, dir)
           .select(col("s_suppkey"), col("s_name"))),
         col("s_suppkey") === col("l_suppkey"))
       .groupBy(col("s_name"))
@@ -662,7 +663,7 @@ object RelationalQueries {
     // (brand, suppkey) first is one map-side-combining shuffle and the
     // totals ride along as a sum
     Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
-      .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))),
+      .join(Hints.dimBroadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("l_suppkey")).agg(count(lit(1)).as("c"))
       .groupBy(col("p_brand"))

@@ -8,6 +8,26 @@ import java.io.{ByteArrayOutputStream, FileNotFoundException, IOException}
 import java.net.{HttpURLConnection, URI, URL}
 import java.nio.charset.StandardCharsets
 
+/** Conditional object writes — the S3 conditional-PUT contract
+  * (`If-None-Match: *` create-only, `If-Match: <etag>` compare-and-swap).
+  * A `FileSystem` implementing this gives the engine EXACT commit
+  * primitives on the object tier: [[graft.logs.GraftStore.casWritePointer]]
+  * flips the version pointer only if it still holds the version the
+  * manifest was built from, closing the lost-update window the optimistic
+  * re-check leaves open; where the filesystem doesn't implement this, the
+  * caller falls back to re-check + plain PUT (best-effort, as before).
+  */
+trait ConditionalWrites {
+  /** Object content + its entity tag, or None when absent. */
+  def readWithTag(p: Path): Option[(Array[Byte], String)]
+
+  /** Atomic conditional PUT: with `ifMatch = Some(tag)` the write succeeds
+    * only if the object still carries `tag`; with None only if the object
+    * does not exist. False on precondition failure (nothing written).
+    */
+  def putIfTag(p: Path, data: Array[Byte], ifMatch: Option[String]): Boolean
+}
+
 /** Minimal Hadoop `FileSystem` speaking the S3 REST dialect (`s3l://bucket/
   * key`, path-style, no auth) — the client half of the in-sandbox object
   * -store round trip (server half: [[S3StubServer]]). The container ships no
@@ -25,7 +45,7 @@ import java.nio.charset.StandardCharsets
   * Conf: `fs.s3l.impl` → this class, `fs.s3l.endpoint` → gateway URL
   * (mirrors the reference's endpoint/path-style wiring, test.sh:40-44).
   */
-final class S3LiteFileSystem extends FileSystem {
+final class S3LiteFileSystem extends FileSystem with ConditionalWrites {
 
   private var fsUri: URI = _
   private var endpoint: String = _
@@ -71,9 +91,10 @@ final class S3LiteFileSystem extends FileSystem {
         val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
         if (is == null) Array.emptyByteArray else try is.readAllBytes() finally is.close()
       }
-    val contentLength = Option(conn.getHeaderField("Content-Length")).map("Content-Length" -> _)
+    val retHeaders = Seq("Content-Length", "ETag")
+      .flatMap(k => Option(conn.getHeaderField(k)).map(k -> _)).toMap
     conn.disconnect()
-    (code, bytes, contentLength.toMap)
+    (code, bytes, retHeaders)
   }
 
   private def head(key: String): Option[Long] = {
@@ -191,11 +212,40 @@ final class S3LiteFileSystem extends FileSystem {
       override def write(b: Int): Unit = buf.write(b)
       override def write(b: Array[Byte], off: Int, n: Int): Unit = buf.write(b, off, n)
       override def close(): Unit = {
-        val (code, _, _) = http("PUT", key, body = buf.toByteArray)
+        // create-only maps to the S3 conditional PUT, making
+        // `create(overwrite=false)` a REAL mutex (the MaintenanceLease
+        // contract) instead of the racy HEAD-then-PUT — exactly the
+        // "vendor FileSystem whose create(overwrite=false) maps to
+        // conditional writes" the lease scaladoc anticipates
+        val headers =
+          if (overwrite) Map.empty[String, String]
+          else Map("If-None-Match" -> "*")
+        val (code, _, _) = http("PUT", key, headers, body = buf.toByteArray)
+        if (code == 412) throw new IOException(s"$p already exists")
         if (code != 200) throw new IOException(s"PUT $key: HTTP $code")
       }
     }
     new FSDataOutputStream(new java.io.BufferedOutputStream(out), statistics)
+  }
+
+  // ---- ConditionalWrites ------------------------------------------------
+
+  override def readWithTag(p: Path): Option[(Array[Byte], String)] = {
+    val (code, body, headers) = http("GET", objectKey(p))
+    if (code != 200) None
+    else headers.get("ETag").map(t => (body, t))
+  }
+
+  override def putIfTag(p: Path, data: Array[Byte],
+      ifMatch: Option[String]): Boolean = {
+    val h = ifMatch match {
+      case Some(tag) => Map("If-Match" -> tag)
+      case None => Map("If-None-Match" -> "*")
+    }
+    val (code, _, _) = http("PUT", objectKey(p), h, body = data)
+    if (code == 412) false
+    else if (code == 200) true
+    else throw new IOException(s"conditional PUT ${objectKey(p)}: HTTP $code")
   }
 
   override def append(p: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =

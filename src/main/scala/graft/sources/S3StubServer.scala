@@ -40,14 +40,39 @@ final class S3StubServer(port: Int = 0) {
 
   def keys: Seq[String] = objects.keySet().asScala.toSeq.sorted
 
+  /** S3 ETag for a non-multipart object: quoted MD5 hex of the body. */
+  private def etagOf(body: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    "\"" + md.digest(body).map("%02x".format(_)).mkString + "\""
+  }
+
   private def route(ex: HttpExchange): Unit = {
     val path = ex.getRequestURI.getPath.stripPrefix("/")
     val query = Option(ex.getRequestURI.getQuery).getOrElse("")
     ex.getRequestMethod match {
       case "PUT" =>
         val body = ex.getRequestBody.readAllBytes()
-        objects.put(path, body)
-        respond(ex, 200, Array.emptyByteArray)
+        // conditional writes, the real S3 contract (2024+): If-None-Match:*
+        // = create-only, If-Match:<etag> = compare-and-swap. The compute()
+        // runs atomically per key, so two racing conditional PUTs serialize
+        // and exactly one wins — the primitive the engine's CAS pointer
+        // flip and exact lease are built on.
+        val ifNone = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+        val ifMatch = Option(ex.getRequestHeaders.getFirst("If-Match"))
+        var failed = false
+        objects.compute(path, (_, prev) => {
+          val ok = (ifNone, ifMatch) match {
+            case (Some("*"), _) => prev == null
+            case (_, Some(tag)) => prev != null && etagOf(prev) == tag
+            case _ => true
+          }
+          if (ok) body else { failed = true; prev }
+        })
+        if (failed) respond(ex, 412, Array.emptyByteArray)
+        else {
+          ex.getResponseHeaders.set("ETag", etagOf(body))
+          respond(ex, 200, Array.emptyByteArray)
+        }
       case "DELETE" =>
         objects.remove(path)
         respond(ex, 204, Array.emptyByteArray)
@@ -56,6 +81,7 @@ final class S3StubServer(port: Int = 0) {
           case null => respond(ex, 404, Array.emptyByteArray, head = true)
           case o =>
             ex.getResponseHeaders.set("Content-Length", o.length.toString)
+            ex.getResponseHeaders.set("ETag", etagOf(o))
             // HEAD: -1 body length means "no body follows"
             ex.sendResponseHeaders(200, -1)
         }
@@ -65,6 +91,7 @@ final class S3StubServer(port: Int = 0) {
         objects.get(path) match {
           case null => respond(ex, 404, Array.emptyByteArray)
           case o =>
+            ex.getResponseHeaders.set("ETag", etagOf(o))
             Option(ex.getRequestHeaders.getFirst("Range")) match {
               case Some(r) =>
                 // bytes=a-b (inclusive), both bounds always present from our client

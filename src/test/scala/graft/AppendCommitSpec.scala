@@ -74,6 +74,44 @@ class AppendCommitSpec extends SparkSpec {
     }
   }
 
+  test("CAS pointer flip: a stale writer loses WITHOUT the lease, atomically") {
+    withS3("cas-lake") { root =>
+      val df = fixture().limit(500).cache()
+      LogIngest.writeHive(df.limit(100), root, partitionCols = parts)
+      assert(GraftStore.currentVersion(spark, root) == 1)
+      // writer B wins the race: a normal commit flips v1 -> v2
+      val b = AppendCommit.commit(df.limit(200), root, parts)
+      assert(b.version == 2)
+      // writer A built its manifest while v1 was live and — on a plain
+      // store — could have passed its optimistic re-check BEFORE B's flip;
+      // the conditional PUT makes that interleave lose at the PUT itself:
+      // the precondition (pointer still v1) rides the write, no window
+      assert(!GraftStore.casWritePointer(spark, root, expected = 1, next = 3),
+        "a stale CAS flip must fail")
+      assert(GraftStore.currentVersion(spark, root) == 2,
+        "the losing flip must leave the pointer untouched")
+      // the store is a ConditionalWrites filesystem and the primitive is
+      // exact: create-only PUT races serialize to one winner
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .asInstanceOf[graft.sources.ConditionalWrites]
+      val probe = new org.apache.hadoop.fs.Path(s"$root/_cas-probe")
+      assert(fs.putIfTag(probe, "a".getBytes, None))
+      assert(!fs.putIfTag(probe, "b".getBytes, None),
+        "create-only PUT must fail on an existing object")
+      // compare-and-swap: succeeds with the live tag, fails with a stale one
+      val Some((bytes, tag)) = fs.readWithTag(probe)
+      assert(new String(bytes) == "a")
+      assert(fs.putIfTag(probe, "c".getBytes, Some(tag)))
+      assert(!fs.putIfTag(probe, "d".getBytes, Some(tag)),
+        "a stale etag must fail the swap")
+      assert(new String(fs.readWithTag(probe).get._1) == "c")
+      // a commit against the CURRENT version still lands (CAS success path)
+      val c = AppendCommit.commit(df.limit(300), root, parts)
+      assert(c.version == 3 && GraftStore.currentVersion(spark, root) == 3)
+    }
+  }
+
   test("pointer tier: a reader polling during the append sees none or all of it") {
     withS3("torn-lake") { root =>
       val df = fixture().limit(2000).cache()

@@ -459,6 +459,46 @@ class StreamingDedupSpec extends SparkSpec {
     assert(r2.admitted == 0, s"r2=$r2")
   }
 
+  test("two concurrent sinks on one store: no lost admissions, no dup survivors") {
+    // two writers (streams with different checkpoints) race interleaved
+    // batches of OVERLAPPING texts at one store. The dedup-state lease
+    // serializes each batch's whole read-decide-commit-index cycle, so
+    // for every text exactly one copy survives (no duplicate survivors)
+    // and every distinct text lands (no lost admissions). Without the
+    // lease, two batches that both read the index before either writes
+    // would both admit the same text.
+    val root = tmp("race").resolve("corpus").toString
+    LogIngest.ensureStore(spark, root)
+    val texts = (0 until 24).map(i => s"racetext-$i")
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    def writer(w: Int) = Future {
+      // each writer sends every text, in 3 batches, with writer-unique ids
+      (0 until 3).map { b =>
+        val docs = docsDF(texts.zipWithIndex
+          .filter(_._2 % 3 == b)
+          .map { case (t, i) => ((w * 1000 + i).toLong, t, "en") }: _*)
+        StreamingDedup.dedupAppendBatch(spark, root, docs, "doc_id", "text",
+          Seq("lang"), commitId = Some(s"race-w$w-b$b"))
+      }
+    }
+    val results = try Await.result(
+      Future.sequence(Seq(writer(1), writer(2))), 10.minutes)
+    finally pool.shutdown()
+    val store = GraftStore.readStore(spark, root)
+    // every text admitted exactly once across both writers
+    assert(store.count() == texts.size.toLong,
+      s"expected ${texts.size} survivors, got ${store.count()}")
+    assert(store.select($"text").distinct().count() == texts.size.toLong)
+    assert(store.select($"fingerprint").distinct().count() == texts.size.toLong)
+    // the batch results agree: total admitted == distinct texts
+    val admitted = results.flatten.map(_.admitted).sum
+    assert(admitted == texts.size.toLong, s"admitted=$admitted")
+  }
+
   test("d11 bands/grams reads prune to the batch's buckets and slices compact") {
     val root = tmp("nearbk").resolve("corpus").toString
     LogIngest.ensureStore(spark, root)
