@@ -186,7 +186,8 @@ object LogStreamIngest {
     val main = start(spark, inputGlob, outputRoot, s"$checkpoint/main",
       clusterName, nodeName, triggerInterval, maxFilesPerTrigger, maxRecordsPerFile)
     val activity = parsedStream(spark, inputGlob, clusterName, nodeName, maxFilesPerTrigger)
-      .select(col("cluster"), col("namespace"), col("pod"), col("container"), col("time_ns"))
+      .select(col("cluster"), col("namespace"), col("pod"), col("container"),
+        col("time_ns"), lit(false).as("closed"))
       .as[graft.streaming.CloseWriteDetector.PodActivity]
     val closeQ = graft.streaming.CloseWriteDetector.closedStreams(activity, idleTimeout)
       .toDF()

@@ -18,16 +18,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object CloseWriteDetector {
 
+  /** One observed log line — or, with `closed = true`, an EXPLICIT close
+    * marker (from [[FileCloseWatcher]]'s delete events, the engine's
+    * IN_CLOSE_WRITE analogue): a marker short-circuits the inactivity
+    * timeout and emits the stream's close in the SAME trigger, matching
+    * the reference's ≤30 s bound instead of waiting out the idle window.
+    */
   case class PodActivity(cluster: String, namespace: String, pod: String,
-      container: String, time_ns: Long)
+      container: String, time_ns: Long, closed: Boolean = false)
   case class PodSessionState(lines: Long, firstNs: Long, lastNs: Long)
   case class PodClosed(cluster: String, namespace: String, pod: String,
       container: String, lines: Long, first_ns: Long, last_ns: Long)
 
   /** `parsed` must carry cluster/namespace/pod/container/time_ns. Emits one
     * [[PodClosed]] per (pod, container) stream after `idleTimeout` of
-    * silence. State is O(1) per live pod — bounded by live-container count,
-    * not by data volume.
+    * silence — or immediately when a close MARKER row arrives (union an
+    * event-driven marker stream into `parsed` for that). State is O(1) per
+    * live pod — bounded by live-container count, not by data volume.
     */
   def closedStreams(parsed: Dataset[PodActivity],
       idleTimeout: String = "60 seconds"): Dataset[PodClosed] = {
@@ -55,13 +62,30 @@ object CloseWriteDetector {
       Iterator(PodClosed(cluster, ns, pod, container, s.lines, s.firstNs, s.lastNs))
     } else {
       val prev = state.getOption.getOrElse(PodSessionState(0L, Long.MaxValue, Long.MinValue))
+      // one pass: fold LINE rows into the session, note close markers
+      // (markers carry no line — they only signal)
+      var sawClose = false
       val batch = rows.foldLeft(prev) { (acc, r) =>
-        PodSessionState(acc.lines + 1,
+        if (r.closed) { sawClose = true; acc }
+        else PodSessionState(acc.lines + 1,
           math.min(acc.firstNs, r.time_ns), math.max(acc.lastNs, r.time_ns))
       }
-      state.update(batch)
-      state.setTimeoutDuration(idleTimeout)
-      Iterator.empty
+      if (sawClose) {
+        // explicit close (file-watcher delete event ≙ IN_CLOSE_WRITE):
+        // emit NOW, same trigger — no timeout wait. A marker for a stream
+        // with no witnessed lines (state already timed out, or the watcher
+        // outran the tail) emits a zero-line close; the finalizer's
+        // per-generation ledger and no-op compaction absorb it.
+        if (state.exists) state.remove()
+        val lines = batch.lines
+        Iterator(PodClosed(cluster, ns, pod, container, lines,
+          if (lines == 0) 0L else batch.firstNs,
+          if (lines == 0) 0L else batch.lastNs))
+      } else {
+        state.update(batch)
+        state.setTimeoutDuration(idleTimeout)
+        Iterator.empty
+      }
     }
   }
 }

@@ -45,14 +45,66 @@ class CloseWriteSpec extends SparkSpec {
     assert(s3.isRemoved)
   }
 
+  test("explicit close marker emits in the SAME trigger — no timeout wait") {
+    val fn = CloseWriteDetector.onGroup("60 seconds") _
+    // lines accumulated earlier
+    val s1 = TestGroupState.create[PodSessionState](
+      org.apache.spark.api.java.Optional.of(PodSessionState(4, 100L, 400L)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      2000L, org.apache.spark.api.java.Optional.empty(), hasTimedOut = false)
+    // one trigger delivers a trailing line AND the watcher's close marker:
+    // the close emits NOW (reference bound: within one flush interval of
+    // container exit), folding the trailing line in; state is gone
+    val out = fn(key, Iterator(
+      PodActivity("dev", "ns", "pod-1", "app", 500L),
+      PodActivity("dev", "ns", "pod-1", "app", 0L, closed = true)), s1).toSeq
+    assert(out == Seq(PodClosed("dev", "ns", "pod-1", "app", 5, 100L, 500L)))
+    assert(s1.isRemoved)
+
+    // a marker for a never-witnessed stream (watcher outran the tail, or
+    // state already timed out): zero-line close, harmless to finalize
+    val s2 = TestGroupState.create[PodSessionState](
+      org.apache.spark.api.java.Optional.empty(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      3000L, org.apache.spark.api.java.Optional.empty(), hasTimedOut = false)
+    val out2 = fn(key, Iterator(
+      PodActivity("dev", "ns", "pod-1", "app", 0L, closed = true)), s2).toSeq
+    assert(out2 == Seq(PodClosed("dev", "ns", "pod-1", "app", 0, 0L, 0L)))
+  }
+
+  test("file watcher: a deleted container log becomes a close marker") {
+    val work = Files.createTempDirectory("graft-watch")
+    val pods = work.resolve("pods")
+    val dir = pods.resolve("ns9_api-3_uid9/app")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("0.log"), "2024-01-15T10:30:45.1Z stdout F x\n")
+    val events = new java.util.concurrent.LinkedBlockingQueue[PodActivity]()
+    val w = new graft.streaming.FileCloseWatcher(pods.toString, events.put, "dev")
+    try {
+      // a container dir created AFTER the watcher started registers too
+      val late = pods.resolve("ns9_api-3_uid9/sidecar")
+      Files.createDirectories(late)
+      Files.writeString(late.resolve("0.log"), "2024-01-15T10:30:46.1Z stdout F y\n")
+      Thread.sleep(500) // let the create event register the new dir
+      Files.delete(dir.resolve("0.log"))
+      Files.delete(late.resolve("0.log"))
+      val seen = (1 to 2).flatMap(_ =>
+        Option(events.poll(15, java.util.concurrent.TimeUnit.SECONDS)))
+      assert(seen.size == 2, s"expected 2 close markers, got $seen")
+      assert(seen.forall(e => e.closed && e.cluster == "dev" &&
+        e.namespace == "ns9" && e.pod == "api-3"))
+      assert(seen.map(_.container).toSet == Set("app", "sidecar"))
+    } finally w.close()
+  }
+
   test("close-write detector wires into a streaming plan") {
     val work = Files.createTempDirectory("graft-cw")
     val in = work.resolve("in")
     Files.createDirectories(in)
     Files.writeString(in.resolve("b1.json"),
-      """{"cluster":"dev","namespace":"ns","pod":"p","container":"app","time_ns":1}""" + "\n")
+      """{"cluster":"dev","namespace":"ns","pod":"p","container":"app","time_ns":1,"closed":false}""" + "\n")
     val stream = spark.readStream
-      .schema("cluster STRING, namespace STRING, pod STRING, container STRING, time_ns LONG")
+      .schema("cluster STRING, namespace STRING, pod STRING, container STRING, time_ns LONG, closed BOOLEAN")
       .json(in.toString).as[PodActivity]
     val closed = CloseWriteDetector.closedStreams(stream, "1 hour")
     // with processing-time timeouts pending, a live query never quiesces for
