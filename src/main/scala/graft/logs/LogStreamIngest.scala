@@ -201,6 +201,83 @@ object LogStreamIngest {
     (main, closeQ)
   }
 
+  /** [[startWithCloseEvents]] plus the EVENT-DRIVEN leg: a
+    * [[graft.streaming.FileCloseWatcher]] on the node's pods tree turns
+    * log-file deletes / pod-dir reaps / (optionally) write quiescence into
+    * explicit close MARKERS, spooled as tiny JSON files and unioned into the
+    * detector's activity stream — so a closed stream finalizes in the NEXT
+    * trigger instead of waiting out `idleTimeout`. This is the full analogue
+    * of the reference's inotify IN_CLOSE_WRITE chain
+    * (close-write-flush.patch:20-156): watcher ≙ inotify, marker row ≙
+    * `_flb_close_write` sentinel, same-trigger emit ≙ force flush.
+    *
+    * `quiesceMs` (default the reference's 30 s bound, test.sh:592-598)
+    * additionally closes streams whose file went silent but was RETAINED
+    * (container exit 0 without deletion — invisible to delete events).
+    *
+    * The spool is driver-local (markers are O(pod closes), bytes each);
+    * each marker is written to a temp name and atomically renamed so the
+    * file source never reads a partial file. Close the returned watcher
+    * when stopping the queries.
+    */
+  def startWithFileWatcher(spark: SparkSession, inputGlob: String,
+      podsRoot: String, outputRoot: String, closeEventsRoot: String,
+      checkpoint: String, clusterName: String,
+      nodeName: String = "local-node",
+      triggerInterval: String = "60 seconds",
+      idleTimeout: String = "30 seconds",
+      debounceMs: Long = 2000L,
+      quiesceMs: Long = 30000L,
+      maxFilesPerTrigger: Int = 1000,
+      maxRecordsPerFile: Long = 1000000L)
+      : (StreamingQuery, StreamingQuery, AutoCloseable) = {
+    import spark.implicits._
+    import graft.streaming.CloseWriteDetector.PodActivity
+    val spool = java.nio.file.Paths.get(checkpoint, "markers")
+    java.nio.file.Files.createDirectories(spool)
+    val watcher = new graft.streaming.FileCloseWatcher(podsRoot, marker => {
+      val json = s"""{"cluster":${quote(marker.cluster)},"namespace":${quote(marker.namespace)},""" +
+        s""""pod":${quote(marker.pod)},"container":${quote(marker.container)},""" +
+        s""""time_ns":${marker.time_ns},"closed":true}"""
+      val id = java.util.UUID.randomUUID().toString
+      val tmp = spool.resolve(s".tmp-$id")
+      java.nio.file.Files.writeString(tmp, json + "\n")
+      java.nio.file.Files.move(tmp, spool.resolve(s"marker-$id.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }, clusterName, debounceMs = debounceMs, quiesceMs = quiesceMs)
+
+    val main = start(spark, inputGlob, outputRoot, s"$checkpoint/main",
+      clusterName, nodeName, triggerInterval, maxFilesPerTrigger, maxRecordsPerFile)
+    val lines = parsedStream(spark, inputGlob, clusterName, nodeName, maxFilesPerTrigger)
+      .select(col("cluster"), col("namespace"), col("pod"), col("container"),
+        col("time_ns"), lit(false).as("closed"))
+    val markers = spark.readStream
+      .schema("cluster STRING, namespace STRING, pod STRING, container STRING, time_ns LONG, closed BOOLEAN")
+      .json(spool.toString)
+    val activity = lines.unionByName(markers).as[PodActivity]
+    val closeQ = graft.streaming.CloseWriteDetector.closedStreams(activity, idleTimeout)
+      .toDF()
+      .writeStream
+      .format("parquet")
+      .option("path", closeEventsRoot)
+      .option("checkpointLocation", s"$checkpoint/close")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .start()
+    (main, closeQ, watcher)
+  }
+
+  /** Minimal JSON string escaping for the marker spool (names come from
+    * directory paths; quotes/backslashes/control chars are the only hazards).
+    */
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   /** The K5 consumer as a live loop: watches the close-events store that
     * [[startWithCloseEvents]] appends to and compacts each newly closed
     * stream's small files (the reference's close-write flush → compact chain,

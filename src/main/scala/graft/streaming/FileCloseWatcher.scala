@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.nio.file.{FileSystems, Files, Path, Paths, StandardWatchEventKinds, WatchKey}
+import java.util.concurrent.{ConcurrentHashMap, Executors, ScheduledFuture, TimeUnit}
 import java.util.concurrent.atomic.AtomicBoolean
 import scala.jdk.CollectionConverters._
 
@@ -9,31 +10,60 @@ import scala.jdk.CollectionConverters._
   * fluent-bit side watches each container log file and force-flushes its
   * tag within 30 s of the container exiting).
   *
-  * The JVM's WatchService exposes create/modify/delete, not close-write —
-  * but in the kubelet layout the DELETE of a `<ns>_<pod>_<uid>/<container>/
-  * *.log` file (log rotation away, or the pod dir being reaped after exit)
-  * is the durable "this stream is done" signal. The watcher tree-registers
-  * the pods root (new pod/container dirs register as they appear) and
-  * translates each log-file delete into one [[CloseWriteDetector.PodActivity]]
-  * MARKER (`closed = true`), which [[CloseWriteDetector.closedStreams]]
-  * turns into a [[CloseWriteDetector.PodClosed]] in the SAME trigger — a
-  * quiet-but-closed stream finalizes immediately instead of waiting out the
-  * inactivity timeout (the timeout stays as the fallback for streams whose
-  * deletes the watcher never sees, e.g. after a watcher restart).
+  * The JVM's WatchService exposes create/modify/delete, not close-write.
+  * Two durable "this stream is done" signals exist in the kubelet layout,
+  * and one ambiguous one:
+  *
+  *  - **Directory reap** (`<ns>_<pod>_<uid>/` or its `<container>/` child
+  *    deleted): the pod is gone — close immediately.
+  *  - **Log-file delete**: ambiguous. Pod deletion removes `0.log`, but so
+  *    does kubelet/CRI log ROTATION of a live container (rename
+  *    `0.log` → `0.log.<ts>` reports a DELETE of the old name followed by
+  *    a CREATE). A live, still-logging container must NOT be finalized —
+  *    so file deletes are DEBOUNCED: the marker fires `debounceMs` after
+  *    the delete unless a new `*.log*` entry appears in the same dir in
+  *    the window (the rotation's rename target and/or its fresh `0.log`).
+  *  - **Write quiescence** (opt-in, `quiesceMs > 0`): a container that
+  *    exited 0 with its log file RETAINED (reference test.sh:592-598)
+  *    produces no delete at all. With ENTRY_MODIFY tracked per file, a
+  *    sweep emits a close marker once a file has been silent for
+  *    `quiesceMs` (set it to the reference's 30 s bound in production).
+  *    The JVM cannot distinguish "closed writer" from "slow writer"; a
+  *    spurious close splits a stream into two PodClosed generations,
+  *    which the finalizer's ledger + re-entrant compaction absorb
+  *    (CloseWriteSpec covers the reborn path) — the cost is an extra
+  *    compaction, never data loss. Default off; the detector's
+  *    inactivity timeout remains the marker-less fallback.
+  *
+  * Each signal becomes one [[CloseWriteDetector.PodActivity]] MARKER
+  * (`closed = true`), which [[CloseWriteDetector.closedStreams]] turns
+  * into a [[CloseWriteDetector.PodClosed]] in the SAME trigger.
   *
   * Driver-side and O(live directories): one watch registration per pod/
-  * container dir, one tiny callback per delete — never data-plane. Scale
+  * container dir, one tiny callback per event — never data-plane. Scale
   * note: this watches the NODE-LOCAL log tree (the reference's fluent-bit
   * runs per node as a DaemonSet); a 1000-node cluster runs 1000 tail
   * ingests, each with its own watcher on its own /var/log/pods.
   */
 final class FileCloseWatcher(podsRoot: String,
     onClose: CloseWriteDetector.PodActivity => Unit,
-    cluster: String) extends AutoCloseable {
+    cluster: String,
+    debounceMs: Long = 2000L,
+    quiesceMs: Long = 0L) extends AutoCloseable {
 
   private val watcher = FileSystems.getDefault.newWatchService()
   private val running = new AtomicBoolean(true)
   private val rootPath = Paths.get(podsRoot)
+  private val scheduler = Executors.newSingleThreadScheduledExecutor { r =>
+    val t = new Thread(r, s"graft-close-watcher-timer-$podsRoot")
+    t.setDaemon(true); t
+  }
+  /** container dir → its pending debounced close (cancelled by rotation). */
+  private val pending = new ConcurrentHashMap[Path, ScheduledFuture[_]]()
+  /** pod dir → container names seen under it (for pod-dir reap closes). */
+  private val containers = new ConcurrentHashMap[Path, java.util.Set[String]]()
+  /** log file → last observed write millis (quiescence tracking only). */
+  private val lastWrite = new ConcurrentHashMap[Path, java.lang.Long]()
 
   /** `<ns>_<pod>_<uid>` dir name → (namespace, pod); None for non-pod dirs
     * (and the fluent-bit decoy exclusion rides the same rule as ingest:
@@ -47,14 +77,83 @@ final class FileCloseWatcher(podsRoot: String,
     }
 
   private def register(dir: Path): Unit = {
-    dir.register(watcher, StandardWatchEventKinds.ENTRY_CREATE,
-      StandardWatchEventKinds.ENTRY_DELETE)
-    // register existing children too (tree walk is cheap: pods × containers)
-    Files.list(dir).iterator().asScala.filter(Files.isDirectory(_))
-      .foreach(register)
+    val kinds = Seq(StandardWatchEventKinds.ENTRY_CREATE,
+      StandardWatchEventKinds.ENTRY_DELETE) ++
+      (if (quiesceMs > 0) Seq(StandardWatchEventKinds.ENTRY_MODIFY) else Nil)
+    dir.register(watcher, kinds: _*)
+    Option(dir.getParent).filter(_ != rootPath.getParent)
+      .filter(p => podOf(p.getFileName.toString).isDefined)
+      .foreach { podDir =>
+        containers.computeIfAbsent(podDir, _ => ConcurrentHashMap.newKeySet[String]())
+          .add(dir.getFileName.toString)
+      }
+    // register existing children too (tree walk is cheap: pods × containers);
+    // the listing stream holds an open directory handle — close it
+    val listing = Files.list(dir)
+    try listing.iterator().asScala.filter(Files.isDirectory(_)).foreach(register)
+    finally listing.close()
   }
 
   register(rootPath)
+
+  /** One close marker for `containerDir`, if its parent parses as a pod. */
+  private def emit(containerDir: Path): Unit = {
+    val container = containerDir.getFileName.toString
+    Option(containerDir.getParent).map(_.getFileName.toString)
+      .flatMap(podOf).foreach { case (ns, pod) =>
+        onClose(CloseWriteDetector.PodActivity(
+          cluster, ns, pod, container,
+          time_ns = System.currentTimeMillis() * 1000000L,
+          closed = true))
+      }
+  }
+
+  private def cancelPending(containerDir: Path): Unit =
+    Option(pending.remove(containerDir)).foreach(_.cancel(false))
+
+  private def schedulePending(containerDir: Path): Unit = {
+    val task: Runnable = () => { pending.remove(containerDir); emit(containerDir) }
+    Option(pending.put(containerDir,
+      scheduler.schedule(task, debounceMs, TimeUnit.MILLISECONDS)))
+      .foreach(_.cancel(false))
+  }
+
+  private def handleEvent(dir: Path, kind: java.nio.file.WatchEvent.Kind[_],
+      name: String): Unit = {
+    val full = dir.resolve(name)
+    kind match {
+      case StandardWatchEventKinds.ENTRY_CREATE =>
+        if (Files.isDirectory(full))
+          // a new pod or container dir: start watching it
+          try register(full)
+          catch { case _: java.io.IOException => () } // raced its delete
+        else if (name.contains(".log")) {
+          // rotation's rename target (`0.log.<ts>`) or its fresh `0.log`:
+          // the container is alive — cancel any debounced close for it
+          cancelPending(dir)
+          if (quiesceMs > 0 && name.endsWith(".log"))
+            lastWrite.put(full, System.currentTimeMillis())
+        }
+      case StandardWatchEventKinds.ENTRY_MODIFY =>
+        if (name.endsWith(".log")) lastWrite.put(full, System.currentTimeMillis())
+      case StandardWatchEventKinds.ENTRY_DELETE =>
+        if (name.endsWith(".log")) {
+          // ambiguous (pod delete vs live rotation): debounce
+          lastWrite.remove(full)
+          schedulePending(dir)
+        } else if (podOf(name).isDefined && dir == rootPath) {
+          // pod dir reaped: close every container we saw under it
+          Option(containers.remove(full)).foreach(_.asScala.toSeq.sorted
+            .foreach { c => cancelPending(full.resolve(c)); emit(full.resolve(c)) })
+        } else if (Option(dir.getFileName).map(_.toString).flatMap(podOf).isDefined) {
+          // container dir reaped (name is the container): unambiguous close
+          Option(containers.get(dir)).foreach(_.remove(name))
+          cancelPending(full)
+          emit(full)
+        }
+      case _ => ()
+    }
+  }
 
   private def loop(): Unit = {
     while (running.get()) {
@@ -63,29 +162,37 @@ final class FileCloseWatcher(podsRoot: String,
         catch { case _: java.nio.file.ClosedWatchServiceException => return }
       val dir = key.watchable().asInstanceOf[Path]
       key.pollEvents().asScala.foreach { ev =>
-        val name = ev.context().toString
-        val full = dir.resolve(name)
-        ev.kind() match {
-          case StandardWatchEventKinds.ENTRY_CREATE =>
-            // a new pod or container dir: start watching it
-            if (Files.isDirectory(full))
-              try register(full)
-              catch { case _: java.io.IOException => () } // raced its delete
-          case StandardWatchEventKinds.ENTRY_DELETE if name.endsWith(".log") =>
-            // pods/<ns>_<pod>_<uid>/<container>/<n>.log
-            val container = dir.getFileName.toString
-            Option(dir.getParent).map(_.getFileName.toString)
-              .flatMap(podOf).foreach { case (ns, pod) =>
-                onClose(CloseWriteDetector.PodActivity(
-                  cluster, ns, pod, container,
-                  time_ns = System.currentTimeMillis() * 1000000L,
-                  closed = true))
-              }
-          case _ => ()
+        // OVERFLOW has a null context — never dereference before the kind
+        // check, and never let one bad event kill the watcher thread
+        if (ev.kind() != StandardWatchEventKinds.OVERFLOW) {
+          try handleEvent(dir, ev.kind(), ev.context().toString)
+          catch { case e: Exception =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"close-watcher event dropped ($dir): $e")
+          }
         }
       }
       key.reset()
     }
+  }
+
+  /** Quiescence sweep: any tracked file silent ≥ quiesceMs closes once; the
+    * entry is dropped so a still-live slow writer re-arms on its next write.
+    */
+  private def sweepQuiescent(): Unit = {
+    val cutoff = System.currentTimeMillis() - quiesceMs
+    lastWrite.entrySet().asScala.toSeq
+      .filter(_.getValue <= cutoff)
+      .foreach { e =>
+        lastWrite.remove(e.getKey)
+        Option(e.getKey.getParent).foreach(emit)
+      }
+  }
+
+  if (quiesceMs > 0) {
+    val period = math.max(quiesceMs / 4, 50L)
+    scheduler.scheduleWithFixedDelay(() => sweepQuiescent(),
+      period, period, TimeUnit.MILLISECONDS)
   }
 
   private val thread = new Thread(() => loop(), s"graft-close-watcher-$podsRoot")
@@ -94,6 +201,7 @@ final class FileCloseWatcher(podsRoot: String,
 
   override def close(): Unit = {
     running.set(false)
+    scheduler.shutdownNow()
     watcher.close()
     thread.join(5000)
   }

@@ -97,6 +97,95 @@ class CloseWriteSpec extends SparkSpec {
     } finally w.close()
   }
 
+  test("file watcher: live log rotation must NOT close the stream; dir reap must") {
+    val work = Files.createTempDirectory("graft-watch-rot")
+    val pods = work.resolve("pods")
+    val dir = pods.resolve("ns2_web-1_uidA/app")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("0.log"), "2024-01-15T10:30:45.1Z stdout F x\n")
+    val events = new java.util.concurrent.LinkedBlockingQueue[PodActivity]()
+    val w = new graft.streaming.FileCloseWatcher(pods.toString, events.put, "dev",
+      debounceMs = 600L)
+    try {
+      Thread.sleep(300)
+      // kubelet/CRI rotation of a LIVE container: rename away + fresh 0.log.
+      // WatchService reports the rename as DELETE(0.log)+CREATE(0.log.<ts>).
+      Files.move(dir.resolve("0.log"), dir.resolve("0.log.20240115-103046"))
+      Files.writeString(dir.resolve("0.log"), "2024-01-15T10:30:47.1Z stdout F y\n")
+      assert(events.poll(2000, java.util.concurrent.TimeUnit.MILLISECONDS) == null,
+        "rotation of a live container must not emit a close marker")
+      // actual pod teardown: log files go, then the container dir is reaped —
+      // the DIRECTORY delete is the unambiguous signal and fires immediately
+      Files.delete(dir.resolve("0.log"))
+      Files.delete(dir.resolve("0.log.20240115-103046"))
+      Files.delete(dir)
+      val m = events.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+      assert(m != null && m.closed && m.namespace == "ns2" && m.pod == "web-1" &&
+        m.container == "app", s"expected close marker on dir reap, got $m")
+      // the debounced file-delete close was cancelled by the dir reap: no dup
+      assert(events.poll(1500, java.util.concurrent.TimeUnit.MILLISECONDS) == null)
+    } finally w.close()
+  }
+
+  test("file watcher: write quiescence closes an exit-0 container whose file is RETAINED") {
+    // the reference's other close-write case (test.sh:592-598): container
+    // exits 0, the log file stays on disk — no delete ever fires. With
+    // quiesce enabled the watcher closes the stream once the file goes
+    // silent, within the configured bound (30 s in production).
+    val work = Files.createTempDirectory("graft-watch-quiesce")
+    val pods = work.resolve("pods")
+    val dir = pods.resolve("ns3_job-9_uidB/main")
+    Files.createDirectories(dir)
+    val events = new java.util.concurrent.LinkedBlockingQueue[PodActivity]()
+    val w = new graft.streaming.FileCloseWatcher(pods.toString, events.put, "dev",
+      debounceMs = 300L, quiesceMs = 700L)
+    try {
+      Thread.sleep(300)
+      Files.writeString(dir.resolve("0.log"), "2024-01-15T10:30:45.1Z stdout F start\n")
+      Files.writeString(dir.resolve("0.log"),
+        "2024-01-15T10:30:46.1Z stdout F done\n",
+        java.nio.file.StandardOpenOption.APPEND)
+      val m = events.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+      assert(m != null && m.closed && m.namespace == "ns3" && m.pod == "job-9" &&
+        m.container == "main", s"expected quiescence close, got $m")
+      assert(Files.exists(dir.resolve("0.log")), "file must be retained")
+    } finally w.close()
+  }
+
+  test("ingest wires the file watcher end-to-end: pod reap finalizes within a trigger") {
+    val work = Files.createTempDirectory("graft-watch-e2e")
+    val pods = work.resolve("varlog/pods")
+    val dir = pods.resolve("ns4_api-7_uidC/app")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("0.log"),
+      """2024-01-15T10:30:45.000000001Z stdout F alpha
+        |2024-01-15T10:30:46.000000002Z stdout F beta
+        |""".stripMargin)
+    val closeRoot = work.resolve("close-events").toString
+    val (main, closeQ, watcher) = graft.logs.LogStreamIngest.startWithFileWatcher(
+      spark, pods.toString + "/*/*/*.log", pods.toString,
+      work.resolve("out").toString, closeRoot,
+      work.resolve("ckpt").toString, clusterName = "dev", nodeName = "n1",
+      triggerInterval = "1 second", idleTimeout = "1 hour",
+      debounceMs = 300L, quiesceMs = 0L)
+    def closedPods(): Seq[String] =
+      try spark.read.schema(graft.logs.StreamFinalize.closeEventSchema)
+        .parquet(closeRoot).select("pod").as[String].collect().toSeq
+      catch { case _: Exception => Seq.empty }
+    try {
+      // let the tail witness the lines, then reap the pod (files + dirs)
+      Thread.sleep(3000)
+      Files.delete(dir.resolve("0.log"))
+      Files.delete(dir)
+      Files.delete(dir.getParent)
+      val deadline = System.currentTimeMillis() + 60000
+      while (closedPods().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(500)
+      assert(closedPods() == Seq("api-7"),
+        s"pod reap must finalize within a trigger (idleTimeout is 1 hour): ${closedPods()}")
+    } finally { watcher.close(); main.stop(); closeQ.stop() }
+  }
+
   test("close-write detector wires into a streaming plan") {
     val work = Files.createTempDirectory("graft-cw")
     val in = work.resolve("in")
