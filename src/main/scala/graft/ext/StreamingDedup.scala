@@ -77,9 +77,17 @@ object StreamingDedup {
       storeRoot.stripSuffix("/") + "-dedupstate", "dedup-batch",
       attempts = 60, backoffMs = 500)(f)
 
+  /** `leaseWaitMs`/`leaseAcquiredMs`/`leaseReleasedMs` expose the
+    * serialize-per-batch contract as data: the held interval
+    * [acquired, released] of any two concurrent batches on one store is
+    * disjoint (StreamingDedupSpec pins this), and waitMs is the queueing
+    * cost a sink operator can surface as a metric.
+    */
   final case class BatchResult(streamed: Long, admitted: Long,
       droppedInBatch: Long, droppedExisting: Long, version: Int,
-      replayed: Boolean)
+      replayed: Boolean,
+      leaseWaitMs: Long = 0L, leaseAcquiredMs: Long = 0L,
+      leaseReleasedMs: Long = 0L)
 
   /** Deduplicate ONE batch against the store and commit the survivors.
     * The streaming sink calls this per micro-batch; batch pipelines can
@@ -90,8 +98,25 @@ object StreamingDedup {
       partitionCols: Seq[String], commitId: Option[String] = None,
       maxRecordsPerFile: Long = 1000000L,
       indexBuckets: Int = DefaultIndexBuckets,
-      maxIndexSlices: Int = DefaultMaxIndexSlices): BatchResult =
-      withStateLock(spark, storeRoot) {
+      maxIndexSlices: Int = DefaultMaxIndexSlices): BatchResult = {
+    val reqMs = System.currentTimeMillis()
+    withStateLock(spark, storeRoot) {
+      val acqMs = System.currentTimeMillis()
+      val r = dedupAppendBatchLocked(spark, storeRoot, batch, idCol, textCol,
+        partitionCols, commitId, maxRecordsPerFile, indexBuckets, maxIndexSlices)
+      // stamped INSIDE the lease: released is the instant the cycle's work
+      // is done, a lower bound of the actual release
+      r.copy(leaseWaitMs = acqMs - reqMs, leaseAcquiredMs = acqMs,
+        leaseReleasedMs = System.currentTimeMillis())
+    }
+  }
+
+  private def dedupAppendBatchLocked(spark: SparkSession, storeRoot: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      partitionCols: Seq[String], commitId: Option[String],
+      maxRecordsPerFile: Long,
+      indexBuckets: Int,
+      maxIndexSlices: Int): BatchResult = {
     val idx = dedupIndexRoot(storeRoot)
     // resurrection guard, the sibling-state twin of VersionedStore.init's
     // ledger clearing: slices are only ever written AFTER their corpus

@@ -51,8 +51,9 @@ object FileStats {
     * ([[graft.plans.GraftMetadataAggregate]] requires 's'). parquet-mr
     * footers are exact-or-absent (stats above the size cap are dropped,
     * never truncated, unless a writer opts into truncation — which this
-    * engine never does). Sidecars written before this distinction carry
-    * 's' for foreign files until their next refresh.
+    * engine never does). Sidecars written before this distinction (no
+    * [[VersionHeader]]) read their 's' entries as 'S' until their next
+    * refresh rewrites them at the current version.
     */
   final case class ColStat(kind: Char, min: String, max: String)
 
@@ -153,6 +154,16 @@ object FileStats {
   private def unesc(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
+  /** Sidecar format version header. v2 is the first version whose writer
+    * distinguishes exact 's' string stats from bounds-only 'S' ones; a
+    * sidecar WITHOUT the header predates the distinction, so its 's'
+    * entries may really be truncated foreign-writer bounds — read them as
+    * 'S' (prune yes, metadata-only answer no) until the next refresh
+    * rewrites the sidecar at v2. The header parses as a 1-field line for
+    * any reader that ignores it.
+    */
+  private val VersionHeader = "#graft_filestats_v2"
+
   def read(spark: SparkSession, dir: String): Map[String, FileStat] = {
     val p = new Path(dir, StatsName)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -160,13 +171,16 @@ object FileStats {
     val in = fs.open(p)
     val text = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
     finally in.close()
+    val exactStringsTrusted = text.startsWith(VersionHeader)
     def parseCols(field: String): Map[String, ColStat] =
       if (field == NullMark) Map.empty
       // limit = -1: an empty-string min/max must keep its field slot
       else field.split(",", -1).iterator.flatMap { ent =>
         ent.split(":", -1) match {
           case Array(n, kind, mn, mx) if kind.length == 1 =>
-            Some(unesc(n) -> ColStat(kind.charAt(0), unesc(mn), unesc(mx)))
+            val k0 = kind.charAt(0)
+            val k = if (k0 == 's' && !exactStringsTrusted) 'S' else k0
+            Some(unesc(n) -> ColStat(k, unesc(mn), unesc(mx)))
           case _ => None // torn entry: that column just won't prune
         }
       }.toMap
@@ -200,7 +214,7 @@ object FileStats {
       s"${esc(s.key)}\t${s.len}\t${s.rows}\t${l(s.minNs)}\t${l(s.maxNs)}\t${t(s.minPod)}\t${t(s.maxPod)}\t$cols"
     }
     GraftStore.atomicWriteBytes(spark, new Path(dir, StatsName),
-      lines.mkString("\n").getBytes("UTF-8"))
+      (VersionHeader +: lines).mkString("\n").getBytes("UTF-8"))
   }
 
   /** Footer-read stats for `files` (key, physicalPath, len) — a distributed

@@ -713,7 +713,9 @@ object GraftStore {
   /** Row-level CDC between two retained snapshots: every row added or
     * removed from `from` to `to`, tagged `_change` = `added` | `removed`,
     * with multiset semantics (a row present twice and then once is one
-    * `removed`).
+    * `removed`). `_change` is a RESERVED output name: a store whose data
+    * schema already contains it fails fast rather than having the column
+    * silently overwritten.
     *
     * Scale shape: the file-level diff prunes first — only files whose
     * store-layout key changed between the snapshots are read at all, so a
@@ -773,7 +775,18 @@ object GraftStore {
         else df
       }
     }
-    val tagged = (readSide(a, dvA), readSide(b, dvB)) match {
+    // `_change` is the diff's RESERVED output name (the working columns
+    // below collision-proof themselves via free(), but the output tag is
+    // part of the public contract and cannot be renamed per-store): fail
+    // fast instead of silently overwriting a data column of that name
+    def reserveChange(df: DataFrame): DataFrame = {
+      require(!df.columns.contains("_change"),
+        s"rowDiff reserves the output column `_change`, but the store at $root " +
+          "already has a data column of that name")
+      df
+    }
+    val tagged = (readSide(a, dvA).map(reserveChange),
+        readSide(b, dvB).map(reserveChange)) match {
       case (Some(f), Some(t)) =>
         // ONE scan per side: a t.exceptAll(f) / f.exceptAll(t) pair would
         // each rewrite to its own union+count aggregate, scanning every
@@ -817,7 +830,8 @@ object GraftStore {
       case (Some(f), None) => f.withColumn("_change", lit("removed"))
       case (None, Some(t)) => t.withColumn("_change", lit("added"))
       case (None, None) =>
-        readVersion(spark, root, to).limit(0).withColumn("_change", lit(""))
+        reserveChange(readVersion(spark, root, to).limit(0))
+          .withColumn("_change", lit(""))
     }
     tagged
   }

@@ -355,6 +355,34 @@ class FileStatsSpec extends SparkSpec {
     }
   }
 
+  test("pre-v2 sidecar (no version header) reads 's' string stats as bounds-only 'S'") {
+    // sidecars written before the exact/truncated distinction may label a
+    // truncated foreign-writer bound 's'; without the v2 header the reader
+    // must downgrade so metadata-only answering never uses a fabricated max
+    val dir = Files.createTempDirectory("graft-fstats-v1").toString
+    val stat = FileStats.FileStat("old.parquet", 10L, 5L, Some(1L), Some(9L),
+      None, None, Map(
+        "name" -> FileStats.ColStat('s', "aaa", "zzz"),
+        "uid" -> FileStats.ColStat('l', "-5", "17")))
+    FileStats.write(spark, dir, Seq(stat))
+    val sidecar = java.nio.file.Paths.get(dir, FileStats.StatsName)
+    val text = Files.readString(sidecar)
+    assert(text.startsWith("#graft_filestats_v2"), "writer must stamp the version")
+    // strip the header → a v1-era sidecar (drop the hadoop checksum file,
+    // stale after the out-of-band edit)
+    Files.writeString(sidecar, text.linesIterator.drop(1).mkString("\n"))
+    Files.deleteIfExists(java.nio.file.Paths.get(dir, "." + FileStats.StatsName + ".crc"))
+    val v1 = FileStats.read(spark, dir)("old.parquet")
+    assert(v1.cols("name").kind == 'S', s"v1 's' must downgrade: ${v1.cols}")
+    assert(v1.cols("name").min == "aaa" && v1.cols("name").max == "zzz",
+      "bounds still usable for pruning")
+    assert(v1.cols("uid") == FileStats.ColStat('l', "-5", "17"),
+      "non-string kinds are unaffected")
+    // and a current-version sidecar keeps 's' exact
+    val v2 = { FileStats.write(spark, dir, Seq(stat)); FileStats.read(spark, dir)("old.parquet") }
+    assert(v2.cols("name").kind == 's')
+  }
+
   test("rowCountFromStats: exact under full coverage, None when stale") {
     val root = Files.createTempDirectory("graft-fstats6").resolve("store").toString
     val parts = Seq("cluster", "namespace", "date")

@@ -50,6 +50,26 @@ class PlanAssertSpec extends SparkSpec {
       "s6 selector predicate not pushed")
   }
 
+  test("repeated runs of the persist()-backed queries do not grow the cache") {
+    // q11/q15/t13 persist a shared aggregate at plan-build time; the
+    // terminal action runs in the CALLER, so the builder cannot unpersist.
+    // The contract instead: CacheManager dedupes by canonicalized plan, so
+    // a long-lived session calling these repeatedly pins ONE entry per
+    // query, not one per call (SURVEY §7.12). This gate fails if a rewrite
+    // breaks canonicalization (e.g. a non-deterministic expression in the
+    // cached subtree) and turns repeat calls into a cache leak.
+    spark.sharedState.cacheManager.clearCache()
+    val qs = Seq("q11_important_parts", "q15_top_supplier", "t13_tfidf")
+    def runAll(): Unit = qs.foreach(q => SparkEntry.queries(q)(spark, sf).collect())
+    runAll()
+    val after1 = spark.sparkContext.getPersistentRDDs.size
+    runAll(); runAll()
+    val after3 = spark.sparkContext.getPersistentRDDs.size
+    assert(after3 == after1,
+      s"cache grew across repeated runs: $after1 entries after 1 run, $after3 after 3")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q11 reads lineitem only through the shared per-part cache") {
     // the per-part aggregate feeds both the threshold scalar and the main
     // filter; without the persist Spark inlines it and scans lineitem twice

@@ -109,6 +109,21 @@ class SchemaEvolutionSpec extends SparkSpec {
     } finally diff.unpersist()
   }
 
+  test("rowDiff fails fast when the data schema contains the reserved `_change` name") {
+    // the working columns dodge collisions via free(), but the OUTPUT tag
+    // is part of the contract — overwriting a user `_change` column would
+    // silently corrupt the diff, so it must refuse instead
+    val root = Files.createTempDirectory("graft-rowdiff-resv")
+      .resolve("store").toString
+    val row = Seq(("keep", "en")).toDF("_change", "lang")
+    LogIngest.writeHive(row, root, partitionCols = Seq("lang"))
+    AppendCommit.commit(Seq(("more", "en")).toDF("_change", "lang"), root, Seq("lang"))
+    val e = intercept[IllegalArgumentException] {
+      GraftStore.rowDiff(spark, root, 1, 2).count()
+    }
+    assert(e.getMessage.contains("_change"), e.getMessage)
+  }
+
   test("pointer tier: add-column references the identical object set; time travel spans it") {
     val srv = new graft.sources.S3StubServer()
     try {

@@ -497,6 +497,20 @@ class StreamingDedupSpec extends SparkSpec {
     // the batch results agree: total admitted == distinct texts
     val admitted = results.flatten.map(_.admitted).sum
     assert(admitted == texts.size.toLong, s"admitted=$admitted")
+    // the documented QUEUING behavior (serialize per batch): the lease-held
+    // intervals of all six batches are pairwise disjoint. An "optimization"
+    // that silently drops the lease makes concurrent cycles overlap and
+    // fails here, not just probabilistically via duplicate survivors.
+    val held = results.flatten.map(r => (r.leaseAcquiredMs, r.leaseReleasedMs))
+    assert(held.forall { case (a, rl) => a > 0L && rl >= a },
+      s"lease interval not stamped: $held")
+    val sorted = held.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq((a1, r1), (a2, _)) =>
+        assert(a2 >= r1, s"lease intervals overlap: [$a1,$r1] then [$a2,..] — " +
+          "the dedup-state lease no longer serializes concurrent batches")
+      case _ => ()
+    }
   }
 
   test("d11 bands/grams reads prune to the batch's buckets and slices compact") {
