@@ -22,6 +22,22 @@ object Tables {
 
   def enableCache(): Unit = cacheEnabled = true
 
+  /** Storage level for the opt-in table cache. Default MEMORY_AND_DISK
+    * (Dataset.persist's default) is right when the working set fits the
+    * box; at a scale factor far beyond memory it silently turns the
+    * "cache" into a DISK cache — the sf100 rehearsal filled the disk with
+    * cached blocks UNDER the dedup queries' legitimate shuffle spills and
+    * crashed the run. `SPARK_GRAFT_CACHE_LEVEL=MEMORY_ONLY` makes oversized
+    * partitions EVICT (recompute from parquet) instead of hitting disk —
+    * the behavior a real serving cluster wants; `NONE` disables persist
+    * entirely (every query re-scans parquet, the DuckDB-comparable shape).
+    */
+  private def cacheLevel: Option[org.apache.spark.storage.StorageLevel] =
+    sys.env.getOrElse("SPARK_GRAFT_CACHE_LEVEL", "MEMORY_AND_DISK") match {
+      case "NONE" => None
+      case s => Some(org.apache.spark.storage.StorageLevel.fromString(s))
+    }
+
   /** Memoize `build` per key, but never serve a frame whose session is not
     * the caller's (a stopped context would throw; a different live session
     * would silently mix catalogs). Also shared by the dedup-stage and e2e
@@ -39,8 +55,10 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     GraftSession.configure(spark)
     if (cacheEnabled)
-      memo(cached, (sfDir, name), spark)(
-        spark.read.parquet(s"$sfDir/$name.parquet").persist())
+      memo(cached, (sfDir, name), spark)(cacheLevel match {
+        case Some(level) => spark.read.parquet(s"$sfDir/$name.parquet").persist(level)
+        case None => spark.read.parquet(s"$sfDir/$name.parquet")
+      })
     else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
