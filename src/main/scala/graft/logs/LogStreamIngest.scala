@@ -26,6 +26,11 @@ object LogStreamIngest {
       clusterName: String, nodeName: String, maxFilesPerTrigger: Int) = {
     val raw = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      // the kubelet DELETES logs under a live tail (pod reap, rotation GC);
+      // a file listed for this batch but gone by read time must be skipped,
+      // not crash the query — its close marker / idle timeout finalizes the
+      // stream, exactly like the reference's tail surviving file removal
+      .option("ignoreMissingFiles", "true")
       .text(inputGlob)
       .withColumn("file_path", col("_metadata.file_path"))
       .filter(!col("file_path").rlike(LogIngest.defaultExcludeRegex))
@@ -235,6 +240,7 @@ object LogStreamIngest {
     import graft.streaming.CloseWriteDetector.PodActivity
     val spool = java.nio.file.Paths.get(checkpoint, "markers")
     java.nio.file.Files.createDirectories(spool)
+    import graft.tools.Jsons.quote
     val watcher = new graft.streaming.FileCloseWatcher(podsRoot, marker => {
       val json = s"""{"cluster":${quote(marker.cluster)},"namespace":${quote(marker.namespace)},""" +
         s""""pod":${quote(marker.pod)},"container":${quote(marker.container)},""" +
@@ -246,37 +252,37 @@ object LogStreamIngest {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }, clusterName, debounceMs = debounceMs, quiesceMs = quiesceMs)
 
-    val main = start(spark, inputGlob, outputRoot, s"$checkpoint/main",
-      clusterName, nodeName, triggerInterval, maxFilesPerTrigger, maxRecordsPerFile)
-    val lines = parsedStream(spark, inputGlob, clusterName, nodeName, maxFilesPerTrigger)
-      .select(col("cluster"), col("namespace"), col("pod"), col("container"),
-        col("time_ns"), lit(false).as("closed"))
-    val markers = spark.readStream
-      .schema("cluster STRING, namespace STRING, pod STRING, container STRING, time_ns LONG, closed BOOLEAN")
-      .json(spool.toString)
-    val activity = lines.unionByName(markers).as[PodActivity]
-    val closeQ = graft.streaming.CloseWriteDetector.closedStreams(activity, idleTimeout)
-      .toDF()
-      .writeStream
-      .format("parquet")
-      .option("path", closeEventsRoot)
-      .option("checkpointLocation", s"$checkpoint/close")
-      .outputMode("append")
-      .trigger(Trigger.ProcessingTime(triggerInterval))
-      .start()
-    (main, closeQ, watcher)
+    // any setup failure below must not leak the watcher's thread +
+    // WatchService + scheduler — there would be no handle left to close
+    try {
+      val main = start(spark, inputGlob, outputRoot, s"$checkpoint/main",
+        clusterName, nodeName, triggerInterval, maxFilesPerTrigger, maxRecordsPerFile)
+      val closeQ =
+        try {
+          val lines = parsedStream(spark, inputGlob, clusterName, nodeName, maxFilesPerTrigger)
+            .select(col("cluster"), col("namespace"), col("pod"), col("container"),
+              col("time_ns"), lit(false).as("closed"))
+          val markers = spark.readStream
+            .schema("cluster STRING, namespace STRING, pod STRING, container STRING, time_ns LONG, closed BOOLEAN")
+            // markers are consume-once signals: delete after processing so a
+            // long-lived ingest's spool (and the source's seen-files log)
+            // stays O(in-flight), not O(every close ever)
+            .option("cleanSource", "delete")
+            .json(spool.toString)
+          val activity = lines.unionByName(markers).as[PodActivity]
+          graft.streaming.CloseWriteDetector.closedStreams(activity, idleTimeout)
+            .toDF()
+            .writeStream
+            .format("parquet")
+            .option("path", closeEventsRoot)
+            .option("checkpointLocation", s"$checkpoint/close")
+            .outputMode("append")
+            .trigger(Trigger.ProcessingTime(triggerInterval))
+            .start()
+        } catch { case e: Throwable => main.stop(); throw e }
+      (main, closeQ, watcher)
+    } catch { case e: Throwable => watcher.close(); throw e }
   }
-
-  /** Minimal JSON string escaping for the marker spool (names come from
-    * directory paths; quotes/backslashes/control chars are the only hazards).
-    */
-  private def quote(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
 
   /** The K5 consumer as a live loop: watches the close-events store that
     * [[startWithCloseEvents]] appends to and compacts each newly closed

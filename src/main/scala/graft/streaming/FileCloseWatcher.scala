@@ -88,10 +88,17 @@ final class FileCloseWatcher(podsRoot: String,
           .add(dir.getFileName.toString)
       }
     // register existing children too (tree walk is cheap: pods × containers);
-    // the listing stream holds an open directory handle — close it
+    // the listing stream holds an open directory handle — close it. Existing
+    // log files seed quiescence tracking: a container that exited BEFORE the
+    // watcher started (or across a watcher restart) has a retained, silent
+    // file that will never produce a MODIFY — without the seed it would wait
+    // out the idle timeout, the exact case quiescence exists to short-cut.
     val listing = Files.list(dir)
-    try listing.iterator().asScala.filter(Files.isDirectory(_)).foreach(register)
-    finally listing.close()
+    try listing.iterator().asScala.foreach { child =>
+      if (Files.isDirectory(child)) register(child)
+      else if (quiesceMs > 0 && child.getFileName.toString.endsWith(".log"))
+        lastWrite.put(child, System.currentTimeMillis())
+    } finally listing.close()
   }
 
   register(rootPath)
@@ -108,14 +115,41 @@ final class FileCloseWatcher(podsRoot: String,
       }
   }
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Scheduled tasks must never let an exception escape: a one-shot that
+    * throws loses its marker silently (the future is never observed), and a
+    * periodic that throws is CANCELLED by the executor — quiescence would
+    * be dead for the process lifetime with no log line.
+    */
+  private def guarded(what: String)(body: => Unit): Runnable = () =>
+    try body
+    catch { case e: Exception => log.warn(s"close-watcher $what failed: $e") }
+
   private def cancelPending(containerDir: Path): Unit =
     Option(pending.remove(containerDir)).foreach(_.cancel(false))
 
   private def schedulePending(containerDir: Path): Unit = {
-    val task: Runnable = () => { pending.remove(containerDir); emit(containerDir) }
+    val task = guarded(s"debounced close ($containerDir)") {
+      pending.remove(containerDir); emit(containerDir)
+    }
     Option(pending.put(containerDir,
       scheduler.schedule(task, debounceMs, TimeUnit.MILLISECONDS)))
       .foreach(_.cancel(false))
+  }
+
+  /** Does `dir` still hold any live `*.log`? Kubelet keeps one log per
+    * container RESTART (`<restartCount>.log`): its GC deleting a stale
+    * sibling (0.log while the live 1.log keeps logging) must not close the
+    * container. Listing at delete time is O(files in one container dir).
+    */
+  private def hasLiveLog(dir: Path): Boolean = {
+    try {
+      val listing = Files.list(dir)
+      try listing.iterator().asScala
+        .exists(_.getFileName.toString.endsWith(".log"))
+      finally listing.close()
+    } catch { case _: java.io.IOException => false } // dir itself gone
   }
 
   private def handleEvent(dir: Path, kind: java.nio.file.WatchEvent.Kind[_],
@@ -135,12 +169,19 @@ final class FileCloseWatcher(podsRoot: String,
             lastWrite.put(full, System.currentTimeMillis())
         }
       case StandardWatchEventKinds.ENTRY_MODIFY =>
-        if (name.endsWith(".log")) lastWrite.put(full, System.currentTimeMillis())
+        if (name.endsWith(".log")) {
+          if (quiesceMs > 0) lastWrite.put(full, System.currentTimeMillis())
+          // a write is proof of life: cancel any debounced close racing it
+          cancelPending(dir)
+        }
       case StandardWatchEventKinds.ENTRY_DELETE =>
         if (name.endsWith(".log")) {
-          // ambiguous (pod delete vs live rotation): debounce
+          // ambiguous (pod delete vs live rotation vs restart-sibling GC):
+          // if ANOTHER live log remains in the dir the container is still
+          // logging — not a close; otherwise debounce (rotation's CREATE
+          // cancels, a true teardown lets it fire)
           lastWrite.remove(full)
-          schedulePending(dir)
+          if (!hasLiveLog(dir)) schedulePending(dir)
         } else if (podOf(name).isDefined && dir == rootPath) {
           // pod dir reaped: close every container we saw under it
           Option(containers.remove(full)).foreach(_.asScala.toSeq.sorted
@@ -167,8 +208,7 @@ final class FileCloseWatcher(podsRoot: String,
         if (ev.kind() != StandardWatchEventKinds.OVERFLOW) {
           try handleEvent(dir, ev.kind(), ev.context().toString)
           catch { case e: Exception =>
-            org.slf4j.LoggerFactory.getLogger(getClass)
-              .warn(s"close-watcher event dropped ($dir): $e")
+            log.warn(s"close-watcher event dropped ($dir): $e")
           }
         }
       }
@@ -191,7 +231,7 @@ final class FileCloseWatcher(podsRoot: String,
 
   if (quiesceMs > 0) {
     val period = math.max(quiesceMs / 4, 50L)
-    scheduler.scheduleWithFixedDelay(() => sweepQuiescent(),
+    scheduler.scheduleWithFixedDelay(guarded("quiescence sweep")(sweepQuiescent()),
       period, period, TimeUnit.MILLISECONDS)
   }
 

@@ -127,6 +127,30 @@ class CloseWriteSpec extends SparkSpec {
     } finally w.close()
   }
 
+  test("file watcher: deleting a stale restart-sibling log must not close the live container") {
+    // kubelet keeps one log per container restart (<restartCount>.log) and
+    // GCs stale siblings; 0.log going away while the live 1.log keeps
+    // logging is maintenance, not a close
+    val work = Files.createTempDirectory("graft-watch-sib")
+    val pods = work.resolve("pods")
+    val dir = pods.resolve("ns5_web-2_uidD/app")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("0.log"), "2024-01-15T10:30:45.1Z stdout F pre-restart\n")
+    Files.writeString(dir.resolve("1.log"), "2024-01-15T10:30:50.1Z stdout F post-restart\n")
+    val events = new java.util.concurrent.LinkedBlockingQueue[PodActivity]()
+    val w = new graft.streaming.FileCloseWatcher(pods.toString, events.put, "dev",
+      debounceMs = 400L)
+    try {
+      Thread.sleep(300)
+      Files.delete(dir.resolve("0.log")) // kubelet GC of the dead generation
+      assert(events.poll(2000, java.util.concurrent.TimeUnit.MILLISECONDS) == null,
+        "sibling GC must not emit a close while 1.log lives")
+      Files.delete(dir.resolve("1.log")) // now the real teardown
+      val m = events.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+      assert(m != null && m.closed && m.pod == "web-2", s"expected close, got $m")
+    } finally w.close()
+  }
+
   test("file watcher: write quiescence closes an exit-0 container whose file is RETAINED") {
     // the reference's other close-write case (test.sh:592-598): container
     // exits 0, the log file stays on disk — no delete ever fires. With
