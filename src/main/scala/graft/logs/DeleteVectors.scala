@@ -200,9 +200,16 @@ object DeleteVectors {
 
   // ---- delete commit ----------------------------------------------------
 
-  final case class DeleteCommitted(version: Int, deletedRows: Long, replayed: Boolean)
+  /** `materialized = true` means the commit exceeded `maxRanges` and the
+    * engine auto-rewrote the vectored partitions copy-on-write (the Delta
+    * DV play: merge-on-read below the threshold, rewrite above it) —
+    * `version` is then the post-rewrite version and the live snapshot
+    * carries no vectors for the rewritten partitions.
+    */
+  final case class DeleteCommitted(version: Int, deletedRows: Long,
+      replayed: Boolean, materialized: Boolean = false)
   final case class MergeCommitted(version: Int, matchedDeleted: Long,
-      inserted: Long, replayed: Boolean)
+      inserted: Long, replayed: Boolean, materialized: Boolean = false)
 
   /** Commit a row-level delete as a new version: every data file is carried
     * untouched (manifest reference on the pointer tier, hard link on the
@@ -215,9 +222,17 @@ object DeleteVectors {
       commitId: Option[String] = None,
       retainSnapshots: Int = 1,
       maxRanges: Int = MaxRangesDefault,
-      leaseAttempts: Int = 10): DeleteCommitted =
-    deleteCommit(spark, root, _.filter(condition), commitId, retainSnapshots,
-      maxRanges, leaseAttempts)
+      leaseAttempts: Int = 10,
+      /** Over `maxRanges`, auto-rewrite the vectored partitions instead of
+        * refusing (see [[materializeIfOverCap]]); false restores the
+        * fail-fast for callers that schedule their own rewrites.
+        */
+      materializeOverCap: Boolean = true): DeleteCommitted = {
+    val (committed, overCap) = deleteCommit(spark, root, _.filter(condition),
+      commitId, retainSnapshots, maxRanges, leaseAttempts, materializeOverCap)
+    if (overCap) materializeIfOverCap(spark, root, committed, retainSnapshots)
+    else committed
+  }
 
   /** Batch-keyed delete — the strike-list shape (GDPR erasure batches,
     * decontamination hit lists): rows whose `keyCols` tuple appears in
@@ -230,19 +245,59 @@ object DeleteVectors {
       commitId: Option[String] = None,
       retainSnapshots: Int = 1,
       maxRanges: Int = MaxRangesDefault,
-      leaseAttempts: Int = 10): DeleteCommitted = {
+      leaseAttempts: Int = 10,
+      materializeOverCap: Boolean = true): DeleteCommitted = {
     require(keyCols.nonEmpty, "deleteMatching needs at least one key column")
     val keySet = keys.select(keyCols.map(col): _*).distinct()
-    deleteCommit(spark, root, _.join(keySet, keyCols, "left_semi"),
-      commitId, retainSnapshots, maxRanges, leaseAttempts)
+    val (committed, overCap) = deleteCommit(spark, root,
+      _.join(keySet, keyCols, "left_semi"),
+      commitId, retainSnapshots, maxRanges, leaseAttempts, materializeOverCap)
+    if (overCap) materializeIfOverCap(spark, root, committed, retainSnapshots)
+    else committed
   }
+
+  /** The over-cap fallback (r12 sf100 rehearsal finding: a scattered delete
+    * of ~27% of 170M events builds 11.6M vector ranges and the old
+    * fail-fast refused the commit). The vector commit lands FIRST (atomic,
+    * O(metadata + matched rows)); then a compaction pass rewrites exactly
+    * the vectored partitions — they are dirty by definition — shedding
+    * their vectors, copy-on-write. Runs AFTER the delete lease releases
+    * (the maintenance lease is per-root exclusive); a crash in between
+    * leaves a big-but-correct sidecar that the next maintenance pass
+    * materializes anyway. Partition columns come from the store layout
+    * itself; a FLAT store (no `k=` dirs) cannot route through compaction,
+    * so the fail-fast there survives in deleteCommit.
+    */
+  private def materializeIfOverCap(spark: SparkSession, root: String,
+      committed: DeleteCommitted, retainSnapshots: Int): DeleteCommitted = {
+    val cols = layoutPartitionCols(spark, root, committed.version).getOrElse(
+      throw new IllegalStateException(
+        s"over-cap delete on $root needs partition dirs to rewrite " +
+          "copy-on-write, but the layout is flat"))
+    Compaction.compactHive(spark, root, partitionCols = cols,
+      retainSnapshots = retainSnapshots)
+    val (live, _, _) = liveVersion(spark, root)
+    committed.copy(version = live, materialized = true)
+  }
+
+  /** Partition columns parsed from the live layout's `k=v` chains. */
+  private def layoutPartitionCols(spark: SparkSession, root: String,
+      version: Int): Option[Seq[String]] =
+    GraftStore.compositeEntries(spark, root, version).headOption.flatMap { e =>
+      // keys look like "/cluster=dev/date=2024-01-01/part-x.parquet"
+      val segs = e.key.split('/').toSeq.filter(_.nonEmpty).dropRight(1)
+      if (segs.nonEmpty && segs.forall(_.contains('=')))
+        Some(segs.map(_.takeWhile(_ != '=')))
+      else None
+    }
 
   private def deleteCommit(spark: SparkSession, root: String,
       matchRows: DataFrame => DataFrame,
       commitId: Option[String],
       retainSnapshots: Int,
       maxRanges: Int,
-      leaseAttempts: Int): DeleteCommitted = {
+      leaseAttempts: Int,
+      allowOverCap: Boolean = false): (DeleteCommitted, Boolean) = {
     commitId.foreach { id =>
       require(id.matches("[A-Za-z0-9._-]+"), s"commit id '$id' must be [A-Za-z0-9._-]+")
     }
@@ -255,7 +310,7 @@ object DeleteVectors {
     }
     MaintenanceLease.withLeaseRetry(spark, root, "delete", leaseAttempts) {
       replayedVersion(spark, root, commitId).foreach { v =>
-        return DeleteCommitted(v, 0L, replayed = true)
+        return (DeleteCommitted(v, 0L, replayed = true), false)
       }
       requireNoCompactMarker(spark, root)
       val (cur, curDir, dirOf) = liveVersion(spark, root)
@@ -280,7 +335,7 @@ object DeleteVectors {
         (e.key, Dv(e.len, compress(ps)))
       }.toMap
       if (additions.isEmpty)
-        return DeleteCommitted(cur, 0L, replayed = false)
+        return (DeleteCommitted(cur, 0L, replayed = false), false)
       val merged = (prior.keySet ++ additions.keySet).iterator.map { k =>
         (prior.get(k), additions.get(k)) match {
           case (Some(a), Some(b)) =>
@@ -291,7 +346,8 @@ object DeleteVectors {
           case _ => throw new IllegalStateException("unreachable")
         }
       }.toMap
-      require(totalRanges(merged) <= maxRanges,
+      val overCap = totalRanges(merged) > maxRanges
+      require(!overCap || allowOverCap,
         s"merged deletion vectors hold ${totalRanges(merged)} ranges " +
           s"(> $maxRanges): this delete is too large for merge-on-read — " +
           "rewrite instead (Compaction.compactHive(full=true) materializes " +
@@ -323,7 +379,7 @@ object DeleteVectors {
         abort("deletion-vector bookkeeping mismatch; aborting")
       flip(spark, root, cur, next, retainSnapshots, abort)
       commitId.foreach(GraftStore.recordTxn(spark, root, _, next))
-      DeleteCommitted(next, newPositions, replayed = false)
+      (DeleteCommitted(next, newPositions, replayed = false), overCap)
     }
   }
 
@@ -340,7 +396,8 @@ object DeleteVectors {
       retainSnapshots: Int = 1,
       maxRecordsPerFile: Long = 1000000L,
       maxRanges: Int = MaxRangesDefault,
-      leaseAttempts: Int = 10): MergeCommitted = {
+      leaseAttempts: Int = 10,
+      materializeOverCap: Boolean = true): MergeCommitted = {
     require(keyCols.nonEmpty, "mergeByKey needs at least one key column")
     commitId.foreach { id =>
       require(id.matches("[A-Za-z0-9._-]+"), s"commit id '$id' must be [A-Za-z0-9._-]+")
@@ -352,7 +409,8 @@ object DeleteVectors {
         s"$root is not a versioned store — merge commits need a commit primitive")
     }
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    MaintenanceLease.withLeaseRetry(spark, root, "merge", leaseAttempts) {
+    val pair: (MergeCommitted, Boolean) =
+        MaintenanceLease.withLeaseRetry(spark, root, "merge", leaseAttempts) {
       replayedVersion(spark, root, commitId).foreach { v =>
         return MergeCommitted(v, 0L, 0L, replayed = true)
       }
@@ -392,7 +450,8 @@ object DeleteVectors {
           case _ => throw new IllegalStateException("unreachable")
         }
       }.toMap
-      require(totalRanges(merged) <= maxRanges,
+      val overCap = totalRanges(merged) > maxRanges
+      require(!overCap || materializeOverCap,
         s"merged deletion vectors hold ${totalRanges(merged)} ranges " +
           s"(> $maxRanges): this merge is too large for merge-on-read — " +
           "rewrite the store instead")
@@ -440,8 +499,16 @@ object DeleteVectors {
       flip(spark, root, cur, next, retainSnapshots, abort)
       commitId.foreach(GraftStore.recordTxn(spark, root, _, next))
       if (!pointer) fs.delete(stagingPath, true) // files live on as links
-      MergeCommitted(next, matchedRows, inserted, replayed = false)
+      (MergeCommitted(next, matchedRows, inserted, replayed = false), overCap)
     }
+    val (committed, overCapOut) = pair
+    if (overCapOut) {
+      // same copy-on-write fallback as deleteWhere, after the lease releases
+      Compaction.compactHive(spark, root, maxRecordsPerFile = maxRecordsPerFile,
+        partitionCols = partitionCols, retainSnapshots = retainSnapshots)
+      val (live, _, _) = liveVersion(spark, root)
+      committed.copy(version = live, materialized = true)
+    } else committed
   }
 
   // ---- shared commit plumbing -------------------------------------------

@@ -55,26 +55,35 @@ object StoreTailQuery {
     LogIngest.writeHive(df.filter($"date" =!= dates.last), root, partitionCols = parts)
 
     val sink = s"graft_x20_${System.nanoTime()}"
+    // aggregate ON THE STREAM (complete mode): the memory sink then holds
+    // O(pods) rows, not the dataset — a raw-row memory sink OOMed the
+    // driver at the sf100 rehearsal (the whole events table on the heap).
+    // Delivery accounting is unchanged: a dropped batch deflates n, a
+    // re-delivered one inflates it, so both requires still pin
+    // exactly-once across the version boundary.
     val q = spark.readStream.format("graft")
       .option("startingVersion", "0").load(root)
+      .groupBy($"pod")
+      .agg(count(lit(1)).as("n"),
+        sum(length($"message")).cast("long").as("msg_chars"))
       .writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
       .trigger(Trigger.ProcessingTime(50)).start()
+    def delivered(): Long =
+      spark.table(sink).agg(coalesce(sum($"n"), lit(0L))).head.getLong(0)
     try {
       q.processAllAvailable()
-      val bootstrapped = spark.table(sink).count()
+      val bootstrapped = delivered()
       val nHead = df.filter($"date" =!= dates.last).count()
       require(bootstrapped == nHead,
         s"bootstrap delivered $bootstrapped rows, snapshot holds $nHead")
       AppendCommit.commit(df.filter($"date" === dates.last), root, parts,
         commitId = Some("x20-tail"))
       q.processAllAvailable()
-      val total = spark.table(sink).count()
+      val total = delivered()
       require(total == df.count(),
         s"stream holds $total rows after the tailed commit, expected ${df.count()}")
       spark.table(sink)
-        .groupBy($"pod")
-        .agg(count(lit(1)).as("n"),
-          sum(length($"message")).cast("long").as("msg_chars"))
         .orderBy($"pod")
         // materialize before the stream (and its memory table) is torn down
         .localCheckpoint(true)

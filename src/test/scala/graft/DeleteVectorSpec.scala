@@ -59,6 +59,50 @@ class DeleteVectorSpec extends SparkSpec {
     assert(got == Map(1L -> "a", 2L -> "b2", 3L -> "c2", 4L -> "d"))
   }
 
+  test("over-cap delete auto-materializes copy-on-write (sf100 rehearsal finding)") {
+    // maxRanges tiny → the scattered delete exceeds merge-on-read budget;
+    // instead of refusing (r11 behavior, which crashed x15/x16 at sf100)
+    // the engine commits the vectors then rewrites the vectored partitions,
+    // leaving a vector-free live snapshot with exactly the right rows
+    val root = java.nio.file.Files.createTempDirectory("graft-dv-cow")
+      .resolve("store").toString
+    val df = fixture()
+    LogIngest.writeHive(df, root, partitionCols = parts)
+    val total = df.count()
+    val expectDel = df.filter(delCond).count()
+    assert(expectDel > 2, "fixture must match enough rows to exceed the cap")
+    val c = DeleteVectors.deleteWhere(spark, root, delCond,
+      commitId = Some("cow-1"), maxRanges = 2)
+    assert(c.materialized, "over-cap delete must take the copy-on-write path")
+    assert(c.deletedRows == expectDel)
+    val live = GraftStore.readStore(spark, root)
+    assert(live.count() == total - expectDel)
+    assert(live.filter(delCond).count() == 0L, "no deleted row may survive")
+    // the rewrite shed the vectors: live version carries an empty sidecar
+    assert(GraftStore.liveVersionOf(spark, root) == c.version)
+    assert(DeleteVectors.read(spark, GraftStore.resolve(spark, root)).isEmpty,
+      "materialized partitions must carry no vectors")
+    // fail-fast is still available for callers that schedule their own rewrite
+    val e = intercept[IllegalArgumentException] {
+      DeleteVectors.deleteWhere(spark, root, length($"message") > 0,
+        maxRanges = 2, materializeOverCap = false)
+    }
+    assert(e.getMessage.contains("merge-on-read"))
+
+    // over-cap MERGE takes the same path (a SCATTERED update — contiguous
+    // positions would compress to one range and stay under the cap)
+    val up = df.filter(!delCond && xxhash64($"message") % 5 === 1)
+      .withColumn("message", concat($"message", lit(" v2")))
+    val nUp = up.count()
+    assert(nUp > 2)
+    val m = DeleteVectors.mergeByKey(spark, root, up,
+      keyCols = Seq("time_ns"), partitionCols = parts,
+      commitId = Some("cow-m1"), maxRanges = 2)
+    assert(m.materialized, "over-cap merge must take the copy-on-write path")
+    assert(m.matchedDeleted == nUp && m.inserted == nUp)
+    assert(GraftStore.readStore(spark, root).count() == total - expectDel)
+  }
+
   test("range compression and merge are exact") {
     assert(DeleteVectors.compress(Seq(0L, 1L, 2L, 5L, 7L, 8L)) ==
       Seq((0L, 2L), (5L, 5L), (7L, 8L)))
