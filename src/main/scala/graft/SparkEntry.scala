@@ -257,7 +257,9 @@ object SparkEntry {
         |  'pod-' || CAST(user_id % 5 AS VARCHAR) AS pod, 'app' AS container,
         |  CASE WHEN event_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS stream,
         |  'F' AS logtag, props AS message
-        |FROM events WHERE user_id % 3 = 0 ORDER BY time_us, message""".stripMargin,
+        |FROM events WHERE user_id % 3 = 0
+        |QUALIFY row_number() OVER (PARTITION BY user_id % 5 ORDER BY ts, event_id) <= 100000
+        |ORDER BY time_us, message""".stripMargin,
     "e2e_log_pipeline_hive" ->
       """SELECT epoch_us(ts) AS time_us,
         |  strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.' ||
@@ -266,7 +268,9 @@ object SparkEntry {
         |  'pod-' || CAST(user_id % 5 AS VARCHAR) AS pod, 'app' AS container,
         |  CASE WHEN event_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS stream,
         |  'F' AS logtag, props AS message
-        |FROM events WHERE user_id % 3 = 0 ORDER BY time_us, message""".stripMargin,
+        |FROM events WHERE user_id % 3 = 0
+        |QUALIFY row_number() OVER (PARTITION BY user_id % 5 ORDER BY ts, event_id) <= 100000
+        |ORDER BY time_us, message""".stripMargin,
     // x14: the `--since` cutoff is pinned at the newest event; DuckDB
     // restates the surviving window straight from events — over- or
     // under-pruning by the FileStats sidecar flips the hash
@@ -334,7 +338,9 @@ object SparkEntry {
         |  'pod-' || CAST(user_id % 5 AS VARCHAR) AS pod, 'app' AS container,
         |  CASE WHEN event_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS stream,
         |  'F' AS logtag, props AS message
-        |FROM events WHERE user_id % 3 = 0 ORDER BY time_us, message""".stripMargin,
+        |FROM events WHERE user_id % 3 = 0
+        |QUALIFY row_number() OVER (PARTITION BY user_id % 5 ORDER BY ts, event_id) <= 100000
+        |ORDER BY time_us, message""".stripMargin,
     // long-cents restatement: per-row money is rounded ONCE to integer
     // cents, sums are exact integers (DuckDB BIGINT sums are HUGEINT), and
     // the double conversion + division happen in the same order as Spark
