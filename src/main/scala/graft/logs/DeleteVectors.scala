@@ -56,12 +56,13 @@ object DeleteVectors {
   val MaxRangesDefault: Int = 5000000
 
   /** Above this many pending deleted POSITIONS, [[applyKeep]] switches from
-    * the exploded equi anti-join to a path-keyed range anti-join: explode
-    * cost is O(positions), range-residual cost is O(rows × ranges-per-file)
+    * the exploded equi anti-join to the BUCKETED range anti-join: explode
+    * cost is O(positions), bucket cost is O(rows + ranges + positions/4096)
     * — the latter wins exactly when ranges compress well (huge contiguous
-    * strikes), which is when positions blow up.
+    * strikes), which is when positions blow up. A `var` only so specs can
+    * force the bucketed branch on small fixtures; production never writes it.
     */
-  val ExplodePositionsMax: Long = 4L * 1024 * 1024
+  var ExplodePositionsMax: Long = 4L * 1024 * 1024
 
   /** One file's deletion vector: the file's length at delete time (identity
     * check — see class doc) and the deleted row positions as inclusive
@@ -605,16 +606,28 @@ object DeleteVectors {
           tagged(PosCol) === deletes("__del_pos"),
         "left_anti")
     } else {
-      // HUGE delete debt (a contiguous billion-row strike compresses to one
-      // range but a billion positions): exploding would cost O(deleted
-      // positions) per read, so anti-join on the file path with the range
-      // test as a join residual — candidates per row are its file's RANGES,
-      // which is exactly what maxRanges already bounds
-      val ranges = live.toSeq.flatMap { case (path, v) =>
+      // HUGE delete debt, two shapes at once: a contiguous billion-row
+      // strike (one range, a billion positions — exploding positions would
+      // cost O(deleted positions)), and a scattered multi-million-range
+      // debt (the over-cap COW path). A bare path-equi join with the range
+      // test as residual hangs on the second shape: ~32 distinct paths
+      // make every probed row scan ALL of its file's ranges (~10⁵ each —
+      // the sf100 x15 rerun burned 80 min in exactly that join). BUCKETING
+      // fixes both: explode each range into the 4096-position buckets it
+      // overlaps and join equi on (path, bucket) with the range residual —
+      // candidates per row are only its bucket's ranges (O(1) scattered),
+      // and a B-position contiguous range adds just B/4096 bucket rows.
+      val bucketBits = 12
+      val base = live.toSeq.flatMap { case (path, v) =>
         v.ranges.map { case (s, e) => (path, s, e) }
       }.toDF("__del_path", "__del_start", "__del_end")
+      val ranges = base.select(col("__del_path"),
+        explode(sequence(shiftright(col("__del_start"), bucketBits),
+          shiftright(col("__del_end"), bucketBits))).as("__del_bucket"),
+        col("__del_start"), col("__del_end"))
       tagged.join(ranges,
         tagged(PathCol) === ranges("__del_path") &&
+          shiftright(tagged(PosCol), bucketBits) === ranges("__del_bucket") &&
           tagged(PosCol) >= ranges("__del_start") &&
           tagged(PosCol) <= ranges("__del_end"),
         "left_anti")

@@ -103,6 +103,40 @@ class DeleteVectorSpec extends SparkSpec {
     assert(GraftStore.readStore(spark, root).count() == total - expectDel)
   }
 
+  test("huge-debt bucketed range anti-join: scattered AND contiguous vectors apply exactly") {
+    // force every read through the bucketed branch (the explode branch is
+    // covered by all the other cases); the sf100 x15 rerun hung 80 min in
+    // the old path-equi+residual join whose per-row candidates were ALL of
+    // a file's ranges
+    val root = java.nio.file.Files.createTempDirectory("graft-dv-bucket")
+      .resolve("store").toString
+    val df = fixture()
+    LogIngest.writeHive(df, root, partitionCols = parts)
+    val total = df.count()
+    val prev = DeleteVectors.ExplodePositionsMax
+    DeleteVectors.ExplodePositionsMax = 0L
+    try {
+      // scattered singleton ranges (the COW shape), vectors applied on read
+      val nDel = df.filter(delCond).count()
+      val c = DeleteVectors.deleteWhere(spark, root, delCond,
+        commitId = Some("bkt-1"), materializeOverCap = false)
+      assert(c.deletedRows == nDel && !c.materialized)
+      val live = GraftStore.readStore(spark, root)
+      assert(live.count() == total - nDel)
+      assert(live.filter(delCond).count() == 0L)
+      // a contiguous strike on top (ranges compress, buckets stay bounded):
+      // delete a whole time prefix — contiguous in ts order, multi-bucket
+      val cut = df.agg(expr("percentile_approx(time_ns, 0.3)")).head.getLong(0)
+      val c2 = DeleteVectors.deleteWhere(spark, root, $"time_ns" <= cut,
+        commitId = Some("bkt-2"), materializeOverCap = false)
+      val expect2 = df.filter(!delCond && $"time_ns" <= cut).count()
+      assert(c2.deletedRows == expect2, s"${c2.deletedRows} != $expect2")
+      val live2 = GraftStore.readStore(spark, root)
+      assert(live2.count() == total - nDel - expect2)
+      assert(live2.filter(delCond || $"time_ns" <= cut).count() == 0L)
+    } finally DeleteVectors.ExplodePositionsMax = prev
+  }
+
   test("range compression and merge are exact") {
     assert(DeleteVectors.compress(Seq(0L, 1L, 2L, 5L, 7L, 8L)) ==
       Seq((0L, 2L), (5L, 5L), (7L, 8L)))
