@@ -164,6 +164,40 @@ object Bench {
         System.err.println(s"[bench] v4/v9 split failed: ${e.getMessage}")
       }
     }
+    // Untimed quality-gate sweep (VERDICT r12 #6): re-evaluate every query
+    // whose output schema carries a boolean `*_ok` column and fail the bench
+    // if any is false at THIS scale factor — the oracle only checks the
+    // booleans at the driver's sf0.01, which is how the r12 ANN recall
+    // degradation stayed invisible. Runs after all timed rounds (cache-warm,
+    // adds no contention to any timed span); `SPARK_GRAFT_BENCH_GATES=0`
+    // skips it for rehearsal-scale family runs where the re-execution is
+    // hours, not seconds.
+    if (finished && !sys.env.get("SPARK_GRAFT_BENCH_GATES").contains("0")) {
+      val gateFailed = scala.collection.mutable.SortedSet[String]()
+      selectedQueries.foreach { case (name, fn) =>
+        try {
+          val df = fn(spark, sfDir)
+          val hasGate = df.schema.fields.exists(f =>
+            f.name.endsWith("_ok") &&
+              f.dataType == org.apache.spark.sql.types.BooleanType)
+          if (hasGate) {
+            val bad = graft.tools.Gates.violations(df)
+            if (bad.nonEmpty) {
+              gateFailed += name
+              System.err.println(
+                s"[bench] $name GATE FAILED: ${bad.mkString(",")} false/null")
+            }
+          }
+        } catch { case scala.util.control.NonFatal(e) =>
+          gateFailed += name
+          System.err.println(s"[bench] $name gate sweep failed: ${e.getMessage}")
+        }
+      }
+      val gateJson = gateFailed.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+      println(s"""{"metric":"gates","failed":$gateJson,"sf":"$sfDir"}""")
+      allFailed ++= gateFailed
+      allFinished &= gateFailed.isEmpty
+    }
     if (finished) (2 to repeat).foreach { r =>
       val (warmWall, warmSnap, warmFinished) = runRound(spark, sfDir, parallel)
       allFinished &= warmFinished

@@ -26,12 +26,23 @@ object Verify {
     // Spark's scheduler fills the cores the small queries leave idle
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_PARALLEL", "4").toInt)
+    val gateFailures = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     selected.foreach { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          catch { case e: Throwable =>
+          try {
+            val df = fn(spark, sfDir)
+            df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+            // engine-side quality-gate check (VERDICT r12 #6): a false *_ok
+            // boolean fails the run at THIS scale, not just at the driver's
+            val bad = graft.tools.Gates.violations(
+              spark.read.parquet(s"$outDir/$name"))
+            if (bad.nonEmpty) {
+              gateFailures.add(name)
+              System.err.println(
+                s"[verify] $name GATE FAILED: ${bad.mkString(",")} false/null")
+            }
+          } catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
       })
@@ -49,5 +60,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (!gateFailures.isEmpty) {
+      import scala.jdk.CollectionConverters._
+      System.err.println(
+        s"[verify] QUALITY GATES FAILED: ${gateFailures.asScala.toSeq.sorted.mkString(", ")}")
+      sys.exit(3) // outputs exist for diagnosis; the run itself is a failure
+    }
   }
 }

@@ -250,6 +250,19 @@ object Dedup {
     * tables — recall is exact by pigeonhole, precision by the explicit
     * Hamming check.
     *
+    * Features are `shingle`-token windows (default 3), not single tokens.
+    * Unigram features only see the token MULTISET, so any two documents
+    * sharing vocabulary converge to nearby fingerprints regardless of word
+    * order; measured on the sf0.1 corpus, hamming ≤ 3 unigram pairs were
+    * 91% false against a 3-gram-Jaccard-0.8 truth set (1 662 false vs 167
+    * true at h=3 alone), while 3-token-shingle fingerprints produced ZERO
+    * false pairs out to hamming 8 at both sf0.01 and sf0.1 — order
+    * sensitivity is what makes simhash a near-DUPLICATE sketch rather than
+    * a bag-of-words one. Documents shorter than `shingle` tokens hash their
+    * whole token sequence as one feature (identical short docs still
+    * collide at hamming 0; distinct ones land far apart). `shingle = 1`
+    * selects the fused unigram kernel ([[graft.expr.SimHashText]]).
+    *
     * Scale shape, three guards that each kill a quadratic term:
     * - DISTINCT fingerprints feed the table join — k fp-identical docs
     *   (exact twins after tokenization) would put k rows in every one of
@@ -266,12 +279,20 @@ object Dedup {
     *   and never reaches the dedup shuffle.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    // fused kernel: tokenize+hash+vote in one codegen pass — the
-    // transform(tokens(text), xxhash64) composition is a higher-order
-    // function and drops the projection out of whole-stage codegen
-    val fp = docs.select(col(idCol).as("doc_id"),
-      HashFunctions.simHashText(col(textCol)).as("fp"))
+      maxHamming: Int = 3, shingle: Int = 3): DataFrame = {
+    // both paths are fused codegen kernels (no higher-order functions, which
+    // would drop the projection out of whole-stage codegen): unigrams use the
+    // single-pass tokenize+hash+vote kernel; shingles compose the rolling
+    // window-hash kernel with the vote kernel
+    val fpCol =
+      if (shingle <= 1) HashFunctions.simHashText(col(textCol))
+      else {
+        val toks = TextAnalysis.tokens(col(textCol))
+        HashFunctions.simHash64(
+          when(size(toks) >= shingle, HashFunctions.windowHashes(toks, shingle))
+            .otherwise(array(xxhash64(concat_ws(" ", toks)))))
+      }
+    val fp = docs.select(col(idCol).as("doc_id"), fpCol.as("fp"))
     val fps = fp.select("fp").distinct()
     val nPieces = maxHamming + 2
     val width = 64 / nPieces // last piece absorbs the remainder bits
@@ -421,15 +442,24 @@ object Dedup {
     * unchanged.
     */
   def embeddingNearDupPairsClustered(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, occupancy: Int = 256, nAssign: Int = 2,
+      threshold: Double = 0.95, occupancy: Int = 256, nAssign: Int = 0,
       kmeansIters: Int = 5): DataFrame = {
     val n = emb.count()
     val nCells = math.min(4096, math.max(8, math.ceil(n.toDouble / occupancy).toInt))
+    // nAssign = 0 ⇒ derive from the cell count: a FIXED assignment width is
+    // the r12 scale defect (recall 27/39 at sf0.1 with nAssign=2 where
+    // sf0.01 was 14/14 — denser corpora move more true pairs onto cell
+    // boundaries). ⌈log₂ nCells⌉ widens multi-assignment as the quantizer
+    // refines while keeping candidate volume O(N·occ·log²) — measured 37/39
+    // at sf0.1 (vs 27/39 fixed); explicit callers still pin their own width.
+    val assignWidth =
+      if (nAssign > 0) nAssign
+      else math.max(2, math.ceil(math.log(nCells.toDouble) / math.log(2.0)).toInt)
     val centroids = Similarity.trainCoarseQuantizer(emb, vecCol, nCells,
       kmeansIters, sampleSize = math.max(2048, nCells * 4))
     // narrow assignment rows: 8-byte id + cell — vectors join back post-dedupe
     val assigned = emb.select(col(idCol).as("vec_id"),
-      explode(SketchFunctions.nearestCentroids(col(vecCol), centroids, nAssign)).as("cell"))
+      explode(SketchFunctions.nearestCentroids(col(vecCol), centroids, assignWidth)).as("cell"))
     val candIds = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))

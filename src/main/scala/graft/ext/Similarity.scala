@@ -57,6 +57,34 @@ object Similarity {
         "top-k neighbor ids are carried as long through the bounded aggregate")
   }
 
+  /** Corpus-size-derived IVF defaults (the FAISS rules of thumb). Fixed
+    * constants silently degrade recall as the corpus grows — r12's v8/v9
+    * gates held at 500 vectors and failed at 2 000 with the same code —
+    * so every gate query derives its parameters from N instead:
+    *
+    *  - `nLists ≈ √N` keeps per-cell occupancy ≈ √N, balancing the probe
+    *    cost (nProbe cells of N/nLists rows) against centroid-table size;
+    *    capped at 2¹⁶ — past that a second quantizer level is the answer,
+    *    not more flat cells.
+    *  - `nProbe = ⌈0.7·nLists⌉` is the NEAR-UNIFORM-corpus default this
+    *    fixture needs (a query's true top-k spreads across most cells when
+    *    vectors don't cluster); real clustered corpora run nProbe ≪ nLists
+    *    — SimilaritySpec asserts ≥0.9 recall at nProbe=2/8 on one.
+    *  - `rerank` must cover the ADC-confusion band: at a fixed code budget
+    *    (m·log₂ks bits) the number of corpus vectors whose quantized score
+    *    ties a true neighbor grows linearly with the candidate count, so
+    *    rerank is a FRACTION of the scanned candidates (20%), floored at
+    *    max(100, 10·k). At cluster scale the budget itself (m, ks) is the
+    *    knob that caps this — both stay explicit parameters.
+    */
+  def adaptiveNLists(corpusSize: Long): Int =
+    math.min(1 << 16, math.max(16, math.sqrt(corpusSize.toDouble).round.toInt))
+
+  def adaptiveNProbe(nLists: Int): Int = math.ceil(nLists * 0.7).toInt
+
+  def adaptiveRerank(candidates: Long, k: Int): Int =
+    math.max(math.max(100, 10 * k), math.ceil(candidates * 0.2).toInt)
+
   /** Shared final stage: per-query bounded top-k over (qid, cid, cosine)
     * candidates via [[TopKByCosine]], exploded back to ranked rows.
     */

@@ -272,6 +272,15 @@ object ExtensionQueries {
   private val exactKnnCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  // corpus size per data dir (a parquet-metadata count), memoized: every ANN
+  // gate derives its index parameters from N (VERDICT r12 #1 — the fixed
+  // nLists/nProbe/rerank constants held at sf0.01 and failed at sf0.1)
+  private val corpusSizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def embCount(spark: SparkSession, dir: String): Long =
+    corpusSizeCache.computeIfAbsent(dir, _ => Tables.embeddings(spark, dir).count())
+
   private def exactTop10(spark: SparkSession, dir: String): DataFrame =
     Tables.memo(exactKnnCache, dir, spark) {
       val emb = Tables.embeddings(spark, dir)
@@ -328,7 +337,9 @@ object ExtensionQueries {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-    recallGate(Similarity.ivfTopK(queries, emb, k = 10, nLists = 16, nProbe = 10),
+    val nLists = Similarity.adaptiveNLists(embCount(spark, dir))
+    recallGate(Similarity.ivfTopK(queries, emb, k = 10, nLists = nLists,
+        nProbe = Similarity.adaptiveNProbe(nLists)),
       exactTop10(spark, dir), minHits = 7)
   }
 
@@ -353,7 +364,12 @@ object ExtensionQueries {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
     val model = Pq.train(emb, "embedding", m = 8, ks = 32)
-    recallGate(Pq.pqTopK(queries, emb, k = 10, model, rerank = 100),
+    // flat PQ ADC-scans the whole corpus, so the rerank shortlist tracks N
+    // (Similarity.adaptiveRerank: the ADC-confusion band is a candidate-count
+    // fraction at a fixed code budget); r12's rerank=100 was 20% of sf0.01
+    // but 5% of sf0.1 and query 2 fell to 5/10 recall
+    recallGate(Pq.pqTopK(queries, emb, k = 10, model,
+        rerank = Similarity.adaptiveRerank(embCount(spark, dir), k = 10)),
       exactTop10(spark, dir), minHits = 7)
   }
 
@@ -367,7 +383,8 @@ object ExtensionQueries {
     val path = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-ivfidx-${math.abs(dir.hashCode)}").getAbsolutePath
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
-    Similarity.buildIvfIndex(Tables.embeddings(spark, dir), path, nLists = 16)
+    Similarity.buildIvfIndex(Tables.embeddings(spark, dir), path,
+      nLists = Similarity.adaptiveNLists(embCount(spark, dir)))
     path
   }
 
@@ -377,7 +394,8 @@ object ExtensionQueries {
   def ivfIndexSearch(spark: SparkSession, dir: String, path: String): DataFrame = {
     val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-    Similarity.searchIvfIndex(spark, path, queries, k = 10, nProbe = 10)
+    Similarity.searchIvfIndex(spark, path, queries, k = 10,
+      nProbe = Similarity.adaptiveNProbe(Similarity.adaptiveNLists(embCount(spark, dir))))
   }
 
   /** v9: persisted IVF-PQ index ([[Similarity.buildIvfPqIndex]]) — cell
@@ -399,16 +417,24 @@ object ExtensionQueries {
     val path = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-ivfpqidx-${math.abs(dir.hashCode)}").getAbsolutePath
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
-    Similarity.buildIvfPqIndex(Tables.embeddings(spark, dir), path, nLists = 16)
+    Similarity.buildIvfPqIndex(Tables.embeddings(spark, dir), path,
+      nLists = Similarity.adaptiveNLists(embCount(spark, dir)))
     path
   }
 
-  /** v9's SEARCH half: partition-pruned probes, code-only ADC, rerank. */
+  /** v9's SEARCH half: partition-pruned probes, code-only ADC, rerank. The
+    * rerank shortlist is a fraction of the PROBED candidate count
+    * (N·nProbe/nLists), not of N — the ADC scan only ever scores probed
+    * cells ([[Similarity.adaptiveRerank]]).
+    */
   def ivfPqIndexSearch(spark: SparkSession, dir: String, path: String): DataFrame = {
     val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-    Similarity.searchIvfPqIndex(spark, path, queries, k = 10,
-      nProbe = 10, rerank = 100)
+    val n = embCount(spark, dir)
+    val nLists = Similarity.adaptiveNLists(n)
+    val nProbe = Similarity.adaptiveNProbe(nLists)
+    Similarity.searchIvfPqIndex(spark, path, queries, k = 10, nProbe = nProbe,
+      rerank = Similarity.adaptiveRerank(n * nProbe / nLists, k = 10))
   }
 
   private val mediaCache =

@@ -57,7 +57,12 @@ object StoreMaintainQuery {
     // targets the same day.
     val oldest = df.agg(min($"date")).as[String].head()
     val oldDay = df.filter($"date" === oldest)
-    LogIngest.writeHive(df.filter($"date" =!= oldest), root, partitionCols = parts)
+    // base days write ONE file per partition at any sf (no row cap): with the
+    // default 1M-row cap, sf100's base days split into >dirtyMaxFiles files
+    // and read as debt of their own, breaking the one-dirty-partition
+    // precondition below before the gate even runs (r12 rehearsal)
+    LogIngest.writeHive(df.filter($"date" =!= oldest), root,
+      maxRecordsPerFile = Long.MaxValue, partitionCols = parts)
     // storm size scales with the day's rows so the partition is dirty at
     // ANY sf (a single-file partition is never dirty by the shared rule)
     AppendCommit.commit(oldDay, root, parts,

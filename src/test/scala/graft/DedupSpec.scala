@@ -205,9 +205,13 @@ class DedupSpec extends SparkSpec {
     val docs2 = rows.toDF("doc_id", "text")
     val got = Dedup.simhashPairs(docs2, "doc_id", "text", maxHamming = 3)
       .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()
-    // brute force over the same fingerprints
+    // brute force over the same fingerprints (the default 3-token-shingle
+    // features — the operator's order-sensitive form)
+    val toks = TextAnalysis.tokens(c("text"))
     val fps = docs2.select($"doc_id",
-      graft.expr.HashFunctions.simHashText(c("text")).as("fp"))
+      graft.expr.HashFunctions.simHash64(
+        when(size(toks) >= 3, graft.expr.HashFunctions.windowHashes(toks, 3))
+          .otherwise(array(xxhash64(concat_ws(" ", toks))))).as("fp"))
       .as[(Long, Long)].collect()
     val expected = (for {
       (ia, fa) <- fps; (ib, fb) <- fps
