@@ -60,9 +60,11 @@ object DeleteVectors {
     * cost is O(positions), bucket cost is O(rows + ranges + positions/4096)
     * — the latter wins exactly when ranges compress well (huge contiguous
     * strikes), which is when positions blow up. A `var` only so specs can
-    * force the bucketed branch on small fixtures; production never writes it.
+    * force the bucketed branch on small fixtures; production never writes
+    * it (package-private + volatile so a spec's write is visible to the
+    * task threads without exposing a mutable production surface).
     */
-  var ExplodePositionsMax: Long = 4L * 1024 * 1024
+  @volatile private[graft] var ExplodePositionsMax: Long = 4L * 1024 * 1024
 
   /** One file's deletion vector: the file's length at delete time (identity
     * check — see class doc) and the deleted row positions as inclusive
@@ -265,32 +267,45 @@ object DeleteVectors {
     * their vectors, copy-on-write. Runs AFTER the delete lease releases
     * (the maintenance lease is per-root exclusive); a crash in between
     * leaves a big-but-correct sidecar that the next maintenance pass
-    * materializes anyway. Partition columns come from the store layout
-    * itself; a FLAT store (no `k=` dirs) cannot route through compaction,
-    * so the fail-fast there survives in deleteCommit.
+    * materializes anyway — and a same-commitId RETRY of that crash re-runs
+    * this (deleteCommit's replay path re-reports over-cap from the live
+    * sidecar), so the deferred rewrite is not stranded until an unrelated
+    * maintenance pass. Partition columns come from the store layout itself;
+    * a FLAT (or mixed-layout) store cannot route through compaction, so
+    * deleteCommit refuses those over-cap deletes BEFORE committing.
     */
   private def materializeIfOverCap(spark: SparkSession, root: String,
       committed: DeleteCommitted, retainSnapshots: Int): DeleteCommitted = {
-    val cols = layoutPartitionCols(spark, root, committed.version).getOrElse(
+    val (liveBefore, _, _) = liveVersion(spark, root)
+    val cols = partitionColsOf(
+      GraftStore.compositeEntries(spark, root, liveBefore)).getOrElse(
       throw new IllegalStateException(
         s"over-cap delete on $root needs partition dirs to rewrite " +
-          "copy-on-write, but the layout is flat"))
+          "copy-on-write, but the layout is flat or mixed"))
     Compaction.compactHive(spark, root, partitionCols = cols,
       retainSnapshots = retainSnapshots)
     val (live, _, _) = liveVersion(spark, root)
     committed.copy(version = live, materialized = true)
   }
 
-  /** Partition columns parsed from the live layout's `k=v` chains. */
-  private def layoutPartitionCols(spark: SparkSession, root: String,
-      version: Int): Option[Seq[String]] =
-    GraftStore.compositeEntries(spark, root, version).headOption.flatMap { e =>
-      // keys look like "/cluster=dev/date=2024-01-01/part-x.parquet"
-      val segs = e.key.split('/').toSeq.filter(_.nonEmpty).dropRight(1)
+  /** Partition columns parsed from the layout's `k=v` chains — defined only
+    * when EVERY entry agrees on the same chain. A mixed store (a flat
+    * legacy file next to `k=` dirs) yields None: partition-scoped
+    * compaction cannot route it, so over-cap callers must refuse pre-commit
+    * rather than mis-derive from whichever entry listed first.
+    */
+  private[graft] def partitionColsOf(
+      entries: Seq[GraftStore.FileEntry]): Option[Seq[String]] = {
+    // keys look like "/cluster=dev/date=2024-01-01/part-x.parquet"
+    def colsOf(key: String): Option[Seq[String]] = {
+      val segs = key.split('/').toSeq.filter(_.nonEmpty).dropRight(1)
       if (segs.nonEmpty && segs.forall(_.contains('=')))
         Some(segs.map(_.takeWhile(_ != '=')))
       else None
     }
+    entries.headOption.flatMap(e => colsOf(e.key))
+      .filter(first => entries.forall(e => colsOf(e.key).contains(first)))
+  }
 
   private def deleteCommit(spark: SparkSession, root: String,
       matchRows: DataFrame => DataFrame,
@@ -311,7 +326,14 @@ object DeleteVectors {
     }
     MaintenanceLease.withLeaseRetry(spark, root, "delete", leaseAttempts) {
       replayedVersion(spark, root, commitId).foreach { v =>
-        return (DeleteCommitted(v, 0L, replayed = true), false)
+        // A crash between the original over-cap vector commit and its
+        // copy-on-write compaction leaves the big sidecar live; re-report
+        // over-cap from the LIVE sidecar so the retry re-runs the deferred
+        // rewrite (idempotent — a materialized original reads back under
+        // cap and replays with over=false).
+        val (_, liveDir, _) = liveVersion(spark, root)
+        val over = allowOverCap && totalRanges(read(spark, liveDir)) > maxRanges
+        return (DeleteCommitted(v, 0L, replayed = true), over)
       }
       requireNoCompactMarker(spark, root)
       val (cur, curDir, dirOf) = liveVersion(spark, root)
@@ -348,11 +370,21 @@ object DeleteVectors {
         }
       }.toMap
       val overCap = totalRanges(merged) > maxRanges
-      require(!overCap || allowOverCap,
+      // the copy-on-write fallback needs a uniform k=v layout to route the
+      // rewrite through partition-scoped compaction — refuse BEFORE the
+      // commit lands when it can't run, so the caller never sees an
+      // exception with the delete already committed behind it
+      val canMaterialize = allowOverCap && partitionColsOf(entries).isDefined
+      require(!overCap || canMaterialize,
         s"merged deletion vectors hold ${totalRanges(merged)} ranges " +
-          s"(> $maxRanges): this delete is too large for merge-on-read — " +
-          "rewrite instead (Compaction.compactHive(full=true) materializes " +
-          "vectors, or filter-and-rewrite the store)")
+          s"(> $maxRanges): this delete is too large for merge-on-read" +
+          (if (allowOverCap)
+            " and the layout is flat or mixed, so the copy-on-write " +
+              "fallback cannot route through partition compaction — " +
+              "rewrite the store instead (Compaction.compactHive(full=true))"
+          else
+            " — rewrite instead (Compaction.compactHive(full=true) " +
+              "materializes vectors, or filter-and-rewrite the store)"))
       val next = cur + 1
       val nextDir = dirOf(next)
       val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -410,10 +442,33 @@ object DeleteVectors {
         s"$root is not a versioned store — merge commits need a commit primitive")
     }
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val pair: (MergeCommitted, Boolean) =
-        MaintenanceLease.withLeaseRetry(spark, root, "merge", leaseAttempts) {
+    val pair = mergeCommit(spark, root, updates, keyCols, partitionCols,
+      commitId, retainSnapshots, maxRecordsPerFile, maxRanges, leaseAttempts,
+      materializeOverCap, pointer, fs)
+    val (committed, overCapOut) = pair
+    if (overCapOut) {
+      // same copy-on-write fallback as deleteWhere, after the lease releases
+      Compaction.compactHive(spark, root, maxRecordsPerFile = maxRecordsPerFile,
+        partitionCols = partitionCols, retainSnapshots = retainSnapshots)
+      val (live, _, _) = liveVersion(spark, root)
+      committed.copy(version = live, materialized = true)
+    } else committed
+  }
+
+  private def mergeCommit(spark: SparkSession, root: String,
+      updates: DataFrame, keyCols: Seq[String], partitionCols: Seq[String],
+      commitId: Option[String], retainSnapshots: Int,
+      maxRecordsPerFile: Long, maxRanges: Int, leaseAttempts: Int,
+      materializeOverCap: Boolean, pointer: Boolean,
+      fs: org.apache.hadoop.fs.FileSystem): (MergeCommitted, Boolean) =
+    MaintenanceLease.withLeaseRetry(spark, root, "merge", leaseAttempts) {
       replayedVersion(spark, root, commitId).foreach { v =>
-        return MergeCommitted(v, 0L, 0L, replayed = true)
+        // see deleteCommit's replay note: a crash between the over-cap
+        // vector commit and its compaction must be repairable by retry
+        val (_, liveDir, _) = liveVersion(spark, root)
+        val over = materializeOverCap &&
+          totalRanges(read(spark, liveDir)) > maxRanges
+        return (MergeCommitted(v, 0L, 0L, replayed = true), over)
       }
       requireNoCompactMarker(spark, root)
       val (cur, curDir, dirOf) = liveVersion(spark, root)
@@ -473,7 +528,7 @@ object DeleteVectors {
       val inserted = spark.read.parquet(stagingDir).count() // footer-only
       if (inserted == 0L && additions.isEmpty) {
         fs.delete(stagingPath, true)
-        return MergeCommitted(cur, 0L, 0L, replayed = false)
+        return (MergeCommitted(cur, 0L, 0L, replayed = false), false)
       }
       val next = cur + 1
       val nextDir = dirOf(next)
@@ -502,15 +557,6 @@ object DeleteVectors {
       if (!pointer) fs.delete(stagingPath, true) // files live on as links
       (MergeCommitted(next, matchedRows, inserted, replayed = false), overCap)
     }
-    val (committed, overCapOut) = pair
-    if (overCapOut) {
-      // same copy-on-write fallback as deleteWhere, after the lease releases
-      Compaction.compactHive(spark, root, maxRecordsPerFile = maxRecordsPerFile,
-        partitionCols = partitionCols, retainSnapshots = retainSnapshots)
-      val (live, _, _) = liveVersion(spark, root)
-      committed.copy(version = live, materialized = true)
-    } else committed
-  }
 
   // ---- shared commit plumbing -------------------------------------------
 

@@ -216,16 +216,25 @@ final class FileCloseWatcher(podsRoot: String,
     }
   }
 
-  /** Quiescence sweep: any tracked file silent ≥ quiesceMs closes once; the
-    * entry is dropped so a still-live slow writer re-arms on its next write.
+  /** Quiescence sweep, grouped PER CONTAINER DIR: a restarted container
+    * retains its silent `0.log` next to the live `1.log` (kubelet keeps one
+    * file per restart), so a per-file sweep would emit a spurious close
+    * ~quiesceMs after every restart. Quiescence is a container property —
+    * the dir closes only when EVERY tracked sibling has been silent ≥
+    * quiesceMs. Entries are dropped on close so a still-live slow writer
+    * re-arms on its next write; a write racing the sweep (conditional
+    * remove fails) vetoes the emit — the container just proved it's alive.
     */
   private def sweepQuiescent(): Unit = {
     val cutoff = System.currentTimeMillis() - quiesceMs
     lastWrite.entrySet().asScala.toSeq
-      .filter(_.getValue <= cutoff)
-      .foreach { e =>
-        lastWrite.remove(e.getKey)
-        Option(e.getKey.getParent).foreach(emit)
+      .groupBy(e => Option(e.getKey.getParent))
+      .foreach { case (dirOpt, entries) =>
+        if (entries.forall(_.getValue <= cutoff)) {
+          val undisturbed =
+            entries.forall(e => lastWrite.remove(e.getKey, e.getValue))
+          if (undisturbed) dirOpt.foreach(emit)
+        }
       }
   }
 

@@ -176,6 +176,42 @@ class CloseWriteSpec extends SparkSpec {
     } finally w.close()
   }
 
+  test("file watcher: quiescence is per-container — a silent restart sibling must not close while 1.log writes") {
+    // a restarted container RETAINS its silent 0.log next to the live
+    // 1.log; per-file quiescence would spuriously close ~quiesceMs after
+    // every restart (r12 advisory). Quiescence must hold only when every
+    // sibling in the container dir has gone silent.
+    val work = Files.createTempDirectory("graft-watch-qsib")
+    val pods = work.resolve("pods")
+    val dir = pods.resolve("ns6_job-3_uidE/main")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("0.log"), "2024-01-15T10:30:40.1Z stdout F gen0\n")
+    val events = new java.util.concurrent.LinkedBlockingQueue[PodActivity]()
+    val w = new graft.streaming.FileCloseWatcher(pods.toString, events.put, "dev",
+      debounceMs = 300L, quiesceMs = 900L)
+    try {
+      Thread.sleep(300)
+      // live generation keeps writing past several sweep periods while the
+      // retained 0.log stays silent well beyond quiesceMs
+      val live = dir.resolve("1.log")
+      Files.writeString(live, "2024-01-15T10:30:50.1Z stdout F gen1\n")
+      val until = System.currentTimeMillis() + 2200
+      while (System.currentTimeMillis() < until) {
+        Thread.sleep(250)
+        Files.writeString(live, "2024-01-15T10:30:51.1Z stdout F alive\n",
+          java.nio.file.StandardOpenOption.APPEND)
+        assert(events.poll() == null,
+          "silent restart sibling must not quiesce-close the live container")
+      }
+      // writer stops: ONE close for the container once ALL siblings quiesce
+      val m = events.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+      assert(m != null && m.closed && m.pod == "job-3" && m.container == "main",
+        s"expected per-container quiescence close, got $m")
+      assert(events.poll(1500, java.util.concurrent.TimeUnit.MILLISECONDS) == null,
+        "one container, one close")
+    } finally w.close()
+  }
+
   test("ingest wires the file watcher end-to-end: pod reap finalizes within a trigger") {
     val work = Files.createTempDirectory("graft-watch-e2e")
     val pods = work.resolve("varlog/pods")

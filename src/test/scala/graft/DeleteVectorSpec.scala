@@ -103,6 +103,79 @@ class DeleteVectorSpec extends SparkSpec {
     assert(GraftStore.readStore(spark, root).count() == total - expectDel)
   }
 
+  test("flat store: over-cap delete refuses BEFORE the commit lands") {
+    // the copy-on-write fallback routes through partition-scoped compaction,
+    // which a flat layout cannot take — the refusal must happen pre-commit
+    // (r12 behavior committed the over-cap sidecar and THEN threw, leaving
+    // the caller with an exception and the delete landed behind it)
+    val root = java.nio.file.Files.createTempDirectory("graft-dv-flatcap")
+      .resolve("store").toString
+    GraftStore.init(spark, root)
+    AppendCommit.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "payload"),
+      root, partitionCols = Seq.empty, commitId = Some("fc-0"))
+    val before = GraftStore.liveVersionOf(spark, root)
+    val e = intercept[IllegalArgumentException] {
+      DeleteVectors.deleteWhere(spark, root, $"id" % 2 === 1,
+        commitId = Some("fc-1"), maxRanges = 1) // ids 1,3 → 2 scattered ranges
+    }
+    assert(e.getMessage.contains("flat"), e.getMessage)
+    assert(GraftStore.liveVersionOf(spark, root) == before,
+      "over-cap flat delete must not land a version")
+    assert(GraftStore.readStore(spark, root).count() == 3,
+      "refused delete must leave every row live")
+    // the same commitId must not read as already-applied on retry
+    val c = DeleteVectors.deleteWhere(spark, root, $"id" % 2 === 1,
+      commitId = Some("fc-1"))
+    assert(!c.replayed && c.deletedRows == 2)
+  }
+
+  test("replay of an over-cap delete re-runs the deferred rewrite (crash-retry repair)") {
+    // a crash between the vector commit and its compaction leaves the
+    // over-cap sidecar live; a same-commitId retry must repair it instead
+    // of replaying success with the debt still standing. Simulated by
+    // committing under cap, then replaying with a cap below the live
+    // sidecar's range count.
+    val root = java.nio.file.Files.createTempDirectory("graft-dv-replaycow")
+      .resolve("store").toString
+    val df = fixture().limit(1000).cache()
+    LogIngest.writeHive(df, root, partitionCols = parts)
+    val c1 = DeleteVectors.deleteWhere(spark, root, delCond, commitId = Some("rp-1"))
+    assert(!c1.replayed && !c1.materialized && c1.deletedRows > 0)
+    assert(DeleteVectors.read(spark, GraftStore.resolve(spark, root)).nonEmpty)
+    val liveRows = GraftStore.readStore(spark, root).count()
+    // retry with the live sidecar now "over cap": replay must materialize
+    val c2 = DeleteVectors.deleteWhere(spark, root, delCond,
+      commitId = Some("rp-1"), maxRanges = 0)
+    assert(c2.replayed && c2.materialized, s"got $c2")
+    assert(DeleteVectors.read(spark, GraftStore.resolve(spark, root)).isEmpty,
+      "replayed over-cap delete must shed the live vectors")
+    assert(GraftStore.readStore(spark, root).count() == liveRows)
+    // a further replay sees the sidecar under cap: no rewrite, and the
+    // version reported is the ORIGINAL recorded commit's (replay contract)
+    val liveAfter = GraftStore.liveVersionOf(spark, root)
+    val c3 = DeleteVectors.deleteWhere(spark, root, delCond,
+      commitId = Some("rp-1"), maxRanges = 0)
+    assert(c3.replayed && !c3.materialized && c3.version == c1.version)
+    assert(GraftStore.liveVersionOf(spark, root) == liveAfter,
+      "an under-cap replay must not commit anything")
+  }
+
+  test("partitionColsOf: uniform k=v chains only — flat and mixed layouts yield None") {
+    def e(key: String) = GraftStore.FileEntry(key, "/b", s"/b$key", 1L)
+    assert(DeleteVectors.partitionColsOf(Seq(
+      e("/cluster=dev/date=2024-01-01/a.parquet"),
+      e("/cluster=dev/date=2024-01-02/b.parquet")))
+      .contains(Seq("cluster", "date")))
+    assert(DeleteVectors.partitionColsOf(Seq(e("/a.parquet"))).isEmpty)
+    assert(DeleteVectors.partitionColsOf(Seq(
+      e("/date=2024-01-01/a.parquet"), e("/b.parquet"))).isEmpty,
+      "a flat legacy file beside k= dirs must not derive from the first entry")
+    assert(DeleteVectors.partitionColsOf(Seq(
+      e("/date=2024-01-01/a.parquet"), e("/cluster=dev/b.parquet"))).isEmpty,
+      "disagreeing chains must not derive")
+    assert(DeleteVectors.partitionColsOf(Seq.empty).isEmpty)
+  }
+
   test("huge-debt bucketed range anti-join: scattered AND contiguous vectors apply exactly") {
     // force every read through the bucketed branch (the explode branch is
     // covered by all the other cases); the sf100 x15 rerun hung 80 min in
