@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage-level decomposition of the TPC-H queries that run >2× DuckDB at
+  * sf10 (q3, q9, q13, q14, q18, a3 — VERDICT r9–r12's standing attribution
+  * item). Each query is split into its scan / join / aggregate stages and
+  * every stage is timed in isolation (noop sink, warm cache, best of two),
+  * so the paired DuckDB decomposition (`duck_decompose.py`, same stages in
+  * SQL) attributes the gap to a specific operator instead of a ratio.
+  *
+  * Usage: `BenchDecompose <sfDir>`; respects SPARK_GRAFT_CACHE_LEVEL
+  * (MEMORY_ONLY = the bench's serving shape, NONE = the parquet-scan
+  * DuckDB-comparable shape). One JSON line per stage; summary line last.
+  */
+object BenchDecompose {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    floor(c * 100 + 0.5).cast("long")
+  private def money(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+  private def discPrice =
+    money(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - money(col("l_discount")))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local("graft-bench-decompose")
+    spark.sparkContext.setLogLevel("ERROR")
+    if (!sys.env.get("SPARK_GRAFT_CACHE_LEVEL").contains("NONE")) {
+      Tables.enableCache()
+      Seq("lineitem", "orders", "customer", "part", "supplier", "nation")
+        .foreach(t => Tables.table(spark, sfDir, t).count())
+    }
+
+    def li = Tables.lineitem(spark, sfDir)
+    def ord = Tables.orders(spark, sfDir)
+    def cust = Tables.customer(spark, sfDir)
+    def part = Tables.part(spark, sfDir)
+
+    val stages: Seq[(String, () => DataFrame)] = Seq(
+      // ---- raw scan rates ------------------------------------------------
+      "li_count" -> (() => li.groupBy().agg(count(lit(1)).as("n"))),
+      // decode 2 money columns + cents arithmetic, no filter/join
+      "li_scan_cents" -> (() => li.agg(
+        sum(cents(col("l_extendedprice"))).as("s1"),
+        sum(cents(col("l_discount"))).as("s2"))),
+      // same but decimal arithmetic (the pre-r11 shape) for the cents delta
+      "li_scan_decimal" -> (() => li.agg(
+        sum(discPrice).cast("double").as("s"))),
+      // ---- q14: one-month window -----------------------------------------
+      // filter + aggregate only (no part join): isolates scan+filter cost
+      "q14_scanfilter" -> (() => li
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .agg(sum(cents(col("l_extendedprice"))).as("s"), count(lit(1)).as("n"))),
+      // + the broadcast part join, still trivial agg: isolates probe cost
+      "q14_join" -> (() => li
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(graft.plans.Hints.dimBroadcast(
+          part.select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(count(lit(1)).as("n"))),
+      "q14_full" -> (() => queries.RelationalQueries.promoRevenue(spark, sfDir)),
+      // ---- q3 --------------------------------------------------------------
+      // the shrunken build side alone (orders⋈customer under both filters)
+      "q3_ordcust" -> (() => ord
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+        .join(graft.plans.Hints.dimBroadcast(
+          cust.filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("n"))),
+      // the big join, trivial agg (no groupBy shuffle): isolates join cost
+      "q3_join" -> (() => {
+        val oc = ord
+          .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+          .join(graft.plans.Hints.dimBroadcast(
+            cust.filter(col("c_mktsegment") === "BUILDING")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"))
+        li.filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+          .join(oc, col("l_orderkey") === col("o_orderkey"))
+          .agg(count(lit(1)).as("n"))
+      }),
+      "q3_full" -> (() => queries.RelationalQueries.topUnshippedOrders(spark, sfDir)),
+      // ---- q18 -------------------------------------------------------------
+      // the orderkey aggregate alone — the only unavoidable fact shuffle
+      "q18_bigkeys" -> (() => li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty_d"))
+        .filter(col("sum_qty_d") > lit(300).cast("decimal(18,2)"))
+        .agg(count(lit(1)).as("n"))),
+      "q18_full" -> (() => queries.RelationalQueries.largeOrders(spark, sfDir)),
+      // ---- q13 -------------------------------------------------------------
+      // join + first aggregate, no second agg/sort
+      "q13_join" -> (() => cust
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .agg(count(lit(1)).as("n"))),
+      "q13_full" -> (() => queries.RelationalQueries.orderCountDistribution(spark, sfDir)),
+      // ---- q9 --------------------------------------------------------------
+      // fact ⋈ red-parts only (broadcast), trivial agg
+      "q9_partjoin" -> (() => li
+        .join(graft.plans.Hints.dimBroadcast(
+          part.filter(col("p_name").like("red%")).select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(count(lit(1)).as("n"))),
+      // + the orders shuffle join
+      "q9_ordjoin" -> (() => li
+        .join(graft.plans.Hints.dimBroadcast(
+          part.filter(col("p_name").like("red%")).select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(ord.select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))),
+      "q9_full" -> (() => queries.RelationalQueries.productProfit(spark, sfDir)),
+      // ---- a3 --------------------------------------------------------------
+      // the dedup-first pre-aggregate (the only fact shuffle)
+      "a3_presum" -> (() => li.select(col("l_partkey"), col("l_suppkey"))
+        .join(graft.plans.Hints.dimBroadcast(
+          part.select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("l_suppkey")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n"))),
+      "a3_full" -> (() => queries.RelationalQueries.distinctSuppliersPerBrand(spark, sfDir)),
+      // ---- variants: the levers the base stages point at --------------------
+      // q14's +2.3s over its scan stage is the 2M-row part broadcast (a
+      // SINGLE-THREADED driver hash build); the filtered fact side is ~1/84
+      // of lineitem, so a shuffle-hash join moves ~700k rows instead
+      "v_q14_join_shuffle" -> (() => li
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(part.select(col("p_partkey"), col("p_type")).hint("shuffle_hash"),
+          col("l_partkey") === col("p_partkey"))
+        .agg(count(lit(1)).as("n"))),
+      // q3: same question for the ~3%-of-orders build side
+      "v_q3_join_shuffle" -> (() => {
+        val oc = ord
+          .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+          .join(graft.plans.Hints.dimBroadcast(
+            cust.filter(col("c_mktsegment") === "BUILDING")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"))
+        li.filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+          .join(oc.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+          .agg(count(lit(1)).as("n"))
+      }),
+      // q18: decimal sum vs long-hundredths sum through the 15M-group agg
+      "v_q18_bigkeys_long" -> (() => li.groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"))
+        .filter(col("sum_qty_c") > lit(30000L))
+        .agg(count(lit(1)).as("n"))),
+      // q9: long-cents profit arithmetic through the full query shape
+      "v_q9_cents" -> (() => li
+        .join(graft.plans.Hints.dimBroadcast(
+          part.filter(col("p_name").like("red%")).select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(ord.select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(date_format(col("o_orderdate"), "yyyy").as("o_year"))
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("s"))),
+      // q13: pre-aggregate orders per custkey BEFORE joining customer — the
+      // join then moves 1 row per customer instead of 1 per order
+      "v_q13_preagg" -> (() => {
+        val perCust = ord.groupBy(col("o_custkey")).agg(count(lit(1)).as("c_count"))
+        cust.join(graft.plans.Hints.dimBroadcast(perCust),
+            col("c_custkey") === col("o_custkey"), "left_outer")
+          .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+          .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      })
+    )
+
+    val reps = sys.env.getOrElse("SPARK_GRAFT_DECOMPOSE_REPS", "4").toInt
+    val out = scala.collection.mutable.LinkedHashMap[String, Double]()
+    stages.foreach { case (name, mk) =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        mk().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // warm once untimed, then median of `reps-1` (this box's CPU drift
+      // makes best-of-two lie — r13 saw a sub-stage time above its superset)
+      once()
+      val ts = Seq.fill(math.max(1, reps - 1))(once()).sorted
+      val t = ts(ts.length / 2)
+      out(name) = t
+      println(f"""{"stage":"$name","sec":$t%.3f,"spread":"${ts.head}%.2f-${ts.last}%.2f"}""")
+    }
+    val qj = out.map { case (n, t) => "\"" + n + "\":" + f"$t%.3f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"decompose","queries":$qj,"sf":"$sfDir","cache":"${sys.env.getOrElse("SPARK_GRAFT_CACHE_LEVEL", "MEMORY_AND_DISK")}"}""")
+    spark.stop()
+  }
+}

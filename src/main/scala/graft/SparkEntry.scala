@@ -355,8 +355,8 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_top_revenue" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |  CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) *
+        |           (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -366,8 +366,8 @@ object SparkEntry {
         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_local_volume" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |  CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) *
+        |           (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -430,8 +430,8 @@ object SparkEntry {
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |  CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) *
+        |           (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -452,8 +452,8 @@ object SparkEntry {
     "q7_nation_volume" ->
       """SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
         |  strftime(l_shipdate, '%Y') AS l_year,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |  CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) *
+        |           (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -467,8 +467,8 @@ object SparkEntry {
     "q8_market_share" ->
       """WITH v AS (
         |  SELECT strftime(o_orderdate, '%Y') AS o_year,
-        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+        |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) *
+        |      (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT)) AS volume,
         |    n2.n_name AS supp_nation
         |  FROM lineitem
         |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
@@ -479,12 +479,14 @@ object SparkEntry {
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
         |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
-        |SELECT o_year,
-        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_volume,
-        |  CAST(SUM(volume) AS DOUBLE) AS total_volume,
-        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-        |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
-        |FROM v GROUP BY 1 ORDER BY o_year""".stripMargin,
+        |SELECT o_year, nation_volume, total_volume,
+        |  nation_volume / total_volume AS mkt_share
+        |FROM (
+        |  SELECT o_year,
+        |    CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE) / 10000.0 AS nation_volume,
+        |    CAST(SUM(volume) AS DOUBLE) / 10000.0 AS total_volume
+        |  FROM v GROUP BY 1)
+        |ORDER BY o_year""".stripMargin,
     "q14_promo_revenue" ->
       """WITH s AS (
         |  SELECT
@@ -502,8 +504,8 @@ object SparkEntry {
     "q15_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        |    CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) *
+        |             (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
         |  GROUP BY l_suppkey)
@@ -513,19 +515,19 @@ object SparkEntry {
         |ORDER BY s_suppkey""".stripMargin,
     "q18_large_orders" ->
       """WITH big AS (
-        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_d
+        |  SELECT l_orderkey, SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS sum_qty_c
         |  FROM lineitem GROUP BY l_orderkey
-        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |  HAVING SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) > 30000)
         |SELECT c_custkey, c_name, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice,
-        |  CAST(sum_qty_d AS DOUBLE) AS sum_qty
+        |  CAST(sum_qty_c AS DOUBLE) / 100.0 AS sum_qty
         |FROM orders
         |JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
     "q19_disjunctive_predicates" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |               (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      """SELECT CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) *
+        |               (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
         |  count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -564,8 +566,8 @@ object SparkEntry {
         |ORDER BY p_type""".stripMargin,
     "q9_product_profit" ->
       """SELECT n_name AS nation, strftime(o_orderdate, '%Y') AS o_year,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_profit
+        |  CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) *
+        |           (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
         |JOIN orders ON l_orderkey = o_orderkey
@@ -574,12 +576,12 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
     "q11_important_parts" ->
       """WITH v AS (
-        |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_d
+        |  SELECT l_partkey, SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS value_c
         |  FROM lineitem GROUP BY 1)
-        |SELECT l_partkey, CAST(value_d AS DOUBLE) AS value
+        |SELECT l_partkey, CAST(value_c AS DOUBLE) / 100.0 AS value
         |FROM v
-        |WHERE CAST(value_d AS DOUBLE) >
-        |      (SELECT 1.2 * CAST(SUM(value_d) AS DOUBLE) / COUNT(*) FROM v)
+        |WHERE CAST(value_c AS DOUBLE) >
+        |      (SELECT 1.2 * CAST(SUM(value_c) AS DOUBLE) / COUNT(*) FROM v)
         |ORDER BY value DESC, l_partkey""".stripMargin,
     "q12_priority_lines" ->
       """SELECT l_linestatus,

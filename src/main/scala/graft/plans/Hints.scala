@@ -25,6 +25,15 @@ object Hints {
   /** Hard default: a dimension over this estimate is not hinted. 256 MB —
     * well past any sane `autoBroadcastJoinThreshold`, well short of an
     * executor heap; override with `graft.broadcast.maxBytes`.
+    *
+    * The force is sized for joins whose PROBE side is full-fact-scale,
+    * where even a ~100 MB single-threaded driver build beats shuffling the
+    * fact table (measured: a3's 2M-row part broadcast vs a second 60M-row
+    * shuffle, 4 s vs 49 s at the 100× rehearsal). When the fact side is
+    * already filtered to a sliver (q14's one-month window), don't call this
+    * at all — a plain join lets AQE broadcast at runtime if either side is
+    * actually small, and shuffle two small sides otherwise (r13 measured
+    * the forced 2M-row build at +0.5 s over that).
     */
   val DefaultMaxBroadcastBytes: Long = 256L << 20
 

@@ -88,8 +88,9 @@ object RelationalQueries {
       .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
     li.join(ordCust, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - money(col("l_discount"))))
-        .cast("double").as("revenue"))
+      // plain long-cents sum (see [[dpc]]): one order's lines are structurally
+      // few, so the per-group long subtotal can't overflow at any sf
+      .agg((sum(dpc).cast("double") / 10000.0).as("revenue"))
       .select(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_orderpriority"), col("revenue"))
@@ -116,9 +117,12 @@ object RelationalQueries {
         col("o_custkey") === col("c_custkey"))
       .join(Hints.dimBroadcast(supp), col("l_suppkey") === col("s_suppkey") &&
         col("s_nationkey") === col("c_nationkey"))
+      // hierarchical long-cents (the q1 pattern): per-(group, partition)
+      // long subtotals, decimal re-sum over the handful of subtotal rows
+      .groupBy(col("n_name"), spark_partition_id().as("_b"))
+      .agg(sum(dpc).as("_r"))
       .groupBy(col("n_name"))
-      .agg(sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - money(col("l_discount"))))
-        .cast("double").as("revenue"))
+      .agg((sum(col("_r").cast("decimal(20,0)")).cast("double") / 10000.0).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -199,8 +203,8 @@ object RelationalQueries {
       .join(Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("c_custkey"), col("c_name"))
-      .agg(sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - money(col("l_discount"))))
-        .cast("double").as("revenue"))
+      // plain long-cents: one customer's returned lines are structurally few
+      .agg((sum(dpc).cast("double") / 10000.0).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
 
@@ -263,6 +267,18 @@ object RelationalQueries {
   private def discPrice =
     money(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - money(col("l_discount")))
 
+  /** discPrice in exact long hundredths-of-cents (see [[cents]]): one
+    * primitive multiply per row inside whole-stage codegen, against
+    * [[discPrice]]'s per-row Decimal allocation — measured 15× on a
+    * full-lineitem aggregate at the 100× rehearsal scale. Sums divide by
+    * 10000.0 AFTER the exact integer aggregate; each oracle restates the
+    * identical cents pipeline so the one double rounding is shared.
+    * Per-(group, partition) long subtotals overflow only past ~9e9 rows
+    * per group per partition (dpc < 1e9); groups with unbounded row counts
+    * re-sum subtotals as decimal(20,0) — the q1 hierarchical pattern.
+    */
+  private def dpc = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+
   /** TPC-H Q7 shape: bilateral trade volume between two nations by year.
     * Scale: nation/supplier are broadcast dims; the customer⋈orders⋈lineitem
     * chain shuffles once per key it already needs. The two-direction predicate
@@ -282,8 +298,11 @@ object RelationalQueries {
       .filter((col("cust_nation") === "NATION_1" && col("supp_nation") === "NATION_2") ||
         (col("cust_nation") === "NATION_2" && col("supp_nation") === "NATION_1"))
       .groupBy(col("supp_nation"), col("cust_nation"),
-        date_format(col("l_shipdate"), "yyyy").as("l_year"))
-      .agg(sum(discPrice).cast("double").as("revenue"))
+        date_format(col("l_shipdate"), "yyyy").as("l_year"),
+        spark_partition_id().as("_b"))
+      .agg(sum(dpc).as("_r"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg((sum(col("_r").cast("decimal(20,0)")).cast("double") / 10000.0).as("revenue"))
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
@@ -309,11 +328,15 @@ object RelationalQueries {
       .join(Hints.dimBroadcast(custNations), col("c_nationkey") === col("ck"))
       .join(Hints.dimBroadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
       .join(Hints.dimBroadcast(suppNations), col("s_nationkey") === col("sk"))
-      .groupBy(date_format(col("o_orderdate"), "yyyy").as("o_year"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy").as("o_year"),
+        spark_partition_id().as("_b"))
       .agg(
-        sum(when(col("supp_nation") === "NATION_3", discPrice)
-          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("nation_volume"),
-        sum(discPrice).cast("double").as("total_volume"))
+        sum(when(col("supp_nation") === "NATION_3", dpc).otherwise(lit(0L))).as("_n"),
+        sum(dpc).as("_t"))
+      .groupBy(col("o_year"))
+      .agg(
+        (sum(col("_n").cast("decimal(20,0)")).cast("double") / 10000.0).as("nation_volume"),
+        (sum(col("_t").cast("decimal(20,0)")).cast("double") / 10000.0).as("total_volume"))
       .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
       .orderBy(col("o_year"))
   }
@@ -329,7 +352,11 @@ object RelationalQueries {
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
-      .join(Hints.dimBroadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))),
+      // deliberately NOT dimBroadcast (see Hints doc): the month window
+      // shrinks the fact side to ~1%, so shuffling two small sides beats a
+      // single-threaded driver build of the FULL part dim (r13: 0.6 s vs
+      // 1.0 s at sf10); AQE still broadcasts while part is actually small
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_type")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(spark_partition_id().as("_b"))
       .agg(
@@ -351,7 +378,9 @@ object RelationalQueries {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
-      .agg(sum(discPrice).cast("double").as("total_revenue"))
+      // plain long-cents: one supplier's quarter lines are bounded (lineitem
+      // and supplier cardinalities scale together)
+      .agg((sum(dpc).cast("double") / 10000.0).as("total_revenue"))
       // the aggregate feeds BOTH the max scalar and the equality filter;
       // without the cache Spark inlines it and aggregates the fact table
       // twice (the q11 lesson). persist() is supplier-cardinality. The
@@ -372,16 +401,19 @@ object RelationalQueries {
     * feeding a join back to the order/customer detail, top-10 by price.
     */
   def largeOrders(spark: SparkSession, dir: String): DataFrame = {
+    // quantity in exact hundredths (2-dp testdata money rule applies to
+    // quantities too): a long sum per order instead of per-row Decimals —
+    // the 15M-group aggregate is this query's whole cost at scale
     val bigKeys = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
-      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty_d"))
-      .filter(col("sum_qty_d") > lit(300).cast("decimal(18,2)"))
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"))
+      .filter(col("sum_qty_c") > lit(30000L))
     Tables.orders(spark, dir)
       .join(bigKeys, col("o_orderkey") === col("l_orderkey"))
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
-        col("o_totalprice"), col("sum_qty_d").cast("double").as("sum_qty"))
+        col("o_totalprice"), (col("sum_qty_c").cast("double") / 100.0).as("sum_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
   }
@@ -400,7 +432,11 @@ object RelationalQueries {
           col("l_quantity").between(10, 20)) ||
         (col("p_brand") === "Brand#13" && col("p_size").between(1, 35) &&
           col("l_quantity").between(20, 30)))
-      .agg(sum(discPrice).cast("double").as("revenue"), count(lit(1)).as("n"))
+      // global group over a scale-growing match set → hierarchical cents
+      .groupBy(spark_partition_id().as("_b"))
+      .agg(sum(dpc).as("_r"), count(lit(1)).as("_n"))
+      .agg((sum(col("_r").cast("decimal(20,0)")).cast("double") / 10000.0).as("revenue"),
+        sum(col("_n")).as("n"))
 
   /** TPC-H Q22 shape: well-funded customers with no LARGE order — a scalar
     * average subquery (computed once, broadcast back) + left-anti join.
@@ -481,8 +517,11 @@ object RelationalQueries {
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"),
-        date_format(col("o_orderdate"), "yyyy").as("o_year"))
-      .agg(sum(discPrice).cast("double").as("sum_profit"))
+        date_format(col("o_orderdate"), "yyyy").as("o_year"),
+        spark_partition_id().as("_b"))
+      .agg(sum(dpc).as("_r"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg((sum(col("_r").cast("decimal(20,0)")).cast("double") / 10000.0).as("sum_profit"))
       .orderBy(col("nation"), col("o_year").desc)
 
   /** TPC-H Q11 shape (important stock: parts whose aggregate lineitem value
@@ -501,18 +540,22 @@ object RelationalQueries {
     * calls reuse rather than leak entries.
     */
   def importantParts(spark: SparkSession, dir: String): DataFrame = {
+    // long-cents per part (one part's lines are bounded); the threshold and
+    // the filter stay on the CENTS scale end-to-end so the boundary
+    // comparison is the same double comparison the oracle restates
     val perPart = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
-      .agg(sum(money(col("l_extendedprice"))).as("value_d"))
+      .agg(sum(cents(col("l_extendedprice"))).as("value_c"))
       .persist()
     // scale-free threshold (1.2× the mean per-part value): a fixed fraction
     // of the grand total selects ~nothing once the part count grows, while a
     // mean multiple tracks the distribution at every scale factor
     val threshold = perPart.agg(
-      (lit(1.2) * sum(col("value_d")).cast("double") / count(lit(1))).as("thresh"))
+      (lit(1.2) * sum(col("value_c").cast("decimal(20,0)")).cast("double") /
+        count(lit(1))).as("thresh"))
     perPart.join(broadcast(threshold))
-      .filter(col("value_d").cast("double") > col("thresh"))
-      .select(col("l_partkey"), col("value_d").cast("double").as("value"))
+      .filter(col("value_c").cast("double") > col("thresh"))
+      .select(col("l_partkey"), (col("value_c").cast("double") / 100.0).as("value"))
       .orderBy(col("value").desc, col("l_partkey"))
   }
 
