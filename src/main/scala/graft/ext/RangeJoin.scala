@@ -25,7 +25,8 @@ import graft.logs.CriFunctions
   *
   *  1. shuffle the union on a time bucket; within each bucket one sort +
   *     running `sum(weight)` gives F relative to the bucket start;
-  *  2. per-bucket totals (tiny: one row per OCCUPIED bucket) prefix-sum
+  *  2. per-bucket totals (tiny: ~4 buckets per core, width sized from the
+  *     observed span — see the width note in [[countInWindow]]) prefix-sum
   *     into absolute offsets — the only global ordering in the plan runs
   *     over bucket aggregates, never events;
   *  3. F(probe) = offset(bucket) + running-in-bucket; the answer is
@@ -65,8 +66,26 @@ object RangeJoin {
         lit(null).cast(left.schema(leftTs).dataType).as("_pts"),
         col(rightTs).cast("long").as("t"), lit(0).as("sign"),
         lit(1L).as("w"), lit(0).as("is_probe"))
-    val ev = rightEv.unionByName(probeEv)
-      .withColumn("b", CriFunctions.longDiv(col("t"), windowUs))
+    val union = rightEv.unionByName(probeEv)
+    // The bucket is ONLY a partitioning device — F decomposes over ANY
+    // width (per-bucket running count + bucket-prefix offsets), so the
+    // width is sized from the observed time span to give ~4 sort tasks
+    // per core. Tying it to windowUs (the r12 shape) made parallelism
+    // span/window: a dense corpus spanning minutes with a 60 s window ran
+    // the in-bucket sorts on FOUR tasks at every sf — 35 s at sf10 AND
+    // sf100. One cheap min/max job buys scale-free parallelism; rows are
+    // assumed ~uniform in time (a pathological single-bucket spike sorts
+    // in one task, the same box it would hash to by window).
+    val spark = left.sparkSession
+    val statsRow = union.agg(min(col("t")).as("mn"), max(col("t")).as("mx")).head
+    if (statsRow.isNullAt(0))
+      return left.select(col(leftId), col(leftTs))
+        .withColumn("n_in_window", lit(0L))
+    val (mn, mx) = (statsRow.getLong(0), statsRow.getLong(1))
+    val targetBuckets = spark.sessionState.conf.numShufflePartitions.toLong * 4
+    val width = math.max(1L, (mx - mn) / targetBuckets + 1)
+    val ev = union
+      .withColumn("b", CriFunctions.longDiv(col("t") - mn, width))
     // stage 1: running count within each bucket (right events sort before
     // probes at equal t — the inclusive `rt ≤ x` bound)
     val inBucket = Window.partitionBy(col("b"))
