@@ -47,6 +47,12 @@ object RangeJoin {
     * is never dropped. Counts are keyed by (id, ts), so duplicate ids (or
     * fully duplicated rows) each receive their own window's count, never a
     * sum across duplicates.
+    *
+    * NOT a pure plan builder: sizing the buckets runs ONE EAGER Spark job
+    * at call time (min/max of the union — an extra scan of both inputs),
+    * so this is a batch-only operator; composing it over a streaming
+    * DataFrame would throw, and callers that re-derive the span cheaply
+    * (column stats, a cached union) can shave the extra scan.
     */
   def countInWindow(left: DataFrame, leftId: String, leftTs: String,
       right: DataFrame, rightTs: String, windowUs: Long): DataFrame = {
@@ -95,8 +101,9 @@ object RangeJoin {
     // stage 2: absolute offsets from per-bucket totals. Probes contribute
     // w=0 rows, so grouping the union (not just right events) keeps every
     // probe-only bucket present in the offset table with the correct prefix.
-    // The global window runs over ONE ROW PER OCCUPIED BUCKET — bounded by
-    // time-span/window, not by event count.
+    // The global window runs over ONE ROW PER OCCUPIED BUCKET — at most
+    // ~4 buckets per shuffle partition by the width sizing above, never a
+    // function of event count.
     val offsets = ev.groupBy(col("b")).agg(sum(col("w")).as("cnt"))
       .withColumn("off", coalesce(
         sum(col("cnt")).over(Window.orderBy(col("b"))

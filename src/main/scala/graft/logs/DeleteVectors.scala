@@ -47,6 +47,8 @@ import org.apache.hadoop.fs.Path
   */
 object DeleteVectors {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   val DeletesName = "_graft_deletes"
 
   /** Refuse deletes whose merged vector exceeds this many ranges: at that
@@ -90,6 +92,71 @@ object DeleteVectors {
     }
     out += ((start, prev))
     out.result()
+  }
+
+  /** Executor-side run-length compression of a matched `(PathCol, PosCol)`
+    * frame: the driver receives ONE ROW PER TOUCHED FILE — `(normalized
+    * path, matched-position count, ranges packed as big-endian long pairs)`
+    * — never the positions themselves. The r13 shape
+    * (`groupBy(file).agg(sort_array(collect_list(pos))).collect()`) pulled
+    * O(matched rows) longs through the driver and compressed them
+    * single-threaded BEFORE the maxRanges cap could bite; a bulk
+    * decontamination delete at 100 TB (the sf100 rehearsal's 27%-of-170M
+    * strike is ~46M positions) OOMs a driver that way. Here the shuffle is
+    * hash-partitioned on the file path and SORT-based (spillable), each
+    * task emits its files' compressed runs in one linear pass, and driver
+    * memory is O(total ranges) — exactly the size of the sidecar it must
+    * write anyway, and what [[MaxRangesDefault]] actually bounds.
+    */
+  private[graft] def collectFileRanges(matched: DataFrame)
+      : Array[(String, Long, Array[Byte])] = {
+    val spark = matched.sparkSession
+    import spark.implicits._
+    matched
+      .select(col(PathCol).as("p"), col(PosCol).cast("long").as("pos"))
+      .repartition(col("p"))
+      .sortWithinPartitions(col("p"), col("pos"))
+      .as[(String, Long)]
+      .mapPartitions { rows =>
+        // all rows of one file are contiguous here (hash-partitioned on
+        // path, sorted by (path, pos)): one streaming pass per file
+        val it = rows.buffered
+        new Iterator[(String, Long, Array[Byte])] {
+          override def hasNext: Boolean = it.hasNext
+          override def next(): (String, Long, Array[Byte]) = {
+            val path = it.head._1
+            val bytes = new java.io.ByteArrayOutputStream()
+            val out = new java.io.DataOutputStream(bytes)
+            var n = 0L
+            var start = 0L
+            var prev = 0L
+            while (it.hasNext && it.head._1 == path) {
+              val pos = it.next()._2
+              if (n == 0L) { start = pos; prev = pos }
+              else {
+                require(pos > prev,
+                  s"positions must be strictly increasing per file, saw " +
+                    s"$prev then $pos in $path")
+                if (pos == prev + 1) prev = pos
+                else { out.writeLong(start); out.writeLong(prev); start = pos; prev = pos }
+              }
+              n += 1
+            }
+            out.writeLong(start); out.writeLong(prev)
+            (path, n, bytes.toByteArray)
+          }
+        }
+      }
+      .collect()
+  }
+
+  /** Inverse of [[collectFileRanges]]'s packing: big-endian `[start, end]`
+    * long pairs → the range list a [[Dv]] carries.
+    */
+  private[graft] def unpackRanges(packed: Array[Byte]): Seq[(Long, Long)] = {
+    require(packed.length % 16 == 0, s"packed ranges length ${packed.length}")
+    val bb = java.nio.ByteBuffer.wrap(packed)
+    Seq.fill(packed.length / 16)((bb.getLong(), bb.getLong()))
   }
 
   /** Union of two range sets (merging overlaps/adjacency). */
@@ -220,6 +287,17 @@ object DeleteVectors {
     * sidecar. Zero data bytes move; the pre-delete snapshot stays
     * time-travelable until vacuumed. Exactly-once replay by `commitId`
     * (same contract as [[AppendCommit]]).
+    *
+    * Replay + over-cap interaction: a same-`commitId` retry re-checks the
+    * CURRENT live sidecar against THIS call's `maxRanges` (the sidecar does
+    * not attribute ranges to commits), so a retry that races later deletes
+    * — or passes a tighter cap — may materialize debt those commits left
+    * behind. That over-repair is deliberate: it is how a crash between the
+    * original over-cap vector commit and its deferred copy-on-write rewrite
+    * gets repaired by retry instead of waiting for unrelated maintenance.
+    * If the layout has meanwhile become un-routable (flat/mixed), the
+    * replay skips the rewrite with a warning rather than failing an
+    * otherwise idempotent call.
     */
   def deleteWhere(spark: SparkSession, root: String, condition: Column,
       commitId: Option[String] = None,
@@ -330,10 +408,20 @@ object DeleteVectors {
         // copy-on-write compaction leaves the big sidecar live; re-report
         // over-cap from the LIVE sidecar so the retry re-runs the deferred
         // rewrite (idempotent — a materialized original reads back under
-        // cap and replays with over=false).
-        val (_, liveDir, _) = liveVersion(spark, root)
+        // cap and replays with over=false). See [[deleteWhere]]'s scaladoc
+        // for the current-sidecar/current-cap semantics. If the layout has
+        // since become flat/mixed (out-of-protocol mutation), compaction
+        // cannot route — skip the rewrite with a warning instead of
+        // throwing from an idempotent replay.
+        val (liveV, liveDir, _) = liveVersion(spark, root)
         val over = allowOverCap && totalRanges(read(spark, liveDir)) > maxRanges
-        return (DeleteCommitted(v, 0L, replayed = true), over)
+        val routable = !over || partitionColsOf(
+          GraftStore.compositeEntries(spark, root, liveV)).isDefined
+        if (over && !routable)
+          log.warn(s"replayed delete on $root finds the live sidecar over " +
+            s"cap but the layout is flat or mixed — skipping the deferred " +
+            "copy-on-write rewrite; run Compaction.compactHive(full=true)")
+        return (DeleteCommitted(v, 0L, replayed = true), over && routable)
       }
       requireNoCompactMarker(spark, root)
       val (cur, curDir, dirOf) = liveVersion(spark, root)
@@ -341,21 +429,20 @@ object DeleteVectors {
       val prior = read(spark, curDir)
       // matched rows: the live view (existing vectors applied — a re-delete
       // of already-deleted rows is a no-op) through the caller's matcher,
-      // reduced to (file, position). A dataless store matches nothing (and
-      // has no schema to read).
+      // reduced to ONE driver row per touched FILE with the positions
+      // already run-length compressed executor-side ([[collectFileRanges]]).
+      // A dataless store matches nothing (and has no schema to read).
       val matched =
-        if (entries.isEmpty) Array.empty[org.apache.spark.sql.Row]
-        else matchRows(taggedLiveRead(spark, root, cur, prior, entries))
-          .groupBy(col(PathCol)).agg(sort_array(collect_list(col(PosCol))).as("ps"))
-          .collect()
+        if (entries.isEmpty) Array.empty[(String, Long, Array[Byte])]
+        else collectFileRanges(
+          matchRows(taggedLiveRead(spark, root, cur, prior, entries)))
       val keyOfNorm = entries.map(e => (normalizePath(e.physical), e)).toMap
       var newPositions = 0L
-      val additions: Map[String, Dv] = matched.map { r =>
-        val e = keyOfNorm.getOrElse(r.getString(0), throw new IllegalStateException(
-          s"matched file ${r.getString(0)} is not in the snapshot inventory"))
-        val ps = r.getSeq[Long](1)
-        newPositions += ps.length
-        (e.key, Dv(e.len, compress(ps)))
+      val additions: Map[String, Dv] = matched.map { case (path, n, packed) =>
+        val e = keyOfNorm.getOrElse(path, throw new IllegalStateException(
+          s"matched file $path is not in the snapshot inventory"))
+        newPositions += n
+        (e.key, Dv(e.len, unpackRanges(packed)))
       }.toMap
       if (additions.isEmpty)
         return (DeleteCommitted(cur, 0L, replayed = false), false)
@@ -422,6 +509,11 @@ object DeleteVectors {
     * supply `updates` unique per key (duplicates insert duplicates, the
     * plain UNION semantics). `updates` must carry the store's partition
     * columns.
+    *
+    * Replay + over-cap: like [[deleteWhere]], a same-`commitId` retry
+    * re-checks the CURRENT live sidecar against THIS call's `maxRanges`;
+    * the deferred rewrite routes through the caller's `partitionCols`
+    * (the merge contract already pins them to the store layout).
     */
   def mergeByKey(spark: SparkSession, root: String, updates: DataFrame,
       keyCols: Seq[String], partitionCols: Seq[String],
@@ -480,23 +572,22 @@ object DeleteVectors {
       //    merge's key set grows with the update, and a forced hint there
       //    is an executor OOM; past the cap the semi-join shuffles and AQE
       //    still broadcasts at runtime if the actual size allows)
-      //    and collect (file, position)
+      //    and collect one compressed row per touched FILE
+      //    ([[collectFileRanges]] — never the raw positions)
       val keys = updates.select(keyCols.map(col): _*).distinct()
       // a dataless store (fresh streaming sink, first batch) matches nothing
       val matched =
-        if (entries.isEmpty) Array.empty[org.apache.spark.sql.Row]
-        else taggedLiveRead(spark, root, cur, prior, entries)
-          .join(graft.plans.Hints.dimBroadcast(keys), keyCols, "left_semi")
-          .groupBy(col(PathCol)).agg(sort_array(collect_list(col(PosCol))).as("ps"))
-          .collect()
+        if (entries.isEmpty) Array.empty[(String, Long, Array[Byte])]
+        else collectFileRanges(
+          taggedLiveRead(spark, root, cur, prior, entries)
+            .join(graft.plans.Hints.dimBroadcast(keys), keyCols, "left_semi"))
       val keyOfNorm = entries.map(e => (normalizePath(e.physical), e)).toMap
       var matchedRows = 0L
-      val additions: Map[String, Dv] = matched.map { r =>
-        val e = keyOfNorm.getOrElse(r.getString(0), throw new IllegalStateException(
-          s"matched file ${r.getString(0)} is not in the snapshot inventory"))
-        val ps = r.getSeq[Long](1)
-        matchedRows += ps.length
-        (e.key, Dv(e.len, compress(ps)))
+      val additions: Map[String, Dv] = matched.map { case (path, n, packed) =>
+        val e = keyOfNorm.getOrElse(path, throw new IllegalStateException(
+          s"matched file $path is not in the snapshot inventory"))
+        matchedRows += n
+        (e.key, Dv(e.len, unpackRanges(packed)))
       }.toMap
       val merged = (prior.keySet ++ additions.keySet).iterator.map { k =>
         (prior.get(k), additions.get(k)) match {

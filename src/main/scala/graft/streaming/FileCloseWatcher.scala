@@ -231,9 +231,17 @@ final class FileCloseWatcher(podsRoot: String,
       .groupBy(e => Option(e.getKey.getParent))
       .foreach { case (dirOpt, entries) =>
         if (entries.forall(_.getValue <= cutoff)) {
-          val undisturbed =
-            entries.forall(e => lastWrite.remove(e.getKey, e.getValue))
-          if (undisturbed) dirOpt.foreach(emit)
+          // map (no short-circuit), so every sibling's removal outcome is
+          // known: on a veto the already-removed siblings are re-inserted
+          // (putIfAbsent — a racing write's fresher timestamp wins), or a
+          // silently-untracked sibling would later suppress the dir's
+          // debounce close via hasLiveLog with no quiescence entry left
+          val removed = entries.map(e =>
+            (e, lastWrite.remove(e.getKey, e.getValue)))
+          if (removed.forall(_._2)) dirOpt.foreach(emit)
+          else removed.foreach { case (e, wasRemoved) =>
+            if (wasRemoved) lastWrite.putIfAbsent(e.getKey, e.getValue)
+          }
         }
       }
   }

@@ -210,6 +210,36 @@ class DeleteVectorSpec extends SparkSpec {
     } finally DeleteVectors.ExplodePositionsMax = prev
   }
 
+  test("matched positions compress executor-side: the driver collects one row per FILE") {
+    // r13 pulled O(matched rows) positions through the driver
+    // (groupBy + collect_list + driver compress); the r14 contract is one
+    // compressed row per touched file — here 3 files, 9 matched rows
+    val matched = Seq(
+      ("/f/a", 0L), ("/f/a", 1L), ("/f/a", 2L), ("/f/a", 10L),
+      ("/f/b", 5L), ("/f/b", 7L), ("/f/b", 8L),
+      ("/f/c", 0L), ("/f/c", 4096L))
+      .toDF(DeleteVectors.PathCol, DeleteVectors.PosCol)
+    val got = DeleteVectors.collectFileRanges(matched)
+    assert(got.length == 3,
+      "driver must receive exactly one row per touched file, not per matched row")
+    val byPath = got.map { case (p, n, packed) =>
+      (p, (n, DeleteVectors.unpackRanges(packed)))
+    }.toMap
+    assert(byPath("/f/a") == ((4L, Seq((0L, 2L), (10L, 10L)))))
+    assert(byPath("/f/b") == ((3L, Seq((5L, 5L), (7L, 8L)))))
+    assert(byPath("/f/c") == ((2L, Seq((0L, 0L), (4096L, 4096L)))))
+    // equivalence with the driver-side reference compressor on a random set
+    val rnd = new scala.util.Random(42)
+    val ps = (0 until 500).map(_ => rnd.nextInt(2000).toLong).distinct.sorted
+    val one = ps.map(p => ("/f/r", p)).toDF(DeleteVectors.PathCol, DeleteVectors.PosCol)
+    val Array((_, n, packed)) = DeleteVectors.collectFileRanges(one)
+    assert(n == ps.length)
+    assert(DeleteVectors.unpackRanges(packed) == DeleteVectors.compress(ps))
+    // empty match: nothing reaches the driver
+    assert(DeleteVectors.collectFileRanges(
+      matched.filter(lit(false))).isEmpty)
+  }
+
   test("range compression and merge are exact") {
     assert(DeleteVectors.compress(Seq(0L, 1L, 2L, 5L, 7L, 8L)) ==
       Seq((0L, 2L), (5L, 5L), (7L, 8L)))
