@@ -148,6 +148,7 @@ object SparkEntry {
     "x23_metadata_agg" -> (StoreMetaAggQuery.run(_, _)),
     "x24_column_pruned" -> (StoreColPrunedQuery.run(_, _)),
     "x25_data_minmax" -> (StoreDataMinMaxQuery.run(_, _)),
+    "x26_dv_meta_count" -> (StoreDvMetaQuery.run(_, _)),
     "v6_random_projection" -> (ExtensionQueries.randomProjectionGates(_, _)),
     "t11_bpe_vocab" -> (ExtensionQueries.bpeVocabGates(_, _)),
     "v7_quantize_int8" -> (ExtensionQueries.quantizationGates(_, _)),
@@ -1277,6 +1278,27 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  TRUE AS double_max_scan_ok
         |FROM events GROUP BY 1 ORDER BY date""".stripMargin,
+    // x26: DV-aware metadata-only aggregates — with LIVE deletion vectors
+    // the engine answers global/grouped COUNT and max(partition col) from
+    // stats-minus-deletes with require()d scanless plans (and require()s
+    // min(time_ns) KEEPS its scan: a deleted row may hold the extreme);
+    // DuckDB restates everything from events minus the strike predicate
+    "x26_dv_meta_count" ->
+      """WITH live AS (
+        |  SELECT * FROM events WHERE (epoch_ns(ts) // 1000) % 97 >= 13),
+        |cut AS (
+        |  SELECT strftime(make_timestamp(
+        |    (max(epoch_ns(ts)) - 604800000000000) // 1000), '%Y-%m-%d') AS d
+        |  FROM events)
+        |SELECT strftime(ts, '%Y-%m-%d') AS date,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM live) AS total_live,
+        |  (SELECT max(strftime(ts, '%Y-%m-%d')) FROM live) AS max_date,
+        |  (SELECT min(epoch_ns(ts)) // 1000 FROM live) AS lo_us,
+        |  TRUE AS dv_live_ok
+        |FROM live
+        |WHERE strftime(ts, '%Y-%m-%d') >= (SELECT d FROM cut)
+        |GROUP BY 1 ORDER BY date""".stripMargin,
     // d11: streaming NEAR-dedup survivors — order-dependent but
     // non-recursive ("earlier SEEN", not "earlier admitted"), so pure SQL:
     // a doc survives iff no exact-Jaccard pair (τ=0.8, the d2 body) links

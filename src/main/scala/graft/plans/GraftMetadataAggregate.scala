@@ -1,12 +1,13 @@
 package graft.plans
 
-import graft.sources.GraftFileIndex
+import graft.sources.{GraftFileIndex, GraftFrameRelation}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, BoundReference, ExprId, Expression, Literal, NamedExpression, PlanExpression, Predicate}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.StructType
 
 /** Metadata-only aggregates over `format("graft")` relations — the
   * optimizer-rule twin of the DSv2 `SupportsPushDownAggregates` contract
@@ -23,10 +24,19 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * day, whole store" is the canonical ops query), the Iceberg/Delta
   * "stats-only query" play.
   *
+  * TWO relation tiers participate:
+  *   - the vector-free fast tier ([[GraftFileIndex]] under a
+  *     [[HadoopFsRelation]]) — physical row counts ARE logical row counts,
+  *     so count and min/max all answer;
+  *   - the merge-on-read tier ([[GraftFrameRelation]] carrying
+  *     [[graft.sources.GraftDvMeta]]) — the deletes sidecar knows EXACT
+  *     per-file deleted counts, so `COUNT = Σ stats.rows − Σ deleted` stays
+  *     zero-I/O under live deletion vectors; `MIN`/`MAX` of a DATA column
+  *     fail open for any group with deletions (a deleted row may hold the
+  *     extreme), while partition-column min/max stay exact — every row of a
+  *     dir shares the dir's value, witnessed by LIVE rows only.
+  *
   * Safety gates, all conservative:
-  *   - fires only on the graft connector's fast tier ([[GraftFileIndex]] —
-  *     which exists only when no deletion vectors are live, so physical row
-  *     counts ARE logical row counts);
   *   - only when EVERY snapshot file has a fresh stats line
   *     ([[GraftFileIndex.completeStats]]); one out-of-protocol file
   *     disables the rewrite wholesale (fail open to the real scan);
@@ -46,22 +56,28 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 object GraftMetadataAggregate extends Rule[LogicalPlan] {
 
+  /** One partition dir's answerable metadata: its internal-typed partition
+    * values, every file's commit-time stats, and the dir's exact
+    * deleted-row total (0 on the vector-free tier).
+    */
+  private type Dir = (Seq[Any], Seq[graft.logs.FileStats.FileStat], Long)
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case agg @ Aggregate(groupingExprs, aggExprs, child, _)
         if groupingExprs.forall(_.isInstanceOf[AttributeReference]) =>
       indexOf(child) match {
-        case Some((idx, resolve, conds)) =>
+        case Some((partitionSchema, perDir, resolve, conds)) =>
           rewrite(agg, groupingExprs.map(_.asInstanceOf[AttributeReference]),
-            aggExprs, idx, resolve, conds).getOrElse(agg)
+            aggExprs, partitionSchema, perDir, resolve, conds).getOrElse(agg)
         case None => agg
       }
   }
 
   private def rewrite(agg: Aggregate, grouping: Seq[AttributeReference],
-      aggExprs: Seq[NamedExpression], idx: GraftFileIndex,
-      resolve: Map[ExprId, Attribute],
+      aggExprs: Seq[NamedExpression], partitionSchema: StructType,
+      perDirAll: Seq[Dir], resolve: Map[ExprId, Attribute],
       conds: Seq[Expression]): Option[LogicalPlan] = {
-    val partCols = idx.partitionSchema.fieldNames
+    val partCols = partitionSchema.fieldNames.toSeq
     // grouping keys resolve BY exprId to the relation's own attributes —
     // an intervening rename (`select($"node".as("date"))`) resolves to the
     // UNDERLYING column, so it either matches the real partition column or
@@ -81,60 +97,63 @@ object GraftMetadataAggregate extends Rule[LogicalPlan] {
           resolve.get(a.exprId).exists(u => partCols.contains(u.name)))
     }
     if (!condsAnswerable) return None
-    idx.statsByPartitionValues.map { all =>
-      if (conds.isEmpty) all
+    val perDir: Seq[Dir] =
+      if (conds.isEmpty) perDirAll
       else {
         val bound = conds.reduce(And).transform {
           case a: AttributeReference =>
             val i = partCols.indexOf(resolve(a.exprId).name)
-            BoundReference(i, idx.partitionSchema(i).dataType, nullable = true)
+            BoundReference(i, partitionSchema(i).dataType, nullable = true)
         }
         val pred = Predicate.createInterpreted(bound)
         // NULL predicate results drop the dir — exactly a row Filter's
         // semantics, and exact because every row in a dir carries the
         // dir's partition values
-        all.filter { case (vals, _) => pred.eval(InternalRow.fromSeq(vals)) }
+        perDirAll.filter { case (vals, _, _) => pred.eval(InternalRow.fromSeq(vals)) }
       }
-    }.flatMap { perDir =>
-      if (grouping.isEmpty) {
+    if (grouping.isEmpty) {
+      val values = aggExprs.map(
+        evalFromStats(_, perDir, partCols, Map.empty, resolve))
+      if (values.forall(_.isDefined))
+        Some(LocalRelation(agg.output, Seq(InternalRow.fromSeq(values.map(_.get)))))
+      else None
+    } else {
+      // project each partition dir's values onto the grouping columns,
+      // then merge dirs that agree on them (grouping by a PREFIX of the
+      // partitioning, e.g. by date over a date/hour layout). A group
+      // whose files hold zero LIVE rows is DROPPED — a real scan
+      // produces no group for it (only the global aggregate reports
+      // count=0 over nothing), so a committed zero-row file — or a dir
+      // whose rows are all vector-deleted — must not invent a (key, 0)
+      // row or a phantom DISTINCT value.
+      val gIdx = groupingBase.map(b => partCols.indexOf(b.get.name))
+      val merged = perDir
+        .groupBy { case (vals, _, _) => gIdx.map(vals(_)) }
+        .toSeq.map { case (key, dirs) => (key, dirs) }
+        .filter { case (_, dirs) => liveRows(dirs) > 0 }
+      val rows = merged.map { case (key, dirs) =>
+        val byId = grouping.zipWithIndex.map { case (g, i) =>
+          g.exprId -> key(i)
+        }.toMap
         val values = aggExprs.map(
-          evalFromStats(_, perDir, partCols, Map.empty, resolve))
+          evalFromStats(_, dirs, partCols, byId, resolve))
         if (values.forall(_.isDefined))
-          Some(LocalRelation(agg.output, Seq(InternalRow.fromSeq(values.map(_.get)))))
-        else None
-      } else {
-        // project each partition dir's values onto the grouping columns,
-        // then merge dirs that agree on them (grouping by a PREFIX of the
-        // partitioning, e.g. by date over a date/hour layout). A group
-        // whose files all carry zero rows is DROPPED — a real scan
-        // produces no group for it (only the global aggregate reports
-        // count=0 over nothing), so a committed zero-row file must not
-        // invent a (key, 0) row or a phantom DISTINCT value.
-        val gIdx = groupingBase.map(b => partCols.indexOf(b.get.name))
-        val merged = perDir
-          .groupBy { case (vals, _) => gIdx.map(vals(_)) }
-          .toSeq.map { case (key, dirs) => (key, dirs) }
-          .filter { case (_, dirs) => dirs.flatMap(_._2).exists(_.rows > 0) }
-        val rows = merged.map { case (key, dirs) =>
-          val byId = grouping.zipWithIndex.map { case (g, i) =>
-            g.exprId -> key(i)
-          }.toMap
-          val values = aggExprs.map(
-            evalFromStats(_, dirs, partCols, byId, resolve))
-          if (values.forall(_.isDefined))
-            Some(InternalRow.fromSeq(values.map(_.get)))
-          else None
-        }
-        if (rows.forall(_.isDefined))
-          Some(LocalRelation(agg.output, rows.map(_.get)))
+          Some(InternalRow.fromSeq(values.map(_.get)))
         else None
       }
+      if (rows.forall(_.isDefined))
+        Some(LocalRelation(agg.output, rows.map(_.get)))
+      else None
     }
   }
 
-  /** The graft fast-tier index behind `child` when `child` is the relation
-    * under attribute-only projections and filters, PLUS the resolution map
-    * from each visible attribute's exprId to the RELATION attribute it
+  private def liveRows(dirs: Seq[Dir]): Long =
+    dirs.map { case (_, st, del) => st.map(_.rows).sum - del }.sum
+
+  /** The graft metadata surface behind `child` when `child` is a graft
+    * relation (either tier) under attribute-only projections and filters:
+    * the partition schema, the per-dir stats+deleted rows, the resolution
+    * map from each visible attribute's exprId to the RELATION attribute it
     * carries — aliases resolve through to the underlying column, so every
     * downstream column test matches physical identity, never a projected
     * name — plus every `Filter` condition met on the way down (the caller
@@ -142,17 +161,27 @@ object GraftMetadataAggregate extends Rule[LogicalPlan] {
     * because inner exprIds are kept in the map alongside projected ones).
     */
   private def indexOf(child: LogicalPlan)
-      : Option[(GraftFileIndex, Map[ExprId, Attribute], Seq[Expression])] =
+      : Option[(StructType, Seq[Dir], Map[ExprId, Attribute], Seq[Expression])] =
     child match {
       case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         fs.location match {
           case idx: GraftFileIndex =>
-            Some((idx, lr.output.map(a => (a.exprId, a: Attribute)).toMap,
-              Seq.empty))
+            idx.statsByPartitionValues.map { perDir =>
+              (idx.partitionSchema,
+                perDir.map { case (vals, st) => (vals, st, 0L) },
+                lr.output.map(a => (a.exprId, a: Attribute)).toMap,
+                Seq.empty[Expression])
+            }
           case _ => None
         }
+      case lr @ LogicalRelation(r: GraftFrameRelation, _, _, _, _) =>
+        r.dvMeta.map { m =>
+          (m.partitionSchema, m.perDir,
+            lr.output.map(a => (a.exprId, a: Attribute)).toMap,
+            Seq.empty[Expression])
+        }
       case Project(projectList, inner) =>
-        indexOf(inner).flatMap { case (idx, innerMap, conds) =>
+        indexOf(inner).flatMap { case (ps, perDir, innerMap, conds) =>
           val entries = projectList.map {
             case a: AttributeReference =>
               innerMap.get(a.exprId).map(u => a.exprId -> u)
@@ -161,12 +190,12 @@ object GraftMetadataAggregate extends Rule[LogicalPlan] {
             case _ => None
           }
           if (entries.forall(_.isDefined))
-            Some((idx, innerMap ++ entries.flatten, conds))
+            Some((ps, perDir, innerMap ++ entries.flatten, conds))
           else None
         }
       case Filter(cond, inner) =>
-        indexOf(inner).map { case (idx, innerMap, conds) =>
-          (idx, innerMap, conds :+ cond)
+        indexOf(inner).map { case (ps, perDir, innerMap, conds) =>
+          (ps, perDir, innerMap, conds :+ cond)
         }
       case _ => None
     }
@@ -182,25 +211,32 @@ object GraftMetadataAggregate extends Rule[LogicalPlan] {
     * each evaluated leaf as a [[Literal]] and constant-folding the rest;
     * any residue (an unanswerable aggregate, a non-grouping column, a
     * nondeterministic call) fails the whole rewrite open.
+    *
+    * Deletion-vector interaction: `COUNT` subtracts the group's exact
+    * deleted total; data-column (incl. `time_ns`) `MIN`/`MAX` answer only
+    * for deletion-free groups (a deleted row may hold the extreme);
+    * partition-column min/max stay exact with LIVE rows as the witness.
     */
   private def evalFromStats(e: NamedExpression,
-      dirs: Seq[(Seq[Any], Seq[graft.logs.FileStats.FileStat])],
+      dirs: Seq[Dir],
       partCols: Seq[String],
       groupValue: Map[ExprId, Any],
       resolve: Map[ExprId, Attribute]): Option[Any] = {
     val st = dirs.flatMap(_._2)
+    val deleted = dirs.map(_._3).sum
     def isTimeNs(a: Attribute): Boolean =
       resolve.get(a.exprId).exists(_.name == "time_ns")
     /** min/max over a PARTITION column: exact from directory values —
-      * restricted to dirs that actually hold rows (a zero-row file cannot
-      * witness a value) with the null partition ignored, exactly the row
-      * aggregate's null semantics. Atomic partition types are Comparable
-      * in their internal form (Int, Long, UTF8String, date-days).
+      * restricted to dirs that actually hold LIVE rows (a zero-row file, or
+      * a fully-deleted dir, cannot witness a value) with the null partition
+      * ignored, exactly the row aggregate's null semantics. Atomic
+      * partition types are Comparable in their internal form (Int, Long,
+      * UTF8String, date-days).
       */
     def partMinMax(a: Attribute, wantMin: Boolean): Option[Any] =
       resolve.get(a.exprId).map(_.name).filter(partCols.contains).map { n =>
         val i = partCols.indexOf(n)
-        val vals = dirs.filter(_._2.map(_.rows).sum > 0)
+        val vals = dirs.filter { case (_, s, del) => s.map(_.rows).sum - del > 0 }
           .map(_._1(i)).filter(_ != null)
         if (vals.isEmpty) null
         else {
@@ -215,6 +251,8 @@ object GraftMetadataAggregate extends Rule[LogicalPlan] {
       * per-column whole-file bounds ([[graft.logs.FileStats.ColStat]]) —
       * the Delta/Iceberg stats-only min/max generalized past `time_ns`.
       * Gates, all fail-open:
+      *   - never under live deletions in the group (callers gate on
+      *     `deleted == 0` — a deleted row may hold the extreme);
       *   - every rows>0 file in the group must carry the column with the
       *     kind its Spark type expects (a zero-row file witnesses nothing
       *     and is vacuously covered; an all-null-column file has no entry
@@ -289,23 +327,24 @@ object GraftMetadataAggregate extends Rule[LogicalPlan] {
     def fromAgg(ae: AggregateExpression): Option[Any] =
       if (ae.isDistinct || ae.filter.nonEmpty) None
       else ae.aggregateFunction match {
-        case Count(Seq(Literal(v, _))) if v != null => Some(st.map(_.rows).sum)
-        case Min(a: Attribute) if isTimeNs(a) =>
+        case Count(Seq(Literal(v, _))) if v != null =>
+          Some(st.map(_.rows).sum - deleted)
+        case Min(a: Attribute) if isTimeNs(a) && deleted == 0 =>
           val bounds = st.map(_.minNs)
           if (bounds.isEmpty) Some(null) // zero rows survive: SQL min = null
           else if (bounds.forall(_.nonEmpty)) Some(bounds.flatten.min)
           else dataMinMax(a, wantMin = true)
-        case Max(a: Attribute) if isTimeNs(a) =>
+        case Max(a: Attribute) if isTimeNs(a) && deleted == 0 =>
           val bounds = st.map(_.maxNs)
           if (bounds.isEmpty) Some(null)
           else if (bounds.forall(_.nonEmpty)) Some(bounds.flatten.max)
           else dataMinMax(a, wantMin = false)
         case Min(a: Attribute) =>
           partMinMax(a, wantMin = true)
-            .orElse(dataMinMax(a, wantMin = true))
+            .orElse(if (deleted == 0) dataMinMax(a, wantMin = true) else None)
         case Max(a: Attribute) =>
           partMinMax(a, wantMin = false)
-            .orElse(dataMinMax(a, wantMin = false))
+            .orElse(if (deleted == 0) dataMinMax(a, wantMin = false) else None)
         case _ => None
       }
     if (!e.deterministic) return None

@@ -30,6 +30,24 @@ object PlanScans {
     */
   def scanless(df: DataFrame): Boolean = fileScans(df).isEmpty
 
+  /** Stricter than [[scanless]]: no file-source scan AND no v1 relation
+    * scan. A [[org.apache.spark.sql.execution.RowDataSourceScanExec]]
+    * (how a `PrunedFilteredScan` relation like the DV-tier
+    * GraftFrameRelation plans) hides its delegate's parquet scans inside
+    * an RDD lineage, so [[fileScans]] alone cannot see them — a
+    * metadata-only gate over that tier must refuse ANY scan node.
+    */
+  def readless(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.RowDataSourceScanExec
+    def walk(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+      case _: FileSourceScanExec => false
+      case _: RowDataSourceScanExec => false
+      case other => other.children.forall(walk) && other.subqueries.forall(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   /** Every node of the FINAL (post-AQE) physical plan, descending into
     * materialized query stages but NOT into [[ReusedExchangeExec]] — a
     * reused exchange's subtree ran once, so a consumer counting "how many

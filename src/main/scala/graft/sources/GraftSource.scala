@@ -247,7 +247,37 @@ class GraftSourceProvider extends RelationProvider with SchemaRelationProvider
         case Some(v) => GraftStore.readVersion(spark, root, v)
         case None => GraftStore.readStore(spark, root)
       }
-      return new GraftFrameRelation(sqlContext, df)
+      // DV-aware metadata tier: the deletes sidecar knows EXACT per-file
+      // deleted counts, so live row counts are physical(stats) − deleted —
+      // [[GraftMetadataAggregate]] keeps answering COUNT with zero I/O even
+      // under merge-on-read debt. Built only when the snapshot is fully
+      // self-describing: fresh stats on every file, every vector keyed to a
+      // present entry with matching length (a mismatch must FAIL the scan,
+      // never be answered around), and the delegate frame's partition
+      // column types agreeing with the manifest-derived ones.
+      val dvMeta: Option[GraftDvMeta] = {
+        val byKey = entries.map(e => (e.key, e)).toMap
+        val consistent = dv.forall { case (k, v) =>
+          byKey.get(k).forall(_.len == v.len)
+        }
+        if (!consistent) None
+        else {
+          val statsByKey = FileStats.read(spark, dir)
+          val statsByPhysical = entries.flatMap { e =>
+            statsByKey.get(e.key).filter(_.len == e.len)
+              .map(s => GraftFileIndex.normPath(e.physical) -> s)
+          }.toMap
+          val legDirs = entries.map(_.legBase).distinct.sorted.map(new Path(_))
+          val idx = new GraftFileIndex(spark, legDirs, entries, statsByPhysical)
+          val typesAgree = idx.partitionSchema.forall(f =>
+            df.schema.fields.exists(g =>
+              g.name == f.name && g.dataType == f.dataType))
+          if (!typesAgree) None
+          else idx.statsWithDeletes(dv.map { case (k, v) => (k, v.positions) })
+            .map(GraftDvMeta(idx.partitionSchema, _))
+        }
+      }
+      return new GraftFrameRelation(sqlContext, df, dvMeta)
     }
 
     val overlay = GraftStore.readSchemaOverlay(spark, dir)
@@ -514,7 +544,32 @@ private[graft] class GraftFileIndex(
         (vals, es.flatMap(e => stats.get(normPath(e.physical))))
       }
     }
+
+  /** [[statsByPartitionValues]] extended with each dir's DELETED-row total
+    * (from a live deletion-vector sidecar, keyed by the same store-layout
+    * key the manifest uses). Vectors keyed to files absent from the
+    * snapshot are inert (never counted); same completeness gate as the
+    * vector-free shortcut.
+    */
+  def statsWithDeletes(deletedByKey: Map[String, Long])
+      : Option[Seq[(Seq[Any], Seq[FileStats.FileStat], Long)]] =
+    completeStats.map { _ =>
+      partitions.map { case (_, vals, es) =>
+        (vals,
+          es.flatMap(e => stats.get(normPath(e.physical))),
+          es.map(e => deletedByKey.getOrElse(e.key, 0L)).sum)
+      }
+    }
 }
+
+/** Metadata carried by the DV-tier relation for [[graft.plans.GraftMetadataAggregate]]:
+  * per partition dir, the commit-time file stats AND the exact deleted-row
+  * total, so COUNT under merge-on-read debt is `Σ rows − Σ deleted` with
+  * zero data I/O.
+  */
+private[graft] final case class GraftDvMeta(
+    partitionSchema: StructType,
+    perDir: Seq[(Seq[Any], Seq[FileStats.FileStat], Long)])
 
 private[graft] object GraftFileIndex {
 
@@ -859,8 +914,10 @@ private[graft] object GraftFileIndex {
   * default), so the translation is an optimization with no correctness
   * surface.
   */
-private[sources] class GraftFrameRelation(
-    override val sqlContext: SQLContext, df: DataFrame)
+private[graft] class GraftFrameRelation(
+    override val sqlContext: SQLContext, df: DataFrame,
+    /** DV-tier metadata-count surface — see [[GraftDvMeta]]. */
+    val dvMeta: Option[GraftDvMeta] = None)
   extends BaseRelation with PrunedFilteredScan {
 
   override def schema: StructType = df.schema

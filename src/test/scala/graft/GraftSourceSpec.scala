@@ -111,6 +111,48 @@ class GraftSourceSpec extends SparkSpec {
     assert(got.select($"pod").distinct().count() == 4)
   }
 
+  test("DV-aware metadata aggregates: COUNT answers scanless under live vectors, min/max scans") {
+    val root = newRoot("dvmeta")
+    val df = fixture()
+    LogIngest.writeHive(df, root, partitionCols = parts)
+    val pred = (($"time_ns" / 1000).cast("long") % 97) < 13
+    val deleted = DeleteVectors.deleteWhere(spark, root, pred,
+      commitId = Some("src-dvm1")).deletedRows
+    assert(deleted > 0)
+    val t = spark.read.format("graft").load(root)
+    // global + grouped COUNT and max(partition col): zero read nodes,
+    // values = physical − deleted (per dir)
+    val total = t.groupBy().count()
+    assert(graft.plans.PlanScans.readless(total),
+      "global count under live DVs must answer from stats minus deletes")
+    assert(total.as[Long].head() == df.count() - deleted)
+    val grouped = t.groupBy($"date").agg(count(lit(1)).as("n"))
+    assert(graft.plans.PlanScans.readless(grouped))
+    val expectByDate = df.filter(!pred).groupBy($"date").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(grouped.as[(String, Long)].collect().toMap == expectByDate)
+    val fresh = t.groupBy().agg(max($"date"))
+    assert(graft.plans.PlanScans.readless(fresh),
+      "partition-col max stays exact (live-row witness) under DVs")
+    // a data-column extreme must NOT come from stats while vectors live
+    val mn = t.groupBy().agg(min($"time_ns").as("lo"))
+    assert(!graft.plans.PlanScans.readless(mn),
+      "data-column min under live DVs must keep its scan")
+    assert(mn.as[Long].head() == df.filter(!pred).agg(min($"time_ns")).as[Long].head())
+    // fail-open: strip the stats sidecar → the count must fall back to a
+    // real (anti-joined) scan and still be right
+    val liveDir = GraftStore.resolveVersion(spark, root,
+      GraftStore.liveVersionOf(spark, root))
+    val statsPath = new org.apache.hadoop.fs.Path(liveDir, FileStats.StatsName)
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(statsPath, false), "fixture must have had a stats sidecar")
+    val t2 = spark.read.format("graft").load(root)
+    val total2 = t2.groupBy().count()
+    assert(!graft.plans.PlanScans.readless(total2),
+      "missing stats line must disable the metadata shortcut wholesale")
+    assert(total2.as[Long].head() == df.count() - deleted)
+  }
+
   test("schema overlay: evolved column null-backfills on the native path") {
     val root = newRoot("ev")
     LogIngest.writeHive(fixture(), root, partitionCols = parts)
