@@ -173,7 +173,7 @@ object BenchDecompose {
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_DECOMPOSE_REPS", "4").toInt
     val out = scala.collection.mutable.LinkedHashMap[String, Double]()
-    stages.foreach { case (name, mk) =>
+    def runStage(name: String, mk: () => DataFrame): Unit = {
       def once(): Double = {
         val t0 = System.nanoTime()
         mk().write.format("noop").mode("overwrite").save()
@@ -186,6 +186,30 @@ object BenchDecompose {
       val t = ts(ts.length / 2)
       out(name) = t
       println(f"""{"stage":"$name","sec":$t%.3f,"spread":"${ts.head}%.2f-${ts.last}%.2f"}""")
+    }
+    stages.foreach { case (name, mk) => runStage(name, mk) }
+
+    // ---- bucketed orderkey family (storage-layout fix for q3/q18) --------
+    // one-time layout cost, reported separately (NOT a per-query stage: at
+    // 100 TB the bucketed write is paid once per ingest, amortized over
+    // every orderkey join after it)
+    if (!sys.env.get("SPARK_GRAFT_SKIP_BUCKETED").contains("1")) {
+      val scratch = sys.env.getOrElse("GRAFT_TMPDIR",
+        sys.props("java.io.tmpdir")) + "/graft-bucketed"
+      val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "64").toInt
+      val tb0 = System.nanoTime()
+      val (liT, ordT) = ext.Bucketing.writeOrderkeyTables(
+        spark, sfDir, scratch, buckets, prefix = "bench")
+      val tb = (System.nanoTime() - tb0) / 1e9
+      out("bucket_write") = tb
+      println(f"""{"stage":"bucket_write","sec":$tb%.3f,"spread":"once"}""")
+      def custDf = Tables.customer(spark, sfDir)
+      val q3b = () => ext.Bucketing.q3Colocated(spark, liT, ordT, custDf)
+      val q18b = () => ext.Bucketing.q18Colocated(spark, liT, ordT, custDf)
+      ext.Bucketing.requireNoShuffle(q3b(), "q3_bucketed")
+      ext.Bucketing.requireNoShuffle(q18b(), "q18_bucketed")
+      runStage("q3_bucketed", q3b)
+      runStage("q18_bucketed", q18b)
     }
     val qj = out.map { case (n, t) => "\"" + n + "\":" + f"$t%.3f" }.mkString("{", ",", "}")
     println(s"""{"metric":"decompose","queries":$qj,"sf":"$sfDir","cache":"${sys.env.getOrElse("SPARK_GRAFT_CACHE_LEVEL", "MEMORY_AND_DISK")}"}""")

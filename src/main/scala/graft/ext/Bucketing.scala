@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Bucketed (pre-partitioned, co-located) tables — the shuffle-elimination
   * technique for repeated large-×-large joins (SURVEY §4 "physical:
@@ -8,6 +9,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * join key, so Catalyst plans the join with ZERO exchanges — at 100 TB the
   * dominant cost of a fact-fact join is the shuffle, and bucketing pays it
   * once at write time instead of per query.
+  *
+  * The orderkey family below is the r13 verdict's standing demonstration:
+  * q3/q18's remaining >2×-DuckDB gap at sf10 is a single fact-scale shuffle
+  * (the 30M-row orderkey join / the 15M-group orderkey aggregate) that a
+  * single box pays through serialization while single-node DuckDB uses
+  * shared-memory radix joins. With lineitem and orders bucketed on
+  * orderkey, BOTH shapes plan with no shuffle exchange at all — the
+  * aggregate's `ClusteredDistribution(l_orderkey, …)` is satisfied by the
+  * bucket partitioning (l_orderkey is a subset of the grouping), the
+  * fact-fact join is co-located, dims still broadcast, and the top-10
+  * finishes in `TakeOrderedAndProject`. [[requireNoShuffle]] pins the
+  * contract; `BenchDecompose`'s `q3_bucketed`/`q18_bucketed` stages pair it
+  * with DuckDB timings.
   */
 object Bucketing {
 
@@ -27,4 +41,109 @@ object Bucketing {
   def coLocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Fail unless the plan is SHUFFLE-free (broadcast exchanges are allowed —
+    * they move a dim, not the fact). Walks pre- or post-AQE plans and
+    * subqueries; call before timing (initial plan) or after an action
+    * (final plan) — a shuffle can never appear at runtime that was not in
+    * the initial plan, AQE only removes or re-plans existing exchanges.
+    */
+  def requireNoShuffle(df: DataFrame, what: String): Unit = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shuffles(p: SparkPlan): Seq[SparkPlan] = {
+      val here = p match {
+        case s: ShuffleExchangeLike => Seq(s: SparkPlan)
+        case _ => Seq.empty[SparkPlan]
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(shuffles) ++ p.subqueries.flatMap(shuffles)
+    }
+    val found = shuffles(df.queryExecution.executedPlan)
+    require(found.isEmpty,
+      s"$what must plan exchange-free over bucketed tables, found " +
+        s"${found.size} shuffle(s):\n${df.queryExecution.executedPlan}")
+  }
+
+  // exact long-cents money arithmetic, same rule as RelationalQueries:
+  // the 2-dp testdata domain sums exactly in hundredths
+  private def cents(c: org.apache.spark.sql.Column) =
+    floor(c * 100 + 0.5).cast("long")
+  private def dpc =
+    cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+
+  /** One-time setup for the orderkey family: bucketed, sorted, column-pruned
+    * copies of lineitem and orders under `workDir`, registered as
+    * `<prefix>_lineitem_b` / `<prefix>_orders_b`. Idempotent per session
+    * (re-registering overwrites). Returns the two table names.
+    */
+  def writeOrderkeyTables(spark: SparkSession, sfDir: String, workDir: String,
+      buckets: Int, prefix: String = "graft"): (String, String) = {
+    val liT = s"${prefix}_lineitem_b"
+    val ordT = s"${prefix}_orders_b"
+    val li = graft.Tables.lineitem(spark, sfDir).select(
+      col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"),
+      col("l_discount"), col("l_quantity"))
+    val ord = graft.Tables.orders(spark, sfDir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+      col("o_orderpriority"), col("o_totalprice"))
+    writeBucketed(li, liT, s"$workDir/lineitem_b", "l_orderkey", buckets)
+    writeBucketed(ord, ordT, s"$workDir/orders_b", "o_orderkey", buckets)
+    (liT, ordT)
+  }
+
+  /** TPC-H Q3 over orderkey-bucketed lineitem/orders: same semantics as
+    * `RelationalQueries.topUnshippedOrders`, zero shuffle exchanges — the
+    * fact-fact orderkey join is co-located, the customer dim broadcasts,
+    * and the `GROUP BY (l_orderkey, …)` reuses the bucket partitioning
+    * (l_orderkey ⊆ grouping satisfies the clustered distribution).
+    */
+  def q3Colocated(spark: SparkSession, liTable: String, ordTable: String,
+      customer: DataFrame): DataFrame = {
+    val cust = customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = spark.table(ordTable)
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      .join(graft.plans.Hints.dimBroadcast(cust),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    spark.table(liTable)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg((sum(dpc).cast("double") / 10000.0).as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q18 over orderkey-bucketed lineitem/orders: same semantics as
+    * `RelationalQueries.largeOrders`, zero shuffle exchanges — the 15M-group
+    * orderkey aggregate runs inside the bucket partitioning and its output
+    * joins the same-bucketed orders without moving either side.
+    */
+  def q18Colocated(spark: SparkSession, liTable: String, ordTable: String,
+      customer: DataFrame): DataFrame = {
+    val bigKeys = spark.table(liTable)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"))
+      .filter(col("sum_qty_c") > lit(30000L))
+    spark.table(ordTable)
+      .join(bigKeys, col("o_orderkey") === col("l_orderkey"))
+      .join(graft.plans.Hints.dimBroadcast(
+        customer.select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), (col("sum_qty_c").cast("double") / 100.0).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
 }

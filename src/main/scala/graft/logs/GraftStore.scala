@@ -467,7 +467,7 @@ object GraftStore {
     * delete/merge commits match rows through this and build vectors from
     * the retained positions.
     */
-  private[logs] def readVersionTagged(spark: SparkSession, root: String,
+  private[graft] def readVersionTagged(spark: SparkSession, root: String,
       n: Int): DataFrame =
     readVersionInternal(spark, root, n, applyDv = false, keepMeta = true)
 

@@ -302,6 +302,38 @@ class IntrospectCompactionSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS li_b"); spark.sql("DROP TABLE IF EXISTS ord_b")
   }
 
+  test("q3/q18 over orderkey-bucketed fact tables: exchange-free and hash-identical") {
+    val work = Files.createTempDirectory("graft-bucketq")
+    val (liT, ordT) = graft.ext.Bucketing.writeOrderkeyTables(
+      spark, sf, work.toString, buckets = 8, prefix = "spec")
+    // disable auto-broadcast so the fixture-scale fact-fact join exercises
+    // the bucketed co-location, not a tiny-table broadcast (dims still
+    // broadcast through the explicit hint)
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      val cust = Tables.customer(spark, sf)
+      val q3b = graft.ext.Bucketing.q3Colocated(spark, liT, ordT, cust)
+      val q18b = graft.ext.Bucketing.q18Colocated(spark, liT, ordT, cust)
+      q3b.write.format("noop").mode("overwrite").save()
+      q18b.write.format("noop").mode("overwrite").save()
+      graft.ext.Bucketing.requireNoShuffle(q3b, "bucketed q3")
+      graft.ext.Bucketing.requireNoShuffle(q18b, "bucketed q18")
+      // same rows as the stock (shuffling) plans
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.mkString("|")).toSeq
+      assert(rows(q3b) ==
+        rows(queries.RelationalQueries.topUnshippedOrders(spark, sf)))
+      assert(rows(q18b) ==
+        rows(queries.RelationalQueries.largeOrders(spark, sf)))
+    } finally {
+      spark.conf.set(thresholdKey, prev)
+      spark.sql("DROP TABLE IF EXISTS spec_lineitem_b")
+      spark.sql("DROP TABLE IF EXISTS spec_orders_b")
+    }
+  }
+
   test("salted count-distinct equals the direct computation") {
     val ev = Tables.events(spark, sf)
     val direct = ev.groupBy($"event_type").agg(countDistinct($"user_id").as("n_distinct"))
