@@ -62,6 +62,22 @@ object GraftSession {
     spark
   }
 
+  /** GCS-compatible gateway wiring (SURVEY §2 row S9's second deployment
+    * shape; the reference patches its shipper's header lookup specifically
+    * for GCS-style gateways — reference
+    * `images/fluentbit/fix-gcs-header-lookup.patch:1-22`). Google Cloud
+    * Storage's S3-interoperability XML API speaks the S3 protocol with
+    * HMAC credentials, so the engine reaches GCS buckets through the same
+    * s3a connector pointed at `storage.googleapis.com` with path-style
+    * URLs — no separate connector or code path, just conf. Any other
+    * GCS-flavored gateway (an emulator, a proxy) passes its own endpoint.
+    */
+  def configureGcsInterop(spark: SparkSession, accessKey: String,
+      secretKey: String,
+      endpoint: String = "https://storage.googleapis.com"): SparkSession =
+    configureS3a(spark, endpoint, accessKey, secretKey,
+      pathStyleAccess = true)
+
   /** Env-driven S3 wiring, mirroring the reference deployment's variables
     * (reference test.sh:40-44 / y-logcli:145-152: endpoint, keys, region,
     * ssl off, path-style URLs for the gateway). No-op when `S3_ENDPOINT` is

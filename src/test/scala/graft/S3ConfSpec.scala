@@ -24,6 +24,18 @@ class S3ConfSpec extends SparkSpec {
     assert(hc.get("fs.s3a.endpoint.region") == "us-east-1")
   }
 
+  test("configureGcsInterop points s3a at the GCS XML API with path-style URLs") {
+    GraftSession.configureGcsInterop(spark, "hmac-access", "hmac-secret")
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.endpoint") == "https://storage.googleapis.com")
+    assert(hc.get("fs.s3a.access.key") == "hmac-access")
+    assert(hc.get("fs.s3a.secret.key") == "hmac-secret")
+    assert(hc.get("fs.s3a.path.style.access") == "true")
+    // a GCS-flavored emulator/proxy passes its own endpoint
+    GraftSession.configureGcsInterop(spark, "a", "b", endpoint = "http://localhost:4443")
+    assert(hc.get("fs.s3a.endpoint") == "http://localhost:4443")
+  }
+
   test("configureS3aFromEnv is a no-op without S3_ENDPOINT") {
     val hc = spark.sparkContext.hadoopConfiguration
     hc.set("fs.s3a.access.key", "sentinel")
