@@ -83,6 +83,15 @@ object BenchStoreDecompose {
     stage("delete_commit_2") {
       DeleteVectors.deleteWhere(spark, root, del2, commitId = Some("dc-d2"))
     }
+    stage("read_tagged_only") {
+      // the DV read's probe-side cost WITHOUT the anti-join: metadata
+      // columns + path normalization over every row (aggregated over the
+      // tag columns so pruning can't elide them)
+      val cur = GraftStore.liveVersionOf(spark, root)
+      GraftStore.readVersionTagged(spark, root, cur)
+        .agg(count(col(DeleteVectors.PathCol)), sum(col(DeleteVectors.PosCol)))
+        .head()
+    }
     stage("read_live_dv") {
       GraftStore.readStore(spark, root).count()
     }

@@ -25,10 +25,18 @@ import org.apache.spark.sql.functions._
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed, sorted external table at `path`. */
+  /** Write `df` as a bucketed, sorted external table at `path`. The
+    * pre-write `repartition(buckets, key)` gives each write task exactly
+    * one bucket, so every bucket is ONE file — with
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` the scan
+    * then reports per-bucket ordering and the co-located sort-merge join
+    * skips its sorts too (multi-file buckets would force a merge-sort per
+    * bucket before the join).
+    */
   def writeBucketed(df: DataFrame, table: String, path: String,
       key: String, buckets: Int): Unit =
-    df.write
+    df.repartition(buckets, col(key))
+      .write
       .bucketBy(buckets, key)
       .sortBy(key)
       .option("path", path)

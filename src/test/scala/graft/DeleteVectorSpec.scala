@@ -176,38 +176,34 @@ class DeleteVectorSpec extends SparkSpec {
     assert(DeleteVectors.partitionColsOf(Seq.empty).isEmpty)
   }
 
-  test("huge-debt bucketed range anti-join: scattered AND contiguous vectors apply exactly") {
-    // force every read through the bucketed branch (the explode branch is
-    // covered by all the other cases); the sf100 x15 rerun hung 80 min in
-    // the old path-equi+residual join whose per-row candidates were ALL of
-    // a file's ranges
+  test("huge-debt range-filter application: scattered AND contiguous vectors apply exactly") {
+    // both debt shapes through the broadcast range-search filter (the r14
+    // rewrite: a DV is a per-file filter consulted during the scan, never a
+    // join — r13's exploded anti-join cost 13.5 s where the scan costs
+    // 0.8 s at sf10, and its pre-r13 ancestor hung 80 min at sf100)
     val root = java.nio.file.Files.createTempDirectory("graft-dv-bucket")
       .resolve("store").toString
     val df = fixture()
     LogIngest.writeHive(df, root, partitionCols = parts)
     val total = df.count()
-    val prev = DeleteVectors.ExplodePositionsMax
-    DeleteVectors.ExplodePositionsMax = 0L
-    try {
-      // scattered singleton ranges (the COW shape), vectors applied on read
-      val nDel = df.filter(delCond).count()
-      val c = DeleteVectors.deleteWhere(spark, root, delCond,
-        commitId = Some("bkt-1"), materializeOverCap = false)
-      assert(c.deletedRows == nDel && !c.materialized)
-      val live = GraftStore.readStore(spark, root)
-      assert(live.count() == total - nDel)
-      assert(live.filter(delCond).count() == 0L)
-      // a contiguous strike on top (ranges compress, buckets stay bounded):
-      // delete a whole time prefix — contiguous in ts order, multi-bucket
-      val cut = df.agg(expr("percentile_approx(time_ns, 0.3)")).head.getLong(0)
-      val c2 = DeleteVectors.deleteWhere(spark, root, $"time_ns" <= cut,
-        commitId = Some("bkt-2"), materializeOverCap = false)
-      val expect2 = df.filter(!delCond && $"time_ns" <= cut).count()
-      assert(c2.deletedRows == expect2, s"${c2.deletedRows} != $expect2")
-      val live2 = GraftStore.readStore(spark, root)
-      assert(live2.count() == total - nDel - expect2)
-      assert(live2.filter(delCond || $"time_ns" <= cut).count() == 0L)
-    } finally DeleteVectors.ExplodePositionsMax = prev
+    // scattered singleton ranges (the COW shape), vectors applied on read
+    val nDel = df.filter(delCond).count()
+    val c = DeleteVectors.deleteWhere(spark, root, delCond,
+      commitId = Some("bkt-1"), materializeOverCap = false)
+    assert(c.deletedRows == nDel && !c.materialized)
+    val live = GraftStore.readStore(spark, root)
+    assert(live.count() == total - nDel)
+    assert(live.filter(delCond).count() == 0L)
+    // a contiguous strike on top (ranges compress to a handful of long
+    // spans): delete a whole time prefix — contiguous in ts order
+    val cut = df.agg(expr("percentile_approx(time_ns, 0.3)")).head.getLong(0)
+    val c2 = DeleteVectors.deleteWhere(spark, root, $"time_ns" <= cut,
+      commitId = Some("bkt-2"), materializeOverCap = false)
+    val expect2 = df.filter(!delCond && $"time_ns" <= cut).count()
+    assert(c2.deletedRows == expect2, s"${c2.deletedRows} != $expect2")
+    val live2 = GraftStore.readStore(spark, root)
+    assert(live2.count() == total - nDel - expect2)
+    assert(live2.filter(delCond || $"time_ns" <= cut).count() == 0L)
   }
 
   test("matched positions compress executor-side: the driver collects one row per FILE") {
@@ -416,23 +412,37 @@ class DeleteVectorSpec extends SparkSpec {
     assert(live.join(strike, Seq("time_ns", "message"), "left_semi").count() == 0)
   }
 
-  test("vector application plans a broadcast anti-join; vector-free reads pay nothing") {
+  test("vector application plans a scan-side FILTER, no join; vector-free reads pay nothing") {
     val work = java.nio.file.Files.createTempDirectory("graft-dv-plan")
     val root = work.resolve("lake").toString
     val df = fixture().limit(800).cache()
     LogIngest.writeHive(df, root, partitionCols = parts)
-    // before any delete: the read plan carries no metadata columns, no join
+    // before any delete: the read plan carries no metadata columns, no filter
     val cleanPlan = GraftStore.readStore(spark, root)
       .queryExecution.executedPlan.toString()
-    assert(!cleanPlan.contains(DeleteVectors.PosCol) && !cleanPlan.contains("LeftAnti"),
+    assert(!cleanPlan.contains(DeleteVectors.PosCol) && !cleanPlan.contains("Join"),
       s"vector-free read pays vector overhead:\n$cleanPlan")
     DeleteVectors.deleteWhere(spark, root, delCond)
-    val dvPlan = GraftStore.readStore(spark, root)
-      .queryExecution.executedPlan.toString()
-    // small vectors broadcast: a pure equi LeftAnti the planner hashes —
-    // O(1) per probed row, no shuffle of the data side
-    assert(dvPlan.contains("BroadcastHashJoin") && dvPlan.contains("LeftAnti"),
-      s"vector anti-join did not broadcast:\n$dvPlan")
+    val dvRead = GraftStore.readStore(spark, root)
+    val dvPlan = dvRead.queryExecution.executedPlan.toString()
+    // the Delta-shape application: a per-file broadcast range table
+    // consulted as a FILTER during the scan — no join operand, no shuffle,
+    // no exploded positions anywhere in the plan
+    assert(!dvPlan.contains("Join"),
+      s"vector application must be a filter, not a join:\n$dvPlan")
+    // the tag columns collapse into direct _metadata references, so the
+    // filter shows as `Filter NOT dv_deleted(...file_path..., ...row_index)`
+    // fused into the scan's whole-stage-codegen — assert that shape
+    assert(dvPlan.contains("NOT dv_deleted") && dvPlan.contains("row_index"),
+      s"vector filter missing from the read plan:\n$dvPlan")
+    // the `*(n)` prefix marks whole-stage-codegen membership — the filter
+    // must be fused, not fall back to interpreted eval
+    assert(dvPlan.linesIterator.exists(l =>
+      l.contains("Filter NOT dv_deleted") && l.trim.matches("""^[+\-:\s]*\*\(\d+\).*""")),
+      s"vector filter must stay inside codegen:\n$dvPlan")
+    assert(graft.plans.PlanScans.finalNodes(dvRead)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]) == 0,
+      s"vector application must not shuffle the data side:\n$dvPlan")
   }
 
   test("a stale vector fails the read instead of resurrecting or mis-deleting rows") {
