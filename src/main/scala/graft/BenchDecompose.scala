@@ -226,6 +226,23 @@ object BenchDecompose {
       ext.Bucketing.requireNoShuffle(q18b(), "q18_bucketed")
       runStage("q3_bucketed", q3b)
       runStage("q18_bucketed", q18b)
+      // custkey family (q13): separate layout, same principle — only the
+      // post-aggregation c_count distribution is allowed to move
+      val tc0 = System.nanoTime()
+      val (ordCkT, custCkT) = ext.Bucketing.writeCustkeyTables(
+        spark, sfDir, scratch, buckets, prefix = "bench")
+      val tc = (System.nanoTime() - tc0) / 1e9
+      out("bucket_write_ck") = tc
+      println(f"""{"stage":"bucket_write_ck","sec":$tc%.3f,"spread":"once"}""")
+      if (!sys.env.get("SPARK_GRAFT_CACHE_LEVEL").contains("NONE")) {
+        Seq(ordCkT, custCkT).foreach { t =>
+          spark.table(t).persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          spark.table(t).count()
+        }
+      }
+      val q13b = () => ext.Bucketing.q13Colocated(spark, ordCkT, custCkT)
+      ext.Bucketing.requireShufflesBounded(q13b(), "q13_bucketed", Set("c_count"))
+      runStage("q13_bucketed", q13b)
     }
     val qj = out.map { case (n, t) => "\"" + n + "\":" + f"$t%.3f" }.mkString("{", ",", "}")
     println(s"""{"metric":"decompose","queries":$qj,"sf":"$sfDir","cache":"${sys.env.getOrElse("SPARK_GRAFT_CACHE_LEVEL", "MEMORY_AND_DISK")}"}""")

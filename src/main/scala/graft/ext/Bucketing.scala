@@ -50,6 +50,47 @@ object Bucketing {
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
+  /** Fail unless every shuffle in the plan sits ABOVE a partial aggregate
+    * whose grouping is exactly `boundedGroupCols` — i.e. the only data that
+    * ever moves is the post-aggregation result, bounded per task by the
+    * distinct values of those columns, never a fact-scale row set. This is
+    * the contract for shapes like q13 where the final tiny re-aggregation
+    * (distribution over `c_count`, ~40 distinct values) legitimately
+    * shuffles a few hundred rows while all fact-side work (the per-custkey
+    * count, the customer join) stays inside the bucket partitioning.
+    */
+  def requireShufflesBounded(df: DataFrame, what: String,
+      boundedGroupCols: Set[String]): Unit = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    def hasBoundedAgg(p: SparkPlan): Boolean = (p match {
+      case a: BaseAggregateExec =>
+        // match by output NAME (an Alias(coalesce(cnt,0), "c_count") from a
+        // collapsed projection still counts), not by input references
+        a.groupingExpressions.nonEmpty &&
+          a.groupingExpressions.map(_.name).toSet.subsetOf(boundedGroupCols)
+      case _ => false
+    }) || kids(p).exists(hasBoundedAgg) || p.subqueries.exists(hasBoundedAgg)
+    def check(p: SparkPlan): Unit = {
+      p match {
+        case s: ShuffleExchangeLike =>
+          require(kids(s).forall(hasBoundedAgg),
+            s"$what: a shuffle moves un-aggregated (fact-scale) rows —\n" +
+              df.queryExecution.executedPlan)
+        case _ =>
+      }
+      kids(p).foreach(check); p.subqueries.foreach(check)
+    }
+    check(df.queryExecution.executedPlan)
+  }
+
   /** Fail unless the plan is SHUFFLE-free (broadcast exchanges are allowed —
     * they move a dim, not the fact). Walks pre- or post-AQE plans and
     * subqueries; call before timing (initial plan) or after an action
@@ -153,5 +194,45 @@ object Bucketing {
         col("o_totalprice"), (col("sum_qty_c").cast("double") / 100.0).as("sum_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
+  }
+
+  /** One-time setup for the custkey family (q13's key): orders bucketed and
+    * sorted on `o_custkey`, customer on `c_custkey`, same bucket count — the
+    * left-outer customer⟕orders join co-locates and the per-custkey order
+    * count reuses the bucket partitioning. Column-pruned to what q13 reads.
+    */
+  def writeCustkeyTables(spark: SparkSession, sfDir: String, workDir: String,
+      buckets: Int, prefix: String = "graft"): (String, String) = {
+    val ordT = s"${prefix}_orders_ck"
+    val custT = s"${prefix}_customer_ck"
+    writeBucketed(
+      graft.Tables.orders(spark, sfDir).select(col("o_custkey"), col("o_orderkey")),
+      ordT, s"$workDir/orders_ck", "o_custkey", buckets)
+    writeBucketed(
+      graft.Tables.customer(spark, sfDir).select(col("c_custkey")),
+      custT, s"$workDir/customer_ck", "c_custkey", buckets)
+    (ordT, custT)
+  }
+
+  /** TPC-H Q13 over custkey-bucketed orders/customer: same semantics as
+    * `RelationalQueries.orderCountDistribution` (customers with zero orders
+    * included), with ALL fact-side work inside the bucket partitioning —
+    * the per-custkey order count aggregates exchange-free, the left-outer
+    * customer join is co-located (HashPartitioning survives the aggregate),
+    * and the only shuffles left move the ~40-distinct-value `c_count`
+    * distribution after map-side partial aggregation
+    * ([[requireShufflesBounded]] pins it).
+    */
+  def q13Colocated(spark: SparkSession, ordTable: String,
+      custTable: String): DataFrame = {
+    val perCust = spark.table(ordTable)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"))
+    spark.table(custTable)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
   }
 }

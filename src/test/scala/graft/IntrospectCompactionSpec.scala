@@ -334,6 +334,37 @@ class IntrospectCompactionSpec extends SparkSpec {
     }
   }
 
+  test("q13 over custkey-bucketed orders/customer: fact work shuffle-free, rows identical") {
+    val work = Files.createTempDirectory("graft-bucketq13")
+    val (ordT, custT) = graft.ext.Bucketing.writeCustkeyTables(
+      spark, sf, work.toString, buckets = 8, prefix = "spec13")
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1") // force the co-located large-×-large path
+    try {
+      val q13b = graft.ext.Bucketing.q13Colocated(spark, ordT, custT)
+      q13b.write.format("noop").mode("overwrite").save()
+      // every shuffle must sit above the partial aggregate on c_count — the
+      // per-custkey count and the customer left join move nothing
+      graft.ext.Bucketing.requireShufflesBounded(q13b, "bucketed q13", Set("c_count"))
+      // and the contract helper itself must reject a fact-scale shuffle
+      intercept[IllegalArgumentException] {
+        val unbucketed = queries.RelationalQueries.orderCountDistribution(spark, sf)
+        unbucketed.write.format("noop").mode("overwrite").save()
+        graft.ext.Bucketing.requireShufflesBounded(
+          unbucketed, "stock q13", Set("c_count"))
+      }
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.mkString("|")).toSeq
+      assert(rows(q13b) ==
+        rows(queries.RelationalQueries.orderCountDistribution(spark, sf)))
+    } finally {
+      spark.conf.set(thresholdKey, prev)
+      spark.sql("DROP TABLE IF EXISTS spec13_orders_ck")
+      spark.sql("DROP TABLE IF EXISTS spec13_customer_ck")
+    }
+  }
+
   test("salted count-distinct equals the direct computation") {
     val ev = Tables.events(spark, sf)
     val direct = ev.groupBy($"event_type").agg(countDistinct($"user_id").as("n_distinct"))
