@@ -243,6 +243,22 @@ object BenchDecompose {
       val q13b = () => ext.Bucketing.q13Colocated(spark, ordCkT, custCkT)
       ext.Bucketing.requireShufflesBounded(q13b(), "q13_bucketed", Set("c_count"))
       runStage("q13_bucketed", q13b)
+      // partkey family (q14): co-located month-window join, subtotals only
+      val tp0 = System.nanoTime()
+      val (liPkT, partPkT) = ext.Bucketing.writePartkeyTables(
+        spark, sfDir, scratch, buckets, prefix = "bench")
+      val tp = (System.nanoTime() - tp0) / 1e9
+      out("bucket_write_pk") = tp
+      println(f"""{"stage":"bucket_write_pk","sec":$tp%.3f,"spread":"once"}""")
+      if (!sys.env.get("SPARK_GRAFT_CACHE_LEVEL").contains("NONE")) {
+        Seq(liPkT, partPkT).foreach { t =>
+          spark.table(t).persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          spark.table(t).count()
+        }
+      }
+      val q14b = () => ext.Bucketing.q14Colocated(spark, liPkT, partPkT)
+      ext.Bucketing.requireShufflesBounded(q14b(), "q14_bucketed", Set("_b"))
+      runStage("q14_bucketed", q14b)
     }
     val qj = out.map { case (n, t) => "\"" + n + "\":" + f"$t%.3f" }.mkString("{", ",", "}")
     println(s"""{"metric":"decompose","queries":$qj,"sf":"$sfDir","cache":"${sys.env.getOrElse("SPARK_GRAFT_CACHE_LEVEL", "MEMORY_AND_DISK")}"}""")

@@ -72,9 +72,11 @@ object Bucketing {
     }
     def hasBoundedAgg(p: SparkPlan): Boolean = (p match {
       case a: BaseAggregateExec =>
-        // match by output NAME (an Alias(coalesce(cnt,0), "c_count") from a
-        // collapsed projection still counts), not by input references
-        a.groupingExpressions.nonEmpty &&
+        // a GLOBAL partial aggregate (empty grouping) emits one row per task
+        // — always bounded; otherwise match the grouping by output NAME (an
+        // Alias(coalesce(cnt,0), "c_count") from a collapsed projection
+        // still counts), not by input references
+        a.groupingExpressions.isEmpty ||
           a.groupingExpressions.map(_.name).toSet.subsetOf(boundedGroupCols)
       case _ => false
     }) || kids(p).exists(hasBoundedAgg) || p.subqueries.exists(hasBoundedAgg)
@@ -234,5 +236,57 @@ object Bucketing {
       .groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** One-time setup for the partkey family (q14's join key, also q9's
+    * dominant join): lineitem bucketed+sorted on `l_partkey`, part on
+    * `p_partkey`, column-pruned to what q14 reads. (A deployment picks ONE
+    * bucketing per physical fact copy — orderkey is lineitem's sweet spot
+    * for TPC-H — but each family is demonstrated independently here; at
+    * 100 TB a second sort order is exactly what a projection/index copy
+    * would provide.)
+    */
+  def writePartkeyTables(spark: SparkSession, sfDir: String, workDir: String,
+      buckets: Int, prefix: String = "graft"): (String, String) = {
+    val liT = s"${prefix}_lineitem_pk"
+    val partT = s"${prefix}_part_pk"
+    writeBucketed(
+      graft.Tables.lineitem(spark, sfDir).select(
+        col("l_partkey"), col("l_shipdate"), col("l_extendedprice"), col("l_discount")),
+      liT, s"$workDir/lineitem_pk", "l_partkey", buckets)
+    writeBucketed(
+      graft.Tables.part(spark, sfDir).select(col("p_partkey"), col("p_type")),
+      partT, s"$workDir/part_pk", "p_partkey", buckets)
+    (liT, partT)
+  }
+
+  /** TPC-H Q14 over partkey-bucketed lineitem/part: same semantics (and the
+    * same two-level long-cents arithmetic) as `RelationalQueries
+    * .promoRevenue`, with the month-window fact scan joining part CO-LOCATED
+    * — no shuffled fact rows and no full-dim broadcast build; the only
+    * exchanges move per-task subtotal rows ([[requireShufflesBounded]] with
+    * the partition-id group, plus the global re-sum's empty grouping).
+    */
+  def q14Colocated(spark: SparkSession, liTable: String,
+      partTable: String): DataFrame = {
+    spark.table(liTable)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .join(spark.table(partTable), col("l_partkey") === col("p_partkey"))
+      // materialize the partition id as a named column BEFORE grouping:
+      // grouping on the raw nondeterministic expression would be pulled out
+      // as `_nondeterministic` and defeat requireShufflesBounded's
+      // name-based contract
+      .select(col("p_type"), col("l_extendedprice"), col("l_discount"),
+        spark_partition_id().as("_b"))
+      .groupBy(col("_b"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", dpc).otherwise(lit(0L))).as("_p"),
+        sum(dpc).as("_t"))
+      .agg(
+        (sum(col("_p").cast("decimal(20,0)")).cast("double") / 10000.0).as("promo_revenue"),
+        (sum(col("_t").cast("decimal(20,0)")).cast("double") / 10000.0).as("total_revenue"))
+      .withColumn("promo_share",
+        lit(100.0) * col("promo_revenue") / col("total_revenue"))
   }
 }

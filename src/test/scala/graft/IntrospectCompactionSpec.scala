@@ -365,6 +365,31 @@ class IntrospectCompactionSpec extends SparkSpec {
     }
   }
 
+  test("q14 over partkey-bucketed lineitem/part: co-located join, values identical") {
+    val work = Files.createTempDirectory("graft-bucketq14")
+    val (liT, partT) = graft.ext.Bucketing.writePartkeyTables(
+      spark, sf, work.toString, buckets = 8, prefix = "spec14")
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      val q14b = graft.ext.Bucketing.q14Colocated(spark, liT, partT)
+      q14b.write.format("noop").mode("overwrite").save()
+      // the fact join must be co-located; only per-task subtotals move
+      graft.ext.Bucketing.requireShufflesBounded(q14b, "bucketed q14", Set("_b"))
+      val got = q14b.collect().head
+      val want = queries.RelationalQueries.promoRevenue(spark, sf).collect().head
+      // identical long-cents arithmetic ⇒ bit-identical doubles
+      assert(got.getDouble(0) == want.getDouble(0))
+      assert(got.getDouble(1) == want.getDouble(1))
+      assert(got.getDouble(2) == want.getDouble(2))
+    } finally {
+      spark.conf.set(thresholdKey, prev)
+      spark.sql("DROP TABLE IF EXISTS spec14_lineitem_pk")
+      spark.sql("DROP TABLE IF EXISTS spec14_part_pk")
+    }
+  }
+
   test("salted count-distinct equals the direct computation") {
     val ev = Tables.events(spark, sf)
     val direct = ev.groupBy($"event_type").agg(countDistinct($"user_id").as("n_distinct"))
