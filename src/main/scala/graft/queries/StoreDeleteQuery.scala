@@ -20,6 +20,12 @@ import java.nio.file.Files
   *   v3  deleteWhere #2 — a time predicate overlapping #1, so the commit
   *       exercises vector MERGING (only newly-matched rows count)
   *
+  * At bulk scale (sf100: ~24M matched positions) each delete exceeds the
+  * range cap and auto-materializes copy-on-write, inserting a compaction
+  * version after its vector commit — the gate therefore anchors time
+  * travel on `c1.version` (correct in both regimes) rather than on
+  * relative version arithmetic.
+  *
   * DuckDB restates every number straight from `events`: the deleted counts,
   * the surviving rows, and a content checksum (sum of message lengths) over
   * the final live view. `time_travel_ok` pins that the pre-delete snapshot
@@ -70,8 +76,13 @@ object StoreDeleteQuery {
     // through double, which rounds differently than the oracle's integer
     // epoch_us at 2⁶⁰-scale nanos (one row per ~10⁴ lands on the other
     // side of the modulus and the content checksum drifts by one message)
+    // retainSnapshots=2: at bulk scale each delete may be over-cap and
+    // materialize (vector commit + copy-on-write compaction = TWO
+    // versions), so keeping the post-delete-#1 snapshot time-travelable
+    // through both of delete #2's commits needs two grace snapshots
     val del2 = expr("((time_ns div 1000) % 97) < 13")
-    val c2 = DeleteVectors.deleteWhere(spark, root, del2, commitId = Some("x15-d2"))
+    val c2 = DeleteVectors.deleteWhere(spark, root, del2, commitId = Some("x15-d2"),
+      retainSnapshots = 2)
 
     val live = GraftStore.readStore(spark, root)
     val liveAgg = live.agg(
@@ -79,9 +90,13 @@ object StoreDeleteQuery {
       coalesce(sum(length($"message")).cast("long"), lit(0L)).as("live_msg_chars"),
       coalesce(sum(when(del1 || del2, 1L).otherwise(0L)), lit(0L)).as("n_live_matching"))
       .head()
-    // the retained pre-commit snapshot reads complete under its own vector
-    // state (time travel): v2 = after delete #1 only
-    val v2Count = GraftStore.readVersion(spark, root, c2.version - 1).count()
+    // the retained post-delete-#1 snapshot reads complete under its own
+    // state (time travel). Anchor on c1.version, NOT c2.version-1: in the
+    // over-cap regime a delete is TWO commits (vector + materializing
+    // compaction), so "one version before c2" would be delete #2's own
+    // vector commit — c1.version is the post-delete-#1 snapshot in both
+    // regimes (its vector sidecar under cap, its rewritten layout above)
+    val v2Count = GraftStore.readVersion(spark, root, c1.version).count()
 
     spark.range(1).select(
       lit(nTotal).as("n_total"),

@@ -56,9 +56,15 @@ object StoreDvMetaQuery {
 
     // the strike: a scattered time predicate both engines restate (~13% of
     // rows — x15's second delete; exact integer µs arithmetic on both
-    // sides); stays under the range cap so the vectors REMAIN LIVE
+    // sides). The range cap is LIFTED for this gate (uncapped, no
+    // materialize fallback): its whole point is metadata-only answers while
+    // merge-on-read debt is outstanding, so the vectors must remain live at
+    // every scale — at sf100 that is a ~13M-range sidecar, the honest
+    // "between a bulk GDPR strike and its compaction" state. x15 is the
+    // gate that exercises the over-cap rewrite itself.
     val c = DeleteVectors.deleteWhere(spark, root,
-      expr("((time_ns div 1000) % 97) < 13"), commitId = Some("x26-d1"))
+      expr("((time_ns div 1000) % 97) < 13"), commitId = Some("x26-d1"),
+      maxRanges = Int.MaxValue, materializeOverCap = false)
     require(!c.materialized && c.deletedRows > 0,
       s"x26 needs live (non-materialized) deletion vectors, got $c")
 

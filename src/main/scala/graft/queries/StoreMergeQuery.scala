@@ -52,9 +52,15 @@ object StoreMergeQuery {
       .withColumn("props", lit("NEW"))
     val updates = updated.unionByName(fresh)
 
+    // pre-merge anchor for time travel: at bulk scale the merge's matched
+    // deletes can exceed the range cap and materialize copy-on-write (a
+    // second, compaction version after the merge commit), so "m.version-1"
+    // would point at the merge itself — capture the version explicitly and
+    // retain two grace snapshots so it survives both commits
+    val v0 = GraftStore.liveVersionOf(spark, root)
     val m = DeleteVectors.mergeByKey(spark, root, updates,
       keyCols = Seq("event_id"), partitionCols = Seq("date"),
-      commitId = Some("x16-m1"))
+      commitId = Some("x16-m1"), retainSnapshots = 2)
 
     val live = GraftStore.readStore(spark, root)
     // exact multiset identity: survivors + updates (order-insensitive)
@@ -70,7 +76,7 @@ object StoreMergeQuery {
       coalesce(sum(when($"props" === "UPD", 1L).otherwise(0L)), lit(0L)),
       coalesce(sum(when($"props" === "NEW", 1L).otherwise(0L)), lit(0L)),
       coalesce(sum(length($"props")).cast("long"), lit(0L))).head()
-    val preMerge = GraftStore.readVersion(spark, root, m.version - 1).count()
+    val preMerge = GraftStore.readVersion(spark, root, v0).count()
 
     spark.range(1).select(
       lit(nTotal).as("n_total"),

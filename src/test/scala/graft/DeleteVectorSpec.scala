@@ -103,6 +103,46 @@ class DeleteVectorSpec extends SparkSpec {
     assert(GraftStore.readStore(spark, root).count() == total - expectDel)
   }
 
+  test("time travel across two over-cap commits anchors on explicit versions") {
+    // the x15/x16 gate contract at bulk scale (sf100): each over-cap delete
+    // is TWO commits (vector + materializing compaction), so relative
+    // arithmetic like `c2.version - 1` lands on delete #2's own vector
+    // commit. The correct anchors — c1.version, or a pre-captured current
+    // version — must stay readable through the NEXT delete's two commits
+    // when it retains two grace snapshots.
+    val root = java.nio.file.Files.createTempDirectory("graft-dv-tt2")
+      .resolve("store").toString
+    val df = fixture()
+    LogIngest.writeHive(df, root, partitionCols = parts)
+    val total = df.count()
+    val c1 = DeleteVectors.deleteWhere(spark, root, delCond,
+      commitId = Some("tt2-1"), maxRanges = 2)
+    assert(c1.materialized)
+    val del2 = expr("((time_ns div 1000) % 97) < 13")
+    val c2 = DeleteVectors.deleteWhere(spark, root, del2,
+      commitId = Some("tt2-2"), maxRanges = 2, retainSnapshots = 2)
+    assert(c2.materialized && c2.version >= c1.version + 2)
+    // post-delete-#1 snapshot still reads complete under its own state
+    assert(GraftStore.readVersion(spark, root, c1.version).count()
+      == total - c1.deletedRows)
+    // c2.version - 1 is delete #2's OWN vector commit — counting it proves
+    // why the gates must not use relative arithmetic
+    assert(GraftStore.readVersion(spark, root, c2.version - 1).count()
+      == total - c1.deletedRows - c2.deletedRows)
+    // merge anchor: a pre-captured version survives an over-cap merge's
+    // two commits with retainSnapshots=2
+    val preMergeCount = GraftStore.readStore(spark, root).count()
+    val v0 = GraftStore.liveVersionOf(spark, root)
+    val up = GraftStore.readStore(spark, root)
+      .filter(xxhash64($"message") % 5 === 1)
+      .withColumn("message", concat($"message", lit(" v2")))
+    val m = DeleteVectors.mergeByKey(spark, root, up,
+      keyCols = Seq("time_ns"), partitionCols = parts,
+      commitId = Some("tt2-m1"), maxRanges = 2, retainSnapshots = 2)
+    assert(m.materialized)
+    assert(GraftStore.readVersion(spark, root, v0).count() == preMergeCount)
+  }
+
   test("flat store: over-cap delete refuses BEFORE the commit lands") {
     // the copy-on-write fallback routes through partition-scoped compaction,
     // which a flat layout cannot take — the refusal must happen pre-commit
@@ -319,7 +359,7 @@ class DeleteVectorSpec extends SparkSpec {
       // compaction reads vector-applied and rewrites clean: sidecar gone,
       // live rows unchanged, CDC across the commit is empty
       Compaction.compactHive(spark, root, partitionCols = parts, full = true)
-      val cur = GraftStore.currentVersion(spark, root)
+      val cur = GraftStore.liveVersionOf(spark, root)
       assert(DeleteVectors.read(spark,
         s"$root/${GraftStore.versionPrefix(cur)}").isEmpty)
       val afterCompact = GraftStore.readStore(spark, root)
