@@ -139,7 +139,9 @@ object Bucketing {
     val ordT = s"${prefix}_orders_b"
     val li = graft.Tables.lineitem(spark, sfDir).select(
       col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"),
-      col("l_discount"), col("l_quantity"))
+      col("l_discount"), col("l_quantity"),
+      // q9 reads these two; q3/q18 scans still prune them away
+      col("l_partkey"), col("l_suppkey"))
     val ord = graft.Tables.orders(spark, sfDir).select(
       col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
       col("o_orderpriority"), col("o_totalprice"))
@@ -196,6 +198,39 @@ object Bucketing {
         col("o_totalprice"), (col("sum_qty_c").cast("double") / 100.0).as("sum_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
+  }
+
+  /** TPC-H Q9 over the SAME orderkey-bucketed tables as q3/q18: same
+    * semantics as `RelationalQueries.productProfit`. Every dimension
+    * broadcasts (filtered part, supplier, nation); the one fact-fact join —
+    * lineitem⋈orders on orderkey, the query's single fact-scale shuffle in
+    * the stock plan — is co-located, and the (nation, year) aggregate is
+    * bounded (≈25×7 groups × tasks), so only subtotal rows ever move
+    * ([[requireShufflesBounded]]).
+    */
+  def q9Colocated(spark: SparkSession, liTable: String, ordTable: String,
+      part: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame = {
+    spark.table(liTable)
+      .join(graft.plans.Hints.dimBroadcast(
+        part.filter(col("p_name").like("red%")).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(spark.table(ordTable).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.plans.Hints.dimBroadcast(
+        supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      // materialize the partition id pre-grouping (see q14Colocated)
+      .select(col("n_name").as("nation"),
+        date_format(col("o_orderdate"), "yyyy").as("o_year"),
+        spark_partition_id().as("_b"),
+        col("l_extendedprice"), col("l_discount"))
+      .groupBy(col("nation"), col("o_year"), col("_b"))
+      .agg(sum(dpc).as("_r"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg((sum(col("_r").cast("decimal(20,0)")).cast("double") / 10000.0)
+        .as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
   }
 
   /** One-time setup for the custkey family (q13's key): orders bucketed and

@@ -327,6 +327,16 @@ class IntrospectCompactionSpec extends SparkSpec {
         rows(queries.RelationalQueries.topUnshippedOrders(spark, sf)))
       assert(rows(q18b) ==
         rows(queries.RelationalQueries.largeOrders(spark, sf)))
+      // q9 over the same layout: dims broadcast, the orderkey join
+      // co-locates, only (nation, year) subtotal rows move
+      val q9b = graft.ext.Bucketing.q9Colocated(spark, liT, ordT,
+        Tables.part(spark, sf), Tables.supplier(spark, sf),
+        Tables.table(spark, sf, "nation"))
+      q9b.write.format("noop").mode("overwrite").save()
+      graft.ext.Bucketing.requireShufflesBounded(q9b, "bucketed q9",
+        Set("nation", "o_year", "_b"))
+      assert(rows(q9b) ==
+        rows(queries.RelationalQueries.productProfit(spark, sf)))
     } finally {
       spark.conf.set(thresholdKey, prev)
       spark.sql("DROP TABLE IF EXISTS spec_lineitem_b")
