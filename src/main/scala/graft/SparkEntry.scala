@@ -149,6 +149,7 @@ object SparkEntry {
     "x24_column_pruned" -> (StoreColPrunedQuery.run(_, _)),
     "x25_data_minmax" -> (StoreDataMinMaxQuery.run(_, _)),
     "x26_dv_meta_count" -> (StoreDvMetaQuery.run(_, _)),
+    "x27_bucketed_joins" -> (BucketedJoinQuery.run(_, _)),
     "v6_random_projection" -> (ExtensionQueries.randomProjectionGates(_, _)),
     "t11_bpe_vocab" -> (ExtensionQueries.bpeVocabGates(_, _)),
     "v7_quantize_int8" -> (ExtensionQueries.quantizationGates(_, _)),
@@ -1299,6 +1300,70 @@ object SparkEntry {
         |FROM live
         |WHERE strftime(ts, '%Y-%m-%d') >= (SELECT d FROM cut)
         |GROUP BY 1 ORDER BY date""".stripMargin,
+    // x27: bucketed co-located fact joins — the engine runs q3/q18
+    // exchange-free and q13/q14/q9 with only subtotal rows moving over
+    // pre-bucketed layouts (plan contracts require()d in the gate); the
+    // oracle restates the ANSWERS from the plain tables, so the layout
+    // rewrite is pinned to produce byte-identical results
+    "x27_bucketed_joins" ->
+      """WITH q13 AS (
+        |  SELECT c_count, count(*) AS custdist FROM (
+        |    SELECT c_custkey, count(o_orderkey) AS c_count
+        |    FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |    GROUP BY c_custkey)
+        |  GROUP BY c_count),
+        |q3 AS (
+        |  SELECT l_orderkey AS q3_top_orderkey,
+        |    CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) *
+        |             (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0
+        |      AS q3_top_revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1995-03-15'
+        |    AND l_shipdate > TIMESTAMP '1995-03-15'
+        |  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |  ORDER BY q3_top_revenue DESC, l_orderkey LIMIT 1),
+        |q14 AS (
+        |  SELECT 100.0 *
+        |    (CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) *
+        |           (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))
+        |      ELSE 0 END) AS DOUBLE) / 10000.0) /
+        |    (CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) *
+        |             (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0)
+        |    AS q14_promo_share
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'),
+        |q18 AS (
+        |  SELECT o_orderkey AS q18_top_orderkey,
+        |    CAST(sum_qty_c AS DOUBLE) / 100.0 AS q18_top_qty
+        |  FROM orders
+        |  JOIN (SELECT l_orderkey, SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS sum_qty_c
+        |        FROM lineitem GROUP BY l_orderkey
+        |        HAVING SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) > 30000) big
+        |    ON o_orderkey = l_orderkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1),
+        |q9 AS (
+        |  SELECT n_name AS q9_first_nation,
+        |    CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) *
+        |             (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0
+        |      AS q9_first_profit
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY n_name, strftime(o_orderdate, '%Y')
+        |  ORDER BY q9_first_nation, strftime(o_orderdate, '%Y') DESC LIMIT 1)
+        |SELECT q13.c_count, q13.custdist,
+        |  q3.q3_top_orderkey, q3.q3_top_revenue, q14.q14_promo_share,
+        |  q18.q18_top_orderkey, q18.q18_top_qty,
+        |  q9.q9_first_nation, q9.q9_first_profit
+        |FROM q13 CROSS JOIN q3 CROSS JOIN q14 CROSS JOIN q18 CROSS JOIN q9
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     // d11: streaming NEAR-dedup survivors — order-dependent but
     // non-recursive ("earlier SEEN", not "earlier admitted"), so pure SQL:
     // a doc survives iff no exact-Jaccard pair (τ=0.8, the d2 body) links
