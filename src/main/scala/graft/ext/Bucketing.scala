@@ -65,12 +65,20 @@ object Bucketing {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
     def kids(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case q: QueryStageExec => Seq(q.plan)
       case other => other.children
     }
-    def hasBoundedAgg(p: SparkPlan): Boolean = (p match {
+    /** True only when every row the shuffle streams has ALREADY passed a
+      * bounded aggregate on its DIRECT input path. Recursion stops cold at
+      * join nodes and nested shuffles (an aggregate somewhere below a join
+      * bounds that join INPUT, not the join's — potentially fact-scale —
+      * output), and subqueries never vouch for the streamed rows (they
+      * feed a scalar/broadcast, not this shuffle).
+      */
+    def boundedInput(p: SparkPlan): Boolean = p match {
       case a: BaseAggregateExec =>
         // a GLOBAL partial aggregate (empty grouping) emits one row per task
         // — always bounded; otherwise match the grouping by output NAME (an
@@ -78,12 +86,16 @@ object Bucketing {
         // still counts), not by input references
         a.groupingExpressions.isEmpty ||
           a.groupingExpressions.map(_.name).toSet.subsetOf(boundedGroupCols)
-      case _ => false
-    }) || kids(p).exists(hasBoundedAgg) || p.subqueries.exists(hasBoundedAgg)
+      case _: BaseJoinExec => false
+      case _: ShuffleExchangeLike => false
+      case a: AdaptiveSparkPlanExec => boundedInput(a.executedPlan)
+      case q: QueryStageExec => boundedInput(q.plan)
+      case other => other.children.nonEmpty && other.children.forall(boundedInput)
+    }
     def check(p: SparkPlan): Unit = {
       p match {
         case s: ShuffleExchangeLike =>
-          require(kids(s).forall(hasBoundedAgg),
+          require(kids(s).forall(boundedInput),
             s"$what: a shuffle moves un-aggregated (fact-scale) rows —\n" +
               df.queryExecution.executedPlan)
         case _ =>
@@ -157,15 +169,24 @@ object Bucketing {
     * (l_orderkey ⊆ grouping satisfies the clustered distribution).
     */
   def q3Colocated(spark: SparkSession, liTable: String, ordTable: String,
+      customer: DataFrame): DataFrame =
+    q3ColocatedFrames(spark.table(liTable), spark.table(ordTable), customer)
+
+  /** Frame-based q3 — the same exchange-free shape over ANY co-partitioned
+    * pair of lineitem/orders frames: catalog bucketed tables OR a
+    * `format("graft")` store compacted with [[graft.logs.ClusterSpec.BucketBy]]
+    * (whose relation reports the same HashPartitioning).
+    */
+  def q3ColocatedFrames(li: DataFrame, ordIn: DataFrame,
       customer: DataFrame): DataFrame = {
     val cust = customer.filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"))
-    val ord = spark.table(ordTable)
+    val ord = ordIn
       .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
       .join(graft.plans.Hints.dimBroadcast(cust),
         col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-    spark.table(liTable)
+    li
       .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
@@ -183,12 +204,17 @@ object Bucketing {
     * joins the same-bucketed orders without moving either side.
     */
   def q18Colocated(spark: SparkSession, liTable: String, ordTable: String,
+      customer: DataFrame): DataFrame =
+    q18ColocatedFrames(spark.table(liTable), spark.table(ordTable), customer)
+
+  /** Frame-based q18 — see [[q3ColocatedFrames]]. */
+  def q18ColocatedFrames(li: DataFrame, ord: DataFrame,
       customer: DataFrame): DataFrame = {
-    val bigKeys = spark.table(liTable)
+    val bigKeys = li
       .groupBy(col("l_orderkey"))
       .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"))
       .filter(col("sum_qty_c") > lit(30000L))
-    spark.table(ordTable)
+    ord
       .join(bigKeys, col("o_orderkey") === col("l_orderkey"))
       .join(graft.plans.Hints.dimBroadcast(
         customer.select(col("c_custkey"), col("c_name"))),
@@ -209,12 +235,18 @@ object Bucketing {
     * ([[requireShufflesBounded]]).
     */
   def q9Colocated(spark: SparkSession, liTable: String, ordTable: String,
+      part: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame =
+    q9ColocatedFrames(spark.table(liTable), spark.table(ordTable),
+      part, supplier, nation)
+
+  /** Frame-based q9 — see [[q3ColocatedFrames]]. */
+  def q9ColocatedFrames(li: DataFrame, ord: DataFrame,
       part: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame = {
-    spark.table(liTable)
+    li
       .join(graft.plans.Hints.dimBroadcast(
         part.filter(col("p_name").like("red%")).select(col("p_partkey"))),
         col("l_partkey") === col("p_partkey"))
-      .join(spark.table(ordTable).select(col("o_orderkey"), col("o_orderdate")),
+      .join(ord.select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .join(graft.plans.Hints.dimBroadcast(
         supplier.select(col("s_suppkey"), col("s_nationkey"))),

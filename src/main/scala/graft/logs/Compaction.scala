@@ -73,6 +73,19 @@ object ClusterSpec {
     * across all of them when no single probe dominates.
     */
   final case class ZOrder(cols: Seq[String]) extends ClusterSpec
+  /** Hash-bucketed on `key` into `buckets` files per partition dir, rows
+    * sorted by `key` within each bucket file — the STORE-level layout for a
+    * dominant large-×-large join: `format("graft")` reads the rewritten
+    * snapshot with a [[org.apache.spark.sql.catalyst.catalog.BucketSpec]]
+    * (validated against the file names, see
+    * [[graft.logs.GraftStore.readBucketSpec]]), so joins and aggregates on
+    * `key` plan WITHOUT a shuffle exchange — the co-location is paid once
+    * at maintenance time, not per query. The spec sidecar is fail-open: any
+    * snapshot file without a parseable bucket id (a later plain append, a
+    * partition carried from an unbucketed version) silently disables it and
+    * the store reads like any other.
+    */
+  final case class BucketBy(key: String, buckets: Int) extends ClusterSpec
 }
 
 object Compaction {
@@ -124,6 +137,12 @@ object Compaction {
   private def rewrite(input: DataFrame, partitionCols: Seq[String],
       maxRecordsPerFile: Long, dest: String,
       cluster: ClusterSpec = ClusterSpec.TimeMajor): Unit = {
+    cluster match {
+      case ClusterSpec.BucketBy(key, buckets) =>
+        rewriteBucketed(input, partitionCols, maxRecordsPerFile, dest, key, buckets)
+        return
+      case _ =>
+    }
     val sortKey: Seq[org.apache.spark.sql.Column] = cluster match {
       case ClusterSpec.TimeMajor =>
         Seq("time_ns").filter(input.columns.contains).map(col)
@@ -165,6 +184,56 @@ object Compaction {
       .mode("overwrite")
       .parquet(dest)
   }
+
+  /** Bucketed rewrite ([[ClusterSpec.BucketBy]]): Spark's bucketed-table
+    * writer is the only code path that names files with the bucket-id
+    * suffix the scan's parser recognizes, and it is catalog-routed — so the
+    * rewrite registers a throwaway EXTERNAL table at `dest` under a unique
+    * name and drops it immediately (the files stay; only the catalog entry
+    * goes). The pre-write `repartition(buckets, key)` maps each bucket to
+    * exactly one task (`HashPartitioning.partitionIdExpression` is the same
+    * `pmod(murmur3, n)` the bucket id uses), so every (partition dir,
+    * bucket) is one file and the write adds no extra sort pass beyond the
+    * per-file `sortBy`. The `_graft_bucketspec` sidecar committed beside
+    * the data is what `format("graft")` validates and honors.
+    */
+  private def rewriteBucketed(input: DataFrame, partitionCols: Seq[String],
+      maxRecordsPerFile: Long, dest: String, key: String, buckets: Int): Unit = {
+    val spark = input.sparkSession
+    val tmp = s"graft_bucket_rewrite_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    try {
+      input
+        .repartition(buckets, col(key))
+        .write
+        .partitionBy(partitionCols: _*)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", dest)
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .options(LogSchema.parquetBloomOptions)
+        .mode("overwrite")
+        .saveAsTable(tmp)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tmp")
+  }
+
+  /** Commit the `_graft_bucketspec` claim for a staged snapshot — but only
+    * when it is TRUE of every file the snapshot will hold: either nothing
+    * was carried (full bucketed rewrite), or the carried files came from a
+    * version claiming the SAME (key, buckets) — files bucketed under a
+    * different modulus carry parseable ids that mean the wrong thing, and a
+    * name-level check cannot tell (`pmod(hash, 8)` vs `pmod(hash, 16)` both
+    * name `_00003`), so the claim must be provenance-gated here, not
+    * validated away on the read side.
+    */
+  private def commitBucketSpec(spark: SparkSession, cluster: ClusterSpec,
+      priorDir: String, destDir: String, anyCarried: Boolean): Unit =
+    cluster match {
+      case ClusterSpec.BucketBy(key, buckets) =>
+        if (!anyCarried ||
+            GraftStore.readBucketSpec(spark, priorDir).contains((key, buckets)))
+          GraftStore.writeBucketSpec(spark, destDir, key, buckets)
+      case _ =>
+    }
 
   private[logs] def visible(n: String) = GraftStore.visibleName(n)
 
@@ -215,7 +284,26 @@ object Compaction {
   }
 
   /** Rename tiers: symlink-versioned roots and legacy plain dirs. */
-  private def compactRenameTiers(spark: SparkSession, root: String,
+  private def compactRenameTiers(spark0: SparkSession, root: String,
+      maxRecordsPerFile: Long, partitionCols: Seq[String],
+      convertStreamingStore: Boolean, dirtyMaxFiles: Int,
+      dirtyMinAvgBytes: Long, full: Boolean, retainSnapshots: Int,
+      cluster: ClusterSpec): Unit = {
+    // keep partition dir names byte-identical: type inference would read
+    // 'hour=00' back as int 0 and rewrite the dir as 'hour=0', forking the
+    // partition from future string-valued appends. Scoped to a CLONED
+    // session (ConfScope) — flipping the shared session's conf would
+    // disable the metadata-only planner tier for every concurrent query
+    // for the duration of the rewrite (the round-14 bench failure).
+    graft.ConfScope.withSessionConf(spark0,
+      "spark.sql.sources.partitionColumnTypeInference.enabled" -> "false") { spark =>
+      compactRenameTiersOn(spark, root, maxRecordsPerFile, partitionCols,
+        convertStreamingStore, dirtyMaxFiles, dirtyMinAvgBytes, full,
+        retainSnapshots, cluster)
+    }
+  }
+
+  private def compactRenameTiersOn(spark: SparkSession, root: String,
       maxRecordsPerFile: Long, partitionCols: Seq[String],
       convertStreamingStore: Boolean, dirtyMaxFiles: Int,
       dirtyMinAvgBytes: Long, full: Boolean, retainSnapshots: Int,
@@ -230,17 +318,11 @@ object Compaction {
         "is non-atomic copy+delete. Create the store with LogIngest.writeHive " +
         "(pointer-versioned) or migrate it: copy the tree under <root>/v000001 " +
         "and GraftStore.init-style-write <root>/_current")
-    // keep partition dir names byte-identical: type inference would read
-    // 'hour=00' back as int 0 and rewrite the dir as 'hour=0', forking the
-    // partition from future string-valued appends
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prevInfer = spark.conf.get(inferKey, "true")
-    spark.conf.set(inferKey, "false")
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new Path(root)
     val staging = new Path(root + ".compact-staging")
     val marker = new Path(root + ".compact-inflight")
-    try {
+    locally {
       if (fs.exists(marker)) {
         // A previous run crashed between swap start and verified cleanup.
         // Staging was verified complete before the marker was written, so it
@@ -356,6 +438,9 @@ object Compaction {
         // self-contained and plain reads through the symlink keep working
         val dirtyRels = dirty.map(_._1).toSet
         hardLinkCarry(leaves.filterNot(l => dirtyRels(l._1)), staging, live)
+        commitBucketSpec(spark, cluster, priorDir = root,
+          destDir = staging.toString,
+          anyCarried = leaves.exists(l => !dirtyRels(l._1)))
         // carried files keep their vectors; rewritten files shed them
         // (materialized by the vector-applied input above)
         val stagedDv = DeleteVectors.carryInto(spark, root, staging.toString,
@@ -377,7 +462,7 @@ object Compaction {
         writeMarker(fs, marker, expectedRows)
         applyStaging(spark, live, staging, marker, fs, expectedRows)
       }
-    } finally spark.conf.set(inferKey, prevInfer)
+    }
   }
 
   /** Carry untouched partitions into the staged next version with hard
@@ -423,17 +508,29 @@ object Compaction {
     * (an entry carried across N commits still names its original prefix),
     * and cleanup keeps the manifest closure of every retained snapshot.
     */
-  private def compactPointerStore(spark: SparkSession, root: String,
+  private def compactPointerStore(spark0: SparkSession, root: String,
+      maxRecordsPerFile: Long, partitionCols: Seq[String],
+      convertStreamingStore: Boolean, dirtyMaxFiles: Int,
+      dirtyMinAvgBytes: Long, full: Boolean, retainSnapshots: Int,
+      cluster: ClusterSpec): Unit =
+    // inference pinned off on a CLONED session, never the shared one — see
+    // compactRenameTiers for the byte-identical-dir-names rationale and the
+    // concurrency hazard a shared-session flip creates
+    graft.ConfScope.withSessionConf(spark0,
+      "spark.sql.sources.partitionColumnTypeInference.enabled" -> "false") { spark =>
+      compactPointerStoreOn(spark, root, maxRecordsPerFile, partitionCols,
+        convertStreamingStore, dirtyMaxFiles, dirtyMinAvgBytes, full,
+        retainSnapshots, cluster)
+    }
+
+  private def compactPointerStoreOn(spark: SparkSession, root: String,
       maxRecordsPerFile: Long, partitionCols: Seq[String],
       convertStreamingStore: Boolean, dirtyMaxFiles: Int,
       dirtyMinAvgBytes: Long, full: Boolean, retainSnapshots: Int,
       cluster: ClusterSpec): Unit = {
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prevInfer = spark.conf.get(inferKey, "true")
-    spark.conf.set(inferKey, "false")
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(root, "_compact-inflight")
-    try {
+    locally {
       if (fs.exists(marker)) {
         // marker certifies the newest version prefix is a verified complete
         // snapshot (data + manifest): finish the flip, re-verify, clean up
@@ -533,6 +630,8 @@ object Compaction {
         .sortBy(e => (e._2, e._1))
       if (carryEntries.nonEmpty)
         GraftStore.writeManifest(spark, nextDir, carryEntries)
+      commitBucketSpec(spark, cluster, priorDir = curDir, destDir = nextDir,
+        anyCarried = carryEntries.nonEmpty)
       // per-file pruning stats ([[FileStats]]), O(delta): carried partitions
       // reuse the predecessor's lines by (key, len); only the rewritten
       // files are footer-read. Written before the staged verify (which they
@@ -605,7 +704,7 @@ object Compaction {
         s"post-commit count $liveRows != expected $expectedRows — inspect $root")
       fs.delete(marker, false)
       cleanupPointer(spark, root, retainSnapshots)
-    } finally spark.conf.set(inferKey, prevInfer)
+    }
   }
 
   /** Reclaim after a pointer commit: keep the live version, the newest

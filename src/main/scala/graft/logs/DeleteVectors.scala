@@ -241,7 +241,7 @@ object DeleteVectors {
     * per-leg, BEFORE any union — `_metadata` resolves against a single file
     * source relation.
     */
-  private[logs] def tagMeta(df: DataFrame): DataFrame =
+  private[graft] def tagMeta(df: DataFrame): DataFrame =
     df.withColumn(PathCol, normalizeSql(col("_metadata.file_path")))
       .withColumn(PosCol, col("_metadata.row_index"))
 
@@ -253,7 +253,7 @@ object DeleteVectors {
     * longer describes the file — that read must fail, not resurrect or
     * mis-delete rows.
     */
-  private[logs] def applyTo(spark: SparkSession, tagged: DataFrame,
+  private[graft] def applyTo(spark: SparkSession, tagged: DataFrame,
       dv: Map[String, Dv], entries: Seq[GraftStore.FileEntry]): DataFrame =
     applyKeep(spark, tagged, dv, entries).drop(PathCol, PosCol)
 

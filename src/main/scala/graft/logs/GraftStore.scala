@@ -353,6 +353,39 @@ object GraftStore {
     finally out.close()
   }
 
+  /** Bucket-layout sidecar ([[ClusterSpec.BucketBy]] rewrites): `key\tN`,
+    * committed in the version dir beside the data it describes. The sidecar
+    * is a CLAIM, not a contract — the read side
+    * ([[graft.sources.GraftSourceProvider]]) honors it only after verifying
+    * every snapshot file name parses a bucket id `< N` with Spark's own
+    * parser, so a later plain append or an unbucketed carried partition
+    * fails the claim open (ordinary scan) instead of producing a
+    * wrong-partitioning plan. Version-scoped like the schema overlay: a
+    * later non-bucketed rewrite simply doesn't carry it.
+    */
+  val BucketSpecName = "_graft_bucketspec"
+
+  def writeBucketSpec(spark: SparkSession, versionDir: String,
+      key: String, buckets: Int): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val p = new Path(versionDir, BucketSpecName)
+    val out = fsOf(spark, p).create(p, true)
+    try out.write(s"$key\t$buckets".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** `(key, buckets)` claimed by a version dir's sidecar, if any. */
+  def readBucketSpec(spark: SparkSession, versionDir: String): Option[(String, Int)] = {
+    val p = new Path(versionDir, BucketSpecName)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+    val i = text.indexOf('\t')
+    require(i > 0, s"corrupt bucket spec in $p: '$text'")
+    Some((text.substring(0, i), text.substring(i + 1).trim.toInt))
+  }
+
   /** Null-backfill overlay columns a frame's files do not carry physically.
     * Applied PER LEG before the composite union, so pre-evolution legs align
     * with post-evolution ones without `allowMissingColumns` (which would

@@ -238,48 +238,6 @@ class GraftSourceProvider extends RelationProvider with SchemaRelationProvider
       case Some(v) => GraftStore.compositeEntries(spark, root, v)
       case None => FileStats.listDirEntries(spark, root)
     }
-    val dv = DeleteVectors.read(spark, dir)
-    if (dv.nonEmpty) {
-      // merge-on-read debt: the anti-join is a DataFrame operator, so the
-      // native file-scan tier can't express it — delegate until compaction
-      // materializes the vectors
-      val df = version match {
-        case Some(v) => GraftStore.readVersion(spark, root, v)
-        case None => GraftStore.readStore(spark, root)
-      }
-      // DV-aware metadata tier: the deletes sidecar knows EXACT per-file
-      // deleted counts, so live row counts are physical(stats) − deleted —
-      // [[GraftMetadataAggregate]] keeps answering COUNT with zero I/O even
-      // under merge-on-read debt. Built only when the snapshot is fully
-      // self-describing: fresh stats on every file, every vector keyed to a
-      // present entry with matching length (a mismatch must FAIL the scan,
-      // never be answered around), and the delegate frame's partition
-      // column types agreeing with the manifest-derived ones.
-      val dvMeta: Option[GraftDvMeta] = {
-        val byKey = entries.map(e => (e.key, e)).toMap
-        val consistent = dv.forall { case (k, v) =>
-          byKey.get(k).forall(_.len == v.len)
-        }
-        if (!consistent) None
-        else {
-          val statsByKey = FileStats.read(spark, dir)
-          val statsByPhysical = entries.flatMap { e =>
-            statsByKey.get(e.key).filter(_.len == e.len)
-              .map(s => GraftFileIndex.normPath(e.physical) -> s)
-          }.toMap
-          val legDirs = entries.map(_.legBase).distinct.sorted.map(new Path(_))
-          val idx = new GraftFileIndex(spark, legDirs, entries, statsByPhysical)
-          val typesAgree = idx.partitionSchema.forall(f =>
-            df.schema.fields.exists(g =>
-              g.name == f.name && g.dataType == f.dataType))
-          if (!typesAgree) None
-          else idx.statsWithDeletes(dv.map { case (k, v) => (k, v.positions) })
-            .map(GraftDvMeta(idx.partitionSchema, _))
-        }
-      }
-      return new GraftFrameRelation(sqlContext, df, dvMeta)
-    }
-
     val overlay = GraftStore.readSchemaOverlay(spark, dir)
     val statsByKey = FileStats.read(spark, dir)
     val statsByPhysical = entries.flatMap { e =>
@@ -308,8 +266,59 @@ class GraftSourceProvider extends RelationProvider with SchemaRelationProvider
     }
     require(dataSchema.nonEmpty || partCols.nonEmpty,
       s"$root is empty and declares no schema — pass .schema(...) or commit data first")
-    HadoopFsRelation(index, index.partitionSchema, dataSchema, None,
+    // bucket-layout claim ([[ClusterSpec.BucketBy]] maintenance): honored
+    // only when every snapshot file's NAME parses a bucket id < N with
+    // Spark's own parser (graftshim.GraftShim.bucketId) — a plain append or
+    // an unbucketed carried partition fails the claim open to an ordinary
+    // scan. When honored, the relation reports
+    // HashPartitioning(key, N), so joins/aggregates on the bucket key plan
+    // with ZERO shuffle exchanges — the 100 TB co-located-join story served
+    // directly from the store.
+    val bucketSpec: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] =
+      GraftStore.readBucketSpec(spark, dir).collect {
+        case (key, n) if entries.nonEmpty &&
+            dataSchema.fieldNames.contains(key) &&
+            entries.forall(e =>
+              org.apache.spark.sql.graftshim.GraftShim
+                .bucketId(new Path(e.physical).getName)
+                .exists(b => b >= 0 && b < n)) =>
+          org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(key), Seq(key))
+      }
+    val relation = HadoopFsRelation(index, index.partitionSchema, dataSchema, bucketSpec,
       new ParquetFileFormat, fmtOptions)(spark)
+
+    val dv = DeleteVectors.read(spark, dir)
+    if (dv.nonEmpty) {
+      // merge-on-read debt: the vector filter is a DataFrame operator, so
+      // the native file-scan tier can't express it — delegate a frame until
+      // compaction materializes the vectors. The delegate scans through the
+      // SAME manifest-derived GraftFileIndex as the fast tier (one relation,
+      // so `_metadata` resolves directly; partition column types pinned from
+      // the manifest — INDEPENDENT of the session's
+      // partitionColumnTypeInference conf, which a concurrent maintenance
+      // clone may legitimately differ on), with the vectors applied on top.
+      val df = DeleteVectors.applyTo(spark,
+        DeleteVectors.tagMeta(spark.baseRelationToDataFrame(relation)),
+        dv, entries)
+      // DV-aware metadata tier: the deletes sidecar knows EXACT per-file
+      // deleted counts, so live row counts are physical(stats) − deleted —
+      // [[GraftMetadataAggregate]] keeps answering COUNT with zero I/O even
+      // under merge-on-read debt. Built only when the snapshot is fully
+      // self-describing: fresh stats on every file, every vector keyed to a
+      // present entry with matching length (a mismatch must FAIL the scan,
+      // never be answered around).
+      val dvMeta: Option[GraftDvMeta] = {
+        val byKey = entries.map(e => (e.key, e)).toMap
+        val consistent = dv.forall { case (k, v) =>
+          byKey.get(k).forall(_.len == v.len)
+        }
+        if (!consistent) None
+        else index.statsWithDeletes(dv.map { case (k, v) => (k, v.positions) })
+          .map(GraftDvMeta(index.partitionSchema, _))
+      }
+      return new GraftFrameRelation(sqlContext, df, dvMeta)
+    }
+    relation
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,

@@ -15,4 +15,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Spark's own bucket-id file-name parser
+    * (`org.apache.spark.sql.execution.datasources.BucketingUtils`, also
+    * `private[sql]`). The graft store validates a bucket-spec sidecar with
+    * THE SAME parser the scan uses, so "every file carries a parseable
+    * bucket id" on the read side exactly matches what `FileSourceScanExec`
+    * will accept — a divergent reimplementation could admit a file the scan
+    * then rejects at runtime.
+    */
+  def bucketId(fileName: String): Option[Int] =
+    org.apache.spark.sql.execution.datasources.BucketingUtils.getBucketId(fileName)
 }

@@ -164,12 +164,12 @@ class IntrospectCompactionSpec extends SparkSpec {
     df.write.partitionBy(parts: _*).mode("append").parquet(root)
     val expected = spark.read.parquet(root).count()
     // crash A: staging verified + marker written, but never promoted
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prevInfer = spark.conf.get(inferKey)
-    spark.conf.set(inferKey, "false")
-    try spark.read.parquet(root).repartition(parts.map(col): _*)
-      .write.partitionBy(parts: _*).mode("overwrite").parquet(root + ".compact-staging")
-    finally spark.conf.set(inferKey, prevInfer)
+    // (inference off on a clone, like the real staging write)
+    ConfScope.withSessionConf(spark,
+      "spark.sql.sources.partitionColumnTypeInference.enabled" -> "false") { s =>
+      s.read.parquet(root).repartition(parts.map(col): _*)
+        .write.partitionBy(parts: _*).mode("overwrite").parquet(root + ".compact-staging")
+    }
     Files.writeString(java.nio.file.Paths.get(root + ".compact-inflight"), expected.toString)
     Compaction.compactHive(spark, root, partitionCols = parts)
     assert(spark.read.parquet(root).count() == expected)
@@ -205,13 +205,11 @@ class IntrospectCompactionSpec extends SparkSpec {
     // simulate a crash inside the swap's job commit: staging fully written
     // and the marker persisted, but one live partition is gone (deleted but
     // its replacement never renamed in)
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prevInfer = spark.conf.get(inferKey)
-    spark.conf.set(inferKey, "false")
-    try {
-      spark.read.parquet(root).repartition(parts.map(col): _*)
+    ConfScope.withSessionConf(spark,
+      "spark.sql.sources.partitionColumnTypeInference.enabled" -> "false") { s =>
+      s.read.parquet(root).repartition(parts.map(col): _*)
         .write.partitionBy(parts: _*).mode("overwrite").parquet(root + ".compact-staging")
-    } finally spark.conf.set(inferKey, prevInfer)
+    }
     Files.writeString(java.nio.file.Paths.get(root + ".compact-inflight"),
       expected.toString)
     val lost = new java.io.File(s"$root/cluster=dev/namespace=ns0").listFiles()
@@ -285,17 +283,16 @@ class IntrospectCompactionSpec extends SparkSpec {
     graft.ext.Bucketing.writeBucketed(li, "li_b", work.resolve("li").toString, "l_orderkey", 8)
     graft.ext.Bucketing.writeBucketed(ord, "ord_b", work.resolve("ord").toString, "l_orderkey", 8)
     // at fixture scale the planner would auto-broadcast (also fine, also
-    // shuffle-free) — disable it to exercise the large-x-large bucketed path
-    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
-    val prev = spark.conf.get(thresholdKey)
-    spark.conf.set(thresholdKey, "-1")
-    try {
-      val joined = graft.ext.Bucketing.coLocatedJoin(spark, "li_b", "ord_b", "l_orderkey")
+    // shuffle-free) — disable it ON A CLONE to exercise the large-x-large
+    // bucketed path without flipping the shared session's conf
+    ConfScope.withSessionConf(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") { s =>
+      val joined = graft.ext.Bucketing.coLocatedJoin(s, "li_b", "ord_b", "l_orderkey")
       joined.write.format("noop").mode("overwrite").save()
       val plan = joined.queryExecution.executedPlan.toString()
       assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
       assert(plan.contains("SortMergeJoin") && plan.contains("Bucketed: true"))
-    } finally spark.conf.set(thresholdKey, prev)
+    }
     val joined = graft.ext.Bucketing.coLocatedJoin(spark, "li_b", "ord_b", "l_orderkey")
     // and produces the same rows as the plain join
     assert(joined.count() == li.join(ord, "l_orderkey").count())
@@ -306,16 +303,14 @@ class IntrospectCompactionSpec extends SparkSpec {
     val work = Files.createTempDirectory("graft-bucketq")
     val (liT, ordT) = graft.ext.Bucketing.writeOrderkeyTables(
       spark, sf, work.toString, buckets = 8, prefix = "spec")
-    // disable auto-broadcast so the fixture-scale fact-fact join exercises
-    // the bucketed co-location, not a tiny-table broadcast (dims still
-    // broadcast through the explicit hint)
-    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
-    val prev = spark.conf.get(thresholdKey)
-    spark.conf.set(thresholdKey, "-1")
-    try {
-      val cust = Tables.customer(spark, sf)
-      val q3b = graft.ext.Bucketing.q3Colocated(spark, liT, ordT, cust)
-      val q18b = graft.ext.Bucketing.q18Colocated(spark, liT, ordT, cust)
+    // disable auto-broadcast ON A CLONE so the fixture-scale fact-fact join
+    // exercises the bucketed co-location, not a tiny-table broadcast (dims
+    // still broadcast through the explicit hint)
+    try ConfScope.withSessionConf(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") { s =>
+      val cust = Tables.customer(s, sf)
+      val q3b = graft.ext.Bucketing.q3Colocated(s, liT, ordT, cust)
+      val q18b = graft.ext.Bucketing.q18Colocated(s, liT, ordT, cust)
       q3b.write.format("noop").mode("overwrite").save()
       q18b.write.format("noop").mode("overwrite").save()
       graft.ext.Bucketing.requireNoShuffle(q3b, "bucketed q3")
@@ -329,16 +324,15 @@ class IntrospectCompactionSpec extends SparkSpec {
         rows(queries.RelationalQueries.largeOrders(spark, sf)))
       // q9 over the same layout: dims broadcast, the orderkey join
       // co-locates, only (nation, year) subtotal rows move
-      val q9b = graft.ext.Bucketing.q9Colocated(spark, liT, ordT,
-        Tables.part(spark, sf), Tables.supplier(spark, sf),
-        Tables.table(spark, sf, "nation"))
+      val q9b = graft.ext.Bucketing.q9Colocated(s, liT, ordT,
+        Tables.part(s, sf), Tables.supplier(s, sf),
+        Tables.table(s, sf, "nation"))
       q9b.write.format("noop").mode("overwrite").save()
       graft.ext.Bucketing.requireShufflesBounded(q9b, "bucketed q9",
         Set("nation", "o_year", "_b"))
       assert(rows(q9b) ==
         rows(queries.RelationalQueries.productProfit(spark, sf)))
     } finally {
-      spark.conf.set(thresholdKey, prev)
       spark.sql("DROP TABLE IF EXISTS spec_lineitem_b")
       spark.sql("DROP TABLE IF EXISTS spec_orders_b")
     }
@@ -348,19 +342,21 @@ class IntrospectCompactionSpec extends SparkSpec {
     val work = Files.createTempDirectory("graft-bucketq13")
     val (ordT, custT) = graft.ext.Bucketing.writeCustkeyTables(
       spark, sf, work.toString, buckets = 8, prefix = "spec13")
-    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
-    val prev = spark.conf.get(thresholdKey)
-    spark.conf.set(thresholdKey, "-1") // force the co-located large-×-large path
-    try {
-      val q13b = graft.ext.Bucketing.q13Colocated(spark, ordT, custT)
+    // force the co-located large-×-large path on a clone
+    try ConfScope.withSessionConf(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") { s =>
+      val q13b = graft.ext.Bucketing.q13Colocated(s, ordT, custT)
       q13b.write.format("noop").mode("overwrite").save()
       // every shuffle must sit above the partial aggregate on c_count — the
       // per-custkey count and the customer left join move nothing
       graft.ext.Bucketing.requireShufflesBounded(q13b, "bucketed q13", Set("c_count"))
-      // and the contract helper itself must reject a fact-scale shuffle
+      // and the contract helper itself must reject a fact-scale shuffle:
+      // execute the stock query OUTSIDE the intercept (an execution failure
+      // must fail the test, not satisfy it), then assert the helper alone
+      // rejects its plan
+      val unbucketed = queries.RelationalQueries.orderCountDistribution(s, sf)
+      unbucketed.write.format("noop").mode("overwrite").save()
       intercept[IllegalArgumentException] {
-        val unbucketed = queries.RelationalQueries.orderCountDistribution(spark, sf)
-        unbucketed.write.format("noop").mode("overwrite").save()
         graft.ext.Bucketing.requireShufflesBounded(
           unbucketed, "stock q13", Set("c_count"))
       }
@@ -369,7 +365,6 @@ class IntrospectCompactionSpec extends SparkSpec {
       assert(rows(q13b) ==
         rows(queries.RelationalQueries.orderCountDistribution(spark, sf)))
     } finally {
-      spark.conf.set(thresholdKey, prev)
       spark.sql("DROP TABLE IF EXISTS spec13_orders_ck")
       spark.sql("DROP TABLE IF EXISTS spec13_customer_ck")
     }
@@ -379,11 +374,9 @@ class IntrospectCompactionSpec extends SparkSpec {
     val work = Files.createTempDirectory("graft-bucketq14")
     val (liT, partT) = graft.ext.Bucketing.writePartkeyTables(
       spark, sf, work.toString, buckets = 8, prefix = "spec14")
-    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
-    val prev = spark.conf.get(thresholdKey)
-    spark.conf.set(thresholdKey, "-1")
-    try {
-      val q14b = graft.ext.Bucketing.q14Colocated(spark, liT, partT)
+    try ConfScope.withSessionConf(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") { s =>
+      val q14b = graft.ext.Bucketing.q14Colocated(s, liT, partT)
       q14b.write.format("noop").mode("overwrite").save()
       // the fact join must be co-located; only per-task subtotals move
       graft.ext.Bucketing.requireShufflesBounded(q14b, "bucketed q14", Set("_b"))
@@ -394,10 +387,58 @@ class IntrospectCompactionSpec extends SparkSpec {
       assert(got.getDouble(1) == want.getDouble(1))
       assert(got.getDouble(2) == want.getDouble(2))
     } finally {
-      spark.conf.set(thresholdKey, prev)
       spark.sql("DROP TABLE IF EXISTS spec14_lineitem_pk")
       spark.sql("DROP TABLE IF EXISTS spec14_part_pk")
     }
+  }
+
+  test("BucketBy store layout: q3/q18 exchange-free through format(\"graft\"), plain append fails the claim open") {
+    import graft.logs._
+    val work = Files.createTempDirectory("graft-storebucket")
+    val liRoot = work.resolve("li_store").toString
+    val ordRoot = work.resolve("ord_store").toString
+    val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_shipdate",
+        $"l_extendedprice", $"l_discount", $"l_quantity")
+      .withColumn("ly", date_format($"l_shipdate", "yyyy"))
+    val ord = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey",
+        $"o_orderdate", $"o_orderpriority", $"o_totalprice")
+      .withColumn("oy", date_format($"o_orderdate", "yyyy"))
+    GraftStore.init(spark, liRoot); GraftStore.init(spark, ordRoot)
+    AppendCommit.commit(li, liRoot, partitionCols = Seq("ly"))
+    AppendCommit.commit(ord, ordRoot, partitionCols = Seq("oy"))
+    // store-level bucketed layout: maintenance pays the orderkey shuffle ONCE
+    Compaction.compactHive(spark, liRoot, partitionCols = Seq("ly"), full = true,
+      cluster = ClusterSpec.BucketBy("l_orderkey", 8))
+    Compaction.compactHive(spark, ordRoot, partitionCols = Seq("oy"), full = true,
+      cluster = ClusterSpec.BucketBy("o_orderkey", 8))
+    ConfScope.withSessionConf(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") { s =>
+      val liS = s.read.format("graft").load(liRoot)
+      val ordS = s.read.format("graft").load(ordRoot)
+      // the relation must carry the validated bucket claim
+      assert(graft.plans.PlanScans.fileScans(liS).head.relation.bucketSpec
+        .exists(b => b.numBuckets == 8 && b.bucketColumnNames == Seq("l_orderkey")))
+      val cust = Tables.customer(s, sf)
+      val q3b = graft.ext.Bucketing.q3ColocatedFrames(liS, ordS, cust)
+      q3b.write.format("noop").mode("overwrite").save()
+      graft.ext.Bucketing.requireNoShuffle(q3b, "store-bucketed q3")
+      val q18b = graft.ext.Bucketing.q18ColocatedFrames(liS, ordS, cust)
+      q18b.write.format("noop").mode("overwrite").save()
+      graft.ext.Bucketing.requireNoShuffle(q18b, "store-bucketed q18")
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.mkString("|")).toSeq
+      assert(rows(q3b) ==
+        rows(queries.RelationalQueries.topUnshippedOrders(spark, sf)))
+      assert(rows(q18b) ==
+        rows(queries.RelationalQueries.largeOrders(spark, sf)))
+    }
+    // a plain (unbucketed) append breaks the name invariant: the claim must
+    // fail OPEN — ordinary scan, correct rows, no wrong-partitioning plan
+    AppendCommit.commit(ord.limit(7), ordRoot, partitionCols = Seq("oy"))
+    val ordS2 = spark.read.format("graft").load(ordRoot)
+    assert(graft.plans.PlanScans.fileScans(ordS2).head.relation.bucketSpec.isEmpty,
+      "a plain append must disable the bucket claim")
+    assert(ordS2.count() == ord.count() + 7)
   }
 
   test("salted count-distinct equals the direct computation") {

@@ -133,12 +133,11 @@ class PointerStoreSpec extends SparkSpec {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
       // crash A: v2 fully staged + marker written, pointer never flipped
-      val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-      val prev = spark.conf.get(inferKey)
-      spark.conf.set(inferKey, "false")
-      try spark.read.parquet(s"$root/v000001").repartition(parts.map(col): _*)
-        .write.partitionBy(parts: _*).mode("overwrite").parquet(s"$root/v000002")
-      finally spark.conf.set(inferKey, prev)
+      ConfScope.withSessionConf(spark,
+        "spark.sql.sources.partitionColumnTypeInference.enabled" -> "false") { s =>
+        s.read.parquet(s"$root/v000001").repartition(parts.map(col): _*)
+          .write.partitionBy(parts: _*).mode("overwrite").parquet(s"$root/v000002")
+      }
       val marker = new org.apache.hadoop.fs.Path(root, "_compact-inflight")
       val out = fs.create(marker, true)
       try out.write(expected.toString.getBytes("UTF-8")) finally out.close()
