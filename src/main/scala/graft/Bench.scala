@@ -204,6 +204,13 @@ object Bench {
       allFailed ++= warmSnap.collect { case (n, t) if t == -1.0 => n }
       println(s"""{"metric":"warm","round":$r,"value":$warmWall,"unit":"sec","queries":${queriesJson(warmSnap)},"sf":"$sfDir"}""")
     }
+    // catalog-residue hygiene (r14 verdict #4): gate queries register
+    // per-run-unique external tables and must drop them — leftovers here
+    // mean a finally block was skipped or a name leaked
+    val residue = spark.catalog.listTables().collect().map(_.name).sorted
+    if (residue.nonEmpty)
+      System.err.println(s"[bench] CATALOG RESIDUE: ${residue.mkString(",")}")
+    println(s"""{"metric":"catalog_residue","value":${residue.length},"sf":"$sfDir"}""")
     // the summary line unions failures across ALL rounds: exiting 1 while the
     // machine-readable tail says failed:[] would hide which query broke
     val allFailedJson = allFailed.map(n => "\"" + n + "\"").mkString("[", ",", "]")

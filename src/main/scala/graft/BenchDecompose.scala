@@ -288,6 +288,44 @@ object BenchDecompose {
         .agg(count(col("l_suppkey")).as("n_suppliers"), sum(col("c")).as("n_lineitems"))
         .orderBy(col("p_brand"))
       runStage("a3_preagg", a3p)
+      // ---- ROUTED stock plans (PlanRewrites, gate x28): the STOCK-named
+      // builders, with the optimizer substituting the artifacts above —
+      // what a user gets without calling any layout API by name ----
+      graft.plans.PlanRewrites.register("bench_a3",
+        queries.RelationalQueries.brandSupplierRollup(spark, sfDir),
+        spark.read.parquet(preaggPath)
+          .select(col("p_brand"), col("l_suppkey"), col("c")))
+      try {
+        val a3r = () => queries.RelationalQueries.distinctSuppliersPerBrand(spark, sfDir)
+        require(graft.plans.PlanScans.fileScans(a3r())
+          .flatMap(_.relation.location.rootPaths.map(_.toString))
+          .exists(_.contains("a3_preagg")), "a3_routed must hit the artifact")
+        runStage("a3_routed", a3r)
+      } finally graft.plans.PlanRewrites.unregister("bench_a3")
+      // q3_routed needs FULL-column bucketed copies (scan substitution is
+      // schema-exact); written once, physical pruning still reads 4 columns
+      val tf0 = System.nanoTime()
+      ext.Bucketing.writeBucketed(Tables.lineitem(spark, sfDir),
+        "bench_li_full", s"$scratch/li_full", "l_orderkey", buckets)
+      ext.Bucketing.writeBucketed(Tables.orders(spark, sfDir),
+        "bench_ord_full", s"$scratch/ord_full", "o_orderkey", buckets)
+      val tf = (System.nanoTime() - tf0) / 1e9
+      out("bucket_write_full") = tf
+      println(f"""{"stage":"bucket_write_full","sec":$tf%.3f,"spread":"once"}""")
+      graft.plans.PlanRewrites.register("bench_q3_li",
+        Tables.lineitem(spark, sfDir), spark.table("bench_li_full"))
+      graft.plans.PlanRewrites.register("bench_q3_ord",
+        Tables.orders(spark, sfDir), spark.table("bench_ord_full"))
+      try {
+        val q3r = () => queries.RelationalQueries.topUnshippedOrders(spark, sfDir)
+        ext.Bucketing.requireNoShuffle(q3r(), "q3_routed")
+        runStage("q3_routed", q3r)
+      } finally {
+        graft.plans.PlanRewrites.unregister("bench_q3_li")
+        graft.plans.PlanRewrites.unregister("bench_q3_ord")
+        Seq("bench_li_full", "bench_ord_full")
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      }
     }
     val qj = out.map { case (n, t) => "\"" + n + "\":" + f"$t%.3f" }.mkString("{", ",", "}")
     println(s"""{"metric":"decompose","queries":$qj,"sf":"$sfDir","cache":"${sys.env.getOrElse("SPARK_GRAFT_CACHE_LEVEL", "MEMORY_AND_DISK")}"}""")

@@ -40,6 +40,12 @@ object GraftSession {
           .contains(graft.plans.GraftMetadataAggregate))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.GraftMetadataAggregate
+    // exact-match routing to registered maintained artifacts (matviews,
+    // bucketed copies) — inert until something registers (PlanRewrites)
+    if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.PlanRewrites))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PlanRewrites
     spark
   }
 

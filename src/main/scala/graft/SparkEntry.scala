@@ -150,6 +150,7 @@ object SparkEntry {
     "x25_data_minmax" -> (StoreDataMinMaxQuery.run(_, _)),
     "x26_dv_meta_count" -> (StoreDvMetaQuery.run(_, _)),
     "x27_bucketed_joins" -> (BucketedJoinQuery.run(_, _)),
+    "x28_plan_routing" -> (StoreRoutedQuery.run(_, _)),
     "v6_random_projection" -> (ExtensionQueries.randomProjectionGates(_, _)),
     "t11_bpe_vocab" -> (ExtensionQueries.bpeVocabGates(_, _)),
     "v7_quantize_int8" -> (ExtensionQueries.quantizationGates(_, _)),
@@ -1364,6 +1365,31 @@ object SparkEntry {
         |  q9.q9_first_nation, q9.q9_first_profit
         |FROM q13 CROSS JOIN q3 CROSS JOIN q14 CROSS JOIN q18 CROSS JOIN q9
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // x28: exact-match plan routing — the engine runs the STOCK-named a3/q3
+    // builders but the optimizer substitutes a maintained MatView / bucketed
+    // copies (plan shape require()d in the gate: no fact scan in a3, zero
+    // exchanges in q3); the oracle restates every value from plain tables,
+    // pinning the substitution to byte-identical results
+    "x28_plan_routing" ->
+      """WITH q3 AS (
+        |  SELECT l_orderkey AS q3_top_orderkey,
+        |    CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) *
+        |             (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0
+        |      AS q3_top_revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1995-03-15'
+        |    AND l_shipdate > TIMESTAMP '1995-03-15'
+        |  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |  ORDER BY q3_top_revenue DESC, l_orderkey LIMIT 1)
+        |SELECT p_brand, count(DISTINCT l_suppkey) AS n_suppliers,
+        |  count(*) AS n_lineitems,
+        |  q3.q3_top_orderkey, q3.q3_top_revenue, true AS routed_ok
+        |FROM lineitem JOIN part ON l_partkey = p_partkey CROSS JOIN q3
+        |GROUP BY p_brand, q3.q3_top_orderkey, q3.q3_top_revenue
+        |ORDER BY p_brand""".stripMargin,
     // d11: streaming NEAR-dedup survivors — order-dependent but
     // non-recursive ("earlier SEEN", not "earlier admitted"), so pure SQL:
     // a doc survives iff no exact-Jaccard pair (τ=0.8, the d2 body) links

@@ -170,28 +170,35 @@ object RelationalQueries {
     * than twice their customer's average. Arithmetic stays in decimal so the
     * boundary comparison is exact against the oracle.
     */
-  def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
-    // view name unique to this query: Verify/Bench run queries concurrently
-    // on one session, and temp views are session-global state
-    Tables.orders(spark, dir).createOrReplaceTempView("orders_v_sub")
-    spark.sql(
-      """SELECT o_orderkey FROM orders_v_sub o
-        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
-        |      (SELECT COUNT(*) FROM orders_v_sub o2 WHERE o2.o_custkey = o.o_custkey)
-        |    > 2 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-        |           FROM orders_v_sub o2 WHERE o2.o_custkey = o.o_custkey)
-        |ORDER BY o_orderkey""".stripMargin)
+  /** Run `sql` with `df` exposed under a per-call-unique temp view name,
+    * dropping the view immediately after the (eager) analysis — `spark.sql`
+    * resolves at Dataset construction, so the returned frame's analyzed plan
+    * no longer references the name, and the catalog stays residue-free
+    * (`Bench`'s `catalog_residue` metric) with no cross-thread name races.
+    */
+  private def withTempView(spark: SparkSession, df: DataFrame,
+      sql: String => String): DataFrame = {
+    val v = s"graft_v_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    df.createOrReplaceTempView(v)
+    try spark.sql(sql(v)) finally spark.catalog.dropTempView(v)
   }
 
+  def correlatedSubquery(spark: SparkSession, dir: String): DataFrame =
+    withTempView(spark, Tables.orders(spark, dir), v =>
+      s"""SELECT o_orderkey FROM $v o
+         |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+         |      (SELECT COUNT(*) FROM $v o2 WHERE o2.o_custkey = o.o_custkey)
+         |    > 2 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+         |           FROM $v o2 WHERE o2.o_custkey = o.o_custkey)
+         |ORDER BY o_orderkey""".stripMargin)
+
   /** GROUPING SETS aggregation (finer than rollup: two independent cuts). */
-  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("orders_v_gs")
-    spark.sql(
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
-        |FROM orders_v_gs
-        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
-  }
+  def groupingSets(spark: SparkSession, dir: String): DataFrame =
+    withTempView(spark, Tables.orders(spark, dir), v =>
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+         |FROM $v
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
 
   /** TPC-H Q10 shape: revenue lost to returned items per customer, top-20. */
   def returnedItemRevenue(spark: SparkSession, dir: String): DataFrame =
@@ -700,15 +707,23 @@ object RelationalQueries {
   /** Exact grouped COUNT(DISTINCT): suppliers per part brand. The distinct
     * runs as Spark's two-phase expand+aggregate; part is a broadcast dim.
     */
+  /** The (brand, suppkey) rollup a3 aggregates over — exposed as its own
+    * builder so the x28 routing gate can register THE SAME fragment with
+    * [[graft.plans.PlanRewrites]] (sameResult matching needs the identical
+    * plan, and one shared builder cannot drift from the stock query).
+    */
+  def brandSupplierRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
+      .join(Hints.dimBroadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("l_suppkey")).agg(count(lit(1)).as("c"))
+
   def distinctSuppliersPerBrand(spark: SparkSession, dir: String): DataFrame =
     // dedup-first: countDistinct mixed with count(*) plans an Expand that
     // doubles the joined fact rows through the aggregate; collapsing on
     // (brand, suppkey) first is one map-side-combining shuffle and the
     // totals ride along as a sum
-    Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
-      .join(Hints.dimBroadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))),
-        col("l_partkey") === col("p_partkey"))
-      .groupBy(col("p_brand"), col("l_suppkey")).agg(count(lit(1)).as("c"))
+    brandSupplierRollup(spark, dir)
       .groupBy(col("p_brand"))
       // count(l_suppkey) skips a NULL-supplier group row, matching
       // count(DISTINCT l_suppkey) semantics; the row total keeps every row

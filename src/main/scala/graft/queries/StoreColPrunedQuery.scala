@@ -32,14 +32,7 @@ object StoreColPrunedQuery {
 
   private def build(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val work = Files.createTempDirectory("graft-colpruned")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-        f.delete()
-      }
-      rm(work.toFile)
-    }))
+    val work = graft.tools.TempRoots.createTempDir("graft-colpruned")
     val root = work.resolve("lake").toString
     val parts = Seq("cluster", "namespace", "date")
     val ev = Tables.events(spark, dir)

@@ -34,14 +34,7 @@ object StoreDataMinMaxQuery {
 
   private def build(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val work = Files.createTempDirectory("graft-dataminmax")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-        f.delete()
-      }
-      rm(work.toFile)
-    }))
+    val work = graft.tools.TempRoots.createTempDir("graft-dataminmax")
     val root = work.resolve("lake").toString
     val ev = Tables.events(spark, dir)
     val df = ev.select(

@@ -46,14 +46,7 @@ object StoreMatViewQuery {
 
   private def build(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val work = Files.createTempDirectory("graft-mv-x17")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-        f.delete()
-      }
-      rm(work.toFile)
-    }))
+    val work = graft.tools.TempRoots.createTempDir("graft-mv-x17")
     val root = work.resolve("lake").toString
     val viewDir = work.resolve("view").toString
     val parts = Seq("cluster", "namespace", "date")

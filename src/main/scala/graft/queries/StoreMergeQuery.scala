@@ -30,14 +30,7 @@ object StoreMergeQuery {
 
   private def build(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val work = Files.createTempDirectory("graft-dv-x16")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-        f.delete()
-      }
-      rm(work.toFile)
-    }))
+    val work = graft.tools.TempRoots.createTempDir("graft-dv-x16")
     val root = work.resolve("lake").toString
     val ev = Tables.events(spark, dir).select(
       $"event_id", $"ts", $"user_id", $"event_type", $"value", $"props",

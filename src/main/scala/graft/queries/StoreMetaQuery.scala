@@ -33,14 +33,7 @@ object StoreMetaQuery {
 
   private def build(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val work = Files.createTempDirectory("graft-meta-x18")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-        f.delete()
-      }
-      rm(work.toFile)
-    }))
+    val work = graft.tools.TempRoots.createTempDir("graft-meta-x18")
     val root = work.resolve("lake").toString
     val parts = Seq("cluster", "namespace", "date")
     val df = Tables.events(spark, dir).select(

@@ -29,14 +29,7 @@ object StorePrunedQuery {
   }
 
   private def build(spark: SparkSession, dir: String): DataFrame = {
-    val work = Files.createTempDirectory("graft-pruned")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-        f.delete()
-      }
-      rm(work.toFile)
-    }))
+    val work = graft.tools.TempRoots.createTempDir("graft-pruned")
     val root = work.resolve("lake").toString
     val ev = Tables.events(spark, dir)
     val df = ev.select(

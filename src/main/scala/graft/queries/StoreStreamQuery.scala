@@ -31,14 +31,7 @@ object StoreStreamQuery {
   }
 
   private def build(spark: SparkSession, dir: String): DataFrame = {
-    val work = Files.createTempDirectory("graft-streamstore")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-        f.delete()
-      }
-      rm(work.toFile)
-    }))
+    val work = graft.tools.TempRoots.createTempDir("graft-streamstore")
     val root = work.resolve("lake").toString
     val criRoot = PipelineE2E.criFixture(spark, dir)
 

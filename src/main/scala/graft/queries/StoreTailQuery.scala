@@ -33,14 +33,7 @@ object StoreTailQuery {
 
   private def build(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val work = Files.createTempDirectory("graft-tail-x20")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-        f.delete()
-      }
-      rm(work.toFile)
-    }))
+    val work = graft.tools.TempRoots.createTempDir("graft-tail-x20")
     val root = work.resolve("lake").toString
     val parts = Seq("cluster", "namespace", "date")
     val df = Tables.events(spark, dir).select(
@@ -87,6 +80,11 @@ object StoreTailQuery {
         .orderBy($"pod")
         // materialize before the stream (and its memory table) is torn down
         .localCheckpoint(true)
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // the memory sink registers a temp view under the sink name — drop it
+      // or every x20 run leaves a catalog entry (Bench's residue metric)
+      spark.catalog.dropTempView(sink)
+    }
   }
 }
