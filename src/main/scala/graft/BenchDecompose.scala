@@ -123,6 +123,10 @@ object BenchDecompose {
         .groupBy(col("p_brand"), col("l_suppkey")).agg(count(lit(1)).as("c"))
         .agg(count(lit(1)).as("n"))),
       "a3_full" -> (() => queries.RelationalQueries.distinctSuppliersPerBrand(spark, sfDir)),
+      // ---- residual single-box floors (r14 verdict #6: q21/q17/q16) --------
+      "q21_full" -> (() => queries.RelationalQueries.waitingSuppliers(spark, sfDir)),
+      "q17_full" -> (() => queries.RelationalQueries.smallQuantityRevenue(spark, sfDir)),
+      "q16_full" -> (() => queries.RelationalQueries.supplierCountByPart(spark, sfDir)),
       // ---- variants: the levers the base stages point at --------------------
       // q14's +2.3s over its scan stage is the 2M-row part broadcast (a
       // SINGLE-THREADED driver hash build); the filtered fact side is ~1/84
@@ -320,11 +324,38 @@ object BenchDecompose {
         val q3r = () => queries.RelationalQueries.topUnshippedOrders(spark, sfDir)
         ext.Bucketing.requireNoShuffle(q3r(), "q3_routed")
         runStage("q3_routed", q3r)
+        // q21 rides the SAME orderkey registrations: the lineitem⋈orders(F)
+        // join co-locates and the per-orderkey window reuses the bucket
+        // partitioning — the only shuffles left move the per-supplier
+        // numwait subtotals
+        val q21r = () => queries.RelationalQueries.waitingSuppliers(spark, sfDir)
+        ext.Bucketing.requireShufflesBounded(q21r(), "q21_routed", Set("s_name"))
+        runStage("q21_routed", q21r)
       } finally {
         graft.plans.PlanRewrites.unregister("bench_q3_li")
         graft.plans.PlanRewrites.unregister("bench_q3_ord")
         Seq("bench_li_full", "bench_ord_full")
           .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      }
+      // q17 needs the PARTKEY layout (its window partitions by l_partkey):
+      // a full-column partkey-bucketed copy routes the stock builder
+      val tq0 = System.nanoTime()
+      ext.Bucketing.writeBucketed(Tables.lineitem(spark, sfDir),
+        "bench_li_pk_full", s"$scratch/li_pk_full", "l_partkey", buckets)
+      val tq = (System.nanoTime() - tq0) / 1e9
+      out("bucket_write_pk_full") = tq
+      println(f"""{"stage":"bucket_write_pk_full","sec":$tq%.3f,"spread":"once"}""")
+      graft.plans.PlanRewrites.register("bench_q17_li",
+        Tables.lineitem(spark, sfDir), spark.table("bench_li_pk_full"))
+      try {
+        val q17r = () => queries.RelationalQueries.smallQuantityRevenue(spark, sfDir)
+        // global agg only: the brand-filtered window reuses the partkey
+        // bucket partitioning, so no fact rows move
+        ext.Bucketing.requireShufflesBounded(q17r(), "q17_routed", Set.empty)
+        runStage("q17_routed", q17r)
+      } finally {
+        graft.plans.PlanRewrites.unregister("bench_q17_li")
+        spark.sql("DROP TABLE IF EXISTS bench_li_pk_full")
       }
     }
     val qj = out.map { case (n, t) => "\"" + n + "\":" + f"$t%.3f" }.mkString("{", ",", "}")
