@@ -421,10 +421,20 @@ object DeleteVectors {
       // reduced to ONE driver row per touched FILE with the positions
       // already run-length compressed executor-side ([[collectFileRanges]]).
       // A dataless store matches nothing (and has no schema to read).
+      // the matched-row scan runs with partition type inference PINNED on a
+      // cloned session: the delete condition must evaluate partition columns
+      // under the same typed view `format("graft")` exposes (manifest-typed),
+      // not whatever the caller's session conf happens to be — with
+      // inference off, an int-typed partition predicate like hour >= 9 would
+      // compare lexicographically ("10" < "9") and silently strike the
+      // wrong rows
       val matched =
         if (entries.isEmpty) Array.empty[(String, Long, Array[Byte])]
-        else collectFileRanges(
-          matchRows(taggedLiveRead(spark, root, cur, prior, entries)))
+        else graft.ConfScope.withSessionConf(spark,
+          "spark.sql.sources.partitionColumnTypeInference.enabled" -> "true") { s =>
+          collectFileRanges(
+            matchRows(taggedLiveRead(s, root, cur, prior, entries)))
+        }
       val keyOfNorm = entries.map(e => (normalizePath(e.physical), e)).toMap
       var newPositions = 0L
       val additions: Map[String, Dv] = matched.map { case (path, n, packed) =>

@@ -119,6 +119,28 @@ class ConfScopeSpec extends SparkSpec {
     }
   }
 
+  test("deleteWhere evaluates partition predicates manifest-typed even with inference disabled") {
+    val root = newRoot("delinfer")
+    // two int-like partition values, 9 and 10: lexicographic (string)
+    // comparison inverts their order ("9" >= "10"), typed comparison does not
+    val df = fixture().withColumn("hour",
+      when(crc32($"message") % 2 === 0, lit("9")).otherwise(lit("10")))
+    val parts9 = Seq("cluster", "namespace", "hour")
+    LogIngest.writeHive(df, root, partitionCols = parts9)
+    val n9 = df.filter($"hour" === "9").count()
+    val n10 = df.filter($"hour" === "10").count()
+    // a session with inference DISABLED issues the delete: the matched-row
+    // scan must still see hour as int (manifest-typed), so `hour >= "10"`
+    // strikes ONLY hour=10 — lexicographic evaluation would strike both
+    val c = ConfScope.withSessionConf(spark, inferKey -> "false") { s =>
+      DeleteVectors.deleteWhere(s, root, col("hour") >= "10",
+        commitId = Some("confscope-delinfer"))
+    }
+    assert(c.deletedRows == n10,
+      s"must delete exactly the hour=10 rows ($n10), got ${c.deletedRows}")
+    assert(spark.read.format("graft").load(root).count() == n9)
+  }
+
   test("x11-parallel-x26 shape: compaction mid-commit never degrades a concurrent metadata-only read") {
     val (dvRoot, live) = dvStore("par")
     // a second, append-heavy store for the compactor (full rewrite each run)
