@@ -370,6 +370,29 @@ object BenchDecompose {
         graft.plans.PlanRewrites.unregister("bench_q17_li")
         spark.sql("DROP TABLE IF EXISTS bench_li_pk_full")
       }
+      // q16: the distinct aggregate IS the query — the layout answer is the
+      // a3 play: maintain the (brand,type,size,suppkey) rollup once, route
+      // the stock-named builder through it
+      val t16 = System.nanoTime()
+      val preagg16 = s"$scratch/q16_preagg"
+      graft.plans.PlanRewrites.withoutRewrites {
+        queries.RelationalQueries.partSupplierRollup(spark, sfDir)
+          .write.mode("overwrite").parquet(preagg16)
+      }
+      val t16s = (System.nanoTime() - t16) / 1e9
+      out("q16_preagg_write") = t16s
+      println(f"""{"stage":"q16_preagg_write","sec":$t16s%.3f,"spread":"once"}""")
+      graft.plans.PlanRewrites.register("bench_q16",
+        queries.RelationalQueries.partSupplierRollup(spark, sfDir),
+        spark.read.parquet(preagg16).select(col("p_brand"), col("p_type"),
+          col("p_size"), col("l_suppkey")))
+      try {
+        val q16r = () => queries.RelationalQueries.supplierCountByPart(spark, sfDir)
+        require(graft.plans.PlanScans.fileScans(q16r())
+          .flatMap(_.relation.location.rootPaths.map(_.toString))
+          .exists(_.contains("q16_preagg")), "q16_routed must hit the artifact")
+        runStage("q16_routed", q16r)
+      } finally graft.plans.PlanRewrites.unregister("bench_q16")
     }
     val qj = out.map { case (n, t) => "\"" + n + "\":" + f"$t%.3f" }.mkString("{", ",", "}")
     println(s"""{"metric":"decompose","queries":$qj,"sf":"$sfDir","cache":"${sys.env.getOrElse("SPARK_GRAFT_CACHE_LEVEL", "MEMORY_AND_DISK")}"}""")

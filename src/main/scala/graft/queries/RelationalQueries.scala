@@ -594,7 +594,16 @@ object RelationalQueries {
     * aggregate), so a distinct would only add a full-width extra shuffle
     * of the unfiltered pair set.
     */
-  def supplierCountByPart(spark: SparkSession, dir: String): DataFrame = {
+  /** q16's pre-distinct rollup — the same dedup-first restatement as a3's
+    * [[brandSupplierRollup]], exposed so the routing seam can substitute a
+    * maintained pre-aggregate: one (brand, type, size, suppkey) row per
+    * distinct combination. A pure DISTINCT (no carried count): the outer
+    * query doesn't read a multiplicity, and an unused aggregate would be
+    * pruned out of the stock plan by the optimizer — the registered
+    * fragment must be exactly what survives optimization or `sameResult`
+    * can never match it.
+    */
+  def partSupplierRollup(spark: SparkSession, dir: String): DataFrame = {
     val excluded = Tables.supplier(spark, dir)
       .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
     Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
@@ -603,10 +612,20 @@ object RelationalQueries {
             col("p_size").isin(1, 5, 9, 14, 20, 27, 33, 40))),
         col("l_partkey") === col("p_partkey"))
       .join(Hints.dimBroadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
-      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
-      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
-      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      .select(col("p_brand"), col("p_type"), col("p_size"), col("l_suppkey"))
+      .distinct()
   }
+
+  def supplierCountByPart(spark: SparkSession, dir: String): DataFrame =
+    // dedup-first (same rationale as distinctSuppliersPerBrand): collapse on
+    // (brand, type, size, suppkey) once, then the distinct count is a plain
+    // count over the rollup — value-identical to countDistinct (suppkey is
+    // non-null; count(col) skips nulls exactly like COUNT(DISTINCT)), and
+    // the rollup fragment becomes routable to a maintained artifact
+    partSupplierRollup(spark, dir)
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(count(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
 
   /** TPC-H Q17 shape: revenue from small-quantity orders of one brand —
     * the per-part average quantity is a correlated aggregate over the SAME
