@@ -92,6 +92,29 @@ class PlanRewritesSpec extends SparkSpec {
     }
   }
 
+  test("q16's DISTINCT rollup fragment routes in the stock plan") {
+    // regression for the pruning lesson: the registered fragment must be
+    // exactly what survives optimization — partSupplierRollup is a pure
+    // distinct precisely so the stock q16 subtree sameResults it
+    val work = Files.createTempDirectory("graft-rewrite-q16")
+    val pre = work.resolve("q16_pre").toString
+    queries.RelationalQueries.partSupplierRollup(spark, sf)
+      .write.mode("overwrite").parquet(pre)
+    val stockRows = rows(queries.RelationalQueries.supplierCountByPart(spark, sf))
+    PlanRewrites.register("spec_q16",
+      queries.RelationalQueries.partSupplierRollup(spark, sf),
+      spark.read.parquet(pre)
+        .select($"p_brand", $"p_type", $"p_size", $"l_suppkey"))
+    try {
+      val routed = queries.RelationalQueries.supplierCountByPart(spark, sf)
+      val paths = scanPaths(routed)
+      assert(paths.exists(_.contains("q16_pre")),
+        s"stock q16 must scan the registered artifact, scanned: $paths")
+      assert(!paths.exists(_.contains("lineitem")))
+      assert(rows(routed) == stockRows, "routing must be value-preserving")
+    } finally PlanRewrites.unregister("spec_q16")
+  }
+
   test("register rejects schema drift and self-referential replacements") {
     intercept[IllegalArgumentException] {
       PlanRewrites.register("spec_bad",
