@@ -339,6 +339,23 @@ object BenchDecompose {
         val q21r = () => queries.RelationalQueries.waitingSuppliers(spark, sfDir)
         ext.Bucketing.requireShufflesBounded(q21r(), "q21_routed", Set("s_name"))
         runStage("q21_routed", q21r)
+        // q9: the single fact-fact orderkey join co-locates; dims broadcast;
+        // only (nation, o_year) subtotal rows move
+        val q9r = () => queries.RelationalQueries.productProfit(spark, sfDir)
+        // the stock builder groups on raw spark_partition_id(), which
+        // Catalyst extracts as `_nondeterministic` (and the year expression
+        // as `_groupingexpression`) — bounded groupings under their
+        // physical names
+        ext.Bucketing.requireShufflesBounded(q9r(), "q9_routed",
+          Set("nation", "o_year", "n_name", "_groupingexpression", "_nondeterministic"))
+        runStage("q9_routed", q9r)
+        // q18: the 15M-group orderkey aggregate and its orders join run
+        // inside the bucket partitioning; the stock builder's UNhinted
+        // customer join plans a shuffle that AQE converts to broadcast at
+        // runtime (the filtered side is tiny), so the static-plan contract
+        // lives on the Colocated variant, not here
+        runStage("q18_routed",
+          () => queries.RelationalQueries.largeOrders(spark, sfDir))
       } finally {
         graft.plans.PlanRewrites.unregister("bench_q3_li")
         graft.plans.PlanRewrites.unregister("bench_q3_ord")
@@ -360,15 +377,63 @@ object BenchDecompose {
       }
       graft.plans.PlanRewrites.register("bench_q17_li",
         Tables.lineitem(spark, sfDir), spark.table("bench_li_pk_full"))
+      ext.Bucketing.writeBucketed(Tables.part(spark, sfDir),
+        "bench_part_pk_full", s"$scratch/part_pk_full", "p_partkey", buckets)
+      if (!sys.env.get("SPARK_GRAFT_CACHE_LEVEL").contains("NONE")) {
+        spark.table("bench_part_pk_full")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        spark.table("bench_part_pk_full").count()
+      }
+      graft.plans.PlanRewrites.register("bench_q14_part",
+        Tables.part(spark, sfDir), spark.table("bench_part_pk_full"))
       try {
         val q17r = () => queries.RelationalQueries.smallQuantityRevenue(spark, sfDir)
         // global agg only: the brand-filtered window reuses the partkey
         // bucket partitioning, so no fact rows move
         ext.Bucketing.requireShufflesBounded(q17r(), "q17_routed", Set.empty)
         runStage("q17_routed", q17r)
+        // q14: the month-window fact ⋈ part join co-locates on the partkey
+        // layouts; only per-task (_b) subtotals move
+        val q14r = () => queries.RelationalQueries.promoRevenue(spark, sfDir)
+        ext.Bucketing.requireShufflesBounded(q14r(), "q14_routed",
+          Set("_b", "_nondeterministic"))
+        runStage("q14_routed", q14r)
       } finally {
         graft.plans.PlanRewrites.unregister("bench_q17_li")
-        spark.sql("DROP TABLE IF EXISTS bench_li_pk_full")
+        graft.plans.PlanRewrites.unregister("bench_q14_part")
+        Seq("bench_li_pk_full", "bench_part_pk_full")
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      }
+      // q13: custkey layouts — full-column customer/orders copies so the
+      // stock left-outer join and the per-custkey count co-locate; only the
+      // ~40-value c_count distribution moves
+      val t13 = System.nanoTime()
+      ext.Bucketing.writeBucketed(Tables.orders(spark, sfDir),
+        "bench_ord_ck_full", s"$scratch/ord_ck_full", "o_custkey", buckets)
+      ext.Bucketing.writeBucketed(Tables.customer(spark, sfDir),
+        "bench_cust_ck_full", s"$scratch/cust_ck_full", "c_custkey", buckets)
+      val t13s = (System.nanoTime() - t13) / 1e9
+      out("bucket_write_ck_full") = t13s
+      println(f"""{"stage":"bucket_write_ck_full","sec":$t13s%.3f,"spread":"once"}""")
+      if (!sys.env.get("SPARK_GRAFT_CACHE_LEVEL").contains("NONE")) {
+        Seq("bench_ord_ck_full", "bench_cust_ck_full").foreach { t =>
+          spark.table(t).persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          spark.table(t).count()
+        }
+      }
+      graft.plans.PlanRewrites.register("bench_q13_ord",
+        Tables.orders(spark, sfDir), spark.table("bench_ord_ck_full"))
+      graft.plans.PlanRewrites.register("bench_q13_cust",
+        Tables.customer(spark, sfDir), spark.table("bench_cust_ck_full"))
+      try {
+        val q13r = () => queries.RelationalQueries.orderCountDistribution(spark, sfDir)
+        ext.Bucketing.requireShufflesBounded(q13r(), "q13_routed", Set("c_count"))
+        runStage("q13_routed", q13r)
+      } finally {
+        graft.plans.PlanRewrites.unregister("bench_q13_ord")
+        graft.plans.PlanRewrites.unregister("bench_q13_cust")
+        Seq("bench_ord_ck_full", "bench_cust_ck_full")
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       }
       // q16: the distinct aggregate IS the query — the layout answer is the
       // a3 play: maintain the (brand,type,size,suppkey) rollup once, route
