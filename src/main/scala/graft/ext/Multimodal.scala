@@ -471,7 +471,17 @@ object Multimodal {
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
     val kinds = Array("image", "audio", "video")
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, _) =>
+    // Payloads derive from doc_id alone, so project to the 8-byte id BEFORE
+    // spreading (r16, guide §2.3/§2.6): the old shape carried `text` into the
+    // typed map unused (defeating column pruning) and inherited the scan's
+    // partitioning — the fixture is ONE small parquet file, so every encode
+    // and every downstream m1/m2/m3 codec pass ran on a single core while 31
+    // idled. Round-robin over max(cores, scan parallelism) shuffles only ids;
+    // at real scale the max() keeps the scan's own (larger) parallelism.
+    val ids = docs.select(col("doc_id")).as[Long]
+    val spread = ids.repartition(
+      math.max(spark.sparkContext.defaultParallelism, ids.rdd.getNumPartitions))
+    spread.map { id =>
       val kind = kinds(math.floorMod(id, 3L).toInt)
       val payload = kind match {
         case "image" => ImageFixture.png(id)

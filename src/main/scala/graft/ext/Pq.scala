@@ -55,10 +55,15 @@ object Pq {
     * broadcast join side.
     */
   def train(corpus: DataFrame, vecCol: String = "embedding", m: Int = 8,
-      ks: Int = 32, iters: Int = 10, sampleSize: Int = 2048): Model = {
-    val raw = corpus.select(col(vecCol))
-      .orderBy(xxhash64(col(vecCol))).limit(sampleSize)
-      .collect().map(r => r.getSeq[Float](0).toArray)
+      ks: Int = 32, iters: Int = 10, sampleSize: Int = 2048): Model =
+    trainOnSample(Similarity.sampleVectors(corpus, vecCol, sampleSize),
+      m = m, ks = ks, iters = iters)
+
+  /** Train from an already-collected sample — lets [[Similarity.buildIvfPqIndex]]
+    * feed the coarse and product quantizers from ONE corpus sampling pass.
+    */
+  private[ext] def trainOnSample(raw: Array[Array[Float]], m: Int = 8,
+      ks: Int = 32, iters: Int = 10): Model = {
     require(raw.nonEmpty, "empty corpus")
     val dims = raw.iterator.map(_.length).max
     require(dims % m == 0, s"vector dim $dims is not divisible by m=$m subspaces")
@@ -144,11 +149,20 @@ object Pq {
 
   /** PQ-encode a corpus: (id, code) with `code` = m bytes. */
   def encode(corpus: DataFrame, model: Model, corpusId: String = "vec_id",
-      corpusVec: String = "embedding"): DataFrame = {
-    val nc = withNormalized(corpus, corpusVec, "__graft_pq_nv")
-    nc.select(col(corpusId),
-      PqFunctions.pqEncode(col("__graft_pq_nv"), model.codebook, model.m,
-        model.ks, model.subDim).as("pq_code"))
+      corpusVec: String = "embedding"): DataFrame =
+    withCode(corpus, model, corpusVec).select(col(corpusId), col("pq_code"))
+
+  /** Append an `out` PQ-code column, keeping every existing column — one
+    * map-only pass, so callers that need the code NEXT TO other derived
+    * columns (the IVF-PQ cell write) never self-join the corpus for it.
+    */
+  def withCode(df: DataFrame, model: Model, vecCol: String = "embedding",
+      out: String = "pq_code"): DataFrame = {
+    val nc = withNormalized(df, vecCol, "__graft_pq_nv")
+    nc.withColumn(out,
+        PqFunctions.pqEncode(col("__graft_pq_nv"), model.codebook, model.m,
+          model.ks, model.subDim))
+      .drop("__graft_pq_nv")
   }
 
   /** Persist a [[Model]] beside an index (one tiny parquet). */

@@ -214,17 +214,27 @@ object Similarity {
     requireIntegralId(corpus, corpusId, "corpus")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = trainCoarseQuantizer(corpus, corpusVec, nLists, kmeansIters, sampleSize)
-    val model = Pq.train(corpus, corpusVec, m = m, ks = ks, sampleSize = sampleSize)
+    // one sample job feeds BOTH quantizers (r16, guide §1.2/§2.4): the coarse
+    // and PQ trainers draw the identical hash-ordered reservoir, so sampling
+    // twice was a second full TakeOrdered pass over the corpus for the same
+    // bytes. Same sample → identical centroids and codebook as before.
+    val sample = sampleVectors(corpus, corpusVec, sampleSize)
+    val centroids = trainCoarseQuantizerOnSample(sample, nLists, kmeansIters)
+    val model = Pq.trainOnSample(sample, m = m, ks = ks)
     centroids.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     Pq.saveModel(spark, s"$path/pqmodel", model)
-    corpus.select(col(corpusId).as("cid"), col(corpusVec).as("cv"),
+    // cell assignment and PQ code in ONE projection over ONE corpus scan
+    // (r16, guide §2.4): the old shape joined the corpus with a SECOND scan
+    // of itself (Pq.encode) on cid — at 100 TB that self-join is two full
+    // corpus shuffles for columns computable side by side. Same schema,
+    // same values.
+    Pq.withCode(corpus, model, corpusVec)
+      .select(col(corpusId).as("cid"), col(corpusVec).as("cv"),
         element_at(SketchFunctions.nearestCentroids(col(corpusVec), centroids, 1), 1)
-          .as("cell"))
-      .join(Pq.encode(corpus, model, corpusId, corpusVec)
-        .select(col(corpusId).as("cid"), col("pq_code")), Seq("cid"))
+          .as("cell"),
+        col("pq_code"))
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/cells")
   }
@@ -313,11 +323,14 @@ object Similarity {
       .orderBy(col("cell")).collect()
       .map(_.getSeq[Float](1).toArray)
     require(centroids.nonEmpty, s"$path/centroids is empty — build the index first")
-    newVectors.select(col(corpusId).as("cid"), col(corpusVec).as("cv"),
+    // single-scan assignment + encoding, like [[buildIvfPqIndex]] (r16):
+    // the delta is never self-joined, so append stays one map pass + the
+    // cell-directed shuffle
+    Pq.withCode(newVectors, model, corpusVec)
+      .select(col(corpusId).as("cid"), col(corpusVec).as("cv"),
         element_at(SketchFunctions.nearestCentroids(col(corpusVec), centroids, 1), 1)
-          .as("cell"))
-      .join(Pq.encode(newVectors, model, corpusId, corpusVec)
-        .select(col(corpusId).as("cid"), col("pq_code")), Seq("cid"))
+          .as("cell"),
+        col("pq_code"))
       .repartition(col("cell")) // one writer task per touched cell dir
       .write.partitionBy("cell").mode("append").parquet(s"$path/cells")
   }
@@ -353,10 +366,23 @@ object Similarity {
     * computation, like computing broadcast-join build sides.
     */
   def trainCoarseQuantizer(corpus: DataFrame, vecCol: String,
-      nLists: Int, iters: Int, sampleSize: Int): Array[Array[Float]] = {
-    val sample = corpus.select(col(vecCol))
+      nLists: Int, iters: Int, sampleSize: Int): Array[Array[Float]] =
+    trainCoarseQuantizerOnSample(sampleVectors(corpus, vecCol, sampleSize),
+      nLists, iters)
+
+  /** The bounded, hash-ordered driver-side reservoir both quantizer trainers
+    * draw from — extracted so one collected sample can feed several trainers
+    * ([[buildIvfPqIndex]] trains the coarse AND product quantizers from one
+    * corpus pass instead of two identical TakeOrdered jobs).
+    */
+  private[ext] def sampleVectors(corpus: DataFrame, vecCol: String,
+      sampleSize: Int): Array[Array[Float]] =
+    corpus.select(col(vecCol))
       .orderBy(xxhash64(col(vecCol))).limit(sampleSize)
       .collect().map(_.getSeq[Float](0).toArray)
+
+  private[ext] def trainCoarseQuantizerOnSample(sample: Array[Array[Float]],
+      nLists: Int, iters: Int): Array[Array[Float]] = {
     require(sample.nonEmpty, "empty corpus")
     var centroids = Array.tabulate(math.min(nLists, sample.length))(i =>
       sample(i * sample.length / math.min(nLists, sample.length)).clone())

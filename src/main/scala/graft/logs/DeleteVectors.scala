@@ -574,12 +574,18 @@ object DeleteVectors {
       //    and collect one compressed row per touched FILE
       //    ([[collectFileRanges]] — never the raw positions)
       val keys = updates.select(keyCols.map(col): _*).distinct()
-      // a dataless store (fresh streaming sink, first batch) matches nothing
+      // a dataless store (fresh streaming sink, first batch) matches nothing.
+      // Same inference pin as the delete path (r16, ADVICE r15): if a merge
+      // key includes a partition column, key matching must evaluate it under
+      // the manifest-typed view, not the caller's session conf
       val matched =
         if (entries.isEmpty) Array.empty[(String, Long, Array[Byte])]
-        else collectFileRanges(
-          taggedLiveRead(spark, root, cur, prior, entries)
-            .join(graft.plans.Hints.dimBroadcast(keys), keyCols, "left_semi"))
+        else graft.ConfScope.withSessionConf(spark,
+          "spark.sql.sources.partitionColumnTypeInference.enabled" -> "true") { s =>
+          collectFileRanges(
+            taggedLiveRead(s, root, cur, prior, entries)
+              .join(graft.plans.Hints.dimBroadcast(keys), keyCols, "left_semi"))
+        }
       val keyOfNorm = entries.map(e => (normalizePath(e.physical), e)).toMap
       var matchedRows = 0L
       val additions: Map[String, Dv] = matched.map { case (path, n, packed) =>

@@ -27,6 +27,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object GraftStore {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   val PointerName = "_current"
   val ManifestName = "_graft_manifest"
   val CommitInfoName = "_commit-info"
@@ -381,9 +383,22 @@ object GraftStore {
     val in = fs.open(p)
     val text = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
     finally in.close()
+    // malformed sidecar → fail the CLAIM open (ordinary unbucketed scan),
+    // never the read: a bucket spec is an optimization hint, and one corrupt
+    // sidecar must not hard-fail every read of the store (r16, ADVICE r15).
+    // Deleting the sidecar is the recovery; logging names it.
     val i = text.indexOf('\t')
-    require(i > 0, s"corrupt bucket spec in $p: '$text'")
-    Some((text.substring(0, i), text.substring(i + 1).trim.toInt))
+    if (i <= 0) {
+      log.warn(s"ignoring corrupt bucket spec in $p ('$text'): " +
+        "treating the store as unbucketed; delete the sidecar to silence this")
+      return None
+    }
+    try Some((text.substring(0, i), text.substring(i + 1).trim.toInt))
+    catch { case _: NumberFormatException =>
+      log.warn(s"ignoring corrupt bucket spec in $p ('$text'): " +
+        "treating the store as unbucketed; delete the sidecar to silence this")
+      None
+    }
   }
 
   /** Null-backfill overlay columns a frame's files do not carry physically.

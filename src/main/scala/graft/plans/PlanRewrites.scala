@@ -1,9 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DataType
 
 /** Narrow, exact-match plan routing — the engine's materialized-view /
   * layout-copy substitution seam (the Delta/Iceberg "redirect the stock
@@ -27,7 +29,22 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * through the same optimizer, and canonicalization erases exprIds and
   * hints), the same mechanism `CacheManager` uses to recognize cached
   * fragments — not a heuristic rewrite, so a substitution can only fire on
-  * a fragment provably identical to what was registered.
+  * a fragment provably identical to what was registered. `sameResult`
+  * canonicalizes both subtrees, which is not free: each candidate node is
+  * first screened by a precomputed (name, type) output fingerprint, so a
+  * registry of dozens of entries costs one cheap vector compare per plan
+  * node and canonicalizes only on a fingerprint hit (r15 verdict item 6 —
+  * the old exists+find shape canonicalized every entry against every node
+  * twice).
+  *
+  * Registrations may carry a SCOPE: a scoped entry applies only inside a
+  * session whose `graft.rewrites.scope` session conf equals that scope
+  * (set it on a [[graft.ConfScope]] clone). Unscoped entries apply
+  * everywhere, as before. Gate queries that register shared base tables
+  * (x28) scope their registrations so a concurrently-running query in the
+  * same JVM keeps its stock plan — same rows either way, but timings must
+  * measure the layout the query asked for, and a crash between register
+  * and the `finally` must not leave routing armed for the whole JVM.
   *
   * Staleness is the registrant's contract, exactly like Spark's own cache:
   * register AFTER the artifact is refreshed against the current base data,
@@ -41,12 +58,23 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object PlanRewrites extends Rule[LogicalPlan] {
 
+  /** Session conf key selecting which SCOPED registrations apply. */
+  val ScopeConfKey = "graft.rewrites.scope"
+
+  private final case class Entry(definition: LogicalPlan,
+      replacement: LogicalPlan,
+      fingerprint: Seq[(String, DataType)],
+      scope: Option[String])
+
   private val registry =
-    new java.util.concurrent.ConcurrentHashMap[String, (LogicalPlan, LogicalPlan)]()
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
   private val disabled = new ThreadLocal[java.lang.Boolean] {
     override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
   }
+
+  private def outFingerprint(p: LogicalPlan): Seq[(String, DataType)] =
+    p.output.map(a => (a.name, a.dataType))
 
   /** Register `replacement` as the routed answer for any plan subtree with
     * `definition`'s result. Column names and types must line up 1:1 —
@@ -54,8 +82,12 @@ object PlanRewrites extends Rule[LogicalPlan] {
     * (Nullability may differ: a maintained parquet artifact reads back
     * nullable even when the defining aggregate was not; the row-identity
     * contract makes runtime null-ness identical.)
+    *
+    * `scope = Some(token)` restricts the entry to sessions whose
+    * [[ScopeConfKey]] conf equals `token` (see class doc).
     */
-  def register(name: String, definition: DataFrame, replacement: DataFrame): Unit = {
+  def register(name: String, definition: DataFrame, replacement: DataFrame,
+      scope: Option[String] = None): Unit = {
     val d = definition.queryExecution.optimizedPlan
     val r = replacement.queryExecution.optimizedPlan
     require(d.output.length == r.output.length &&
@@ -68,7 +100,7 @@ object PlanRewrites extends Rule[LogicalPlan] {
     // re-substitute itself forever at the optimizer's fixed point
     require(!d.sameResult(r),
       s"rewrite '$name': replacement is plan-identical to the definition")
-    registry.put(name, (d, r))
+    registry.put(name, Entry(d, r, outFingerprint(d), scope))
   }
 
   def unregister(name: String): Unit = registry.remove(name)
@@ -88,19 +120,59 @@ object PlanRewrites extends Rule[LogicalPlan] {
     try body finally disabled.set(java.lang.Boolean.FALSE)
   }
 
+  /** A structurally fresh copy of a replacement plan: leaf relations get new
+    * instances (fresh output exprIds) and Project aliases get fresh exprIds,
+    * with all ancestor references rewritten. Used when ONE query matches the
+    * same registered definition at two sites — substituting the identical
+    * plan object twice would duplicate its exprIds across join branches,
+    * exactly the state `DeduplicateRelations` exists to prevent.
+    * (Registered replacements are artifact reads — scans plus projections —
+    * so leaves + project aliases cover their named expressions.)
+    */
+  private def freshInstance(plan: LogicalPlan): LogicalPlan =
+    plan.transformUpWithNewOutput {
+      case m: MultiInstanceRelation =>
+        val fresh = m.newInstance().asInstanceOf[LogicalPlan]
+        (fresh, m.asInstanceOf[LogicalPlan].output.zip(fresh.output))
+      case p @ Project(list, child) if list.exists(_.isInstanceOf[Alias]) =>
+        val newList = list.map {
+          case a: Alias =>
+            Alias(a.child, a.name)(qualifier = a.qualifier,
+              explicitMetadata = a.explicitMetadata,
+              nonInheritableMetadataKeys = a.nonInheritableMetadataKeys)
+          case o => o
+        }
+        val np = Project(newList, child)
+        (np, p.output.zip(np.output))
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (registry.isEmpty || disabled.get()) return plan
     import scala.jdk.CollectionConverters._
+    val scopeToken = conf.getConfString(ScopeConfKey, "")
     val entries = registry.values().asScala.toSeq
-    plan.transformDown {
-      case p if entries.exists(_._1.sameResult(p)) =>
-        val (_, r) = entries.find(_._1.sameResult(p)).get
-        // re-alias the replacement's columns onto the matched subtree's
-        // exprIds (positional: sameResult ⇒ outputs correspond in order), so
-        // references above the substitution stay resolved
-        Project(p.output.zip(r.output).map { case (o, n) =>
-          Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
-        }, r)
+      .filter(e => e.scope.forall(_ == scopeToken))
+    if (entries.isEmpty) return plan
+    // entries already substituted once in THIS tree: later sites get a
+    // fresh-exprId instance so two branches never share attribute ids
+    val used = new java.util.IdentityHashMap[Entry, java.lang.Boolean]()
+    plan.transformDown { case p =>
+      // one cheap fingerprint compare per (node, entry); sameResult — which
+      // canonicalizes both subtrees — only on a fingerprint hit, via a
+      // single find
+      val fp = outFingerprint(p)
+      entries.find(e => e.fingerprint == fp && e.definition.sameResult(p)) match {
+        case None => p
+        case Some(e) =>
+          val r = if (used.containsKey(e)) freshInstance(e.replacement)
+                  else { used.put(e, java.lang.Boolean.TRUE); e.replacement }
+          // re-alias the replacement's columns onto the matched subtree's
+          // exprIds (positional: sameResult ⇒ outputs correspond in
+          // order), so references above the substitution stay resolved
+          Project(p.output.zip(r.output).map { case (o, n) =>
+            Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+          }, r)
+      }
     }
   }
 }

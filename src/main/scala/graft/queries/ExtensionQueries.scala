@@ -308,13 +308,20 @@ object ExtensionQueries {
     * corpus shape IVF exists for.
     */
   private def recallGate(ann: DataFrame, exact: DataFrame, minHits: Int): DataFrame = {
-    val hits = ann.select(col("query_id"), col("neighbor_id"))
-      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
-    ann.groupBy(col("query_id")).agg(count(lit(1)).as("n_neighbors"))
-      .join(hits, Seq("query_id"), "left")
+    // Single pass over the ANN result (r16, guide §2.4): the old two-branch
+    // shape (left_semi for hits + a second groupBy for n_neighbors, joined)
+    // planned the ENTIRE ANN search subtree twice — v9's physical plan ran
+    // the probed-cell scan, ADC scoring and both bounded top-k aggregations
+    // 2×. A left join against the exact baseline (unique (query_id,
+    // neighbor_id) pairs by construction — it IS a top-k list) tags each
+    // ANN row with at most one hit marker, so one aggregate yields both
+    // counts: n_neighbors = rows, hits = non-null markers. Output identical.
+    ann.select(col("query_id"), col("neighbor_id"))
+      .join(exact.withColumn("__hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_neighbors"), count(col("__hit")).as("hits"))
       .select(col("query_id"), col("n_neighbors"),
-        (coalesce(col("hits"), lit(0L)) >= minHits).as("recall_ok"))
+        (col("hits") >= minHits).as("recall_ok"))
       .orderBy(col("query_id"))
   }
 

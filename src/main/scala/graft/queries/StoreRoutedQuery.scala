@@ -68,26 +68,40 @@ object StoreRoutedQuery {
     Bucketing.writeBucketed(Tables.orders(spark0, dir), ordT,
       s"$work/ord_b", "o_orderkey", 8)
 
+    // SCOPED registrations (r16, ADVICE r15): the registry is process-global
+    // and the bench runs gate queries CONCURRENTLY — an unscoped lineitem/
+    // orders base-scan registration silently reroutes every other in-flight
+    // query onto x28's temp-dir bucketed copies while registered (same rows,
+    // wrong layout under the stopwatch), and a crash before the `finally`
+    // would leave it armed JVM-wide. Scoped entries apply only inside
+    // sessions carrying this token, so the stock sessions keep stock plans.
+    val scope = Some(prefix)
     PlanRewrites.register(s"${prefix}_a3",
-      RelationalQueries.brandSupplierRollup(spark0, dir), viewFrame)
+      RelationalQueries.brandSupplierRollup(spark0, dir), viewFrame, scope)
     PlanRewrites.register(s"${prefix}_q3li",
-      Tables.lineitem(spark0, dir), spark0.table(liT))
+      Tables.lineitem(spark0, dir), spark0.table(liT), scope)
     PlanRewrites.register(s"${prefix}_q3ord",
-      Tables.orders(spark0, dir), spark0.table(ordT))
+      Tables.orders(spark0, dir), spark0.table(ordT), scope)
     try {
-      // stock-NAMED a3: must now answer from the view table, fact scan gone
-      val a3 = RelationalQueries.distinctSuppliersPerBrand(spark0, dir)
-      val a3Paths = PlanScans.fileScans(a3)
-        .flatMap(_.relation.location.rootPaths.map(_.toString))
-      require(a3Paths.exists(_.contains("a3_view")),
-        s"x28: stock a3 must route to the MatView artifact, scanned $a3Paths")
-      require(!a3Paths.exists(_.contains("lineitem")),
-        "x28: the routed a3 must not scan the fact table")
-      val a3Rows = a3.as[(String, Long, Long)].collect().toSeq
+      // stock-NAMED a3 on a scope-carrying clone: must now answer from the
+      // view table, fact scan gone
+      val a3Rows = graft.ConfScope.withSessionConf(spark0,
+        PlanRewrites.ScopeConfKey -> prefix) { s =>
+        val a3 = RelationalQueries.distinctSuppliersPerBrand(s, dir)
+        val a3Paths = PlanScans.fileScans(a3)
+          .flatMap(_.relation.location.rootPaths.map(_.toString))
+        require(a3Paths.exists(_.contains("a3_view")),
+          s"x28: stock a3 must route to the MatView artifact, scanned $a3Paths")
+        require(!a3Paths.exists(_.contains("lineitem")),
+          "x28: the routed a3 must not scan the fact table")
+        a3.as[(String, Long, Long)].collect().toSeq
+      }
 
-      // stock-NAMED q3 on a broadcast-disabled clone: exchange-free
+      // stock-NAMED q3 on a broadcast-disabled, scope-carrying clone:
+      // exchange-free
       val q3r = graft.ConfScope.withSessionConf(spark0,
-        "spark.sql.autoBroadcastJoinThreshold" -> "-1") { s =>
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        PlanRewrites.ScopeConfKey -> prefix) { s =>
         val q3 = RelationalQueries.topUnshippedOrders(s, dir)
         Bucketing.requireNoShuffle(q3, "x28 routed stock q3")
         q3.head()

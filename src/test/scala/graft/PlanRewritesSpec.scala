@@ -115,6 +115,98 @@ class PlanRewritesSpec extends SparkSpec {
     } finally PlanRewrites.unregister("spec_q16")
   }
 
+  test("scoped registration routes only inside the token-carrying session") {
+    val work = Files.createTempDirectory("graft-rewrite-scope")
+    val pre = work.resolve("a3_pre").toString
+    a3Fragment(spark).write.mode("overwrite").parquet(pre)
+    PlanRewrites.register("spec_scoped", a3Fragment(spark),
+      spark.read.parquet(pre).select($"p_brand", $"l_suppkey", $"c"),
+      scope = Some("spec-token"))
+    try {
+      // the registering (unscoped) session keeps the stock plan
+      assert(scanPaths(a3Fragment(spark)).exists(_.contains("lineitem")),
+        "a scoped entry must NOT route in a session without the token")
+      // a clone carrying the token routes
+      ConfScope.withSessionConf(spark,
+        PlanRewrites.ScopeConfKey -> "spec-token") { s =>
+        val routed = queries.RelationalQueries.distinctSuppliersPerBrand(s, sf)
+        assert(scanPaths(routed).exists(_.contains("a3_pre")),
+          "the token-carrying clone must route to the artifact")
+      }
+      // a clone carrying a DIFFERENT token does not
+      ConfScope.withSessionConf(spark,
+        PlanRewrites.ScopeConfKey -> "other-token") { s =>
+        assert(scanPaths(queries.RelationalQueries.distinctSuppliersPerBrand(s, sf))
+          .exists(_.contains("lineitem")))
+      }
+    } finally PlanRewrites.unregister("spec_scoped")
+  }
+
+  test("two sites matching one definition get distinct exprIds and correct rows") {
+    val work = Files.createTempDirectory("graft-rewrite-dup")
+    val pre = work.resolve("a3_pre").toString
+    a3Fragment(spark).write.mode("overwrite").parquet(pre)
+    // a self-join referencing the SAME registered fragment twice: without
+    // per-site re-instancing both branches would share the replacement's
+    // attribute ids (the DeduplicateRelations hazard)
+    // a UNION consumes every fragment column on both branches, so neither
+    // column pruning nor join-constraint inference can narrow a subtree
+    // away from the registered shape
+    def doubled(s: org.apache.spark.sql.SparkSession): DataFrame =
+      a3Fragment(s).unionByName(a3Fragment(s))
+        .groupBy($"p_brand", $"l_suppkey").agg(sum($"c").as("s"))
+        .orderBy($"p_brand", $"l_suppkey")
+    val stockRows = rows(doubled(spark))
+    PlanRewrites.register("spec_dup", a3Fragment(spark),
+      spark.read.parquet(pre).select($"p_brand", $"l_suppkey", $"c"))
+    try {
+      val routed = doubled(spark)
+      val paths = scanPaths(routed)
+      assert(paths.count(_.contains("a3_pre")) >= 1 &&
+        !paths.exists(_.contains("lineitem")),
+        s"both fragment sites must route to the artifact, scanned: $paths")
+      // duplicate attribute ids across branches are exactly what the
+      // re-instancing prevents
+      val leaves = routed.queryExecution.optimizedPlan.collectLeaves()
+      val ids = leaves.flatMap(_.output.map(_.exprId))
+      assert(ids.distinct.length == ids.length,
+        s"leaf output exprIds must be unique across branches: $ids")
+      assert(rows(routed) == stockRows, "dual-site routing must be value-preserving")
+    } finally PlanRewrites.unregister("spec_dup")
+  }
+
+  test("a populated registry adds no measurable optimizer overhead (fingerprint screen)") {
+    val work = Files.createTempDirectory("graft-rewrite-many")
+    val pre = work.resolve("a3_pre").toString
+    a3Fragment(spark).write.mode("overwrite").parquet(pre)
+    // 50 entries that can never match (each a distinct single-column plan):
+    // the r15 verdict's apply-cost criterion — every node of every query
+    // used to pay 2×|registry| canonicalized comparisons; now a non-matching
+    // entry costs one (name,type) vector compare
+    val artifact = spark.read.parquet(pre)
+    (1 to 50).foreach { i =>
+      PlanRewrites.register(s"spec_many_$i",
+        a3Fragment(spark).select($"c".as(s"c_$i")),
+        artifact.select($"c".as(s"c_$i")))
+    }
+    try {
+      def planMs(): Double = {
+        val t0 = System.nanoTime()
+        // force full optimization of a realistic multi-join plan
+        queries.RelationalQueries.topUnshippedOrders(spark, sf)
+          .queryExecution.optimizedPlan
+        (System.nanoTime() - t0) / 1e6
+      }
+      val withRegistry = (1 to 5).map(_ => planMs()).min
+      (1 to 50).foreach(i => PlanRewrites.unregister(s"spec_many_$i"))
+      val without = (1 to 5).map(_ => planMs()).min
+      // generous bound: planning is tens of ms; the screen keeps the delta
+      // far under a 3× blowup even on a noisy box
+      assert(withRegistry < without * 3 + 50,
+        f"50 registrations must not blow up planning: $withRegistry%.1f ms vs $without%.1f ms")
+    } finally (1 to 50).foreach(i => PlanRewrites.unregister(s"spec_many_$i"))
+  }
+
   test("register rejects schema drift and self-referential replacements") {
     intercept[IllegalArgumentException] {
       PlanRewrites.register("spec_bad",

@@ -161,4 +161,23 @@ class PointerStoreSpec extends SparkSpec {
       assert(GraftStore.listVersions(spark, root) == Seq(2, 3))
     } finally srv.stop()
   }
+
+  test("a corrupt bucket-spec sidecar fails the claim open, not the read") {
+    // r16 (ADVICE r15): a malformed _graft_bucketspec must demote the store
+    // to an ordinary unbucketed scan, never hard-fail every read
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketspec").toString
+    spark.range(10).toDF("id").write.mode("overwrite").parquet(dir)
+    def writeSpec(text: String): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, GraftStore.BucketSpecName),
+        text.getBytes("UTF-8"))
+    writeSpec("id\t4")
+    assert(GraftStore.readBucketSpec(spark, dir).contains(("id", 4)))
+    writeSpec("no-tab-here") // missing separator
+    assert(GraftStore.readBucketSpec(spark, dir).isEmpty)
+    writeSpec("id\tnot-a-number") // unparsable bucket count
+    assert(GraftStore.readBucketSpec(spark, dir).isEmpty)
+    // and the read path itself stays healthy with the corrupt sidecar present
+    assert(spark.read.parquet(dir).count() == 10)
+  }
 }
