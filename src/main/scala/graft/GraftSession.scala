@@ -110,25 +110,35 @@ object GraftSession {
   /** Build a local session sized from SPARK_GRAFT_CPUS (driver contract). */
   def local(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    var builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    // ops escape hatch: SPARK_GRAFT_CONF="k=v;k2=v2" applies overrides after
+    // the engine defaults (experiments, per-box tuning) — unset in the driver
+    // contract, so official runs see defaults. Applied at BUILD time so core
+    // (static) keys like spark.io.compression.codec take effect too; for an
+    // already-running context the runtime-settable subset still applies via
+    // configure()'s conf.set path.
+    val overrides = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) if k.trim.nonEmpty => Some((k.trim, v.trim))
+          case _ => None
+        }
+      }
+    overrides.foreach { case (k, v) => builder = builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val configured = configureS3aFromEnv(configure(spark))
-    // ops escape hatch: SPARK_GRAFT_CONF="k=v;k2=v2" applies runtime-settable
-    // SQLConf overrides after the engine defaults (experiments, per-box
-    // tuning) — unset in the driver contract, so official runs see defaults
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
-      kv.split("=", 2) match {
-        case Array(k, v) if k.trim.nonEmpty => configured.conf.set(k.trim, v.trim)
-        case _ => ()
-      }
-    })
+    // re-assert runtime-settable overrides on top of configure()'s defaults
+    // (static keys already landed through the builder; skip their re-set)
+    overrides.foreach { case (k, v) =>
+      try configured.conf.set(k, v) catch { case _: Exception => () }
+    }
     configured
   }
 }

@@ -52,11 +52,34 @@ object Tables {
     else { val df = build; cache.put(key, df); df }
   }
 
+  /** Spread a to-be-cached table across the session's cores when the scan
+    * gives fewer splits (r16, guide §2.5/§2.6): the driver fixtures are one
+    * small parquet file per table, so the columnar cache inherited 1-3 scan
+    * partitions and EVERY query's map side (scan, filter, per-row text/vector
+    * kernels, partial aggregation) ran on 1-3 of the 32 cores. One untimed
+    * round-robin shuffle at cache materialization buys every downstream
+    * query full map-side parallelism — the layout a real cluster's cached
+    * hot table has anyway. Query results are partition-layout-independent
+    * by the engine's numeric policy (exact integer/decimal aggregation,
+    * deterministic ORDER BY everywhere; the `spark_partition_id()` buckets
+    * are hierarchical-exact-sum devices whose values don't reach outputs).
+    * Tables at/above the target keep their own (larger) split count, and
+    * tiny dimension files (≤64 KB: nation, region) stay single-partition —
+    * 32 near-empty tasks would cost more scheduling than they save.
+    */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    val scanParts = df.rdd.getNumPartitions
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (scanParts < target && bytes > 64L * 1024) df.repartition(target) else df
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     GraftSession.configure(spark)
     if (cacheEnabled)
       memo(cached, (sfDir, name), spark)(cacheLevel match {
-        case Some(level) => spark.read.parquet(s"$sfDir/$name.parquet").persist(level)
+        case Some(level) =>
+          spread(spark, spark.read.parquet(s"$sfDir/$name.parquet")).persist(level)
         case None => spark.read.parquet(s"$sfDir/$name.parquet")
       })
     else spark.read.parquet(s"$sfDir/$name.parquet")
