@@ -31,4 +31,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // profiling escape hatch: point at a log4j2 properties file (e.g. one
+  // with %d{HH:mm:ss.SSS} timestamps) to attribute sub-second wall time
+  sys.env.get("GRAFT_LOG4J").map(f => s"-Dlog4j2.configurationFile=file:$f").toSeq

@@ -12,6 +12,50 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Keys the operator overrode via SPARK_GRAFT_CONF — tuning defaults must
+    * not clobber these when configure() re-runs (it runs on every Tables
+    * load so driver-owned sessions pick the settings up too).
+    */
+  private lazy val envOverrideKeys: Set[String] =
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, _) if k.trim.nonEmpty => Some(k.trim)
+          case _ => None
+        }
+      }.toSet
+
+  private def setTuningDefault(spark: SparkSession, k: String, v: String): Unit =
+    if (!envOverrideKeys.contains(k)) spark.conf.set(k, v)
+
+  /** True when the operator pinned `key` via SPARK_GRAFT_CONF — engine code
+    * that scopes its own tuning (e.g. the streaming-dedup body's AQE pin)
+    * checks this so an explicit operator choice always wins.
+    */
+  def isTuningOverridden(key: String): Boolean = envOverrideKeys.contains(key)
+
+  /** The session a foreachBatch micro-batch BODY should bind to: the
+    * batch's own stream-session clone (per-query — never shared with
+    * concurrent batch analytics), with AQE pinned off there. Rationale
+    * (measured, r16): a body's inputs are trigger-bounded and its index/
+    * store reads pruned to batch-proportional size, so runtime re-planning
+    * cannot improve the static plan — but with AQE every body action
+    * submits its shuffle stages as separate map-stage jobs with a driver
+    * re-optimization round between them (~8 s/batch of driver time at
+    * sf0.1: cold d11 55.9 -> 33.9 s, d10 21.7 -> 15.5 s; Spark itself
+    * keeps AQE off for streaming plans on the same latency reasoning).
+    * Scoped to the clone, so corpus-scale batch analytics on the main
+    * session keep AQE's skew/coalesce fixes. An explicit operator override
+    * of the key via SPARK_GRAFT_CONF wins. Direct batch callers (whose
+    * frames bind to their own session) are unaffected.
+    */
+  def microBatchSession(batch: org.apache.spark.sql.Dataset[_]): SparkSession = {
+    val sess = batch.sparkSession
+    if (!isTuningOverridden("spark.sql.adaptive.enabled"))
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+    sess
+  }
+
   /** Apply engine settings to an existing session (e.g. one the driver owns).
     * All of these are runtime-settable SQLConf keys.
     */
@@ -27,11 +71,16 @@ object GraftSession {
     // column would be unprunable at the row-group tier. INT64 micros is
     // the modern type the driver testdata itself uses.
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // TUNING defaults go through setTuningDefault: configure() is re-run by
+    // every Tables loader, and an unconditional set here would clobber a
+    // SPARK_GRAFT_CONF override mid-session — the escape hatch's contract is
+    // "overrides apply AFTER the engine defaults". Correctness pins above
+    // (ns-as-long, UTC, stats-bearing timestamps) stay unconditional.
+    setTuningDefault(spark, "spark.sql.adaptive.enabled", "true")
+    setTuningDefault(spark, "spark.sql.adaptive.coalescePartitions.enabled", "true")
     // runtime skew-join splitting: hot keys (one pod flooding logs, one
     // boilerplate shingle) re-plan into split partitions at execution time
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    setTuningDefault(spark, "spark.sql.adaptive.skewJoin.enabled", "true")
     GraftExtensions.register(spark)
     // metadata-only aggregates over format("graft") relations — runtime-
     // injectable (experimental methods), so driver-owned sessions get the

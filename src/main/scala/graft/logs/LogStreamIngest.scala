@@ -119,12 +119,17 @@ object LogStreamIngest {
     LogIngest.ensureStore(spark, storeRoot)
     parsed.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // bind the body to the stream-session clone with AQE pinned off —
+        // trigger-bounded work gains nothing from per-stage re-planning
+        // and pays its driver latency every batch (GraftSession
+        // .microBatchSession; measured on the dedup sinks r16)
+        val sess = graft.GraftSession.microBatchSession(batch)
         AppendCommit.commit(batch.toDF(), storeRoot,
           partitionCols = partitionCols,
           maxRecordsPerFile = maxRecordsPerFile,
           commitId = Some(s"s$sinkId-b$batchId"),
           retainSnapshots = retainSnapshots)
-        refreshViews.foreach(MatView.refresh(spark, storeRoot, _))
+        refreshViews.foreach(MatView.refresh(sess, storeRoot, _))
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -155,7 +160,10 @@ object LogStreamIngest {
     LogIngest.ensureStore(spark, storeRoot)
     updates.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        DeleteVectors.mergeByKey(spark, storeRoot, batch.toDF(),
+        // body on the stream-session clone, AQE pinned off (see
+        // GraftSession.microBatchSession): merge work is batch-bounded
+        DeleteVectors.mergeByKey(graft.GraftSession.microBatchSession(batch),
+          storeRoot, batch.toDF(),
           keyCols = keyCols, partitionCols = partitionCols,
           commitId = Some(s"u$sinkId-b$batchId"),
           retainSnapshots = retainSnapshots,

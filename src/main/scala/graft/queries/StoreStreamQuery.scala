@@ -48,7 +48,11 @@ object StoreStreamQuery {
       criRoot.toString + "/pods/*/*/*.log", root,
       checkpoint = work.resolve("ckpt").toString,
       clusterName = "dev", nodeName = "node-a",
-      triggerInterval = "1 seconds", maxFilesPerTrigger = 8,
+      // 100 ms tick (r16): processAllAvailable pins the drain; with
+      // maxFilesPerTrigger=8 over 15 fixture files the batch SPLIT is
+      // file-count-driven, not tick-driven, so a 1 s tick only added dead
+      // wait before/between the two batches. Identical rows/commits.
+      triggerInterval = "100 milliseconds", maxFilesPerTrigger = 8,
       partitionCols = parts)
     try q.processAllAvailable() finally q.stop()
 

@@ -57,7 +57,11 @@ object StreamDedupQuery {
       stream.toDF().toDF("doc_id", "text", "lang", "source"),
       root, checkpoint = work.resolve("ckpt").toString,
       idCol = "doc_id", textCol = "text", partitionCols = Seq("lang"),
-      triggerInterval = "1 seconds")
+      // 100 ms tick (r16): the gate drives batches with addData +
+      // processAllAvailable, so batch BOUNDARIES are pinned by the drain,
+      // not the tick — a 1 s tick only added up to 1 s of dead wait per
+      // batch before the body started. Identical rows at any interval.
+      triggerInterval = "100 milliseconds")
     try {
       // one processAllAvailable per add = one micro-batch per logical batch,
       // preserving the arrival order the oracle's window function restates

@@ -57,7 +57,11 @@ object StreamNearDupQuery {
       stream.toDF().toDF("doc_id", "text", "lang", "source"),
       root, checkpoint = work.resolve("ckpt").toString,
       idCol = "doc_id", textCol = "text", partitionCols = Seq("lang"),
-      triggerInterval = "1 seconds")
+      // 100 ms tick (r16): the gate drives batches with addData +
+      // processAllAvailable, so batch BOUNDARIES are pinned by the drain,
+      // not the tick — a 1 s tick only added up to 1 s of dead wait per
+      // batch before the body started. Identical rows at any interval.
+      triggerInterval = "100 milliseconds")
     try {
       Seq(batch0, batch1, batch2).foreach { b =>
         stream.addData(b.as[(Long, String, String, String)].collect().toSeq)

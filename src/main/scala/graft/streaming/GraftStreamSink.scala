@@ -35,8 +35,12 @@ class GraftStreamSink(
     refreshViews: Seq[String]) extends Sink with Logging {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // body frames bind to the stream-session clone with AQE pinned off
+    // (GraftSession.microBatchSession): the commit's work is
+    // trigger-bounded, so per-stage re-planning is pure driver latency
+    val sess = graft.GraftSession.microBatchSession(data)
     val batch = GraftSqlAccess.batchFrame(
-      spark, data.queryExecution.toRdd, data.schema)
+      sess, data.queryExecution.toRdd, data.schema)
     val committed = AppendCommit.commit(batch, root,
       partitionCols = partitionCols,
       maxRecordsPerFile = maxRecordsPerFile,
@@ -45,7 +49,7 @@ class GraftStreamSink(
     logInfo(s"graft sink $root: batch $batchId -> version ${committed.version}")
     // live IVM: views over THIS store catch up inside the same batch, so a
     // dashboard aggregate is never more than one trigger behind the stream
-    refreshViews.foreach(MatView.refresh(spark, root, _))
+    refreshViews.foreach(MatView.refresh(sess, root, _))
   }
 
   override def toString: String = s"GraftStreamSink[$root, sink=$sinkId]"

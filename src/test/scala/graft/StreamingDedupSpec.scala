@@ -554,4 +554,30 @@ class StreamingDedupSpec extends SparkSpec {
     assert(r.droppedNearDup == 1 && r.droppedSeenId == 1 && r.admitted == 1,
       s"r=$r")
   }
+
+  test("micro-batch body binds to the stream-session clone with AQE pinned off; main session untouched") {
+    // the body-session contract (GraftSession.microBatchSession, r16): the
+    // sink's internal frames plan on the per-query stream clone where AQE
+    // is off (trigger-bounded work gains nothing from per-stage
+    // re-planning), while the shared session keeps AQE for batch analytics
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    val seen = new java.util.concurrent.atomic.AtomicReference[(Boolean, String)]()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = stream.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sess = GraftSession.microBatchSession(batch)
+        seen.set((sess eq spark, sess.conf.get("spark.sql.adaptive.enabled")))
+        ()
+      }
+      .option("checkpointLocation", tmp("aqe-pin").resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try { stream.addData(1L); q.processAllAvailable() } finally q.stop()
+    val (sameSession, bodyAqe) = seen.get()
+    assert(!sameSession, "the body session must be the stream clone, not the shared session")
+    assert(bodyAqe == "false", s"body AQE must be pinned off, got $bodyAqe")
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "the shared session's AQE must be untouched")
+  }
 }
