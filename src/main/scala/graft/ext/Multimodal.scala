@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache backs EVERY decode/encode with a temp
+  // FILE (FileCacheImageInput/OutputStream): with 32 concurrent codec tasks
+  // over small in-memory payloads that is pure filesystem create/write/
+  // delete churn — the r16 scaling run had m2/m3 running 6-8× FASTER on 8
+  // cores than 32. Every payload in this pipeline is an in-memory byte
+  // array, so the memory-backed stream is strictly better. JVM-global by
+  // API design; set at class load, which happens on driver and executors
+  // alike because every codec entry point lives in this object.
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
   case class MediaMeta(media_id: Long, kind: String, byte_len: Long,
       width: Int, height: Int, n_frames: Int, feature: Array[Float])

@@ -19,7 +19,8 @@ object OptProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val suffix = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "before")
     val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "3").toInt
-    val planDir = new java.io.File("plans/r16")
+    val planDir = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "plans/r17"))
     planDir.mkdirs()
     val spark = GraftSession.local("graft-optprobe")
     spark.sparkContext.setLogLevel("ERROR")
