@@ -16,17 +16,27 @@ object GraftSession {
     * not clobber these when configure() re-runs (it runs on every Tables
     * load so driver-owned sessions pick the settings up too).
     */
-  private lazy val envOverrideKeys: Set[String] =
+  private lazy val envOverrides: Map[String, String] =
     sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(';')).flatMap { kv =>
         kv.split("=", 2) match {
-          case Array(k, _) if k.trim.nonEmpty => Some(k.trim)
+          case Array(k, v) if k.trim.nonEmpty => Some(k.trim -> v.trim)
           case _ => None
         }
-      }.toSet
+      }.toMap
 
+  private lazy val envOverrideKeys: Set[String] = envOverrides.keySet
+
+  /** Apply the engine tuning default for `k` — unless the operator pinned
+    * the key via SPARK_GRAFT_CONF, in which case the OVERRIDE VALUE is
+    * applied instead of the default (r17, ADVICE r16): merely skipping the
+    * default left driver-owned sessions (configure-only path, no [[local]])
+    * on Spark's built-in default — neither the engine's choice nor the
+    * operator's. All keys routed through here are runtime-settable SQLConf
+    * keys, so conf.set is always legal.
+    */
   private def setTuningDefault(spark: SparkSession, k: String, v: String): Unit =
-    if (!envOverrideKeys.contains(k)) spark.conf.set(k, v)
+    spark.conf.set(k, envOverrides.getOrElse(k, v))
 
   /** True when the operator pinned `key` via SPARK_GRAFT_CONF — engine code
     * that scopes its own tuning (e.g. the streaming-dedup body's AQE pin)

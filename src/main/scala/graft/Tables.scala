@@ -67,10 +67,49 @@ object Tables {
     * tiny dimension files (≤64 KB: nation, region) stay single-partition —
     * 32 near-empty tasks would cost more scheduling than they save.
     */
-  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
-    val target = spark.sparkContext.defaultParallelism
+  /** Per-table work weight for the spread sizing below: documents and
+    * embeddings feed per-row TEXT/VECTOR kernels (tokenizers, regex
+    * batteries, cosine/PQ scoring) that cost one to two orders of magnitude
+    * more CPU per source byte than a columnar scan-aggregate (measured:
+    * t3's langid battery runs ~0.5 MB/s/core over documents vs ~100 MB/s/
+    * core for lineitem scans) — so per-partition work, not just bytes,
+    * drives their useful parallelism. Engine-owned consumer knowledge, the
+    * guide §8 lesson ("use what you know that the optimizer does not").
+    */
+  private def workWeight(name: String): Long = name match {
+    case "documents" | "embeddings" => 32L
+    case _ => 1L
+  }
+
+  private def spread(spark: SparkSession, df: DataFrame, name: String,
+      path: String): DataFrame = {
+    val cap = sys.env.get("SPARK_GRAFT_CACHE_SPREAD_MAX").map(_.toInt)
+      .getOrElse(Int.MaxValue)
+    // Cost gate (r17, VERDICT r16 #2): spreading EVERY small table to all
+    // cores taxed cheap map-only paths with per-task scheduling overhead
+    // (x8 +52%, u1 +91% isolated at sf0.1) while only CPU-heavy consumers
+    // profited. Partition count now follows the table's work estimate —
+    // bytes × work weight, floored at `floorBytes` of weighted work per
+    // partition — capped at the session's cores. Scale-adaptive on both
+    // ends: at real scale every hot table saturates the cap, at toy scale
+    // a cheap 2 MB table gets a handful of partitions instead of 32.
+    val floorBytes = sys.env.get("SPARK_GRAFT_CACHE_SPREAD_FLOOR_KB")
+      .map(_.toLong * 1024).getOrElse(256L * 1024)
+    val target0 = math.min(spark.sparkContext.defaultParallelism, cap)
     val scanParts = df.rdd.getNumPartitions
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // Size from the FILESYSTEM, never from plan stats: a memo rebuild of an
+    // already-cached table (session-identity miss on a ConfScope clone) sees
+    // the plan's stats flip from the parquet file size to the materialized
+    // in-memory size, which changed the spread target mid-run and wrapped
+    // the existing cache entry in a SECOND repartition+persist — a new
+    // InMemoryRelation instance that broke x28's sameResult routing under
+    // concurrency (r17). File length is identical on every (re)build, so
+    // every rebuild constructs the same plan and re-persist no-ops.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+    val byWork = (bytes * workWeight(name) + (floorBytes - 1)) / floorBytes
+    val target = math.min(byWork, target0.toLong).toInt
     if (scanParts < target && bytes > 64L * 1024) df.repartition(target) else df
   }
 
@@ -79,7 +118,8 @@ object Tables {
     if (cacheEnabled)
       memo(cached, (sfDir, name), spark)(cacheLevel match {
         case Some(level) =>
-          spread(spark, spark.read.parquet(s"$sfDir/$name.parquet")).persist(level)
+          spread(spark, spark.read.parquet(s"$sfDir/$name.parquet"), name,
+            s"$sfDir/$name.parquet").persist(level)
         case None => spark.read.parquet(s"$sfDir/$name.parquet")
       })
     else spark.read.parquet(s"$sfDir/$name.parquet")

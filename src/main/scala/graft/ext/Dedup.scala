@@ -112,22 +112,27 @@ object Dedup {
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(byDoc) > k, 1).otherwise(0))
       .withColumn("grp", sum(col("brk")).over(byDoc))
+    // ONE pass over the merged spans yields windows-per-span too (r17): the
+    // old shape computed n_dup_windows as a SECOND aggregate branch directly
+    // off `hits`, which re-executed the whole join-probe pipeline (shuffle
+    // read + shuffled-hash join) and paid a second Exchange by doc_id — the
+    // per-span row count sums to the identical per-doc window count, inside
+    // the branch the span merge already runs. Both post-window aggregates
+    // reuse the window's hash(doc_id) partitioning (doc_id is a prefix of
+    // every grouping key), so the whole per-doc phase is one Exchange.
     val spans = grouped.groupBy(col(idCol), col("grp"))
-      .agg(min(col("pos")).as("s"), (max(col("pos")) + (k - 1)).as("e"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (k - 1)).as("e"),
+        count(lit(1)).as("nw"))
     val spanStats = spans.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_spans"),
-        sum(col("e") - col("s") + 1).as("dup_tokens"))
-    // count(CASE WHEN pos >= 1 THEN 1 END), not count(*): the branch is
-    // always taken (positions are 1-based) so the value is the same, but a
-    // bare count(pos) gets rewritten to count(1) (pos is non-nullable) and
-    // the pruned `pos` re-diverges THIS branch's join probe from the span
-    // branch's — same Exchange-reuse requirement as the aggregates above
-    val dupStats = hits.groupBy(col(idCol))
-      .agg(count(when(col("pos") >= 1, lit(1))).as("n_dup_windows"))
+        sum(col("e") - col("s") + 1).as("dup_tokens"),
+        sum(col("nw")).as("n_dup_windows"))
     base.select(col(idCol), col("n_windows"))
-      .join(dupStats, Seq(idCol), "left")
       .join(spanStats, Seq(idCol), "left")
       .na.fill(0L, Seq("n_dup_windows", "n_spans", "dup_tokens"))
+      // column order pinned to the pre-r17 two-join shape (schema contract)
+      .select(col(idCol), col("n_windows"), col("n_dup_windows"),
+        col("n_spans"), col("dup_tokens"))
   }
 
   /** Distinct word-shingle hashes per document: the shared substrate of the

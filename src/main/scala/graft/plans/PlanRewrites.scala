@@ -63,7 +63,7 @@ object PlanRewrites extends Rule[LogicalPlan] {
 
   private final case class Entry(definition: LogicalPlan,
       replacement: LogicalPlan,
-      fingerprint: Seq[(String, DataType)],
+      fingerprint: Seq[DataType],
       scope: Option[String])
 
   private val registry =
@@ -73,8 +73,16 @@ object PlanRewrites extends Rule[LogicalPlan] {
     override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
   }
 
-  private def outFingerprint(p: LogicalPlan): Seq[(String, DataType)] =
-    p.output.map(a => (a.name, a.dataType))
+  /** Output TYPES only (r17, ADVICE r16): canonicalization erases alias
+    * names, so `sameResult` treats a subtree differing from the definition
+    * only in output column names as identical — a name-bearing fingerprint
+    * silently narrowed the documented CacheManager-equivalent contract
+    * (e.g. a trailing `.toDF(names...)` rename would never route). The
+    * substitution Project re-aliases the replacement onto the matched
+    * subtree's names/exprIds anyway, so names never needed to agree.
+    */
+  private def outFingerprint(p: LogicalPlan): Seq[DataType] =
+    p.output.map(_.dataType)
 
   /** Register `replacement` as the routed answer for any plan subtree with
     * `definition`'s result. Column names and types must line up 1:1 —
@@ -100,6 +108,22 @@ object PlanRewrites extends Rule[LogicalPlan] {
     // re-substitute itself forever at the optimizer's fixed point
     require(!d.sameResult(r),
       s"rewrite '$name': replacement is plan-identical to the definition")
+    // freshInstance (multi-site substitution) re-instances leaf relations
+    // and Project aliases only — enforce that assumption here (r17, ADVICE
+    // r16): a replacement carrying aliases in any OTHER node kind
+    // (Aggregate, Window, Generate) matched at two sites in one query would
+    // share those alias exprIds across branches, the DeduplicateRelations
+    // hazard freshInstance exists to prevent. Registered replacements are
+    // artifact READS (scans + projections + filters), so this fails fast
+    // only on a shape the seam never promised to support.
+    val offending = r.collect {
+      case n if !n.isInstanceOf[Project] &&
+        n.expressions.exists(_.exists(_.isInstanceOf[Alias])) => n.nodeName
+    }
+    require(offending.isEmpty,
+      s"rewrite '$name': replacement must be scans/projections/filters — " +
+        s"alias-bearing node(s) ${offending.distinct.mkString(",")} cannot be " +
+        "re-instanced for multi-site substitution")
     registry.put(name, Entry(d, r, outFingerprint(d), scope))
   }
 

@@ -316,8 +316,14 @@ object ExtensionQueries {
     // neighbor_id) pairs by construction — it IS a top-k list) tags each
     // ANN row with at most one hit marker, so one aggregate yields both
     // counts: n_neighbors = rows, hits = non-null markers. Output identical.
+    // belt-and-braces (ADVICE r16): the left join fans out if the baseline
+    // ever carried a duplicate (query, neighbor) pair — it cannot today (a
+    // top-k list is unique by construction), but the gate's correctness
+    // should not silently depend on that invariant. The baseline is tiny
+    // and persisted, so the dedup costs nothing measurable.
     ann.select(col("query_id"), col("neighbor_id"))
-      .join(exact.withColumn("__hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .join(exact.dropDuplicates("query_id", "neighbor_id")
+        .withColumn("__hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_neighbors"), count(col("__hit")).as("hits"))
       .select(col("query_id"), col("n_neighbors"),

@@ -179,15 +179,17 @@ class PlanRewritesSpec extends SparkSpec {
     val work = Files.createTempDirectory("graft-rewrite-many")
     val pre = work.resolve("a3_pre").toString
     a3Fragment(spark).write.mode("overwrite").parquet(pre)
-    // 50 entries that can never match (each a distinct single-column plan):
-    // the r15 verdict's apply-cost criterion — every node of every query
-    // used to pay 2×|registry| canonicalized comparisons; now a non-matching
-    // entry costs one (name,type) vector compare
+    // 50 entries that can never match (each a STRUCTURALLY distinct plan —
+    // a per-entry literal shift; a mere alias difference would no longer
+    // distinguish them, since r17 made matching name-insensitive like
+    // sameResult itself): the r15 verdict's apply-cost criterion — every
+    // node of every query used to pay 2×|registry| canonicalized
+    // comparisons; now a non-matching entry costs one type-vector compare
     val artifact = spark.read.parquet(pre)
     (1 to 50).foreach { i =>
       PlanRewrites.register(s"spec_many_$i",
-        a3Fragment(spark).select($"c".as(s"c_$i")),
-        artifact.select($"c".as(s"c_$i")))
+        a3Fragment(spark).select(($"c" + i).as(s"c_$i")),
+        artifact.select(($"c" + i).as(s"c_$i")))
     }
     try {
       def planMs(): Double = {
@@ -218,5 +220,45 @@ class PlanRewritesSpec extends SparkSpec {
     }
     assert(!PlanRewrites.registered.contains("spec_bad"))
     assert(!PlanRewrites.registered.contains("spec_self"))
+  }
+
+  test("routing is output-name-insensitive, like sameResult (r17)") {
+    // the same fragment authored with a different alias name sameResult-
+    // equals the definition (canonicalization erases alias names); the old
+    // (name,type) fingerprint screen silently refused to route it
+    val work = Files.createTempDirectory("graft-rewrite-rename")
+    val pre = work.resolve("a3_pre").toString
+    a3Fragment(spark).write.mode("overwrite").parquet(pre)
+    PlanRewrites.register("spec_rename", a3Fragment(spark),
+      spark.read.parquet(pre).select($"p_brand", $"l_suppkey", $"c"))
+    try {
+      val renamed = Tables.lineitem(spark, sf).select($"l_partkey", $"l_suppkey")
+        .join(Hints.dimBroadcast(
+          Tables.part(spark, sf).select($"p_partkey", $"p_brand")),
+          $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand", $"l_suppkey").agg(count(lit(1)).as("n"))
+      val paths = scanPaths(renamed)
+      assert(paths.exists(_.contains("a3_pre")),
+        s"same fragment with a different alias name must still route, scanned: $paths")
+      assert(renamed.columns.toSeq == Seq("p_brand", "l_suppkey", "n"),
+        "the substitution Project must re-alias onto the caller's names")
+    } finally PlanRewrites.unregister("spec_rename")
+  }
+
+  test("register rejects alias-bearing non-Project replacements (r17)") {
+    // freshInstance can only re-instance leaves and Project aliases; an
+    // Aggregate-bearing replacement matched at two sites would share alias
+    // exprIds across branches — fail fast at registration instead
+    val ex = intercept[IllegalArgumentException] {
+      PlanRewrites.register("spec_agg_repl",
+        a3Fragment(spark).select($"p_brand", $"l_suppkey",
+          ($"c" + 12345).as("c")),
+        a3Fragment(spark).select($"p_brand", $"l_suppkey", $"c", $"c".as("c2"))
+          .groupBy($"p_brand", $"l_suppkey", $"c2")
+          .agg((max($"c") + 12345).as("c"))
+          .select($"p_brand", $"l_suppkey", $"c"))
+    }
+    assert(ex.getMessage.contains("scans/projections/filters"))
+    assert(!PlanRewrites.registered.contains("spec_agg_repl"))
   }
 }
