@@ -63,8 +63,49 @@ object GraftSession {
     val sess = batch.sparkSession
     if (!isTuningOverridden("spark.sql.adaptive.enabled"))
       sess.conf.set("spark.sql.adaptive.enabled", "false")
+    // the body's per-batch index reads list slice trees bounded by the
+    // compaction contract (≤ maxIndexSlices × bucket fan-out ≈ 512 dirs):
+    // Spark's default 32-path threshold launched a parallel-listing JOB for
+    // every such read — 9 jobs per cold d11 gate, pure fixed cost. Listing
+    // a few hundred bounded paths on the driver is strictly cheaper; data-
+    // scale directories (store versions with thousands of files) still
+    // exceed the raised threshold and keep the distributed listing.
+    if (!isTuningOverridden("spark.sql.sources.parallelPartitionDiscovery.threshold"))
+      sess.conf.set("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+    // mark the clone as a stream-body session: batch operators that learn
+    // their trigger's cardinality may size per-batch tuning (shuffle width)
+    // on it — batches are sequential per query and the clone is never a
+    // shared analytics session, so a per-batch conf set cannot race or leak
+    sess.conf.set(StreamBodyKey, "true")
     sess
   }
+
+  /** Conf marker identifying a per-query stream-session clone (see
+    * [[microBatchSession]]); absent/false on every shared session.
+    */
+  val StreamBodyKey = "graft.stream.body"
+
+  /** Size a stream-body session's shuffle width to the trigger's measured
+    * cardinality (r17, guide §2.2/§2.5): the body pins AQE off (its frames
+    * are trigger-bounded, re-planning is pure driver latency), which also
+    * forfeits AQE's partition coalescing — so every batch-sized shuffle ran
+    * the full static `spark.sql.shuffle.partitions` (= cluster cores) of
+    * mostly-empty tasks. This applies AQE's coalesce rule statically, from
+    * the row count the body already computed: ceil(rows / rowsPerTask),
+    * capped at the session's parallelism — a 10M-row trigger still
+    * saturates every core; a 2k-row gate batch stops paying 32-task
+    * scheduling per shuffle. No-op on non-stream-body (shared) sessions and
+    * under an explicit operator override of the shuffle-partitions key.
+    */
+  def sizeStreamBodyShuffle(spark: SparkSession, rows: Long): Unit =
+    if (spark.conf.get(StreamBodyKey, "false") == "true" &&
+      !isTuningOverridden("spark.sql.shuffle.partitions")) {
+      val perTask = spark.conf.get("graft.stream.rowsPerTask", "4096").toLong
+      val target = math.max(1L,
+        math.min(spark.sparkContext.defaultParallelism.toLong,
+          (rows + perTask - 1) / perTask))
+      spark.conf.set("spark.sql.shuffle.partitions", target.toString)
+    }
 
   /** Apply engine settings to an existing session (e.g. one the driver owns).
     * All of these are runtime-settable SQLConf keys.

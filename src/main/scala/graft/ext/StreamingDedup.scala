@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField, StructType}
 
 /** ONLINE exact deduplication: documents arrive as a stream, and only
   * content never seen before is admitted into a versioned corpus store —
@@ -142,12 +143,16 @@ object StreamingDedup {
       val streamed = hdr.getLong(0)
       val inBatchCount = hdr.getLong(1) + (if (hdr.getLong(2) > 0) 1L else 0L)
       val batchBuckets = hdr.getSeq[Int](3)
+      // stream-body sessions only: size every downstream batch shuffle to
+      // the trigger's measured cardinality (AQE is pinned off here, so its
+      // coalescing must be applied statically — see GraftSession)
+      graft.GraftSession.sizeStreamBodyShuffle(spark, streamed)
       val inBatch = withFp
         .withColumn("_rn", row_number().over(
           Window.partitionBy(col("fingerprint")).orderBy(col(idCol))))
         .filter(col("_rn") === 1).drop("_rn")
       val seen: Option[DataFrame] =
-        readBucketed(spark, idx, "b", batchBuckets)
+        readBucketed(spark, idx, "b", batchBuckets, Some(FingerprintIndexSchema))
           .map(_.select(col("fingerprint")))
           .orElse {
             if (dataless)
@@ -162,7 +167,8 @@ object StreamingDedup {
                   .select(col("fingerprint")).distinct(),
                 idx, "c=bootstrap",
                 Some(("b", pmod(col("fingerprint"), lit(nb)))))
-              readBucketed(spark, idx, "b", batchBuckets)
+              readBucketed(spark, idx, "b", batchBuckets,
+                  Some(FingerprintIndexSchema))
                 .map(_.select(col("fingerprint")))
             }
           }
@@ -281,7 +287,11 @@ object StreamingDedup {
         collect_set(pmod(xxhash64(col(idCol)), lit(nb)).cast("int"))).head()
       val streamed = hdr.getLong(0)
       val idBuckets = hdr.getSeq[Int](1)
-      val seenIds = readBucketed(spark, gramsRoot, "gb", idBuckets)
+      // see dedupAppendBatchLocked: static AQE-coalesce analogue, scoped to
+      // the per-query stream-session clone
+      graft.GraftSession.sizeStreamBodyShuffle(spark, streamed)
+      val seenIds = readBucketed(spark, gramsRoot, "gb", idBuckets,
+        Some(GramsIndexSchema))
         .map(_.select(col("doc_id").as(idCol)))
       val fresh = seenIds.fold(withG.toDF())(s =>
         withG.join(s, Seq(idCol), "left_anti")).persist()
@@ -330,7 +340,8 @@ object StreamingDedup {
           // recomputes the whole batch) — self-identity is never a dup;
           // genuine id re-sends never reach here (the grams-index
           // anti-join dropped them)
-          val crossPairs = readBucketed(spark, bandsRoot, "pb", bandBuckets)
+          val crossPairs = readBucketed(spark, bandsRoot, "pb", bandBuckets,
+            Some(BandsIndexSchema))
             .map(sb =>
               sb.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
                 .join(batchBands.select(col("band"), col("bucket"),
@@ -361,7 +372,8 @@ object StreamingDedup {
           try {
             val candBuckets = bucketsOf(cand,
               pmod(xxhash64(col("id_a")), lit(nb)))
-            val earlierIdxGrams = readBucketed(spark, gramsRoot, "gb", candBuckets)
+            val earlierIdxGrams = readBucketed(spark, gramsRoot, "gb",
+              candBuckets, Some(GramsIndexSchema))
               .map(_.select(col("doc_id"), col("grams")))
             val earlierGrams =
               earlierIdxGrams.fold(gramsOf)(_.unionByName(gramsOf))
@@ -486,7 +498,8 @@ object StreamingDedup {
     * which the legacy branch disappears.
     */
   private[graft] def readBucketed(spark: SparkSession, path: String,
-      pcol: String, buckets: Seq[Int]): Option[DataFrame] = {
+      pcol: String, buckets: Seq[Int],
+      schema: Option[StructType] = None): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // "exists" means AT LEAST ONE published slice — the root dir appears
@@ -494,22 +507,42 @@ object StreamingDedup {
     // staging dir must never count
     if (!fs.exists(p)) return None
     val (bucketed, legacy) = classifySlices(fs, p, pcol)
+    // the index payload schemas are fixed by their writers, so every
+    // per-batch read passes the schema explicitly (r17, guide §1.3 driver
+    // fixed cost): schema INFERENCE ran a footer-read Spark job per read —
+    // 12 small jobs per cold d11 gate, pure per-batch driver latency.
+    // Partition columns (c, pcol) stay discovered from directory names
+    // (driver-side, no job), exactly as before.
+    def read(paths: Seq[org.apache.hadoop.fs.Path]): DataFrame = {
+      val r = spark.read.option("basePath", path)
+      schema.fold(r)(r.schema).parquet(paths.map(_.toString): _*)
+    }
     val pruned =
       if (bucketed.isEmpty) None
-      else Some(spark.read.option("basePath", path)
-        .parquet(bucketed.map(_.toString): _*)
+      else Some(read(bucketed)
         .filter(col(pcol).isin(buckets: _*))
         .drop("c", pcol))
     val full =
       if (legacy.isEmpty) None
-      else Some(spark.read.option("basePath", path)
-        .parquet(legacy.map(_.toString): _*)
-        .drop("c"))
+      else Some(read(legacy).drop("c"))
     (pruned, full) match {
       case (Some(a), Some(b)) => Some(a.unionByName(b))
       case (a, b) => a.orElse(b)
     }
   }
+
+  /** The three index payload schemas, exactly as their writers produce them
+    * (parquet round-trips everything nullable): the per-batch reads pass
+    * these so no footer-inference job runs inside a micro-batch body.
+    */
+  private[graft] val FingerprintIndexSchema: StructType =
+    StructType(Seq(StructField("fingerprint", LongType)))
+  private[graft] val BandsIndexSchema: StructType =
+    StructType(Seq(StructField("band", IntegerType),
+      StructField("bucket", LongType), StructField("doc_id", LongType)))
+  private[graft] val GramsIndexSchema: StructType =
+    StructType(Seq(StructField("doc_id", LongType),
+      StructField("grams", ArrayType(LongType))))
 
   /** Publish one index slice atomically: write under an
     * underscore-prefixed staging directory (invisible to Spark readers),
