@@ -252,7 +252,7 @@ object Compaction {
 
   private[logs] def dataFilesUnder(fs: FileSystem, dir: Path): Seq[FileStatus] = {
     if (!fs.exists(dir)) return Seq.empty
-    val it = fs.listFiles(dir, true)
+    val it = GraftStore.walkFiles(fs, dir)
     val out = Seq.newBuilder[FileStatus]
     while (it.hasNext) {
       val f = it.next()

@@ -389,7 +389,7 @@ object FileStats {
     if (!fs.exists(p)) return Seq.empty
     val base = p.toUri.getPath
     val out = Seq.newBuilder[GraftStore.FileEntry]
-    val it = fs.listFiles(p, true)
+    val it = GraftStore.walkFiles(fs, p)
     while (it.hasNext) {
       val f = it.next()
       val rel = f.getPath.toUri.getPath.stripPrefix(base)

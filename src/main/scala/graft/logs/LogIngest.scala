@@ -210,7 +210,7 @@ object LogIngest {
 
     val fs = FileSystem.get(new java.net.URI(scratch), spark.sparkContext.hadoopConfiguration)
     val rootPath = new Path(root)
-    val it = fs.listFiles(new Path(scratch), true)
+    val it = GraftStore.walkFiles(fs, new Path(scratch))
     while (it.hasNext) {
       val f = it.next()
       val p = f.getPath.toUri.getPath
