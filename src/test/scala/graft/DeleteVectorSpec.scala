@@ -10,6 +10,12 @@ import org.apache.spark.sql.functions._
   * maintenance materializes and carries correctly, and a stale vector fails
   * the read instead of corrupting it.
   */
+/** SOAK suite (r17, VERDICT r16 #7): multi-minute store rehearsals —
+  * excluded from the default `sbt test` so the driver's bounded run
+  * completes; GRAFT_TEST_FULL=1 restores it (round-end certification
+  * profile, recorded in OPTIMIZATION_r17.md).
+  */
+@org.scalatest.tags.Slow
 class DeleteVectorSpec extends SparkSpec {
   import spark.implicits._
 

@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   * primitive. Mirrors the reference's versitygw-backed store
   * (test.sh:40-44), with the maintenance jobs the reference doesn't have.
   */
+/** SOAK suite (r17, VERDICT r16 #7): multi-minute store rehearsals —
+  * excluded from the default `sbt test` so the driver's bounded run
+  * completes; GRAFT_TEST_FULL=1 restores it (round-end certification
+  * profile, recorded in OPTIMIZATION_r17.md).
+  */
+@org.scalatest.tags.Slow
 class PointerStoreSpec extends SparkSpec {
   import spark.implicits._
 

@@ -10,6 +10,12 @@ import java.nio.file.{Files, Paths}
   * compaction materializes it into rewrites, and the overlay survives every
   * commit type.
   */
+/** SOAK suite (r17, VERDICT r16 #7): multi-minute store rehearsals —
+  * excluded from the default `sbt test` so the driver's bounded run
+  * completes; GRAFT_TEST_FULL=1 restores it (round-end certification
+  * profile, recorded in OPTIMIZATION_r17.md).
+  */
+@org.scalatest.tags.Slow
 class SchemaEvolutionSpec extends SparkSpec {
   import spark.implicits._
 
